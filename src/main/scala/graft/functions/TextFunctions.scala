@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines.
+  *
+  * All pure `org.apache.spark.sql.functions` compositions — codegen'd,
+  * no UDFs in the hot path, so they stay inside whole-stage codegen at
+  * any scale. Heuristics mirror the shapes a training-data pipeline
+  * needs (lang-id, quality scoring, token counting, fingerprinting);
+  * the reference's analogous string surface is SURVEY §2.8 (X1-X10).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (BPE-ish splitting is `tokensRegex`). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct token set. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word segmentation: splits on whitespace AND at
+    * letter/digit/punct boundaries (a cheap stand-in for a real BPE
+    * vocab, deterministic and engine-portable).
+    */
+  def tokensRegex(text: Column): Column =
+    filter(
+      split(trim(text), "(?:\\s+|(?<=[0-9])(?=[^0-9\\s])|(?<=[^0-9\\s])(?=[0-9])|(?<=[\\p{Punct}])|(?=[\\p{Punct}]))"),
+      t => length(t) > 0)
+
+  /** Canonical whitespace-collapsed lowercase form. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Deterministic 128-bit document fingerprint over the normalized
+    * text — the exact-dedup key. (md5 is stable across engines, unlike
+    * xxhash64 seeds in other systems.)
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Count of characters matching a single-char regex class —
+    * implemented as length-difference so it ports to any engine.
+    */
+  def charClassCount(text: Column, clazz: String): Column =
+    length(text) - length(regexp_replace(text, clazz, ""))
+
+  def cjkCount(text: Column): Column = charClassCount(text, "[\\x{4E00}-\\x{9FFF}]")
+  def kanaCount(text: Column): Column = charClassCount(text, "[\\x{3040}-\\x{30FF}]")
+  def hangulCount(text: Column): Column = charClassCount(text, "[\\x{AC00}-\\x{D7AF}]")
+  def latinCount(text: Column): Column = charClassCount(text, "[A-Za-z]")
+  def digitCount(text: Column): Column = charClassCount(text, "[0-9]")
+  def punctCount(text: Column): Column = charClassCount(text, "[\\p{Punct}]")
+  def wsCount(text: Column): Column = charClassCount(text, "\\s")
+
+  /** Heuristic language ID from character-class densities.
+    * Rule order: script dominance (CJK/kana/hangul) before latin.
+    */
+  def langId(text: Column): Column = {
+    val n = greatest(length(text), lit(1)).cast("double")
+    val cjk = cjkCount(text) / n
+    val kana = kanaCount(text) / n
+    val hangul = hangulCount(text) / n
+    val latin = latinCount(text) / n
+    when(kana > 0.05, "ja")
+      .when(hangul > 0.2, "ko")
+      .when(cjk > 0.2, "zh")
+      .when(latin > 0.4, "en")
+      .otherwise("other")
+  }
+
+  /** Quality score in [0,1]: penalizes extreme length, high
+    * punct/digit density, low word diversity. Deterministic integer
+    * ratios → double, so it hashes identically cross-engine.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = greatest(length(text), lit(1)).cast("double")
+    val nTok = greatest(tokenCount(text), lit(1)).cast("double")
+    val lenOk = when(length(text).between(20, 10000), lit(1.0)).otherwise(lit(0.0))
+    val punctRatio = punctCount(text).cast("double") / n
+    val digitRatio = digitCount(text).cast("double") / n
+    val diversity = size(tokenSet(text)).cast("double") / nTok
+    round(
+      lit(0.25) * lenOk
+        + lit(0.25) * when(punctRatio < 0.1, 1.0).otherwise(0.0)
+        + lit(0.25) * when(digitRatio < 0.3, 1.0).otherwise(0.0)
+        + lit(0.25) * least(diversity * 2.0, lit(1.0)),
+      6)
+  }
+
+  /** Word k-shingles of the token stream (for MinHash / Jaccard). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(0), greatest(size(toks) - k, lit(0)))
+    when(size(toks) < k, array(array_join(toks, " ")))
+      .otherwise(array_distinct(
+        transform(idx, i => array_join(slice(toks, i + 1, lit(k)), " "))))
+  }
+}

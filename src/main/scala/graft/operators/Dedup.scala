@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Document deduplication operators for training-data pipelines.
+  *
+  * Scale design: every variant is a declarative plan whose only wide
+  * operations are hash-partitioned shuffles on content-derived keys —
+  * fingerprints, MinHash band buckets, SimHash bands. Nothing does an
+  * unblocked cross join; all-pairs comparisons exist only inside LSH
+  * buckets (bounded by `maxBucketSize` against adversarial skew).
+  *
+  * Reference analog: the corpus-dedup stages (SURVEY §2.3 anti-joins,
+  * A4 duplicate-circle resolution); extended here to the
+  * MinHash/SimHash family a 100 TB text pipeline needs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-text fingerprint.
+    * One shuffle on the 128-bit fingerprint; canonical id = min id.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_dups"),
+        min(col("doc_id")).as("canonical_id"),
+        array_join(transform(array_sort(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("members"))
+      .filter(col("n_dups") > 1)
+
+  /** Exact-dedup projection: keep one row (min id) per distinct
+    * normalized text. The survivor choice is deterministic.
+    */
+  def dropExactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact token-set Jaccard of every document against a (small,
+    * broadcast) anchor set — the correctness baseline the approximate
+    * variants are validated against. Linear in |docs| × |anchors|.
+    */
+  def jaccardToAnchors(
+      docs: DataFrame, idCol: String, textCol: String,
+      anchorPred: Column, threshold: Double): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+    val anchors = toks.filter(anchorPred)
+      .select(col("id").as("a_id"), col("toks").as("a_toks"))
+    val inter = size(array_intersect(col("a_toks"), col("toks")))
+    val uni = size(col("a_toks")) + size(col("toks")) - inter
+    toks.join(broadcast(anchors), col("a_id") < col("id"))
+      .withColumn("jaccard", inter.cast("double") / uni.cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("id").as("b_id"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k-word shingles → `numHashes` independent
+    * min-hashes. Hash family: xxhash64 salted by the hash index —
+    * deterministic, seedless, engine-native (codegen'd).
+    * Returns (id, sig ARRAY<LONG>).
+    */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleK)).as("shingle"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash + LSH banding near-dup pairs, verified with exact
+    * shingle Jaccard. `bands × rowsPerBand = numHashes`. Candidate
+    * generation is a self-join on (band, bucket) — a hash-partitioned
+    * equi-join, never a cross join. Buckets larger than
+    * `maxBucketSize` are dropped (standard LSH skew guard; at 100 TB
+    * a mega-bucket means degenerate content, handled by exact dedup
+    * first).
+    */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 2, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
+    // (id, band, bucket) — bucket = murmur3 of the band's slice of sig
+    val banded = sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsz") <= maxBucketSize)
+    val cands = sized.as("x").join(sized.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    // exact verification on shingle sets
+    val toks = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleK).as("sh"))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
+    val uni = size(col("a_sh")) + size(col("b_sh")) - inter
+    cands
+      .join(toks.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(toks.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jaccard", inter.cast("double") / uni.cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over the distinct-token set: bit j of the
+    * signature is the sign of Σ_tokens (±1 by bit j of xxhash64(tok)).
+    * Pure aggregate — 64 codegen'd conditional sums, one shuffle.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokenSet(col(textCol))).as("tok"))
+    val h = xxhash64(col("tok"))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    val sig = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    toks.groupBy(col("id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sig.as("sig"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming` (≤ 3 with 4 bands):
+    * pigeonhole — any pair within hamming d of 64 bits shares at
+    * least one of (d+1) 16-bit bands exactly. Band equi-join, then
+    * popcount verify.
+    */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 x 16-bit bands guarantee recall only to hamming 3")
+    val sigs = simhashSignatures(docs, idCol, textCol)
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(k =>
+        shiftrightunsigned(col("sig"), k * 16).bitwiseAND(lit(0xFFFFL))): _*)
+      ).as(Seq("band", "key")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.sig").as("a_sig"), col("y.sig").as("b_sig"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate/exact nearest-neighbor search over an embedding
+  * column (`ARRAY<FLOAT>`).
+  *
+  * Two-tier design mirroring the reference's recall→rerank plan
+  * (SURVEY §3.3, Docs/SIMILARITY-PLAN.md): a brute-force cosine
+  * baseline (broadcast anchors × linear scan — exact, O(A·N)), and a
+  * random-hyperplane LSH path whose candidate generation is a
+  * hash-partitioned band join (the 100 TB shape — never a cross
+  * join). Scores are computed as ordered double folds and rounded to
+  * 4 decimals so ranks are reproducible cross-engine.
+  */
+object SimilaritySearch {
+
+  private def scored(vectors: DataFrame, anchors: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+      .join(broadcast(
+        anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("a_vec"))),
+        col("anchor_id") =!= col("neighbor_id"))
+      .withColumn("score", round(cosine(col("a_vec"), col("n_vec")), 4))
+
+  /** Exact top-k cosine neighbors of each anchor. Anchors must be
+    * small enough to broadcast (the reference's anchor batches are
+    * ~200 rows); the scan over `vectors` is embarrassingly parallel
+    * and the final per-anchor ranking shuffles only A·N scored rows.
+    */
+  def cosineTopK(vectors: DataFrame, anchors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored(vectors, anchors, idCol, vecCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** All near-duplicate pairs with cosine ≥ threshold, anchors
+    * broadcast. For all-pairs dedup at scale use `lshCosineTopK`
+    * buckets or MinHash on content first.
+    */
+  def cosinePairs(vectors: DataFrame, anchorPred: Column, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val anchors = vectors.filter(anchorPred)
+    scored(vectors, anchors, idCol, vecCol)
+      .filter(col("score") >= threshold && col("anchor_id") < col("neighbor_id"))
+      .select(col("anchor_id"), col("neighbor_id"), col("score"))
+  }
+
+  /** Deterministic pseudo-random hyperplane: component i of plane
+    * (table t, plane m) derived from xxhash64 — no RNG state, so
+    * signatures are reproducible across runs/engines.
+    */
+  private def planeComponent(t: Int, m: Int, i: Column): Column =
+    (pmod(xxhash64(lit(t), lit(m), i), lit(2001L)) - 1000L).cast("double") / 1000.0
+
+  /** Sign-bit signature of a vector for table t: numPlanes bits. */
+  private def lshKey(vec: Column, t: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { m =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(t, m, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << m)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: `numTables` independent
+    * random-hyperplane signatures; candidates = pairs sharing a
+    * bucket in any table; exact cosine rerank of candidates.
+    * Recall rises with tables, cost with 2^-numPlanes bucket size.
+    * This is the scale path: both sides shuffle on (table, bucket) —
+    * at 1000 executors the band join stays co-partitioned end-to-end.
+    */
+  def lshCosineTopK(vectors: DataFrame, anchorPred: Column, k: Int,
+      numPlanes: Int = 8, numTables: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val keyed = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      posexplode(array((0 until numTables).map(t =>
+        lshKey(col(vecCol), t, numPlanes)): _*)).as(Seq("table", "bucket")))
+    val anchors = keyed.filter(anchorPred)
+      .select(col("id").as("anchor_id"), col("vec").as("a_vec"),
+        col("table"), col("bucket"))
+    val cands = keyed.join(anchors,
+        Seq("table", "bucket")).filter(col("anchor_id") =!= col("id"))
+      .select(col("anchor_id"), col("a_vec"), col("id").as("neighbor_id"),
+        col("vec").as("n_vec"))
+      .dropDuplicates("anchor_id", "neighbor_id")
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("score", round(cosine(col("a_vec"), col("n_vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("neighbor_id"), col("score"))
+  }
+
+  /** k-NN majority-vote classification: label each anchor by the
+    * modal label among its exact top-k neighbors (tie → smaller
+    * label). Composition of cosineTopK + the A1 majority pattern.
+    */
+  def knnClassify(vectors: DataFrame, anchors: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val topk = cosineTopK(vectors, anchors, k, idCol, vecCol)
+    val labeled = topk.join(
+      vectors.select(col(idCol).as("neighbor_id"), col(labelCol).as("n_label")),
+      "neighbor_id")
+    val votes = labeled.groupBy(col("anchor_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("votes").desc, col("n_label").asc)
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("n_label").as("predicted_label"), col("votes"))
+  }
+
+  /** A10 analog: per-group element-wise mean of embeddings
+    * (posexplode → grouped avg → re-assemble ordered). Exact decimal
+    * accumulation for cross-engine determinism.
+    */
+  def centroids(vectors: DataFrame, groupCol: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(groupCol).as("grp"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("grp"), col("pos"))
+      .agg((sum(col("v").cast("double").cast("decimal(28,9)")).cast("double") /
+        count(lit(1))).as("c"))
+      .groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => round(s.getField("c"), 6)).as("centroid"))
+}

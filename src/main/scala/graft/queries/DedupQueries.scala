@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over the documents table: exact, exact-Jaccard
+  * baseline, MinHash+LSH, SimHash. The LSH variants have no SQL
+  * oracle (their candidate sets depend on the hash family); the
+  * driver records a rows-only check for them, and their
+  * *verification* math (exact Jaccard / hamming over candidates) is
+  * cross-checked by the oracle-backed q17 baseline + scalatest
+  * fixtures with known duplicates.
+  */
+object DedupQueries {
+
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupGroups(Tables(s, dir).documents, "doc_id", "text")
+      .orderBy(col("fp"))
+
+  private val q16Sql =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |  count(*) AS n_dups, min(doc_id) AS canonical_id,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+      |FROM documents
+      |GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin
+
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardToAnchors(Tables(s, dir).documents, "doc_id", "text",
+        col("id") % 50 === 0, 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val q17Sql =
+    """WITH t AS (SELECT doc_id,
+      |    list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0)) AS toks
+      |  FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / (length(a.toks) + length(b.toks) - length(list_intersect(a.toks, b.toks))) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id % 50 = 0 AND a.doc_id < b.doc_id
+      |WHERE CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |    / (length(a.toks) + length(b.toks) - length(list_intersect(a.toks, b.toks))) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables(s, dir).documents, "doc_id", "text",
+        shingleK = 2, numHashes = 32, bands = 8, threshold = 0.2)
+      .orderBy(col("a_id"), col("b_id"))
+
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables(s, dir).documents, "doc_id", "text",
+        maxHamming = 3)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val all: Seq[Q] = Seq(
+    Q("q16_exact_dup_groups", q16, Some(q16Sql)),
+    Q("q17_jaccard_pairs", q17, Some(q17Sql), headline = true),
+    Q("q18_minhash_lsh", q18, None, headline = true),
+    Q("q19_simhash_pairs", q19, None, headline = true))
+}

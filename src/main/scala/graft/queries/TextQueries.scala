@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table: token counting,
+  * quality scoring, language ID, fingerprinting. All are single-pass
+  * narrow scans (no shuffle at all except the final orderBy for
+  * deterministic output) — at 100 TB these read parquet once with
+  * only (doc_id, text) in the ReadSchema.
+  */
+object TextQueries {
+
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        size(tokenSet(col("text"))).as("n_uniq_tokens"),
+        length(col("text")).as("n_chars_measured"))
+      .orderBy(col("doc_id"))
+
+  private val q12Sql =
+    """SELECT doc_id,
+      |  length(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0)) AS n_tokens,
+      |  length(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0))) AS n_uniq_tokens,
+      |  length(text) AS n_chars_measured
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  private val q13Sql =
+    """SELECT doc_id, round(
+      |  0.25 * (CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
+      |  + 0.25 * (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) < 0.1 THEN 1.0 ELSE 0.0 END)
+      |  + 0.25 * (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) < 0.3 THEN 1.0 ELSE 0.0 END)
+      |  + 0.25 * least(CAST(length(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0))) AS DOUBLE)
+      |      / greatest(length(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0)), 1) * 2.0, 1.0)
+      |, 6) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private val q14Sql =
+    """SELECT doc_id, CASE
+      |  WHEN CAST(length(text) - length(regexp_replace(text, '[\x{3040}-\x{30FF}]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) > 0.05 THEN 'ja'
+      |  WHEN CAST(length(text) - length(regexp_replace(text, '[\x{AC00}-\x{D7AF}]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) > 0.2 THEN 'ko'
+      |  WHEN CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) > 0.2 THEN 'zh'
+      |  WHEN CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) > 0.4 THEN 'en'
+      |  ELSE 'other' END AS lang_pred
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val q15Sql =
+    """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q12_token_stats", q12, Some(q12Sql)),
+    Q("q13_text_quality", q13, Some(q13Sql), headline = true),
+    Q("q14_lang_id", q14, Some(q14Sql)),
+    Q("q15_fingerprint", q15, Some(q15Sql)))
+}
