@@ -48,7 +48,8 @@ object Dedup {
   def jaccardToAnchors(
       docs: DataFrame, idCol: String, textCol: String,
       anchorPred: Column, threshold: Double): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), tokenSet(col(textCol)).as("toks"))
+    val toks = docs.select(col(idCol).as("id"),
+      tokenSet(normalized(col(textCol))).as("toks"))
     val anchors = toks.filter(anchorPred)
       .select(col("id").as("a_id"), col("toks").as("a_toks"))
     val inter = size(array_intersect(col("a_toks"), col("toks")))
@@ -68,7 +69,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleK)).as("shingle"))
+        explode(shingles(normalized(col(textCol)), shingleK)).as("shingle"))
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     sh.groupBy(col("id"))
@@ -106,7 +107,7 @@ object Dedup {
       .distinct()
     // exact verification on shingle sets
     val toks = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("sh"))
+      shingles(normalized(col(textCol)), shingleK).as("sh"))
     val inter = size(array_intersect(col("a_sh"), col("b_sh")))
     val uni = size(col("a_sh")) + size(col("b_sh")) - inter
     cands
@@ -123,7 +124,7 @@ object Dedup {
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
-      explode(tokenSet(col(textCol))).as("tok"))
+      explode(tokenSet(normalized(col(textCol)))).as("tok"))
     val h = xxhash64(col("tok"))
     val bitSums = (0 until 64).map(j =>
       sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))

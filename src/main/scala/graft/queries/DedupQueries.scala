@@ -33,7 +33,7 @@ object DedupQueries {
 
   private val q17Sql =
     """WITH t AS (SELECT doc_id,
-      |    list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0)) AS toks
+      |    list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS toks
       |  FROM documents)
       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |  CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)

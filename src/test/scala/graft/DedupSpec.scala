@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Planted corpus: 1↔2 exact dup (mod whitespace/case), 3↔4 near-dup
+  // (one word changed), 5/6 unrelated.
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "The quick  brown fox jumps over the lazy dog near the river bank today"),
+    (3L, "pack my box with five dozen liquor jugs before the long summer night ends"),
+    (4L, "pack my box with five dozen liquor jugs before the long winter night ends"),
+    (5L, "sphinx of black quartz judge my vow while wizards explode frequently"),
+    (6L, "completely different content about spark catalyst optimizer internals here"))
+    .toDF("doc_id", "text")
+
+  test("exactDupGroups finds the normalized-exact pair only") {
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 1)
+    assert(groups(0).getAs[String]("members") === "1,2")
+    assert(groups(0).getAs[Long]("canonical_id") === 1L)
+  }
+
+  test("dropExactDups keeps min-id survivor") {
+    val kept = Dedup.dropExactDups(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("jaccardToAnchors matches a hand-computed score") {
+    // anchor=3 vs 4: 14 distinct tokens each, 13 shared → 13/15
+    val got = Dedup.jaccardToAnchors(docs, "doc_id", "text",
+      col("id") === 3, 0.5).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("b_id") === 4L)
+    assert(math.abs(got(0).getAs[Double]("jaccard") - 13.0 / 15.0) < 1e-12)
+  }
+
+  test("minhashLshPairs recalls planted near-dups and exact dups") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 32, bands = 16, threshold = 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))  // exact dup: identical shingles
+    assert(pairs.contains((3L, 4L)))  // near dup: high shingle overlap
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("simhashPairs finds hamming-close docs, not unrelated ones") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))  // identical token sets → hamming 0
+    assert(!pairs.contains((5L, 6L)))
+  }
+
+  test("simhash hamming(1,2)=0 and signature is deterministic") {
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .orderBy("id").select("sig").as[Long].collect()
+    val sigs2 = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .orderBy("id").select("sig").as[Long].collect()
+    assert(sigs.toSeq === sigs2.toSeq)
+    assert(sigs(0) === sigs(1))
+  }
+}

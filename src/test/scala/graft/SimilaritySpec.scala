@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.SimilaritySearch
+import org.apache.spark.sql.functions._
+
+/** Dual-implementation validation (the reference's own pattern:
+  * precompute_similar_tracks.py:158-193 — GPU kernel vs numpy, tol
+  * 5e-3): Spark results checked against a plain-Scala brute force.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkVec(seed: Int, dim: Int = 8): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(dim)(r.nextFloat() * 2 - 1)
+  }
+
+  // 40 random vectors + planted structure: 100≈101 (near-identical),
+  // labels split by seed parity.
+  private lazy val data: Seq[(Long, Array[Float], Int)] = {
+    val base = (0 until 40).map(i => (i.toLong, mkVec(i), i % 2))
+    val nearDup = {
+      val v = mkVec(100)
+      val w = v.clone(); w(0) += 0.001f
+      Seq((100L, v, 0), (101L, w, 0))
+    }
+    base ++ nearDup
+  }
+  private lazy val emb = data.toDF("vec_id", "embedding", "label")
+
+  private def refCosine(a: Array[Float], b: Array[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  test("cosineTopK matches scala brute force (tol 5e-3, top-5 overlap)") {
+    val anchors = emb.filter($"vec_id" < 3 || $"vec_id" === 100)
+    val got = SimilaritySearch.cosineTopK(emb, anchors, 5)
+      .collect().groupBy(_.getAs[Long]("anchor_id"))
+    val byId = data.map(d => d._1 -> d._2).toMap
+    for (aid <- Seq(0L, 1L, 2L, 100L)) {
+      val ref = data.filter(_._1 != aid)
+        .map(d => (d._1, refCosine(byId(aid), d._2)))
+        .sortBy(x => (-x._2, x._1)).take(5)
+      val gotRows = got(aid).sortBy(_.getAs[Int]("rank"))
+      assert(gotRows.map(_.getAs[Long]("neighbor_id")).toSeq === ref.map(_._1),
+        s"anchor $aid neighbor order")
+      gotRows.zip(ref).foreach { case (r, (_, s)) =>
+        assert(math.abs(r.getAs[Double]("score") - s) < 5e-3)
+      }
+    }
+  }
+
+  test("planted near-dup is its anchor's top neighbor with score≈1") {
+    val got = SimilaritySearch.cosineTopK(emb, emb.filter($"vec_id" === 100), 1)
+      .collect()(0)
+    assert(got.getAs[Long]("neighbor_id") === 101L)
+    assert(got.getAs[Double]("score") > 0.999)
+  }
+
+  test("lshCosineTopK finds the near-identical pair (recall on dups)") {
+    val got = SimilaritySearch.lshCosineTopK(emb, col("id") === 100, 3)
+      .collect()
+    // identical vectors share every LSH bucket → guaranteed candidate
+    assert(got.nonEmpty)
+    assert(got(0).getAs[Long]("neighbor_id") === 101L)
+  }
+
+  test("knnClassify labels an anchor by neighbor majority") {
+    val anchorVec = data.find(_._1 == 100L).get._2
+    val top3 = data.filter(_._1 != 100L)
+      .map(d => (d._1, refCosine(anchorVec, d._2), d._3))
+      .sortBy(x => (-x._2, x._1)).take(3)
+    // majority label, tie → smaller label (mirrors the operator's pin)
+    val expected = top3.groupBy(_._3).toSeq
+      .maxBy { case (lbl, rows) => (rows.size, -lbl) }._1
+    val got = SimilaritySearch.knnClassify(emb, emb.filter($"vec_id" === 100), 3)
+      .collect()(0)
+    assert(got.getAs[Int]("predicted_label") === expected)
+  }
+
+  test("centroids: element-wise mean per group") {
+    val two = Seq(
+      (1L, Array(1.0f, 3.0f), "g"),
+      (2L, Array(3.0f, 5.0f), "g")).toDF("vec_id", "embedding", "label")
+    val c = SimilaritySearch.centroids(two, "label")
+      .select("centroid").as[Seq[Double]].collect()(0)
+    assert(c === Seq(2.0, 4.0))
+  }
+}

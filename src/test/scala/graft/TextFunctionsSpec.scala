@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens splits on any whitespace and drops empties") {
+    val got = Seq("  a  b\tc\nd  ", "", "   ")
+      .toDF("t").select(tokens($"t")).as[Seq[String]].collect()
+    assert(got(0) === Seq("a", "b", "c", "d"))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq.empty)
+  }
+
+  test("fingerprint is whitespace/case insensitive but content sensitive") {
+    val fps = Seq("Hello  World", "hello world", "hello\tworld", "hello worlds")
+      .toDF("t").select(fingerprint($"t")).as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(1) === fps(2))
+    assert(fps(2) !== fps(3))
+  }
+
+  test("langId classifies scripts (CJK fixtures per SURVEY hard-list e)") {
+    val rows = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "東方紅魔郷の曲をアレンジしました よろしくお願いします",  // kana+kanji → ja
+      "东方红魔乡的曲子改编版本 希望大家喜欢 这是中文文本",      // han only → zh
+      "한국어 텍스트입니다 안녕하세요 반갑습니다",               // hangul → ko
+      "12345 67890 !!!")
+      .toDF("t").select(langId($"t")).as[String].collect()
+    assert(rows.toSeq === Seq("en", "ja", "zh", "ko", "other"))
+  }
+
+  test("shingles produces k-word shingles, deduped; short doc degenerates") {
+    val got = Seq("a b c d", "a b", "x")
+      .toDF("t").select(shingles($"t", 3)).as[Seq[String]].collect()
+    assert(got(0).toSet === Set("a b c", "b c d"))
+    assert(got(1) === Seq("a b"))
+    assert(got(2) === Seq("x"))
+  }
+
+  test("qualityScore rewards diverse prose, penalizes digit soup") {
+    val q = Seq(
+      "A reasonably long sentence with many distinct interesting words here.",
+      "1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9 0 1 2 3 4")
+      .toDF("t").select(qualityScore($"t")).as[Double].collect()
+    assert(q(0) > 0.9)
+    assert(q(1) < 0.8)
+  }
+}
