@@ -24,7 +24,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// CJK file paths are load-bearing (SURVEY §7 hard-list e). The
+// container locale is POSIX, which makes sun.jnu.encoding ANSI and
+// breaks java.nio on non-ASCII paths; -D flags cannot override it,
+// only the process locale can.
+run / envVars += "LANG" -> "C.UTF-8"
+Test / envVars += "LANG" -> "C.UTF-8"

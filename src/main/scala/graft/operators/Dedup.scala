@@ -52,10 +52,12 @@ object Dedup {
       tokenSet(normalized(col(textCol))).as("toks"))
     val anchors = toks.filter(anchorPred)
       .select(col("id").as("a_id"), col("toks").as("a_toks"))
-    val inter = size(array_intersect(col("a_toks"), col("toks")))
-    val uni = size(col("a_toks")) + size(col("toks")) - inter
     toks.join(broadcast(anchors), col("a_id") < col("id"))
-      .withColumn("jaccard", inter.cast("double") / uni.cast("double"))
+      // materialize the intersection size once; reusing the raw
+      // expression would re-evaluate array_intersect per reference
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("toks"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a_toks")) + size(col("toks")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("id").as("b_id"), col("jaccard"))
   }
@@ -108,12 +110,12 @@ object Dedup {
     // exact verification on shingle sets
     val toks = docs.select(col(idCol).as("id"),
       shingles(normalized(col(textCol)), shingleK).as("sh"))
-    val inter = size(array_intersect(col("a_sh"), col("b_sh")))
-    val uni = size(col("a_sh")) + size(col("b_sh")) - inter
     cands
       .join(toks.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(toks.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      .withColumn("jaccard", inter.cast("double") / uni.cast("double"))
+      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Grouped-decision operators from the reference's catalog build:
+  * majority vote (A1), vote-based imputation (A2), per-group ordinal
+  * gap-fill (A3), duplicate-group canonicalization (A4/A5).
+  *
+  * All are single-shuffle groupBy/window plans; the A3 gap-fill is
+  * expressed relationally (ranked-unused ⋈ ranked-missing) rather
+  * than as a per-group scan, so it distributes — the sequential
+  * "lowest unused number at assignment time" semantics and the
+  * relational form provably coincide because each missing row in
+  * order takes the next smallest unused value.
+  */
+object Grouping {
+
+  /** A1: modal value of `valueCol` per group with pinned tie-break
+    * (higher count wins, then smaller value — Counter-first-seen made
+    * deterministic). Returns (groupCols..., majority, votes).
+    * Reference: info_scanner_ph2.py:296-326. */
+  def majorityVote(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull && col(valueCol) =!= "")
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("votes").desc, col(valueCol).asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumnRenamed(valueCol, "majority")
+  }
+
+  /** A2: fill blank/null `valueCol` with the group's majority value
+    * (convention→date imputation). Blank = null or "". */
+  def imputeByMajority(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val maj = majorityVote(df, groupCols, valueCol)
+      .select((groupCols.map(col) :+ col("majority")): _*)
+    df.join(maj, groupCols, "left")
+      .withColumn(valueCol,
+        when(col(valueCol).isNull || col(valueCol) === "", col("majority"))
+          .otherwise(col(valueCol)))
+      .drop("majority")
+  }
+
+  /** A3: per-group track-number gap fill. Rows with number < 1 (or
+    * null) receive the lowest unused positive integers, assigned in
+    * `orderCol` (basename) order. Valid duplicates keep their value
+    * (the reference only fills, never renumbers).
+    *
+    * Relational formulation: rank the missing rows per group; rank
+    * the unused numbers in 1..(maxNeeded); join on rank. Unused =
+    * sequence anti-join used. Reference: info_scanner_ph3.py:40-84.
+    */
+  def gapFillNumbers(df: DataFrame, groupCols: Seq[String],
+      numberCol: String, orderCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val valid = col(numberCol).isNotNull && col(numberCol) >= 1
+    // rank missing rows per group in orderCol order (valid rows get a
+    // separate, unused numbering via the validity flag in the key)
+    val wMiss = Window
+      .partitionBy((g :+ when(valid, lit(0)).otherwise(lit(1))): _*)
+      .orderBy(col(orderCol).asc)
+    val marked = df.withColumn("__miss",
+      when(valid, lit(null).cast("int")).otherwise(row_number().over(wMiss)))
+    // per-group free numbers: 1..(#rows + max(used)) minus used
+    val used = df.filter(valid).groupBy(g: _*)
+      .agg(collect_set(col(numberCol).cast("int")).as("__used"),
+        max(col(numberCol).cast("int")).as("__maxv"))
+    val sizes = df.groupBy(g: _*).agg(count(lit(1)).cast("int").as("__n"))
+    val pool = sizes.join(used, groupCols, "left")
+      .withColumn("__used",
+        coalesce(col("__used"), array().cast("array<int>")))
+      .withColumn("__cand",
+        filter(sequence(lit(1), col("__n") + coalesce(col("__maxv"), lit(0))),
+          c => !array_contains(col("__used"), c)))
+      .select((g :+ posexplode(col("__cand")).as(Seq("__pos", "__free"))): _*)
+      .withColumn("__rank", col("__pos") + 1).drop("__pos")
+    marked.join(pool,
+        groupCols.map(k => marked(k) === pool(k)).reduce(_ && _) &&
+          col("__miss") === col("__rank"), "left")
+      .select((df.columns.map(marked(_)) :+ col("__miss") :+ col("__free")): _*)
+      .withColumn(numberCol,
+        when(col("__miss").isNull, col(numberCol).cast("int"))
+          .otherwise(col("__free")))
+      .drop("__miss", "__free")
+  }
+
+  /** A4/A5: canonical representative per duplicate group — pick by
+    * ascending struct of `preferenceCols` (first field wins, etc.),
+    * and attach it to every member. */
+  def canonicalize(df: DataFrame, groupCols: Seq[String],
+      preference: Seq[Column], payload: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(preference: _*)
+    val first = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((groupCols.map(col) ++
+        payload.map(p => col(p).as(s"canonical_$p"))): _*)
+    df.join(first, groupCols, "left")
+  }
+}

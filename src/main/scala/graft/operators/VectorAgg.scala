@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Vector aggregation + chamfer similarity (SURVEY A10/A11, P6/E7).
+  *
+  * Mean/max pooling over per-track chunk embeddings is a custom
+  * `Aggregator` with a fixed-size mutable buffer — O(dim) state per
+  * group instead of `collect_list`'s O(chunks·dim), which is the
+  * difference between streaming partial aggregation and OOM at the
+  * reference's 9.7M-chunk scale (chunk_store.py:15-17).
+  *
+  * The chamfer rerank follows the reference's two-stage plan
+  * (Docs/SIMILARITY-PLAN.md:55-75): cheap pooled-cosine recall bounds
+  * the candidate set, and the expensive chunk-level chamfer runs only
+  * on K candidates per anchor — never the O(n²·c²) brute force.
+  */
+object VectorAgg {
+
+  /** Buffer: element-wise running sum + max + count. */
+  case class PoolBuf(var sum: Array[Double], var max: Array[Double],
+      var n: Long)
+
+  case class Pooled(mean: Array[Double], max: Array[Double], n: Long)
+
+  /** A10: one-pass element-wise mean+max pooling Aggregator over an
+    * ARRAY<FLOAT/DOUBLE> column (export_pooled_from_store.py:44-48 —
+    * mean[1024] and mean+max[2048] pooled vectors). */
+  class PoolAggregator extends Aggregator[Seq[Double], PoolBuf, Pooled] {
+    def zero: PoolBuf = PoolBuf(Array.empty, Array.empty, 0L)
+    def reduce(b: PoolBuf, v: Seq[Double]): PoolBuf = {
+      if (b.n == 0L) {
+        PoolBuf(v.toArray, v.toArray, 1L)
+      } else {
+        var i = 0
+        while (i < b.sum.length) {
+          b.sum(i) += v(i)
+          if (v(i) > b.max(i)) b.max(i) = v(i)
+          i += 1
+        }
+        b.n += 1
+        b
+      }
+    }
+    def merge(a: PoolBuf, c: PoolBuf): PoolBuf = {
+      if (a.n == 0L) c
+      else if (c.n == 0L) a
+      else {
+        var i = 0
+        while (i < a.sum.length) {
+          a.sum(i) += c.sum(i)
+          if (c.max(i) > a.max(i)) a.max(i) = c.max(i)
+          i += 1
+        }
+        a.n += c.n
+        a
+      }
+    }
+    def finish(b: PoolBuf): Pooled =
+      Pooled(b.sum.map(_ / math.max(b.n, 1L)), b.max, b.n)
+    def bufferEncoder: Encoder[PoolBuf] = Encoders.product[PoolBuf]
+    def outputEncoder: Encoder[Pooled] = Encoders.product[Pooled]
+  }
+
+  /** Pool chunk rows (idCol, vecCol ARRAY<numeric>) → one row per id
+    * with mean, max, n_chunks, and L2-normalized mean (the recall
+    * vector — Docs/SIMILARITY-PLAN.md:40-42). */
+  def poolChunks(chunks: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .select(col(idCol).cast("string").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .as[(String, Seq[Double])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new PoolAggregator().toColumn.name("pooled"))
+      .toDF("id", "pooled")
+      .select(col("id"), col("pooled.mean").as("mean_vec"),
+        col("pooled.max").as("max_vec"), col("pooled.n").as("n_chunks"))
+  }
+
+  private def cosineArr(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Symmetric chamfer similarity of two chunk sets: mean over each
+    * side's best-match cosine to the other
+    * (precompute_similar_tracks.py:129-155 semantics). */
+  private[graft] def chamfer(a: Seq[Seq[Double]],
+      b: Seq[Seq[Double]]): Double = {
+    if (a.isEmpty || b.isEmpty) return 0.0
+    def oneWay(xs: Seq[Seq[Double]], ys: Seq[Seq[Double]]): Double =
+      xs.map(x => ys.map(y => cosineArr(x, y)).max).sum / xs.length
+    (oneWay(a, b) + oneWay(b, a)) / 2.0
+  }
+
+  case class ChamferScore(anchor_id: String, neighbor_id: String,
+      rank: Int, score: Double)
+
+  /** P6/E7: two-stage similar-tracks — recall top `recallK` by pooled
+    * mean cosine (via [[SimilaritySearch.cosineTopK]]), then chamfer
+    * rerank on chunk sets, keep `keepK`. Chunks subsampled to
+    * `maxChunks` per track (pad-96 analog,
+    * precompute_similar_tracks.py:80-96) to bound group memory. */
+  def similarByChamfer(chunks: DataFrame, idCol: String, vecCol: String,
+      anchorPred: org.apache.spark.sql.Column, recallK: Int, keepK: Int,
+      maxChunks: Int = 96): Dataset[ChamferScore] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val pooled = poolChunks(chunks, idCol, vecCol)
+      .withColumnRenamed("id", "vec_id")
+    val recall = SimilaritySearch.cosineTopK(
+      pooled, pooled.filter(anchorPred), recallK,
+      idCol = "vec_id", vecCol = "mean_vec")
+    // deterministic chunk subsample: first maxChunks in chunk order
+    // array_sort makes the subsample deterministic under collect_list's
+    // arbitrary arrival order (reference subsamples by stride instead)
+    val chunkSets = chunks
+      .select(col(idCol).cast("string").as("cid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .groupBy("cid")
+      .agg(slice(array_sort(collect_list(col("v"))), 1, maxChunks).as("chunks"))
+    recall
+      .join(chunkSets.withColumnRenamed("cid", "anchor_id")
+        .withColumnRenamed("chunks", "a_chunks"), "anchor_id")
+      .join(chunkSets.withColumnRenamed("cid", "neighbor_id")
+        .withColumnRenamed("chunks", "n_chunks"), "neighbor_id")
+      .select(col("anchor_id").cast("string"),
+        col("neighbor_id").cast("string"),
+        col("a_chunks"), col("n_chunks"))
+      .as[(String, String, Seq[Seq[Double]], Seq[Seq[Double]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (anchor, it) =>
+        it.toSeq
+          .map { case (_, nid, ac, nc) => (nid, chamfer(ac, nc)) }
+          .sortBy { case (nid, s) => (-s, nid) }
+          .take(keepK)
+          .zipWithIndex
+          .map { case ((nid, s), i) =>
+            ChamferScore(anchor, nid, i + 1, math.rint(s * 1e6) / 1e6)
+          }
+          .iterator
+      }
+  }
+
+  /** A11-lite group similarity: cosine of group mean vectors plus the
+    * dup-collapse the reference applies (identical members count
+    * once — precompute_similar_groups.py:15-44 shape). */
+  def groupCentroidSimilarity(members: DataFrame, groupCol: String,
+      vecCol: String, anchorPred: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    val pooled = poolChunks(
+      members.dropDuplicates(groupCol, vecCol), groupCol, vecCol)
+      .withColumnRenamed("id", "vec_id")
+    SimilaritySearch.cosineTopK(pooled, pooled.filter(anchorPred), k,
+      idCol = "vec_id", vecCol = "mean_vec")
+  }
+}

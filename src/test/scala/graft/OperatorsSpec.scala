@@ -1,0 +1,209 @@
+package graft
+
+import graft.operators._
+import graft.domain.FuzzyMatch
+import org.apache.spark.sql.functions._
+
+class ResumeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pending = worklist anti-join completed") {
+    val work = Seq("a", "b", "c", "d").toDF("key")
+    val done = Seq("b", "d", "d").toDF("key")
+    val got = Resume.pending(work, done, Seq("key")).as[String].collect().sorted
+    assert(got.toSeq === Seq("a", "c"))
+  }
+
+  test("completedKeys: failed-then-completed counts; dups collapse") {
+    val j = Seq(("a", "failed"), ("a", "completed"), ("b", "completed"),
+      ("b", "completed"), ("c", "failed")).toDF("key", "status")
+    val got = Resume.completedKeys(j, "key", "status").as[String].collect().sorted
+    assert(got.toSeq === Seq("a", "b"))
+  }
+
+  test("priorityMerge: first source wins on collision") {
+    val legacy = Seq(("p1", 1.0), ("p2", 2.0)).toDF("path", "i")
+    val fresh = Seq(("p2", 20.0), ("p3", 30.0)).toDF("path", "i")
+    val got = Resume.priorityMerge(Seq(legacy, fresh), Seq("path"))
+      .orderBy("path").as[(String, Double)].collect()
+    assert(got.toSeq === Seq(("p1", 1.0), ("p2", 2.0), ("p3", 30.0)))
+  }
+
+  test("orphans + assertEmpty refuse-to-build audit") {
+    val claimed = Seq("x", "y").toDF("k")
+    val honoured = Seq("x").toDF("k")
+    val orphans = Resume.orphans(claimed, honoured, Seq("k"))
+    assert(orphans.count() === 1)
+    intercept[IllegalArgumentException] {
+      Resume.assertEmpty(orphans, "collision resolutions")
+    }
+    Resume.assertEmpty(Resume.orphans(claimed, claimed, Seq("k")), "ok")
+  }
+}
+
+class GroupingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("A1 majorityVote with pinned tie-break") {
+    val df = Seq(("al1", "2010"), ("al1", "2010"), ("al1", "2011"),
+      ("al2", "b"), ("al2", "a"), ("al2", ""), ("al2", null))
+      .toDF("album", "v")
+    val got = Grouping.majorityVote(df, Seq("album"), "v")
+      .orderBy("album").select("album", "majority", "votes")
+      .as[(String, String, Long)].collect()
+    assert(got(0) === (("al1", "2010", 2L)))
+    assert(got(1) === (("al2", "a", 1L)))  // tie 1-1 → smaller value
+  }
+
+  test("A2 imputeByMajority fills blanks only") {
+    val df = Seq(("c80", "2011.05"), ("c80", "2011.05"), ("c80", ""),
+      ("c81", null.asInstanceOf[String])).toDF("conv", "date")
+    val got = Grouping.imputeByMajority(df, Seq("conv"), "date")
+      .orderBy("conv", "date").select("conv", "date")
+      .as[(String, String)].collect()
+    assert(got.count(r => r._1 == "c80" && r._2 == "2011.05") === 3)
+    assert(got.exists(r => r._1 == "c81" && r._2 == null))
+  }
+
+  test("A3 gapFillNumbers assigns lowest unused in order") {
+    // album with tracks numbered 2,4 and three unnumbered (by name
+    // order b1,b2,b3) → expect 1,3,5
+    val df = Seq(("al", 2, "a"), ("al", 4, "z"), ("al", -1, "b1"),
+      ("al", 0, "b2"), ("al", -1, "b3"),
+      ("other", 1, "q"), ("other", -1, "r")).toDF("album", "no", "name")
+    val got = Grouping.gapFillNumbers(df, Seq("album"), "no", "name")
+      .orderBy("album", "name").select("album", "name", "no")
+      .as[(String, String, Int)].collect()
+    val byName = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(byName(("al", "b1")) === 1)
+    assert(byName(("al", "b2")) === 3)
+    assert(byName(("al", "b3")) === 5)
+    assert(byName(("al", "a")) === 2)
+    assert(byName(("al", "z")) === 4)
+    assert(byName(("other", "r")) === 2)
+  }
+
+  test("A4/A5 canonicalize attaches preferred representative") {
+    val df = Seq(("iosys", "new1", 1, 5), ("iosys", "old1", 0, 9),
+      ("alice", "n2", 1, 3)).toDF("name", "id", "isNew", "prio")
+    val got = Grouping.canonicalize(df, Seq("name"),
+      Seq(col("isNew").asc, col("prio").asc), Seq("id"))
+      .select("name", "id", "canonical_id")
+      .as[(String, String, String)].collect()
+    assert(got.filter(_._1 == "iosys").forall(_._3 == "old1"))
+  }
+}
+
+class FuzzyMatchSpec extends SparkSpec {
+  import spark.implicits._
+  import FuzzyMatch._
+
+  test("X8 normalizeLettersOnly handles fullwidth + mixed scripts") {
+    val got = Seq("ＴＥＳＴ Song 01!", "ネクロファンタジア", null)
+      .toDF("s").select(FuzzyMatch.normalizeLettersOnly($"s"))
+      .as[String].collect()
+    assert(got(0) === "testsong")
+    assert(got(1) === "ネクロファンタジア")
+    assert(got(2) === "")
+  }
+
+  test("similarityRatio column matches scala impl; 100 for identical") {
+    val got = Seq(("kitten", "sitting"), ("abc", "abc"), ("", ""))
+      .toDF("a", "b").select(FuzzyMatch.similarityRatio($"a", $"b"))
+      .as[Double].collect()
+    assert(math.abs(got(0) - ratioScala("kitten", "sitting")) < 1e-9)
+    assert(got(1) === 100.0)
+    assert(got(2) === 100.0)
+  }
+
+  test("tokenSetRatio is order/duplication insensitive") {
+    val got = Seq(("b a a c", "a b c"), ("x y", "p q"))
+      .toDF("a", "b").select(FuzzyMatch.tokenSetRatio($"a", $"b"))
+      .as[Double].collect()
+    assert(got(0) === 100.0)
+    assert(got(1) < 50.0)
+  }
+
+  test("hungarianMin solves a known assignment") {
+    val cost = Array(
+      Array(4.0, 1.0, 3.0),
+      Array(2.0, 0.0, 5.0),
+      Array(3.0, 2.0, 2.0))
+    val a = FuzzyMatch.hungarianMin(cost)
+    // optimal: r0→c1(1), r1→c0(2), r2→c2(2) = 5
+    assert(a.toSeq === Seq(1, 0, 2))
+  }
+
+  test("J7 assignmentJoin matches permuted tracklists, flags weak albums") {
+    val local = Seq(
+      TitleRow("al1", "L1", "Necrofantasia"),
+      TitleRow("al1", "L2", "U.N. Owen was her"),
+      TitleRow("al1", "L3", "Septette for the Dead Princess"),
+      TitleRow("al2", "L4", "completely unrelated")).toDS()
+    val wiki = Seq(
+      TitleRow("al1", "W1", "ＮｅｃｒｏＦａｎｔａｓｉａ"),  // fullwidth
+      TitleRow("al1", "W2", "Septette For The Dead Princess"),
+      TitleRow("al1", "W3", "UN Owen Was Her"),
+      TitleRow("al2", "W4", "something else entirely")).toDS()
+    val got = FuzzyMatch.assignmentJoin(spark, local, wiki).collect()
+    val m = got.filter(_.key == "al1").map(p => p.left_id -> p.right_id).toMap
+    assert(m === Map("L1" -> "W1", "L2" -> "W3", "L3" -> "W2"))
+    assert(got.filter(_.key == "al1").forall(_.group_accepted))
+    assert(got.filter(_.key == "al2").forall(!_.group_accepted))
+  }
+
+  test("J9 prefixPairs pairs cue with its audio by longest prefix") {
+    val files = Seq(
+      PathRow("al", "cue", "album_disc1.cue"),
+      PathRow("al", "cue", "album_disc2.cue"),
+      PathRow("al", "audio", "album_disc1.flac"),
+      PathRow("al", "audio", "album_disc2.flac")).toDS()
+    val got = FuzzyMatch.prefixPairs(spark, files).collect()
+      .map(p => p.cue_path -> p.audio_path).toMap
+    assert(got === Map("album_disc1.cue" -> "album_disc1.flac",
+      "album_disc2.cue" -> "album_disc2.flac"))
+  }
+
+  test("J10 mirrorDirs finds format mirrors within tolerance") {
+    val dirs = Seq(
+      DirDurations("al", "FLAC", Seq(100.0, 200.0, 300.0)),
+      DirDurations("al", "MP3", Seq(101.0, 199.0, 304.0)),
+      DirDurations("al", "Bonus", Seq(50.0, 60.0))).toDS()
+    val got = FuzzyMatch.mirrorDirs(spark, dirs).collect()
+    assert(got.length === 1)
+    assert((got(0).dir_a, got(0).dir_b) === (("FLAC", "MP3")))
+  }
+}
+
+class VectorAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val chunks = Seq(
+    ("t1", Seq(1.0, 0.0)), ("t1", Seq(3.0, 2.0)),
+    ("t2", Seq(0.0, 1.0)),
+    ("t3", Seq(1.0, 0.1)), ("t3", Seq(0.9, 0.0))).toDF("tid", "vec")
+
+  test("A10 poolChunks: one-pass mean and max") {
+    val got = VectorAgg.poolChunks(chunks, "tid", "vec")
+      .orderBy("id").collect()
+    val t1 = got(0)
+    assert(t1.getAs[Seq[Double]]("mean_vec") === Seq(2.0, 1.0))
+    assert(t1.getAs[Seq[Double]]("max_vec") === Seq(3.0, 2.0))
+    assert(t1.getAs[Long]("n_chunks") === 2L)
+  }
+
+  test("chamfer: identical sets → 1, orthogonal → 0") {
+    val a = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    assert(math.abs(VectorAgg.chamfer(a, a) - 1.0) < 1e-12)
+    assert(VectorAgg.chamfer(Seq(Seq(1.0, 0.0)), Seq(Seq(0.0, 1.0))) === 0.0)
+  }
+
+  test("P6 similarByChamfer: recall→rerank ranks the similar track first") {
+    val got = VectorAgg.similarByChamfer(chunks, "tid", "vec",
+      col("vec_id") === "t1", recallK = 2, keepK = 2).collect()
+      .sortBy(_.rank)
+    // t3 chunks point the same way as t1's; t2 is orthogonal-ish
+    assert(got.head.neighbor_id === "t3")
+    assert(got.head.score > got(1).score)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming windowed counts match the batch query on the same data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val src = graft.Tables(spark, "/root/testdata/sf0.001").events
+    src.write.mode("overwrite").parquet(dir)
+
+    val stream = EventStreams.readEventStream(spark, dir)
+    assert(stream.isStreaming)
+    EventStreams.runToMemory(EventStreams.windowedCounts(stream), "win_out")
+
+    val got = spark.table("win_out")
+      .select(sum("n_events")).collect()(0).getLong(0)
+    assert(got === src.count())
+
+    val batch = QueryCatalog.byName("q24_tumbling_window")
+      .run(spark, "/root/testdata/sf0.001")
+    assert(spark.table("win_out").count() === batch.count())
+  }
+
+  test("stateful sessionization emits completed sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    graft.Tables(spark, "/root/testdata/sf0.001").events
+      .write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.readEventStream(spark, dir)
+    EventStreams.runToMemory(
+      EventStreams.sessionize(spark, stream), "sess_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    // completed (non-final) sessions = batch session count − one open
+    // session per user
+    val batch = QueryCatalog.byName("q26_sessionize")
+      .run(spark, "/root/testdata/sf0.001")
+    val totalSessions = batch.groupBy("user_id")
+      .agg(max("session_id").as("n")).agg(sum("n")).collect()(0).getLong(0)
+    val users = batch.select("user_id").distinct().count()
+    assert(spark.table("sess_out").count() === totalSessions - users)
+  }
+}
