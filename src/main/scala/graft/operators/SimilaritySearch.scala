@@ -18,13 +18,19 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilaritySearch {
 
+  // Native fused-loop cosine (whole-stage codegen); semantically
+  // identical to graft.functions.VectorFunctions.cosine — equivalence
+  // pinned by SimilaritySpec.
+  private def fastCosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.cosine(a, b)
+
   private def scored(vectors: DataFrame, anchors: DataFrame,
       idCol: String, vecCol: String): DataFrame =
     vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
       .join(broadcast(
         anchors.select(col(idCol).as("anchor_id"), col(vecCol).as("a_vec"))),
         col("anchor_id") =!= col("neighbor_id"))
-      .withColumn("score", round(cosine(col("a_vec"), col("n_vec")), 4))
+      .withColumn("score", round(fastCosine(col("a_vec"), col("n_vec")), 4))
 
   /** Exact top-k cosine neighbors of each anchor. Anchors must be
     * small enough to broadcast (the reference's anchor batches are
@@ -94,7 +100,7 @@ object SimilaritySearch {
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     cands
-      .withColumn("score", round(cosine(col("a_vec"), col("n_vec")), 4))
+      .withColumn("score", round(fastCosine(col("a_vec"), col("n_vec")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("anchor_id"), col("rank"), col("neighbor_id"), col("score"))

@@ -1,0 +1,139 @@
+// Hosted under org.apache.spark.sql because ExpectsInputTypes'
+// AbstractDataType and the Column↔Expression bridge (ExpressionUtils)
+// are private[sql] in Spark 4 — the standard packaging for third-party
+// native expressions.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot path (SURVEY §4
+  * upgrade list (a)).
+  *
+  * The higher-order-function formulation
+  * (`aggregate(zip_with(...))`) evaluates three interpreted lambda
+  * folds and allocates an intermediate array per row. These
+  * expressions fuse dot/norms into ONE codegen'd loop with zero
+  * allocation — they participate in whole-stage codegen, so the
+  * brute-force cosine scan stays in a single generated function.
+  * Both ARRAY<FLOAT> and ARRAY<DOUBLE> inputs are read natively
+  * (no upcast materialization).
+  */
+abstract class BinaryVectorExpression extends BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)),
+    TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
+  override def dataType: DataType = DoubleType
+
+  protected def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  protected def getElem(e: Expression, arr: ArrayData, i: Int): Double =
+    if (elemIsFloat(e)) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  protected def genGet(e: Expression, arr: String, i: String): String =
+    if (elemIsFloat(e)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+}
+
+/** cosine(a, b) ∈ [-1, 1]; 0 for zero-norm inputs; null if either
+  * side is null. Lengths may differ — the common prefix is used
+  * (zip_with semantics). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = getElem(left, a, i); val y = getElem(right, b, i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = ${genGet(left, a, i)};
+          double $y = ${genGet(right, b, i)};
+          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        }
+        ${ev.value} = ($na == 0.0 || $nb == 0.0)
+          ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** dot(a, b) — fused single-loop inner product. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += getElem(left, a, i) * getElem(right, b, i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += (${genGet(left, a, i)}) * (${genGet(right, b, i)});
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level API + SQL registration. */
+object VectorExpressions {
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  def cosine(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Register `graft_cosine` / `graft_dot` for SQL use. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+}

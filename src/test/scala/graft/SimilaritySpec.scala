@@ -81,6 +81,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getAs[Int]("predicted_label") === expected)
   }
 
+  test("native CosineSimilarity expression matches the HOF formulation") {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.graft.VectorExpressions
+    val pairs = emb.as("a").crossJoin(emb.as("b")).select(
+      VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("hof"),
+      VectorExpressions.cosine(col("a.embedding"), col("b.embedding")).as("native"))
+    val bad = pairs.filter(abs(col("hof") - col("native")) > 1e-12).count()
+    assert(bad === 0)
+    // SQL registration path
+    VectorExpressions.register(spark)
+    emb.createOrReplaceTempView("emb_t")
+    val viaSql = spark.sql(
+      "SELECT max(graft_cosine(a.embedding, b.embedding)) FROM emb_t a JOIN emb_t b ON a.vec_id <> b.vec_id")
+      .collect()(0).getDouble(0)
+    assert(viaSql > 0.999)  // the planted near-dup pair
+  }
+
   test("centroids: element-wise mean per group") {
     val two = Seq(
       (1L, Array(1.0f, 3.0f), "g"),
