@@ -8,7 +8,7 @@ import graft.queries._
 object QueryCatalog {
   def all: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ EventQueries.all
+      SimilarityQueries.all ++ EventQueries.all ++ AdvancedQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
   def headline: Seq[Q] = all.filter(_.headline)

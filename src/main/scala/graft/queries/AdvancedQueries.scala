@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Grouping, VectorAgg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Num._
+
+/** Harder SURVEY §2 operators under the oracle gate: the A3 ordinal
+  * gap-fill (flagged "hard" in SURVEY §7a), A14 rollup, W4 min_by
+  * preference picks, and the P6 chamfer pipeline (rows-only).
+  */
+object AdvancedQueries {
+
+  /** A3 via Grouping.gapFillNumbers: simulate missing line numbers
+    * (quantity < 5 ⇒ "unnumbered"), fill with the lowest unused
+    * positive ordinal per order in (partkey, suppkey) order. */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    // ordkey folds in l_linenumber so ordering stays unique even when
+    // (order, part, supplier) repeats across lines
+    val base = Tables(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        when(col("l_quantity") < 5, -1).otherwise(col("l_linenumber")).as("no"),
+        ((col("l_partkey") * 1000000L + col("l_suppkey")) * 10L +
+          col("l_linenumber")).as("ordkey"))
+    Grouping.gapFillNumbers(base, Seq("l_orderkey"), "no", "ordkey")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("no"))
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+  }
+
+  // Relational mirror of the sequential semantics: k-th missing row
+  // (in ordkey order) takes the k-th smallest unused positive number.
+  private val q27Sql =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_partkey, l_suppkey,
+      |    CASE WHEN l_quantity < 5 THEN -1 ELSE l_linenumber END AS no,
+      |    (l_partkey * 1000000 + l_suppkey) * 10 + l_linenumber AS ordkey
+      |  FROM lineitem),
+      |sizes AS (
+      |  SELECT l_orderkey, count(*) AS n,
+      |    coalesce(max(CASE WHEN no >= 1 THEN no END), 0) AS maxv
+      |  FROM base GROUP BY l_orderkey),
+      |cand AS (
+      |  SELECT l_orderkey, f,
+      |    row_number() OVER (PARTITION BY l_orderkey ORDER BY f) AS rnk
+      |  FROM (
+      |    SELECT s.l_orderkey, unnest(generate_series(1, CAST(s.n + s.maxv AS INT))) AS f
+      |    FROM sizes s) g
+      |  WHERE NOT EXISTS (SELECT 1 FROM base u
+      |    WHERE u.l_orderkey = g.l_orderkey AND u.no = g.f)),
+      |missing AS (
+      |  SELECT l_orderkey, ordkey,
+      |    row_number() OVER (PARTITION BY l_orderkey ORDER BY ordkey) AS rnk
+      |  FROM base WHERE no < 1)
+      |SELECT b.l_orderkey AS l_orderkey, b.l_partkey AS l_partkey, b.l_suppkey AS l_suppkey,
+      |  CASE WHEN b.no >= 1 THEN b.no ELSE c.f END AS no
+      |FROM base b
+      |LEFT JOIN missing m ON b.no < 1 AND m.l_orderkey = b.l_orderkey
+      |  AND m.ordkey = b.ordkey
+      |LEFT JOIN cand c ON c.l_orderkey = m.l_orderkey AND c.rnk = m.rnk
+      |ORDER BY b.l_orderkey, b.l_partkey, b.l_suppkey""".stripMargin
+
+  /** A14: rollup over (region, nation) — subtotals + grand total. */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        dsum(dec2(col("c_acctbal"))).as("sum_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  private val q28Sql =
+    """SELECT r_name, n_name, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** W4: min_by preference pick — per customer, the preferred order
+    * by (status, priority, orderkey) struct ordering.
+    * Reference: extract_plan.py:348-372 collision suggestion. */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .groupBy(col("o_custkey"))
+      .agg(min_by(col("o_orderkey"),
+        struct(col("o_orderstatus"), col("o_orderpriority"), col("o_orderkey")))
+        .as("preferred_order"))
+      .orderBy(col("o_custkey"))
+
+  private val q29Sql =
+    """SELECT o_custkey, preferred_order FROM (
+      |  SELECT o_custkey, o_orderkey AS preferred_order,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderstatus, o_orderpriority, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  /** P6/E7 chamfer recall→rerank over embeddings grouped by label
+    * (each label's vectors act as a track's chunk set). Rows-only:
+    * validated against a plain-Scala reference in VectorAggSpec. */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    VectorAgg.similarByChamfer(
+      Tables(s, dir).embeddings, "label", "embedding",
+      col("vec_id").cast("int") % 3 === 0, recallK = 5, keepK = 3,
+      maxChunks = 64)
+      .toDF()
+      .orderBy(col("anchor_id"), col("rank"))
+
+  val all: Seq[Q] = Seq(
+    Q("q27_gap_fill", q27, Some(q27Sql)),
+    Q("q28_rollup", q28, Some(q28Sql)),
+    Q("q29_min_by", q29, Some(q29Sql)),
+    Q("q30_chamfer_similarity", q30, None, headline = true))
+}
