@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audit: prints the formatted plan of selected queries
+  * and checks the properties the 100 TB design depends on —
+  * filter/column pushdown into the parquet scan, broadcast joins for
+  * dimensions, whole-stage codegen coverage, no cartesian products
+  * where an equi-join is expected.
+  *
+  * Run: sbt "runMain graft.PlanAudit [sfDir]"
+  */
+object PlanAudit {
+  case class Check(query: String, mustContain: Seq[String],
+      mustNotContain: Seq[String] = Nil)
+
+  val checks: Seq[Check] = Seq(
+    // q01: shipdate filter + column pruning reach the scan; whole plan
+    // below the final sort is codegen'd
+    Check("q01_pricing_summary",
+      mustContain = Seq("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate",
+        "WholeStageCodegen")),
+    // q02: star joins broadcast the dims (no shuffle of the fact for dims)
+    Check("q02_revenue_by_nation",
+      mustContain = Seq("BroadcastHashJoin", "WholeStageCodegen")),
+    // q03: anti join stays a hash join, not cartesian
+    Check("q03_resume_anti_join",
+      mustContain = Seq("LeftAnti"),
+      mustNotContain = Seq("CartesianProduct")),
+    // q06: aggregation shrinks the fact BEFORE the rank window, and
+    // rank<=k prunes via WindowGroupLimit before the full sort
+    Check("q06_topk_per_group",
+      mustContain = Seq("HashAggregate", "WindowGroupLimit", "BroadcastHashJoin")),
+    // q18: LSH candidate generation is an equi-join on (band, bucket)
+    Check("q18_minhash_lsh",
+      mustContain = Seq("hashpartitioning"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // q20: anchors broadcast; the scan side never shuffles for scoring;
+    // the native cosine expression is in the plan
+    Check("q20_cosine_topk",
+      mustContain = Seq("BroadcastNestedLoopJoin", "cosinesimilarity")),
+    // q24: partial aggregation before the shuffle
+    Check("q24_tumbling_window",
+      mustContain = Seq("HashAggregate", "hashpartitioning")))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var failures = 0
+    checks.foreach { c =>
+      val df = QueryCatalog.byName(c.query).run(spark, sfDir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted")) +
+        "\n" + df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+          .linesIterator.takeWhile(!_.startsWith("== Subtree")).mkString("\n")
+      val planLower = plan.toLowerCase
+      c.mustContain.foreach { frag =>
+        val ok = planLower.contains(frag.toLowerCase)
+        if (!ok) failures += 1
+        println(s"${if (ok) "PASS" else "FAIL"}  ${c.query}: contains '$frag'")
+      }
+      c.mustNotContain.foreach { frag =>
+        val ok = !planLower.contains(frag.toLowerCase)
+        if (!ok) failures += 1
+        println(s"${if (ok) "PASS" else "FAIL"}  ${c.query}: absent '$frag'")
+      }
+      if (sys.env.contains("PLAN_AUDIT_VERBOSE")) println(plan)
+    }
+    println(s"PlanAudit: ${if (failures == 0) "ALL GREEN" else s"$failures failures"}")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

@@ -1,0 +1,140 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column support for training-data
+  * pipelines.
+  *
+  * Media travel as opaque `BINARY` columns + a typed metadata struct;
+  * decode/feature-extract/resize/frame-sample run as partition-level
+  * batch transforms (`mapPartitions` over an injectable [[Decoder]]),
+  * so the expensive codec work streams through executors without
+  * driver involvement and decoders amortize per partition — the JVM
+  * analog of `mapInPandas` batching.
+  *
+  * The container has no media codecs, so [[FakeDecoder]] supplies a
+  * deterministic stand-in (documented stub); all Spark-side plumbing —
+  * schema, batching, partitioning, null handling — is real and
+  * tested. Swap in a JNI/FFmpeg-backed [[Decoder]] for production.
+  *
+  * Reference analog: S19 artwork variants
+  * (generate_artwork_variants.py:50-95), S18 STREAMINFO decode, E1
+  * transcode planning.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside the binary payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("durationMs", LongType),
+    StructField("codec", StringType)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType, nullable = false),
+    StructField("content", BinaryType),
+    StructField("meta", mediaMetaType)))
+
+  /** Decoded frame/sample batch row. */
+  case class DecodedFrame(media_id: String, frameIdx: Int,
+      width: Int, height: Int, pixels: Array[Byte])
+
+  /** Pluggable decoder: one instance per partition (expensive init
+    * amortized — codec contexts, model weights). */
+  trait Decoder extends Serializable {
+    def open(): Unit = ()
+    def decode(mediaId: String, content: Array[Byte]): Iterator[DecodedFrame]
+    def close(): Unit = ()
+  }
+
+  /** Deterministic stub decoder: "decodes" a payload into
+    * pseudo-frames derived from its bytes (content-addressed, so
+    * tests are reproducible). STUB — replace with a codec-backed
+    * implementation in production. */
+  class FakeDecoder(framesPerMedia: Int = 3, dim: Int = 4) extends Decoder {
+    def decode(mediaId: String, content: Array[Byte]): Iterator[DecodedFrame] = {
+      if (content == null) Iterator.empty
+      else (0 until framesPerMedia).iterator.map { f =>
+        val px = Array.tabulate[Byte](dim * dim) { i =>
+          (((content((i + f) % content.length) & 0xFF) + f) % 256).toByte
+        }
+        DecodedFrame(mediaId, f, dim, dim, px)
+      }
+    }
+  }
+
+  /** Decode every media row into frames — partition-batched, decoder
+    * opened once per partition. */
+  def decodeFrames(media: DataFrame, decoder: Decoder): Dataset[DecodedFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        decoder.open()
+        val out = it.flatMap { case (id, bytes) => decoder.decode(id, bytes) }
+        // close after exhaustion: wrap with a completing iterator
+        new Iterator[DecodedFrame] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) decoder.close()
+            h
+          }
+          def next(): DecodedFrame = out.next()
+        }
+      }
+  }
+
+  /** Frame sampling: keep every `stride`-th frame per media (the
+    * video-pipeline staple); pure relational, no decode. */
+  def sampleFrames(frames: Dataset[DecodedFrame], stride: Int): Dataset[DecodedFrame] =
+    frames.filter(f => f.frameIdx % stride == 0)
+
+  /** Feature extraction over decoded frames: 16-bin byte histogram
+    * per frame, normalized — a deterministic stand-in for an
+    * embedding model, with the real shape (media_id, frameIdx,
+    * features ARRAY<FLOAT>). */
+  def frameFeatures(frames: Dataset[DecodedFrame]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map { f =>
+      val hist = new Array[Float](16)
+      f.pixels.foreach(b => hist((b & 0xFF) / 16) += 1f)
+      val n = math.max(f.pixels.length, 1)
+      (f.media_id, f.frameIdx, hist.map(_ / n))
+    }.toDF("media_id", "frameIdx", "features")
+  }
+
+  /** Resize plan (the effectful resize runs in the decoder seam):
+    * target ladder per media given source dims — pure columns,
+    * mirrors the reference's 120/300/600 artwork ladder. */
+  def resizePlan(media: DataFrame, targets: Seq[Int] = Seq(120, 300, 600)): DataFrame =
+    media.select(col("media_id"), col("meta.width").as("w"),
+        col("meta.height").as("h"))
+      .withColumn("target", explode(lit(targets.toArray)))
+      // never upscale; preserve aspect ratio
+      .filter(col("target") <= greatest(col("w"), col("h")))
+      .withColumn("out_w",
+        when(col("w") >= col("h"), col("target"))
+          .otherwise((col("w") * col("target") / col("h")).cast("int")))
+      .withColumn("out_h",
+        when(col("w") >= col("h"),
+          (col("h") * col("target") / col("w")).cast("int"))
+          .otherwise(col("target")))
+      .drop("w", "h")
+
+  /** Build a media table from any source DataFrame with a binary
+    * column (e.g. binaryFile) + synthesized metadata. */
+  def asMediaTable(df: DataFrame, idCol: String, contentCol: String,
+      mime: String): DataFrame =
+    df.select(col(idCol).cast("string").as("media_id"),
+      col(contentCol).as("content"),
+      struct(lit(mime).as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("durationMs"),
+        lit(null).cast(StringType).as("codec")).as("meta"))
+}

@@ -78,6 +78,26 @@ object CatalogPipelineDemo {
     val pending = Resume.pending(filled, completed, Seq("fileName"))
     println(s"== resume: ${filled.count()} total, ${pending.count()} pending")
 
+    // Multimodal: artwork as binary media → decode → features → resize plan
+    val art = Multimodal.asMediaTable(
+      listing.filter(col("ext") === "jpg")
+        .withColumn("content", lit("fakejpegbytes".getBytes)),
+      "relPath", "content", "image/jpeg")
+    val feats = Multimodal.frameFeatures(
+      Multimodal.decodeFrames(art, new Multimodal.FakeDecoder(2, 4)))
+    println(s"== multimodal: ${art.count()} media, ${feats.count()} frame features")
+    feats.show(2, truncate = 40)
+
+    // S6-style probe harness with a recorded runner (no ffprobe here)
+    val runner = new ExternalProcess.RecordingRunner(argv =>
+      ExternalProcess.Result(0, s"""{"format":{"duration":"123.4"}}""", ""))
+    import spark.implicits._
+    val probeCmds = pending.limit(3).select(col("fileName")).as[String]
+      .map(f => (f, Seq("ffprobe", "-print_format", "json", f)))
+    val probed = ExternalProcess.runPerRow(probeCmds, runner)
+    println("== external-process probe results")
+    probed.show(20, truncate = 60)
+
     // X18/X19: HLS plan for pending tracks
     val plan = MediaPlan.hlsBaseDirs(
       pending.withColumn("path", concat_ws("/", col("circle"), col("album"),

