@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Relational + shard-file sinks (SURVEY S10, S12, S13, S14).
+  *
+  * Thin, convention-bearing wrappers: the conventions ARE the content
+  * (batch sizes, truncate-vs-drop, deterministic shard layout) —
+  * the lessons the reference learned the hard way (500-entity EF
+  * batches with tracker clears, TRUNCATE+COPY in one transaction,
+  * tmp+rename shard resume).
+  *
+  * No database runs in this container; JDBC paths are exercised in
+  * production deployments (Spark's JDBC sink is itself well-tested —
+  * these wrappers pin OUR defaults).
+  */
+object Sinks {
+
+  /** S10/S13/S14: JDBC table write. `overwrite=true` maps to the
+    * reference's TRUNCATE + bulk COPY (truncate keeps indexes/FKs,
+    * matching SimilarTrackProcessor.cs:39-90); batchsize mirrors the
+    * EF 500-row batching lesson (AlbumTrackMetadataProcessor.cs:12).
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties, overwrite: Boolean = false,
+      batchSize: Int = 500): Unit =
+    df.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      .option("truncate", overwrite.toString)
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, props)
+
+  /** JDBC read with partitioned parallelism — the scale path for
+    * pulling a large scrape-state table (S10). */
+  def readJdbc(spark: org.apache.spark.sql.SparkSession, url: String,
+      table: String, props: java.util.Properties,
+      partitionColumn: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = spark.read
+    partitionColumn match {
+      case Some((colName, lo, hi, n)) => base
+        .option("partitionColumn", colName)
+        .option("lowerBound", lo.toString)
+        .option("upperBound", hi.toString)
+        .option("numPartitions", n.toString)
+        .jdbc(url, table, props)
+      case None => base.jdbc(url, table, props)
+    }
+  }
+
+  /** S12: sharded CSV sink — deterministic shard key, Spark's task
+    * commit protocol supplying the reference's tmp+rename atomicity
+    * and resume (precompute_similar_tracks.py:244-275). */
+  def writeCsvShards(df: DataFrame, shardCol: String, numShards: Int,
+      outDir: String): Unit =
+    df.repartition(numShards, org.apache.spark.sql.functions.col(shardCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .csv(outDir)
+}
