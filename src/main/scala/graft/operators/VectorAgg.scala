@@ -82,7 +82,7 @@ object VectorAgg {
         col("pooled.max").as("max_vec"), col("pooled.n").as("n_chunks"))
   }
 
-  private def cosineArr(a: Seq[Double], b: Seq[Double]): Double = {
+  private def cosineArr(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {
       dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
@@ -92,13 +92,27 @@ object VectorAgg {
 
   /** Symmetric chamfer similarity of two chunk sets: mean over each
     * side's best-match cosine to the other
-    * (precompute_similar_tracks.py:129-155 semantics). */
+    * (precompute_similar_tracks.py:129-155 semantics). Inputs are
+    * unboxed to primitive arrays once — the inner loop is then pure
+    * double arithmetic (the BLAS-in-UDF shape from SURVEY §4).
+    */
   private[graft] def chamfer(a: Seq[Seq[Double]],
       b: Seq[Seq[Double]]): Double = {
     if (a.isEmpty || b.isEmpty) return 0.0
-    def oneWay(xs: Seq[Seq[Double]], ys: Seq[Seq[Double]]): Double =
-      xs.map(x => ys.map(y => cosineArr(x, y)).max).sum / xs.length
-    (oneWay(a, b) + oneWay(b, a)) / 2.0
+    val xa = a.map(_.toArray).toArray
+    val xb = b.map(_.toArray).toArray
+    def oneWay(xs: Array[Array[Double]], ys: Array[Array[Double]]): Double = {
+      var s = 0.0; var i = 0
+      while (i < xs.length) {
+        var best = Double.MinValue; var j = 0
+        while (j < ys.length) {
+          val c = cosineArr(xs(i), ys(j)); if (c > best) best = c; j += 1
+        }
+        s += best; i += 1
+      }
+      s / xs.length
+    }
+    (oneWay(xa, xb) + oneWay(xb, xa)) / 2.0
   }
 
   case class ChamferScore(anchor_id: String, neighbor_id: String,
