@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL surface: register the harness tables as temp views and the
+  * native graft functions, so the whole catalog is queryable via
+  * `spark.sql` (A14's cube/rollup/grouping-sets come free here).
+  */
+object GraftSql {
+  val tableNames = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val t = Tables(spark, dir)
+    Seq(
+      "region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
+      "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
+      "lineitem" -> t.lineitem, "events" -> t.events,
+      "documents" -> t.documents, "embeddings" -> t.embeddings
+    ).foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    org.apache.spark.sql.graft.VectorExpressions.register(spark)
+    org.apache.spark.sql.graft.ArrayExpressions.register(spark)
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.domain.{CatalogExtract, FuzzyMatch, MediaPlan}
+import org.apache.spark.sql.functions._
+
+/** Property tests for the parsers (SURVEY §5 implication (c)):
+  * invariants over generated inputs. Hand-rolled seeded generation
+  * (the scalatest↔scalacheck bridge isn't in the offline cache), so
+  * runs are deterministic.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private val alphabet =
+    "abcXYZ019[]{}-. 　例大祭東方！？".toCharArray
+
+  private def weird(maxLen: Int = 24): String =
+    Array.fill(rnd.nextInt(maxLen))(alphabet(rnd.nextInt(alphabet.length)))
+      .mkString
+
+  test("bracketContents never throws on arbitrary bracket soup (200 cases)") {
+    val inputs = Seq.fill(200)(weird())
+    val got = inputs.toDF("s")
+      .select(CatalogExtract.bracketContents($"s")).as[Seq[String]].collect()
+    // every extracted content came from between a matched open/close
+    got.flatten.foreach { c =>
+      assert(!c.contains("]") || c.contains("{"),
+        s"unbalanced content '$c'")
+    }
+    assert(got.length === 200)
+  }
+
+  test("levenshtein ratio: symmetry, identity, bounds (300 pairs)") {
+    (1 to 300).foreach { _ =>
+      val (a, b) = (weird(), weird())
+      val r1 = FuzzyMatch.ratioScala(a, b)
+      assert(math.abs(r1 - FuzzyMatch.ratioScala(b, a)) < 1e-9)
+      assert(r1 >= 0.0 && r1 <= 100.0)
+      assert(FuzzyMatch.ratioScala(a, a) === 100.0)
+    }
+  }
+
+  test("hungarian: valid injective assignment, never worse than greedy (100 matrices)") {
+    (1 to 100).foreach { _ =>
+      val n = 1 + rnd.nextInt(6)
+      val m = n + rnd.nextInt(3)
+      val cost = Array.fill(n, m)(rnd.nextDouble() * 100)
+      val a = FuzzyMatch.hungarianMin(cost)
+      assert(a.distinct.length === a.length)
+      assert(a.forall(j => j >= 0 && j < m))
+      val total = a.zipWithIndex.map { case (j, i) => cost(i)(j) }.sum
+      val taken = scala.collection.mutable.Set.empty[Int]
+      val greedy = cost.map { row =>
+        val j = row.indices.filterNot(taken).minBy(row)
+        taken += j; row(j)
+      }.sum
+      assert(total <= greedy + 1e-6)
+    }
+  }
+
+  test("ISO-8601 durations round-trip through java.time (100 whole-second cases)") {
+    val secs = Seq.fill(100)(rnd.nextLong(100000L).abs)
+    val iso = secs.map(_.toDouble).toDF("s")
+      .select(MediaPlan.secondsToIso8601($"s")).as[String].collect()
+    secs.zip(iso).foreach { case (s, i) =>
+      assert(java.time.Duration.parse(i).getSeconds === s, s"for $s got $i")
+    }
+  }
+
+  test("shard index: total, stable, in range across shard counts") {
+    val keys = Seq.fill(100)(weird(16))
+    Seq(1, 2, 7, 32).foreach { nShards =>
+      val got = keys.toDF("k")
+        .select(MediaPlan.shardIndex($"k", nShards)).as[Int].collect()
+      val again = keys.toDF("k")
+        .select(MediaPlan.shardIndex($"k", nShards)).as[Int].collect()
+      assert(got.toSeq === again.toSeq)
+      assert(got.forall(s => s >= 0 && s < nShards))
+    }
+  }
+
+  test("partialDate output is always a prefix-valid date or empty (200 cases)") {
+    val inputs = Seq.fill(200)(weird())
+    val got = inputs.toDF("s")
+      .withColumn("br", CatalogExtract.bracketContents($"s"))
+      .select(CatalogExtract.partialDate($"s", $"br")).as[String].collect()
+    got.foreach { d =>
+      assert(d == "" ||
+        d.matches("\\d{4}(\\.(\\d{2}|xx))?(\\.(\\d{2}|xx))?"), s"'$d'")
+    }
+  }
+}
+
+class GraftSqlSpec extends SparkSpec {
+  test("registerAll exposes tables + native functions to spark.sql") {
+    GraftSql.registerAll(spark, "/root/testdata/sf0.001")
+    val n = spark.sql("SELECT count(*) FROM lineitem").collect()(0).getLong(0)
+    assert(n > 0)
+    val cube = spark.sql(
+      """SELECT r_name, count(*) FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name)""".stripMargin).count()
+    assert(cube > 0)
+    val cos = spark.sql(
+      """SELECT graft_cosine(a.embedding, b.embedding) c,
+        |  graft_sorted_intersect_count(array('a','b'), array('b','c')) i
+        |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
+      .collect()(0)
+    assert(cos.getDouble(0) >= -1.0 && cos.getDouble(0) <= 1.0)
+    assert(cos.getInt(1) === 1)
+  }
+}
