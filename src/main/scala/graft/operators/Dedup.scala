@@ -133,23 +133,16 @@ object Dedup {
 
   /** 64-bit SimHash over the distinct-token set: bit j of the
     * signature is the sign of Σ_tokens (±1 by bit j of xxhash64(tok)).
-    * Pure aggregate — 64 codegen'd conditional sums, one shuffle.
+    * One zero-shuffle projection via the native SimHash64 expression
+    * (identical signatures to the explode + 64-conditional-sums
+    * aggregate formulation it replaced — same xxhash64 seed).
     */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
-        explode(tokenSet(normalized(col(textCol)))).as("tok"))
-    val h = xxhash64(col("tok"))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
-    val sig = (0 until 64).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-      .reduce((a, b) => a.bitwiseOR(b))
-    toks.groupBy(col("id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("id"), sig.as("sig"))
-  }
+        org.apache.spark.sql.graft.SimHashExpression
+          .simhash64(tokenSet(normalized(col(textCol)))).as("sig"))
 
   /** SimHash near-dup pairs within `maxHamming` (≤ 3 with 4 bands):
     * pigeonhole — any pair within hamming d of 64 bits shares at
