@@ -16,15 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyMatch {
 
-  /** X8: NFKC-compatibility-fold → letters only → lowercase
-    * (song_info_matcher.py:100-107). Handles fullwidth forms:
-    * "ＴＥＳＴ" → "test". */
+  /** X8: NFKC-compatibility-fold → NFD → letters only → lowercase
+    * (song_info_matcher.py:100-107). Handles fullwidth forms
+    * ("ＴＥＳＴ" → "test") AND strips diacritics: the NFD pass
+    * decomposes 'é' into 'e' + a combining mark, and the
+    * letter-category filter drops the mark ("Café" → "cafe") —
+    * exactly the reference's category-L filter on the NFD string. */
   val normalizeLettersOnly: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (s: String) =>
-      if (s == null) ""
-      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
-        .toLowerCase.filter(_.isLetter)
-    }
+    udf { (s: String) => norm(s) }
 
   /** Plain-Scala Levenshtein (for group-side scoring). */
   private[graft] def levenshteinDistance(a: String, b: String): Int = {
@@ -162,9 +161,12 @@ object FuzzyMatch {
             (rowIds(ri), colIds(ci), ratioScala(rows(ri), cols(ci)))
           }
           val total = pairs.map(_._3).sum
-          // acceptance denominator: distinct normalized titles on the
-          // matched (smaller) side (song_info_matcher.py:134-147, A12)
-          val accepted = total >= acceptFrac * (rows.distinct.length * 100.0)
+          // acceptance denominator: distinct normalized titles of the
+          // SRC (left) side, regardless of which side the Hungarian
+          // matrix was flipped to — the reference's total_potential is
+          // always unique_normalized_src_titles
+          // (song_info_matcher.py:134-148)
+          val accepted = total >= acceptFrac * (ln.distinct.length * 100.0)
           pairs.iterator.map { case (a, b, s) =>
             if (flip) AssignedPair(key, b, a, s, accepted)
             else AssignedPair(key, a, b, s, accepted)
@@ -173,10 +175,12 @@ object FuzzyMatch {
     }
   }
 
-  private def norm(s: String): String =
+  private[graft] def norm(s: String): String =
     if (s == null) ""
-    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
-      .toLowerCase.filter(_.isLetter)
+    else java.text.Normalizer.normalize(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC),
+        java.text.Normalizer.Form.NFD)
+      .filter(_.isLetter).toLowerCase
 
   case class PathRow(key: String, kind: String, path: String)
   case class PrefixPair(key: String, cue_path: String, audio_path: String,

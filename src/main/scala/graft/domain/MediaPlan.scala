@@ -81,22 +81,33 @@ object MediaPlan {
         pmod(xxhash64(col(idCol)), lit(8L)).cast("int").as("subshard"))
       .agg(count(lit(1)).as("n"), sum(col(doneCol).cast("int")).as("n_done"))
 
-  /** X15: HLS byterange `LEN@OFF`, offset optional ⇒ previous
-    * segment's end (dash-repackage.py:27-42). Input rows are one
-    * segment each; emits resolved (offset, length). */
+  /** X15: HLS byterange `LEN@OFF`, offset optional ⇒ the byte after
+    * the previous segment's (possibly explicit) end — i.e. offsets
+    * CHAIN from the last explicit offset, they are not a global
+    * running sum (dash-repackage.py:27-42: `start = prev_end + 1`).
+    *
+    * Windowed closed form: with cum = Σ lengths before this row and
+    * j the last explicitly-offset row at/before it,
+    * `off = explicit_off(j) − cum(j) + cum` (and 0 before any
+    * explicit row, matching the reference's initial prev_end = −1).
+    */
   def resolveByteranges(segments: DataFrame, groupCol: String,
       seqCol: String, byterangeCol: String): DataFrame = {
     val len = split(col(byterangeCol), "@").getItem(0).cast("long")
     val off = when(col(byterangeCol).contains("@"),
       split(col(byterangeCol), "@").getItem(1).cast("long"))
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(seqCol))
+    val wPrev = Window.partitionBy(col(groupCol)).orderBy(col(seqCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wCur = Window.partitionBy(col(groupCol)).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
     segments
       .withColumn("seg_len", len)
       .withColumn("explicit_off", off)
-      .withColumn("resolved_off",
-        coalesce(col("explicit_off"), sum(col("seg_len")).over(w), lit(0L)))
-      .drop("explicit_off")
+      .withColumn("__cum", coalesce(sum(col("seg_len")).over(wPrev), lit(0L)))
+      .withColumn("__delta",
+        last(col("explicit_off") - col("__cum"), ignoreNulls = true).over(wCur))
+      .withColumn("resolved_off", coalesce(col("__delta"), lit(0L)) + col("__cum"))
+      .drop("explicit_off", "__cum", "__delta")
   }
 
   /** X16: float seconds → ISO-8601 duration "PT<h>H<m>M<s[.fff]>S"

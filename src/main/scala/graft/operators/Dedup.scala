@@ -70,25 +70,23 @@ object Dedup {
 
   /** MinHash signatures: k-word shingles → `numHashes` independent
     * min-hashes. Hash family: xxhash64 salted by the hash index —
-    * deterministic, seedless, engine-native (codegen'd).
+    * deterministic, seedless, bit-identical to the builtin
+    * `min(xxhash64(lit(i), shingle))` aggregate formulation (pinned by
+    * DedupSpec), but computed in ONE fused codegen'd projection: no
+    * explode, no 32-column aggregate, no shuffle. `shingles()` never
+    * yields an empty array (short docs get one whole-text shingle),
+    * so `sig` is non-null here; a null-sig filter would anyway be
+    * pushed below the projection and evaluate the pipeline twice.
     * Returns (id, sig ARRAY<LONG>).
     */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, numHashes: Int): DataFrame = {
-    // explode + grouped min: the shingle array is built ONCE per doc.
-    // (A per-row nested-HOF formulation re-evaluates the shingle
-    // expression numHashes× per row — measured 20× slower.)
-    val sh = docs
+      shingleK: Int, numHashes: Int): DataFrame =
+    docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
-        explode(shingles(normalized(col(textCol)), shingleK)).as("shingle"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy(col("id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+        org.apache.spark.sql.graft.SignatureExpressions.minhashSignature(
+          shingles(normalized(col(textCol)), shingleK), numHashes).as("sig"))
 
   /** MinHash + LSH banding near-dup pairs, verified with exact
     * shingle Jaccard. `bands × rowsPerBand = numHashes`. Candidate
@@ -104,26 +102,50 @@ object Dedup {
       threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes)
-    // (id, band, bucket) — bucket = murmur3 of the band's slice of sig
-    val banded = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
-    val sized = banded
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("bsz") <= maxBucketSize)
+    // ONE corpus scan, ONE persist: (id, minhash signature,
+    // sorted 64-bit-hashed shingle set). Everything downstream — the
+    // banding, both self-join sides, both verify joins — reads this
+    // all-longs relation. Round 1 re-derived the shingle/signature DAG
+    // per consumer (4 extra corpus scans, 54% of the bench); persisting
+    // raw string shingle arrays instead costs ~2.5s of string copying
+    // at sf0.1 and O(corpus bytes) of cache at scale, vs O(rows·longs)
+    // here. Verification runs on the hashed shingle sets: xxhash64
+    // collisions (~n²·2⁻⁶⁴ per doc pair) are immaterial next to the
+    // MinHash approximation itself.
+    val base = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        shingles(normalized(col(textCol)), shingleK).as("sh"))
+      .select(col("id"),
+        org.apache.spark.sql.graft.SignatureExpressions.minhashSignature(
+          col("sh"), numHashes).as("sig"),
+        array_sort(transform(col("sh"), s => xxhash64(s))).as("hsh"))
+      .persist()
+    // (id, band, bucket) — bucket = murmur3 of the band's slice of
+    // sig. A cheap projection of the persisted base, so no second
+    // persist; a null sig (empty token array) simply doesn't band —
+    // posexplode emits no rows for null.
+    val banded = base.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
+    // Bucket-size skew guard: oversized buckets are the rare pathology,
+    // so aggregate once and broadcast only the oversized keys into an
+    // anti-join — O(#mega-buckets) driver memory, vs. the full
+    // sort-based window the naive count().over() formulation costs.
+    val oversized = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val sized = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
     val cands = sized.as("x").join(sized.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
-    // exact verification on shingle sets
-    val toks = docs.select(col(idCol).as("id"),
-      array_sort(shingles(normalized(col(textCol)), shingleK)).as("sh"))
+    // Jaccard verification on the persisted hashed shingle sets
     cands
-      .join(toks.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(toks.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .join(base.select(col("id").as("a_id"), col("hsh").as("a_sh")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("hsh").as("b_sh")), "b_id")
       .withColumn("inter", sortedIntersectCount(col("a_sh"), col("b_sh")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_sh")) + size(col("b_sh")) - col("inter")).cast("double"))

@@ -26,17 +26,37 @@ object ExternalProcess {
   class CommandRunner(timeoutSec: Long = 600) extends Runner {
     def run(argv: Seq[String], stdin: Option[Array[Byte]]): Result = {
       import scala.jdk.CollectionConverters._
-      val pb = new ProcessBuilder(argv.asJava)
-      val p = pb.start()
-      stdin.foreach { bytes =>
-        p.getOutputStream.write(bytes); p.getOutputStream.close()
+      val p = new ProcessBuilder(argv.asJava).start()
+      // All three pipes on their own threads: a sequential
+      // readAllBytes-then-waitFor (the round-1 shape) never times out
+      // on a hung child, and deadlocks when the child fills the
+      // stderr pipe while stdout is being drained (or blocks writing
+      // large stdin the child isn't reading yet).
+      def daemon(body: => Unit): Thread = {
+        val t = new Thread(() => try body catch {
+          case _: java.io.IOException => () // pipe closed on kill — expected
+        })
+        t.setDaemon(true); t.start(); t
       }
-      val out = new String(p.getInputStream.readAllBytes, "UTF-8")
-      val err = new String(p.getErrorStream.readAllBytes, "UTF-8")
-      if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
+      val writer = daemon {
+        stdin.foreach(p.getOutputStream.write)
+        p.getOutputStream.close()
+      }
+      val ob = new java.io.ByteArrayOutputStream()
+      val eb = new java.io.ByteArrayOutputStream()
+      val ot = daemon { p.getInputStream.transferTo(ob) }
+      val et = daemon { p.getErrorStream.transferTo(eb) }
+      val finished = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
         p.destroyForcibly()
-        Result(-1, out, err + s"\n[timeout after ${timeoutSec}s]")
-      } else Result(p.exitValue(), out, err)
+        p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      // killing the child closes the pipes, so the drains terminate
+      ot.join(10000); et.join(10000); writer.join(10000)
+      val out = new String(ob.toByteArray, "UTF-8")
+      val err = new String(eb.toByteArray, "UTF-8")
+      if (!finished) Result(-1, out, err + s"\n[timeout after ${timeoutSec}s]")
+      else Result(p.exitValue(), out, err)
     }
   }
 

@@ -59,22 +59,16 @@ object SimilaritySearch {
       .select(col("anchor_id"), col("neighbor_id"), col("score"))
   }
 
-  /** Deterministic pseudo-random hyperplane: component i of plane
-    * (table t, plane m) derived from xxhash64 — no RNG state, so
-    * signatures are reproducible across runs/engines.
-    */
-  private def planeComponent(t: Int, m: Int, i: Column): Column =
-    (pmod(xxhash64(lit(t), lit(m), i), lit(2001L)) - 1000L).cast("double") / 1000.0
-
-  /** Sign-bit signature of a vector for table t: numPlanes bits. */
+  /** Sign-bit signature of a vector for table t: numPlanes bits.
+    * Native fused-loop expression (xxhash64-derived pseudo-random
+    * planes, no RNG state — reproducible across runs/engines);
+    * byte-identical to the interpreted `aggregate(zip_with(...))`
+    * fold it replaced (pinned by SimilaritySpec), but codegen'd and
+    * allocation-free — the round-1 HOF form paid numPlanes × dim
+    * interpreted lambda calls per row. */
   private def lshKey(vec: Column, t: Int, numPlanes: Int): Column =
-    (0 until numPlanes).map { m =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(t, m, i)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1 << m)).otherwise(lit(0))
-    }.reduce(_ + _)
+    org.apache.spark.sql.graft.SignatureExpressions
+      .randomHyperplaneSignature(vec, numPlanes, t)
 
   /** LSH-bucketed approximate top-k: `numTables` independent
     * random-hyperplane signatures; candidates = pairs sharing a

@@ -26,9 +26,14 @@ object DedupQueries {
       |FROM documents
       |GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin
 
+  // Anchors are the 50 smallest doc_ids — a FIXED-size deterministic
+  // sample (ids are dense from 0), so the broadcast side and the
+  // O(|anchors|·N) baseline cost stay constant as the corpus grows.
+  // (Round 1 used doc_id % 50, whose anchor set — and therefore the
+  // brute-force work — grew linearly with N: a scale bug.)
   private def q17(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardToAnchors(Tables(s, dir).documents, "doc_id", "text",
-        col("id") % 50 === 0, 0.5)
+        col("id") < 50, 0.5)
       .orderBy(col("a_id"), col("b_id"))
 
   private val q17Sql =
@@ -38,7 +43,7 @@ object DedupQueries {
       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |  CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
       |    / (length(a.toks) + length(b.toks) - length(list_intersect(a.toks, b.toks))) AS jaccard
-      |FROM t a JOIN t b ON a.doc_id % 50 = 0 AND a.doc_id < b.doc_id
+      |FROM t a JOIN t b ON a.doc_id < 50 AND a.doc_id < b.doc_id
       |WHERE CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
       |    / (length(a.toks) + length(b.toks) - length(list_intersect(a.toks, b.toks))) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin

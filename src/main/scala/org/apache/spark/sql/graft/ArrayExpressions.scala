@@ -21,16 +21,25 @@ import org.apache.spark.unsafe.types.UTF8String
 case class SortedArrayIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
-  override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(StringType), ArrayType(StringType))
+  // string arrays (raw shingles) or long arrays (64-bit-hashed
+  // shingles — the persist-friendly representation)
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(StringType), ArrayType(LongType)),
+    TypeCollection(ArrayType(StringType), ArrayType(LongType)))
   override def dataType: DataType = IntegerType
+
+  private def isStringElem: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == StringType
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    val strings = isStringElem
     var i = 0; var j = 0; var n = 0
     while (i < a.numElements() && j < b.numElements()) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      val cmp =
+        if (strings) a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        else java.lang.Long.compare(a.getLong(i), b.getLong(j))
       if (cmp == 0) { n += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -44,10 +53,13 @@ case class SortedArrayIntersectCount(left: Expression, right: Expression)
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
       val cmp = ctx.freshName("cmp")
+      val cmpExpr =
+        if (isStringElem) s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+        else s"java.lang.Long.compare($a.getLong($i), $b.getLong($j))"
       s"""
         int $i = 0; int $j = 0; int $n = 0;
         while ($i < $a.numElements() && $j < $b.numElements()) {
-          int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+          int $cmp = $cmpExpr;
           if ($cmp == 0) { $n++; $i++; $j++; }
           else if ($cmp < 0) { $i++; } else { $j++; }
         }

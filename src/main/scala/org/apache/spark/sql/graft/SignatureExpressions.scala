@@ -1,0 +1,202 @@
+// Hosted under org.apache.spark.sql (private[sql] access — see
+// VectorExpressions).
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused signature expressions for the LSH hot paths.
+  *
+  * Both replace multi-operator formulations with ONE codegen'd loop:
+  *
+  *  - [[MinHashSignature]] supersedes explode → 32 × min() aggregate
+  *    (a shuffle per corpus scan, and a generated aggregate class big
+  *    enough that its one-time Janino+JIT compile dominated q18's
+  *    bench time). Signatures are bit-identical to
+  *    `min(xxhash64(lit(i), shingle))` — same seed-42 hash family.
+  *  - [[RandomHyperplaneSignature]] supersedes the interpreted
+  *    `aggregate(zip_with(vec, sequence(...), ...))` nested-HOF key
+  *    (numPlanes × dim lambda invocations per row) with the same
+  *    xxhash64-derived pseudo-random planes — results byte-identical.
+  *
+  * Zero-shuffle projections: at 100 TB signatures are computed
+  * map-side in the scan stage, and only the banded (band, bucket)
+  * keys shuffle.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // empty token set → null signature (the explode+groupBy formulation
+  // this replaces produced no row for such docs)
+  override def nullable: Boolean = true
+
+  // seed of hash slot k = xxhash64's running hash after the leading
+  // int literal: hash(k, Int, 42) — matches xxhash64(lit(k), shingle)
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(k => XxHash64Function.hash(k, IntegerType, 42L))
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var k = 0
+      while (k < numHashes) {
+        val h = XxHash64Function.hash(s, StringType, seeds(k))
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val stringType = ctx.addReferenceObj("stringTypeRef",
+        StringType, classOf[DataType].getName)
+      val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      s"""
+        if ($arr.numElements() == 0) {
+          ${ev.isNull} = true;
+        } else {
+          long[] $sig = new long[$numHashes];
+          java.util.Arrays.fill($sig, Long.MAX_VALUE);
+          for (int $i = 0; $i < $arr.numElements(); $i++) {
+            org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+            for (int $k = 0; $k < $numHashes; $k++) {
+              long $h = org.apache.spark.sql.catalyst.expressions.XxHash64Function$$.MODULE$$
+                .hash($s, $stringType, $seedsRef[$k]);
+              if ($h < $sig[$k]) $sig[$k] = $h;
+            }
+          }
+          ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+            .fromPrimitiveArray($sig);
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Sign-bit signature of a vector against `numPlanes` pseudo-random
+  * hyperplanes for LSH table `table`: bit m = [Σ_i vec_i · p_i ≥ 0],
+  * plane component p_i = (pmod(xxhash64(table, m, i), 2001) − 1000) /
+  * 1000 — deterministic, seedless, reproducible across engines.
+  * Accumulation is in array-index order, so results are bit-identical
+  * to the `aggregate(zip_with(...))` fold it replaces.
+  */
+case class RandomHyperplaneSignature(child: Expression, numPlanes: Int,
+    table: Int) extends UnaryExpression with ExpectsInputTypes {
+  require(numPlanes > 0 && numPlanes <= 31, "numPlanes must be in [1, 31]")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
+  override def dataType: DataType = IntegerType
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // running xxhash64 state after the two leading int literals:
+  // hash(m, Int, hash(table, Int, 42)) — matches xxhash64(lit(t), lit(m), i)
+  private lazy val seeds: Array[Long] = Array.tabulate(numPlanes)(m =>
+    XxHash64Function.hash(m, IntegerType,
+      XxHash64Function.hash(table, IntegerType, 42L)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var key = 0
+    var m = 0
+    while (m < numPlanes) {
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val h = XxHash64Function.hash(i, IntegerType, seeds(m))
+        val comp = (java.lang.Math.floorMod(h, 2001L) - 1000L).toDouble / 1000.0
+        proj += x * comp
+        i += 1
+      }
+      if (proj >= 0) key |= (1 << m)
+      m += 1
+    }
+    java.lang.Integer.valueOf(key)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val intType = ctx.addReferenceObj("intTypeRef",
+        IntegerType, classOf[DataType].getName)
+      val seedsRef = ctx.addReferenceObj("rhpSeeds", seeds, "long[]")
+      val key = ctx.freshName("key")
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val proj = ctx.freshName("proj")
+      val h = ctx.freshName("h")
+      val comp = ctx.freshName("comp")
+      val getX = if (elemIsFloat) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
+      s"""
+        int $key = 0;
+        for (int $m = 0; $m < $numPlanes; $m++) {
+          double $proj = 0.0;
+          for (int $i = 0; $i < $arr.numElements(); $i++) {
+            long $h = org.apache.spark.sql.catalyst.expressions.XxHash64Function$$.MODULE$$
+              .hash($i, $intType, $seedsRef[$m]);
+            double $comp = (java.lang.Math.floorMod($h, 2001L) - 1000L) / 1000.0;
+            $proj += ($getX) * $comp;
+          }
+          if ($proj >= 0) $key |= (1 << $m);
+        }
+        ${ev.value} = $key;
+      """
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RandomHyperplaneSignature =
+    copy(child = newChild)
+}
+
+/** Column-level API + SQL registration. */
+object SignatureExpressions {
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  def minhashSignature(tokens: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSignature(
+      ExpressionUtils.expression(tokens), numHashes))
+
+  def randomHyperplaneSignature(vec: Column, numPlanes: Int, table: Int): Column =
+    ExpressionUtils.column(RandomHyperplaneSignature(
+      ExpressionUtils.expression(vec), numPlanes, table))
+
+  private def litInt(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  /** Register `graft_minhash` / `graft_rhp_sig` for SQL use
+    * (trailing arguments must be integer literals). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashSignature(exprs(0), litInt(exprs(1))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rhp_sig",
+      exprs => RandomHyperplaneSignature(exprs(0), litInt(exprs(1)),
+        litInt(exprs(2))), "built-in")
+  }
+}

@@ -48,6 +48,36 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("native MinHashSignature is bit-identical to the min-agg formulation") {
+    import graft.functions.TextFunctions._
+    val numHashes = 32
+    // builtin formulation the native expression replaced:
+    // explode shingles → min(xxhash64(lit(i), shingle)) per slot
+    val sh = docs.select(col("doc_id").as("id"),
+      explode(shingles(normalized(col("text")), 2)).as("shingle"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    val viaAgg = sh.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .orderBy("id").as[(Long, Seq[Long])].collect()
+    val viaNative = Dedup.minhashSignatures(docs, "doc_id", "text", 2, numHashes)
+      .orderBy("id").as[(Long, Seq[Long])].collect()
+    assert(viaNative.toSeq === viaAgg.toSeq)
+  }
+
+  test("MinHashSignature: empty token set → null (matches groupBy drop)") {
+    import org.apache.spark.sql.graft.SignatureExpressions
+    val got = Seq((1L, Seq.empty[String]), (2L, Seq("a", "b")))
+      .toDF("id", "toks")
+      .select(col("id"),
+        SignatureExpressions.minhashSignature(col("toks"), 8).as("sig"))
+      .orderBy("id").collect()
+    assert(got(0).isNullAt(1))
+    assert(got(1).getSeq[Long](1).length === 8)
+  }
+
   test("simhashPairs finds hamming-close docs, not unrelated ones") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet

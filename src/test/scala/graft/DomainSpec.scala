@@ -163,12 +163,26 @@ class MediaPlanSpec extends SparkSpec {
   }
 
   test("X15 byterange resolution: explicit and prev_end chaining") {
-    val segs = Seq(("t", 1, "100@0"), ("t", 2, "250"), ("t", 3, "50@999"))
+    // seq 4 is the non-contiguous case: an implicit segment after an
+    // explicit jump must chain from THAT offset (999+50=1049), not
+    // from the global running length (dash-repackage.py prev_end+1).
+    val segs = Seq(("t", 1, "100@0"), ("t", 2, "250"), ("t", 3, "50@999"),
+      ("t", 4, "30"))
       .toDF("trk", "seq", "br")
     val got = MediaPlan.resolveByteranges(segs, "trk", "seq", "br")
       .orderBy("seq").select("resolved_off", "seg_len")
       .as[(Long, Long)].collect()
-    assert(got.toSeq === Seq((0L, 100L), (100L, 250L), (999L, 50L)))
+    assert(got.toSeq === Seq((0L, 100L), (100L, 250L), (999L, 50L),
+      (1049L, 30L)))
+  }
+
+  test("X15 byterange: all-implicit playlist starts at 0 and chains") {
+    val segs = Seq(("t", 1, "10"), ("t", 2, "20"), ("t", 3, "30"))
+      .toDF("trk", "seq", "br")
+    val got = MediaPlan.resolveByteranges(segs, "trk", "seq", "br")
+      .orderBy("seq").select("resolved_off", "seg_len")
+      .as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((0L, 10L), (10L, 20L), (30L, 30L)))
   }
 
   test("X16 ISO-8601 durations") {

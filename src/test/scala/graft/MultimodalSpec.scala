@@ -88,4 +88,36 @@ class ExternalProcessSpec extends SparkSpec {
     val fail = r.run(Seq("sh", "-c", "exit 3"))
     assert(fail.exitCode === 3)
   }
+
+  test("CommandRunner captures stderr and feeds stdin") {
+    val r = new ExternalProcess.CommandRunner()
+    val e = r.run(Seq("sh", "-c", "echo out; echo err >&2; exit 2"))
+    assert(e.exitCode === 2 && e.stdout === "out\n" && e.stderr === "err\n")
+    val s = r.run(Seq("cat"), Some("piped".getBytes("UTF-8")))
+    assert(s.exitCode === 0 && s.stdout === "piped")
+  }
+
+  test("CommandRunner timeout fires on a hung child and kills it") {
+    val r = new ExternalProcess.CommandRunner(timeoutSec = 1)
+    val t0 = System.nanoTime()
+    val res = r.run(Seq("sh", "-c", "sleep 600"))
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    assert(res.exitCode === -1)
+    assert(res.stderr.contains("timeout"))
+    assert(elapsedSec < 30) // killed, not waited out
+  }
+
+  test("CommandRunner drains interleaved stdout/stderr beyond the pipe buffer") {
+    // stderr fills its 64 KiB pipe while stdout still has data coming:
+    // a sequential read-stdout-then-stderr runner deadlocks here.
+    val r = new ExternalProcess.CommandRunner()
+    val script = "i=0; while [ $i -lt 8 ]; do " +
+      "head -c 65536 /dev/zero | tr '\\0' a; " +
+      "head -c 65536 /dev/zero | tr '\\0' b >&2; " +
+      "i=$((i+1)); done"
+    val res = r.run(Seq("sh", "-c", script))
+    assert(res.exitCode === 0)
+    assert(res.stdout.length === 8 * 65536 && res.stdout.forall(_ == 'a'))
+    assert(res.stderr.length === 8 * 65536 && res.stderr.forall(_ == 'b'))
+  }
 }

@@ -99,12 +99,17 @@ class FuzzyMatchSpec extends SparkSpec {
   import FuzzyMatch._
 
   test("X8 normalizeLettersOnly handles fullwidth + mixed scripts") {
-    val got = Seq("ＴＥＳＴ Song 01!", "ネクロファンタジア", null)
+    // Fixtures pinned against the reference's normalize_text
+    // (NFKC→NFD→category-L filter→lower): diacritics AND Japanese
+    // dakuten decompose to combining marks and are stripped —
+    // ジ → シ+U+3099 → シ, é → e+U+0301 → e.
+    val got = Seq("ＴＥＳＴ Song 01!", "ネクロファンタジア", "Café", null)
       .toDF("s").select(FuzzyMatch.normalizeLettersOnly($"s"))
       .as[String].collect()
     assert(got(0) === "testsong")
-    assert(got(1) === "ネクロファンタジア")
-    assert(got(2) === "")
+    assert(got(1) === "ネクロファンタシア")
+    assert(got(2) === "cafe")
+    assert(got(3) === "")
   }
 
   test("similarityRatio column matches scala impl; 100 for identical") {
@@ -150,6 +155,20 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(m === Map("L1" -> "W1", "L2" -> "W3", "L3" -> "W2"))
     assert(got.filter(_.key == "al1").forall(_.group_accepted))
     assert(got.filter(_.key == "al2").forall(!_.group_accepted))
+  }
+
+  test("J7 acceptance denominator is the src side even when left is larger") {
+    // 4 distinct src titles, only 2 matchable: total score 200 vs
+    // total_potential 400 → the reference rejects (ratio 0.5). A
+    // denominator taken from the flipped (smaller) side would wrongly
+    // accept at ratio 1.0 (song_info_matcher.py:148 is src-side only).
+    val local = Seq(
+      TitleRow("al3", "L1", "alpha"), TitleRow("al3", "L2", "beta"),
+      TitleRow("al3", "L3", "gamma"), TitleRow("al3", "L4", "delta")).toDS()
+    val wiki = Seq(
+      TitleRow("al3", "W1", "alpha"), TitleRow("al3", "W2", "beta")).toDS()
+    val got = FuzzyMatch.assignmentJoin(spark, local, wiki).collect()
+    assert(got.nonEmpty && got.forall(!_.group_accepted))
   }
 
   test("J9 prefixPairs pairs cue with its audio by longest prefix") {

@@ -98,6 +98,31 @@ class SimilaritySpec extends SparkSpec {
     assert(viaSql > 0.999)  // the planted near-dup pair
   }
 
+  test("native RandomHyperplaneSignature is byte-identical to the HOF fold") {
+    import org.apache.spark.sql.graft.SignatureExpressions
+    val numPlanes = 8
+    // the interpreted formulation the native expression replaced
+    def planeComponent(t: Int, m: Int, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(lit(t), lit(m), i), lit(2001L)) - 1000L)
+        .cast("double") / 1000.0
+    def hofKey(vec: org.apache.spark.sql.Column, t: Int) =
+      (0 until numPlanes).map { m =>
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") * planeComponent(t, m, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, lit(1 << m)).otherwise(lit(0))
+      }.reduce(_ + _)
+    for (t <- 0 until 3) {
+      val bad = emb.select(
+          hofKey(col("embedding"), t).as("hof"),
+          SignatureExpressions.randomHyperplaneSignature(
+            col("embedding"), numPlanes, t).as("native"))
+        .filter(col("hof") =!= col("native")).count()
+      assert(bad === 0, s"table $t")
+    }
+  }
+
   test("centroids: element-wise mean per group") {
     val two = Seq(
       (1L, Array(1.0f, 3.0f), "g"),
