@@ -32,10 +32,22 @@ object PlanAudit {
     // rank<=k prunes via WindowGroupLimit before the full sort
     Check("q06_topk_per_group",
       mustContain = Seq("HashAggregate", "WindowGroupLimit", "BroadcastHashJoin")),
-    // q18: LSH candidate generation is an equi-join on (band, bucket)
+    // q18: LSH candidate generation is an equi-join on (band, bucket);
+    // signatures come from the fused native expression (no explode +
+    // 32-column aggregate), and the base relation is cached once
     Check("q18_minhash_lsh",
-      mustContain = Seq("hashpartitioning"),
+      mustContain = Seq("hashpartitioning", "minhashsignature",
+        "InMemoryTableScan"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // q19: zero-shuffle native SimHash signatures
+    Check("q19_simhash_pairs",
+      mustContain = Seq("simhash64"),
+      mustNotContain = Seq("CartesianProduct")),
+    // q23: the LSH key is the fused native expression, not an
+    // interpreted aggregate(zip_with(...)) fold
+    Check("q23_lsh_cosine_topk",
+      mustContain = Seq("randomhyperplanesignature"),
+      mustNotContain = Seq("aggregate(zip_with", "CartesianProduct")),
     // q20: anchors broadcast; the scan side never shuffles for scoring;
     // the native cosine expression is in the plan
     Check("q20_cosine_topk",

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.SimilaritySearch
+import graft.operators.{GroupSimilarity, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,9 +81,76 @@ object SimilarityQueries {
       .orderBy(col("anchor_id"), col("rank"))
   }
 
+  // A11: the reference's three group-similarity flavors over label
+  // groups (fixed γ=20 so the oracle is closed-form; the
+  // median-heuristic calibration is spec-verified separately).
+  // Members capped at the first 64 vec_ids per label; all label pairs
+  // scored (10 labels → 45 pairs — recall pruning is exercised by the
+  // similarGroups path in scalatest).
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val capped = GroupSimilarity.cappedMembers(
+      emb, "label", "vec_id", "embedding", pad = 64)
+    val labels = emb.select(col("label")).distinct()
+    val pairs = labels.select(col("label").as("a_gid"))
+      .join(labels.select(col("label").as("b_gid")), col("a_gid") < col("b_gid"))
+    GroupSimilarity.scores(capped, pairs, gamma = 20.0, dupThresh = 0.9985)
+      .select(col("a_gid").as("a_label"), col("b_gid").as("b_label"),
+        col("score_style"), col("score_raw"), col("score_kde"))
+      .orderBy(col("a_label"), col("b_label"))
+  }
+
+  private val q31Sql =
+    """WITH m0 AS (
+      |  SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+      |  FROM embeddings),
+      |m AS (SELECT label, rn AS mi, v FROM m0 WHERE rn <= 64),
+      |pr AS (SELECT a.label AS la, b.label AS lb
+      |       FROM (SELECT DISTINCT label FROM m) a
+      |       JOIN (SELECT DISTINCT label FROM m) b ON a.label < b.label),
+      |cp AS (SELECT p.la, p.lb, x.mi AS ai, y.mi AS bi,
+      |         round(list_cosine_similarity(x.v, y.v), 4) AS c
+      |       FROM pr p JOIN m x ON x.label = p.la JOIN m y ON y.label = p.lb),
+      |ks AS (SELECT la, lb,
+      |         CAST(sum(CAST(round(exp(20.0*(c-1.0)),6) AS DECIMAL(38,12))) AS DOUBLE) AS ksum,
+      |         count(*) AS nm
+      |       FROM cp GROUP BY 1,2),
+      |pa AS (SELECT la, lb, ai, max(c) AS best,
+      |         coalesce(max(CASE WHEN c < 0.9985 THEN c END), 0.0) AS best_style
+      |       FROM cp GROUP BY 1,2,3),
+      |sa AS (SELECT la, lb,
+      |         CAST(sum(CAST(best AS DECIMAL(28,10))) AS DOUBLE) AS sum_a,
+      |         CAST(sum(CAST(best_style AS DECIMAL(28,10))) AS DOUBLE) AS sum_a_style,
+      |         count(*) AS na
+      |       FROM pa GROUP BY 1,2),
+      |pb AS (SELECT la, lb, bi, max(c) AS best,
+      |         coalesce(max(CASE WHEN c < 0.9985 THEN c END), 0.0) AS best_style
+      |       FROM cp GROUP BY 1,2,3),
+      |sb AS (SELECT la, lb,
+      |         CAST(sum(CAST(best AS DECIMAL(28,10))) AS DOUBLE) AS sum_b,
+      |         CAST(sum(CAST(best_style AS DECIMAL(28,10))) AS DOUBLE) AS sum_b_style,
+      |         count(*) AS nb
+      |       FROM pb GROUP BY 1,2),
+      |sm AS (SELECT x.label AS l,
+      |         CAST(sum(CAST(round(exp(20.0*(round(list_cosine_similarity(x.v,y.v),4)-1.0)),6) AS DECIMAL(38,12))) AS DOUBLE)
+      |           / count(*) AS kmass
+      |       FROM m x JOIN m y ON x.label = y.label GROUP BY 1)
+      |SELECT ks.la AS a_label, ks.lb AS b_label,
+      |  round(0.5*(sa.sum_a_style/sa.na + sb.sum_b_style/sb.nb), 6) AS score_style,
+      |  round(0.5*(sa.sum_a/sa.na + sb.sum_b/sb.nb), 6) AS score_raw,
+      |  round((ks.ksum/ks.nm) / sqrt(ma.kmass * mb.kmass), 6) AS score_kde
+      |FROM ks
+      |JOIN sa ON sa.la = ks.la AND sa.lb = ks.lb
+      |JOIN sb ON sb.la = ks.la AND sb.lb = ks.lb
+      |JOIN sm ma ON ma.l = ks.la
+      |JOIN sm mb ON mb.l = ks.lb
+      |ORDER BY a_label, b_label""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q20_cosine_topk", q20, Some(q20Sql), headline = true),
     Q("q21_label_centroids", q21, Some(q21Sql)),
     Q("q22_knn_classify", q22, Some(q22Sql)),
-    Q("q23_lsh_cosine_topk", q23, None, headline = true))
+    Q("q23_lsh_cosine_topk", q23, None, headline = true),
+    Q("q31_group_scores", q31, Some(q31Sql), headline = true))
 }
