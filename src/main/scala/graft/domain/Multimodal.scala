@@ -108,6 +108,58 @@ object Multimodal {
     }.toDF("media_id", "frameIdx", "features")
   }
 
+  /** X24/S19: dominant-color palette per media — pixel-share-ordered
+    * hex colors (generate_artwork_variants.py:56-66). Pixels are read
+    * as interleaved RGB byte triples from decoded frames (a trailing
+    * partial triple is ignored).
+    *
+    * The reference quantizes ADAPTIVELY (Pillow octree) per image;
+    * distributed, a per-image adaptive palette is a per-group loop,
+    * so this uses a fixed `levels`³ RGB grid (bin center = emitted
+    * color) and keeps the whole operator one groupBy: frames emit
+    * map-side partial histograms (≤ levels³ rows per frame, never per
+    * pixel), counts merge associatively, top-k ranks by pixel share
+    * with the reference's (count, bin) descending tie order. */
+  def dominantColors(frames: Dataset[DecodedFrame], k: Int = 8,
+      levels: Int = 4): DataFrame = {
+    require(levels > 1 && levels <= 16, "levels in [2, 16]")
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val nBins = levels * levels * levels
+    val partial = frames.flatMap { f =>
+      val counts = new Array[Long](nBins)
+      val n = f.pixels.length / 3
+      var i = 0
+      while (i < n) {
+        val r = (f.pixels(3 * i) & 0xFF) * levels / 256
+        val g = (f.pixels(3 * i + 1) & 0xFF) * levels / 256
+        val b = (f.pixels(3 * i + 2) & 0xFF) * levels / 256
+        counts((r * levels + g) * levels + b) += 1L
+        i += 1
+      }
+      counts.iterator.zipWithIndex.collect {
+        case (c, q) if c > 0 => (f.media_id, q, c)
+      }
+    }.toDF("media_id", "bin", "cnt")
+    // bin center color (Spark's `/` is double division — cast back)
+    val center = (li: org.apache.spark.sql.Column) =>
+      (li * 256 / levels).cast("int") + lit(128 / levels)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("media_id"))
+      .orderBy(col("pixels").desc, col("bin").desc)
+    partial
+      .groupBy(col("media_id"), col("bin"))
+      .agg(sum(col("cnt")).as("pixels"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .withColumn("hex", format_string("#%02x%02x%02x",
+        center((col("bin") / (levels * levels)).cast("int")),
+        center((col("bin") / levels).cast("int") % levels),
+        center(col("bin") % levels)))
+      .groupBy(col("media_id"))
+      .agg(transform(array_sort(collect_list(struct(col("rank"), col("hex")))),
+        s => s.getField("hex")).as("palette"))
+  }
+
   /** Resize plan (the effectful resize runs in the decoder seam):
     * target ladder per media given source dims — pure columns,
     * mirrors the reference's 120/300/600 artwork ladder. */

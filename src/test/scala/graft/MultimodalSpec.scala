@@ -50,6 +50,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("X24 dominantColors: pixel-share-ordered hex palette, crafted frame") {
+    import Multimodal.DecodedFrame
+    // RGB triples, levels=4 (bin centers 32/96/160/224):
+    // 4 px of (200,30,20) → bins (3,0,0) → "#e02020"
+    // 2 px of (10,20,220) → bins (0,0,3) → "#2020e0"
+    // 1 px of (100,100,100) → bins (1,1,1) → "#606060"
+    val px = (Seq.fill(4)(Seq(200, 30, 20)) ++ Seq.fill(2)(Seq(10, 20, 220)) ++
+      Seq(Seq(100, 100, 100))).flatten.map(_.toByte).toArray
+    val frames = Seq(DecodedFrame("art1", 0, 7, 1, px)).toDS()
+    val palette = Multimodal.dominantColors(frames, k = 8, levels = 4)
+      .select("palette").as[Seq[String]].collect()(0)
+    assert(palette === Seq("#e02020", "#2020e0", "#606060"))
+  }
+
+  test("X24 dominantColors: counts merge across frames; ties break by bin desc") {
+    import Multimodal.DecodedFrame
+    val red = Seq(240, 16, 16).map(_.toByte).toArray   // bin (3,0,0)
+    val blue = Seq(16, 16, 240).map(_.toByte).toArray  // bin (0,0,3)
+    val frames = Seq(
+      DecodedFrame("m", 0, 1, 1, red), DecodedFrame("m", 1, 1, 1, blue))
+      .toDS()
+    val palette = Multimodal.dominantColors(frames, k = 2, levels = 4)
+      .select("palette").as[Seq[String]].collect()(0)
+    // equal counts → higher bin id first (red bin 48 > blue bin 3),
+    // mirroring the reference's reverse-sorted (count, index) ties
+    assert(palette === Seq("#e02020", "#2020e0"))
+  }
+
   test("resizePlan: ladder, aspect ratio, no upscale") {
     val m = Seq(("a", 600, 300), ("b", 100, 200)).toDF("media_id", "w", "h")
       .select(col("media_id"), struct(lit("image/png").as("mime"),

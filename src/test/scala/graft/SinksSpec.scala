@@ -1,0 +1,47 @@
+package graft
+
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+
+/** S10/S13/S14 exercised end-to-end against EMBEDDED Derby (the
+  * derby jars ship with Spark itself) — the reference's end state is
+  * a relational load (SimilarTrackProcessor.cs:39-90 TRUNCATE+COPY;
+  * AlbumTrackMetadataProcessor.cs:12 500-row batches), so these paths
+  * must be more than conventions.
+  */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private def props = new java.util.Properties()
+
+  test("S13/S14 writeJdbc: create-on-append, overwrite-truncate, batchsize") {
+    val df = (1 to 10).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+    Sinks.writeJdbc(df, url, "t_roundtrip", props, batchSize = 3)
+    val back = Sinks.readJdbc(spark, url, "t_roundtrip", props)
+    assert(back.count() === 10)
+    assert(back.agg(sum("id")).head.getLong(0) === 55L)
+
+    // overwrite maps to TRUNCATE + load (keeps the table object, the
+    // reference's index/FK-preserving COPY semantics)
+    val df2 = (11 to 15).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+    Sinks.writeJdbc(df2, url, "t_roundtrip", props, overwrite = true)
+    val afterOverwrite = Sinks.readJdbc(spark, url, "t_roundtrip", props)
+    assert(afterOverwrite.select("id").as[Long].collect().sorted.toSeq
+      === (11L to 15L))
+
+    // plain append accumulates
+    Sinks.writeJdbc(df, url, "t_roundtrip", props)
+    assert(Sinks.readJdbc(spark, url, "t_roundtrip", props).count() === 15)
+  }
+
+  test("S10 partitioned JDBC read splits the scan without losing rows") {
+    val df = (1 to 100).map(i => (i.toLong, i * 2)).toDF("id", "v")
+    Sinks.writeJdbc(df, url, "t_part", props)
+    val back = Sinks.readJdbc(spark, url, "t_part", props,
+      partitionColumn = Some(("id", 1L, 100L, 4)))
+    assert(back.rdd.getNumPartitions === 4)
+    assert(back.count() === 100)
+    assert(back.agg(sum("v")).head.getLong(0) === 10100L)
+  }
+}
