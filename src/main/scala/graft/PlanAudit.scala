@@ -49,9 +49,13 @@ object PlanAudit {
       mustContain = Seq("randomhyperplanesignature"),
       mustNotContain = Seq("aggregate(zip_with", "CartesianProduct")),
     // q20: anchors broadcast; the scan side never shuffles for scoring;
-    // the native cosine expression is in the plan
+    // the native cosine expression is in the plan; the per-anchor rank
+    // is the bounded top-k aggregate (partial aggregation), not a full
+    // sort-based window
     Check("q20_cosine_topk",
-      mustContain = Seq("BroadcastNestedLoopJoin", "cosinesimilarity")),
+      mustContain = Seq("BroadcastNestedLoopJoin", "cosinesimilarity",
+        "topkbyscore"),
+      mustNotContain = Seq("WindowExec", "WindowGroupLimit")),
     // q24: partial aggregation before the shuffle
     Check("q24_tumbling_window",
       mustContain = Seq("HashAggregate", "hashpartitioning")))

@@ -32,20 +32,30 @@ object SimilaritySearch {
         col("anchor_id") =!= col("neighbor_id"))
       .withColumn("score", round(fastCosine(col("a_vec"), col("n_vec")), 4))
 
+  /** Rank the scored (anchor, neighbor) relation down to k per anchor
+    * with the bounded top-k aggregate: partial aggregation keeps ≤ k
+    * rows per anchor per map task, so the shuffle carries
+    * O(anchors·k·tasks) rows instead of every scored row — the
+    * window-rank formulation this replaced shuffled and fully sorted
+    * anchors × N (row-identical output, pinned by the q20/q22
+    * oracles). */
+  private def rankTopK(scoredRel: DataFrame, k: Int): DataFrame =
+    scoredRel
+      .groupBy(col("anchor_id"))
+      .agg(org.apache.spark.sql.graft.TopKExpressions
+        .topKByScore(col("score"), col("neighbor_id"), k).as("topk"))
+      .select(col("anchor_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("anchor_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("score"))
+
   /** Exact top-k cosine neighbors of each anchor. Anchors must be
     * small enough to broadcast (the reference's anchor batches are
     * ~200 rows); the scan over `vectors` is embarrassingly parallel
-    * and the final per-anchor ranking shuffles only A·N scored rows.
+    * and the per-anchor ranking is a bounded top-k aggregate.
     */
   def cosineTopK(vectors: DataFrame, anchors: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val w = Window.partitionBy(col("anchor_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored(vectors, anchors, idCol, vecCol)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("anchor_id"), col("rank"), col("neighbor_id"), col("score"))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rankTopK(scored(vectors, anchors, idCol, vecCol), k)
 
   /** All near-duplicate pairs with cosine ≥ threshold, anchors
     * broadcast. For all-pairs dedup at scale use `lshCosineTopK`
@@ -91,13 +101,9 @@ object SimilaritySearch {
       .select(col("anchor_id"), col("a_vec"), col("id").as("neighbor_id"),
         col("vec").as("n_vec"))
       .dropDuplicates("anchor_id", "neighbor_id")
-    val w = Window.partitionBy(col("anchor_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    cands
-      .withColumn("score", round(fastCosine(col("a_vec"), col("n_vec")), 4))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("anchor_id"), col("rank"), col("neighbor_id"), col("score"))
+    rankTopK(
+      cands.withColumn("score", round(fastCosine(col("a_vec"), col("n_vec")), 4)),
+      k)
   }
 
   /** k-NN majority-vote classification: label each anchor by the

@@ -133,14 +133,18 @@ object VectorAgg {
     val recall = SimilaritySearch.cosineTopK(
       pooled, pooled.filter(anchorPred), recallK,
       idCol = "vec_id", vecCol = "mean_vec")
-    // deterministic chunk subsample: first maxChunks in chunk order
-    // array_sort makes the subsample deterministic under collect_list's
-    // arbitrary arrival order (reference subsamples by stride instead)
+    // deterministic chunk subsample: the maxChunks smallest vectors in
+    // array order (reference subsamples by stride instead). The
+    // bounded aggregate keeps O(maxChunks·dim) state per group —
+    // the collect_list + slice formulation it replaced held EVERY
+    // chunk before trimming (OOM-shaped at the reference's 9.7M-chunk
+    // store).
     val chunkSets = chunks
       .select(col(idCol).cast("string").as("cid"),
         col(vecCol).cast("array<double>").as("v"))
       .groupBy("cid")
-      .agg(slice(array_sort(collect_list(col("v"))), 1, maxChunks).as("chunks"))
+      .agg(org.apache.spark.sql.graft.TopKExpressions
+        .boundedSortedCollect(col("v"), maxChunks).as("chunks"))
     recall
       .join(chunkSets.withColumnRenamed("cid", "anchor_id")
         .withColumnRenamed("chunks", "a_chunks"), "anchor_id")

@@ -225,4 +225,23 @@ class VectorAggSpec extends SparkSpec {
     assert(got.head.neighbor_id === "t3")
     assert(got.head.score > got(1).score)
   }
+
+  test("boundedSortedCollect ≡ slice(array_sort(collect_list), 1, max)") {
+    import org.apache.spark.sql.graft.TopKExpressions.boundedSortedCollect
+    val r = new scala.util.Random(11)
+    val rows = (0 until 200).map(i =>
+      (s"g${i % 5}", Seq.fill(3)(math.rint(r.nextDouble() * 10) / 10)))
+    val df = rows.toDF("g", "v").repartition(8)
+    for (max <- Seq(1, 7, 100)) {
+      def extract(df2: org.apache.spark.sql.DataFrame) =
+        df2.collect().map(row => row.getString(0) ->
+          row.getSeq[Any](1).toList
+            .map(_.asInstanceOf[scala.collection.Seq[Double]].toList)).toMap
+      val viaAgg = extract(df.groupBy($"g")
+        .agg(boundedSortedCollect($"v", max).as("c")))
+      val viaSort = extract(df.groupBy($"g")
+        .agg(slice(array_sort(collect_list($"v")), 1, max).as("c")))
+      assert(viaAgg === viaSort, s"max=$max")
+    }
+  }
 }

@@ -123,6 +123,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("TopKByScore is row-identical to window-rank, ties included") {
+    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
+    import org.apache.spark.sql.expressions.Window
+    // many ties (score quantized to 1 decimal) + string ids to force
+    // the id tiebreak and the non-long buffer path
+    val r = new scala.util.Random(7)
+    val rows = (0 until 500).map(i =>
+      (s"a${i % 7}", s"n$i", math.rint(r.nextDouble() * 10) / 10))
+    val df = rows.toDF("anchor_id", "neighbor_id", "score")
+    val viaAgg = df.groupBy($"anchor_id")
+      .agg(topKByScore($"score", $"neighbor_id", 5).as("topk"))
+      .select($"anchor_id", posexplode($"topk").as(Seq("pos", "e")))
+      .select($"anchor_id", ($"pos" + 1).cast("int").as("rank"),
+        $"e.id".as("neighbor_id"), $"e.score".as("score"))
+    val w = Window.partitionBy($"anchor_id")
+      .orderBy($"score".desc, $"neighbor_id".asc)
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"anchor_id", $"rank", $"neighbor_id", $"score")
+    assert(viaAgg.collect().map(_.toSeq).toSet
+      === viaWindow.collect().map(_.toSeq).toSet)
+    assert(viaAgg.count() === viaWindow.count())
+  }
+
   test("centroids: element-wise mean per group") {
     val two = Seq(
       (1L, Array(1.0f, 3.0f), "g"),
