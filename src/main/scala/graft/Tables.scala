@@ -26,9 +26,19 @@ final class Tables(spark: SparkSession, dir: String) {
     * oracle ordering/values agree.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
+    // nanosAsLong is only consulted during schema inference (the
+    // eager spark.read call below), so set it just for that window
+    // and restore — an accessor must not permanently mutate shared
+    // session conf.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try t("events").withColumn("ts",
       org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -99,9 +99,7 @@ object ArchivePlan {
       .orderBy(col("rootPriority").asc, length(col("dirName")).desc,
         col("dirName").asc)
     circleDirs.withColumn("circle_key", key)
-      .withColumn("__rn", row_number().over(w))
       .withColumn("canonical", first(col("dirName"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .filter(col("__rn") >= 1).drop("__rn")
   }
 }

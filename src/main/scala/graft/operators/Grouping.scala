@@ -66,14 +66,14 @@ object Grouping {
       .orderBy(col(orderCol).asc)
     val marked = df.withColumn("__miss",
       when(valid, lit(null).cast("int")).otherwise(row_number().over(wMiss)))
-    // per-group free numbers: 1..(#rows + max(used)) minus used
-    val used = df.filter(valid).groupBy(g: _*)
-      .agg(collect_set(col(numberCol).cast("int")).as("__used"),
-        max(col(numberCol).cast("int")).as("__maxv"))
-    val sizes = df.groupBy(g: _*).agg(count(lit(1)).cast("int").as("__n"))
-    val pool = sizes.join(used, groupCols, "left")
-      .withColumn("__used",
-        coalesce(col("__used"), array().cast("array<int>")))
+    // per-group free numbers: 1..(#rows + max(used)) minus used.
+    // ONE aggregation scan: collect_set/max ignore nulls, so the
+    // validity filter folds into the aggregate (round 1 ran separate
+    // used/sizes scans plus their join).
+    val pool = df.groupBy(g: _*)
+      .agg(collect_set(when(valid, col(numberCol).cast("int"))).as("__used"),
+        max(when(valid, col(numberCol).cast("int"))).as("__maxv"),
+        count(lit(1)).cast("int").as("__n"))
       .withColumn("__cand",
         filter(sequence(lit(1), col("__n") + coalesce(col("__maxv"), lit(0))),
           c => !array_contains(col("__used"), c)))

@@ -18,11 +18,15 @@ object AdvancedQueries {
   private def q27(s: SparkSession, dir: String): DataFrame = {
     // ordkey folds in l_linenumber so ordering stays unique even when
     // (order, part, supplier) repeats across lines
+    // persisted: the operator consumes this twice (window pass +
+    // free-number aggregation) — cache the 5-col projection rather
+    // than scanning lineitem per consumer
     val base = Tables(s, dir).lineitem
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         when(col("l_quantity") < 5, -1).otherwise(col("l_linenumber")).as("no"),
         ((col("l_partkey") * 1000000L + col("l_suppkey")) * 10L +
           col("l_linenumber")).as("ordkey"))
+      .persist()
     Grouping.gapFillNumbers(base, Seq("l_orderkey"), "no", "ordkey")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("no"))
       .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
