@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Skew
+import graft.queries.Num.dec9
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The salt + re-merge fallbacks must be RESULT-IDENTICAL to the
+  * single-window formulations they shadow (q08/q26) — proven here on
+  * the real events table plus crafted cross-bucket session fixtures.
+  */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val events = Tables(spark, "/root/testdata/sf0.001").events
+
+  test("saltedRunningSum ≡ single window on the events table") {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = events
+      .withColumn("rv", sum(dec9(col("value"))).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("rv"))
+    val viaSalted = Skew.saltedRunningSum(events, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), to_date(col("ts")),
+        dec9(col("value")), "rv")
+      .select(col("user_id"), col("event_id"), col("rv").cast("double"))
+    assert(viaSalted.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaSalted).count() === 0)
+  }
+
+  test("saltedSessionize ≡ single window on the events table") {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser))
+        > 1800 || lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(0)
+    val viaWindow = events
+      .withColumn("new_s", newSession)
+      .withColumn("session_id", sum(col("new_s"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("session_id"))
+    val viaSalted = Skew.saltedSessionize(events, Seq("user_id"), col("ts"),
+        Seq(col("ts"), col("event_id")), gapSec = 1800, to_date(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        col("session_id").cast("long").as("session_id"))
+    assert(viaSalted.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaSalted).count() === 0)
+  }
+
+  test("saltedSessionize stitches sessions across bucket boundaries") {
+    // one user, hourly buckets; session spans the 10:59→11:10 boundary
+    // (gap 11 min < 30 min), then a real new session at 13:00
+    val rows = Seq(
+      ("u", 1L, "2026-01-01 10:50:00"),
+      ("u", 2L, "2026-01-01 10:59:00"),
+      ("u", 3L, "2026-01-01 11:10:00"), // continues session 1
+      ("u", 4L, "2026-01-01 13:00:00"), // new session (gap 110 min)
+      ("u", 5L, "2026-01-01 13:05:00"))
+      .toDF("user_id", "event_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val got = Skew.saltedSessionize(rows, Seq("user_id"), col("ts"),
+        Seq(col("ts"), col("event_id")), gapSec = 1800,
+        date_trunc("hour", col("ts")))
+      .select(col("event_id"), col("session_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L))
+  }
+}
