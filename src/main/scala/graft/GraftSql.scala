@@ -20,5 +20,8 @@ object GraftSql {
     ).foreach { case (name, df) => df.createOrReplaceTempView(name) }
     org.apache.spark.sql.graft.VectorExpressions.register(spark)
     org.apache.spark.sql.graft.ArrayExpressions.register(spark)
+    org.apache.spark.sql.graft.SimHashExpression.register(spark)
+    org.apache.spark.sql.graft.SignatureExpressions.register(spark)
+    org.apache.spark.sql.graft.TopKExpressions.register(spark)
   }
 }

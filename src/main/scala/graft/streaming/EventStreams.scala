@@ -79,6 +79,19 @@ object EventStreams {
       }.toDF()
   }
 
+  /** Streaming exact-dedup — the continuous-ingest twin of
+    * `Dedup.dropExactDups` (q16 family): first arrival per
+    * normalized-content fingerprint survives. State is BOUNDED by the
+    * watermark (`dropDuplicatesWithinWatermark`), the contract a
+    * 100 TB/day feed needs — a duplicate arriving later than the
+    * watermark delay re-emits rather than growing state forever. */
+  def dedupByFingerprint(docs: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Drive a streaming DataFrame synchronously into a memory table
     * (test/smoke harness — processes everything currently available). */
   def runToMemory(df: DataFrame, name: String,

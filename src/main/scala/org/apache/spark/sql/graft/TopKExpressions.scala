@@ -263,4 +263,20 @@ object TopKExpressions {
   def boundedSortedCollect(v: Column, max: Int): Column =
     ExpressionUtils.column(BoundedSortedCollect(
       ExpressionUtils.expression(v), max).toAggregateExpression())
+
+  private def litInt(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  /** Register `graft_top_k` / `graft_bounded_collect` for SQL use
+    * (the k/max argument must be an integer literal). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_top_k",
+      exprs => TopKByScore(exprs(0), exprs(1), litInt(exprs(2)))
+        .toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bounded_collect",
+      exprs => BoundedSortedCollect(exprs(0), litInt(exprs(1)))
+        .toAggregateExpression(), "built-in")
+  }
 }

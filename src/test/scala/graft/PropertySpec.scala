@@ -109,4 +109,27 @@ class GraftSqlSpec extends SparkSpec {
     assert(cos.getDouble(0) >= -1.0 && cos.getDouble(0) <= 1.0)
     assert(cos.getInt(1) === 1)
   }
+
+  test("signature + top-k functions work from SQL") {
+    GraftSql.registerAll(spark, "/root/testdata/sf0.001")
+    val sig = spark.sql(
+      """SELECT graft_simhash64(array('alpha','beta')) s,
+        |  graft_minhash(array('alpha','beta'), 8) m,
+        |  graft_rhp_sig(CAST(array(0.5, -0.25) AS ARRAY<DOUBLE>), 8, 0) r""".stripMargin)
+      .collect()(0)
+    assert(sig.getSeq[Long](1).length === 8)
+    assert(sig.getInt(2) >= 0 && sig.getInt(2) < 256)
+    // graft_top_k as a SQL aggregate: top 3 docs by length per bucket
+    val topk = spark.sql(
+      """SELECT doc_id % 2 AS b,
+        |  graft_top_k(CAST(length(text) AS DOUBLE), doc_id, 3) t
+        |FROM documents GROUP BY doc_id % 2""".stripMargin)
+      .collect()
+    assert(topk.length === 2)
+    topk.foreach(r => assert(r.getSeq[org.apache.spark.sql.Row](1).length === 3))
+    val bc = spark.sql(
+      """SELECT graft_bounded_collect(CAST(embedding AS ARRAY<DOUBLE>), 2) c
+        |FROM embeddings WHERE vec_id < 10""".stripMargin).collect()(0)
+    assert(bc.getSeq[Any](0).length === 2)
+  }
 }

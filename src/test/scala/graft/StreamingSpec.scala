@@ -23,6 +23,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("win_out").count() === batch.count())
   }
 
+  test("streaming dedup keeps one row per fingerprint, matching batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    // planted dup pair (1,2) differs only in whitespace/case
+    val docs = Seq(
+      (1L, "2026-01-01 10:00:00", "the quick brown fox"),
+      (2L, "2026-01-01 10:01:00", "The quick  BROWN fox"),
+      (3L, "2026-01-01 10:02:00", "something else entirely"),
+      (4L, "2026-01-01 10:03:00", "a third unique document"))
+      .toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    docs.write.mode("overwrite").parquet(dir)
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.dedupByFingerprint(stream, "text", "ts"), "dedup_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("dedup_out")
+    assert(got.count() === 3) // 4 docs − 1 dup
+    val streamFps = got.select("fp").as[String].collect().toSet
+    val batchFps = graft.operators.Dedup.dropExactDups(docs, "doc_id", "text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .as[String].collect().toSet
+    assert(streamFps === batchFps)
+  }
+
   test("stateful sessionization emits completed sessions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
     graft.Tables(spark, "/root/testdata/sf0.001").events
