@@ -106,6 +106,52 @@ object SimilaritySearch {
       k)
   }
 
+  /** IVF-flat approximate top-k — the second scale path beside LSH:
+    * a coarse k-means quantizer (Spark ML, fixed seed) partitions the
+    * corpus into `nlist` cells; each anchor probes its `nprobe`
+    * nearest cells and exact-reranks only those candidates. At scale
+    * the candidate join is a hash-partitioned equi-join on the cell
+    * id (vectors cluster by content, so cells ARE the partitioning),
+    * centroids broadcast (nlist ≪ N), and both rankings use the
+    * bounded [[org.apache.spark.sql.graft.TopKByScore]] aggregate.
+    * `nprobe = nlist` degenerates to exact search (spec-pinned
+    * against [[cosineTopK]]); recall/cost scales with nprobe/nlist
+    * exactly like the reference's IVF sizing discussion
+    * (SIMILARITY-PLAN.md recall stage).
+    */
+  def ivfCosineTopK(vectors: DataFrame, anchorPred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
+    val spark = vectors.sparkSession
+    val feat = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("id"), col("vec"), col("prediction").as("cell"))
+    val centDf = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray) }).toDF("cell", "cvec")
+    val anchors = assigned.filter(anchorPred)
+      .select(col("id").as("anchor_id"), col("vec").as("a_vec"))
+    // nprobe nearest cells per anchor: centroid table broadcast
+    val probeCells = anchors.crossJoin(broadcast(centDf))
+      .withColumn("cs", fastCosine(col("a_vec"), col("cvec")))
+      .groupBy(col("anchor_id"))
+      .agg(topKByScore(col("cs"), col("cell"), nprobe).as("pc"))
+      .select(col("anchor_id"), explode(col("pc.id")).as("cell"))
+    val cands = probeCells.join(anchors, "anchor_id")
+      .join(assigned.select(col("cell"), col("id").as("neighbor_id"),
+        col("vec").as("n_vec")), "cell")
+      .filter(col("anchor_id") =!= col("neighbor_id"))
+      .withColumn("score", round(fastCosine(col("a_vec"), col("n_vec")), 4))
+      .select(col("anchor_id"), col("neighbor_id"), col("score"))
+    rankTopK(cands, k)
+  }
+
   /** k-NN majority-vote classification: label each anchor by the
     * modal label among its exact top-k neighbors (tie → smaller
     * label). Composition of cosineTopK + the A1 majority pattern.

@@ -81,6 +81,22 @@ object SimilarityQueries {
       .orderBy(col("anchor_id"), col("rank"))
   }
 
+  // Embedding-cosine near-dup pairs (the dedup family's embedding
+  // flavor): fixed 20-anchor sample, threshold on rounded cosine.
+  // The synthetic embeddings are near-orthogonal (max pair cosine
+  // ≈0.49 at sf0.01), so the threshold sits where real pairs exist.
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.cosinePairs(Tables(s, dir).embeddings,
+        col("vec_id") < 20, threshold = 0.35)
+      .orderBy(col("anchor_id"), col("neighbor_id"))
+
+  private val q32Sql =
+    """SELECT anchor_id, neighbor_id, score FROM (
+      |  SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id,
+      |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS score
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < 20 AND a.vec_id < b.vec_id)
+      |WHERE score >= 0.35 ORDER BY anchor_id, neighbor_id""".stripMargin
+
   // A11: the reference's three group-similarity flavors over label
   // groups (fixed γ=20 so the oracle is closed-form; the
   // median-heuristic calibration is spec-verified separately).
@@ -152,5 +168,6 @@ object SimilarityQueries {
     Q("q21_label_centroids", q21, Some(q21Sql)),
     Q("q22_knn_classify", q22, Some(q22Sql)),
     Q("q23_lsh_cosine_topk", q23, None, headline = true),
-    Q("q31_group_scores", q31, Some(q31Sql), headline = true))
+    Q("q31_group_scores", q31, Some(q31Sql), headline = true),
+    Q("q32_cosine_pairs", q32, Some(q32Sql)))
 }

@@ -123,6 +123,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfCosineTopK: nprobe=nlist is exact; partial probe finds the dup") {
+    // probing every cell must reproduce the exact brute force
+    val exact = SimilaritySearch.cosineTopK(emb, emb.filter($"vec_id" < 3), 5)
+      .collect().map(_.toSeq).toSet
+    val full = SimilaritySearch.ivfCosineTopK(emb, col("id") < 3, 5,
+        nlist = 4, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(full === exact)
+    // near-identical vectors share a cell → found even at nprobe=1
+    val partial = SimilaritySearch.ivfCosineTopK(emb, col("id") === 100, 1,
+        nlist = 4, nprobe = 1)
+      .collect()
+    assert(partial.nonEmpty)
+    assert(partial(0).getAs[Long]("neighbor_id") === 101L)
+  }
+
   test("TopKByScore is row-identical to window-rank, ties included") {
     import org.apache.spark.sql.graft.TopKExpressions.topKByScore
     import org.apache.spark.sql.expressions.Window
