@@ -48,6 +48,50 @@ class SkewSpec extends SparkSpec {
     assert(viaWindow.exceptAll(viaSalted).count() === 0)
   }
 
+  test("salted operators ≡ single window on random skewed data (5 rounds)") {
+    // random timestamp streams with a deliberately hot key; bucket by
+    // MINUTE so sessions routinely span many buckets (gap 90 s)
+    val rnd = new scala.util.Random(13)
+    for (round <- 1 to 5) {
+      val rows = (1 to 400).map { i =>
+        val user = if (rnd.nextDouble() < 0.7) 1L else 1L + rnd.nextInt(4) // hot key
+        val t = rnd.nextInt(3600) // one hour, second granularity
+        (user, i.toLong, t)
+      }
+      val df = rows.toDF("user_id", "event_id", "off")
+        .withColumn("ts",
+          expr("to_timestamp('2026-01-01 00:00:00') + make_interval(0,0,0,0,0,0,off)"))
+        .drop("off")
+        .withColumn("value", (col("event_id") % 10).cast("double"))
+      val byKey = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val cum = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bucket = date_trunc("minute", col("ts"))
+
+      val sumWindow = df.withColumn("rv",
+          sum(dec9(col("value"))).over(cum).cast("double"))
+        .select(col("user_id"), col("event_id"), col("rv"))
+      val sumSalted = Skew.saltedRunningSum(df, Seq("user_id"),
+          Seq(col("ts"), col("event_id")), bucket, dec9(col("value")), "rv")
+        .select(col("user_id"), col("event_id"), col("rv").cast("double"))
+      assert(sumSalted.exceptAll(sumWindow).count() === 0, s"sum round $round")
+      assert(sumWindow.exceptAll(sumSalted).count() === 0, s"sum round $round")
+
+      val flag = when(unix_timestamp(col("ts")) -
+        unix_timestamp(lag(col("ts"), 1).over(byKey)) > 90 ||
+        lag(col("ts"), 1).over(byKey).isNull, 1).otherwise(0)
+      val sessWindow = df.withColumn("f", flag)
+        .withColumn("session_id", sum(col("f")).over(cum))
+        .select(col("user_id"), col("event_id"), col("session_id"))
+      val sessSalted = Skew.saltedSessionize(df, Seq("user_id"), col("ts"),
+          Seq(col("ts"), col("event_id")), gapSec = 90, bucket)
+        .select(col("user_id"), col("event_id"),
+          col("session_id").cast("long").as("session_id"))
+      assert(sessSalted.exceptAll(sessWindow).count() === 0, s"sess round $round")
+      assert(sessWindow.exceptAll(sessSalted).count() === 0, s"sess round $round")
+    }
+  }
+
   test("saltedSessionize stitches sessions across bucket boundaries") {
     // one user, hourly buckets; session spans the 10:59→11:10 boundary
     // (gap 11 min < 30 min), then a real new session at 13:00
