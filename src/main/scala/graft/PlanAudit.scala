@@ -58,7 +58,15 @@ object PlanAudit {
       mustNotContain = Seq("WindowExec", "WindowGroupLimit")),
     // q24: partial aggregation before the shuffle
     Check("q24_tumbling_window",
-      mustContain = Seq("HashAggregate", "hashpartitioning")))
+      mustContain = Seq("HashAggregate", "hashpartitioning")),
+    // q31: the member-pair expansion reduces through partial
+    // aggregation; no cartesian anywhere in the 4-join stitch
+    Check("q31_group_scores",
+      mustContain = Seq("HashAggregate", "cosinesimilarity"),
+      mustNotContain = Seq("CartesianProduct")),
+    // q32: anchors broadcast, native cosine in the scan stage
+    Check("q32_cosine_pairs",
+      mustContain = Seq("BroadcastNestedLoopJoin", "cosinesimilarity")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -83,10 +83,12 @@ object CatalogPipelineDemo {
       listing.filter(col("ext") === "jpg")
         .withColumn("content", lit("fakejpegbytes".getBytes)),
       "relPath", "content", "image/jpeg")
-    val feats = Multimodal.frameFeatures(
-      Multimodal.decodeFrames(art, new Multimodal.FakeDecoder(2, 4)))
+    val frames = Multimodal.decodeFrames(art, new Multimodal.FakeDecoder(2, 4))
+    val feats = Multimodal.frameFeatures(frames)
     println(s"== multimodal: ${art.count()} media, ${feats.count()} frame features")
     feats.show(2, truncate = 40)
+    println("== artwork dominant-color palettes (X24)")
+    Multimodal.dominantColors(frames, k = 4).show(2, truncate = 60)
 
     // S6-style probe harness with a recorded runner (no ffprobe here)
     val runner = new ExternalProcess.RecordingRunner(argv =>
