@@ -121,15 +121,21 @@ object SimilaritySearch {
     */
   def ivfCosineTopK(vectors: DataFrame, anchorPred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
-      vecCol: String = "embedding", seed: Long = 42L): DataFrame = {
+      vecCol: String = "embedding", seed: Long = 42L,
+      trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.sql.graft.TopKExpressions.topKByScore
     val spark = vectors.sparkSession
     val feat = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    // at corpus scale the quantizer trains on a sample — centroids
+    // need distribution shape, not every vector (assignment below
+    // still covers the full corpus)
+    val trainSet =
+      if (trainFraction >= 1.0) feat else feat.sample(trainFraction, seed)
     val model = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("features").fit(feat)
+      .setFeaturesCol("features").fit(trainSet)
     val assigned = model.transform(feat)
       .select(col("id"), col("vec"), col("prediction").as("cell"))
     val centDf = spark.createDataFrame(

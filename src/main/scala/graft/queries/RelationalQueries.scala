@@ -226,6 +226,18 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** The skew-safe twin of q08 — SAME oracle: the salted operator
+    * must reproduce the single window bit-for-bit through the DuckDB
+    * hash compare, not just against Spark's own window. Buckets are
+    * event days (order-aligned under the (ts, event_id) order). */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedRunningSum(Tables(s, dir).events,
+        Seq("user_id"), Seq(col("ts"), col("event_id")),
+        to_date(col("ts")), dec9(col("value")), "running_value")
+      .select(col("user_id"), col("event_id"),
+        col("running_value").cast("double").as("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+
   private val q08Sql =
     """SELECT user_id, event_id,
       |  CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(28,9)))
@@ -306,6 +318,7 @@ object RelationalQueries {
     Q("q06_topk_per_group", q06, Some(q06Sql), headline = true),
     Q("q07_lead_gap", q07, Some(q07Sql)),
     Q("q08_running_total", q08, Some(q08Sql)),
+    Q("q33_salted_running_total", q33, Some(q08Sql)),
     Q("q09_collision_groups", q09, Some(q09Sql)),
     Q("q10_set_except", q10, Some(q10Sql)),
     Q("q11_union_priority_dedup", q11, Some(q11Sql)))
