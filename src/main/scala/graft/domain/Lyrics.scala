@@ -42,7 +42,10 @@ object Lyrics {
     MapType(StringType, MapType(StringType, ArrayType(lineType)))
 
   /** Flat line-level relation: one row per (track, section, lang,
-    * line) with the ordinal columns needed to re-nest losslessly. */
+    * line) with the ordinal columns needed to re-nest losslessly.
+    * Lossless for documents whose leaves are non-empty (the formatter
+    * never emits an empty lang block — parse_line always yields a
+    * line); a deliberately empty block has no row to carry it. */
   def explodeLines(docs: Dataset[LyricsDoc]): DataFrame =
     docs.toDF()
       .select(col("track_id"), col("need_review"),

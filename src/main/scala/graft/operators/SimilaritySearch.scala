@@ -117,7 +117,8 @@ object SimilaritySearch {
     * `nprobe = nlist` degenerates to exact search (spec-pinned
     * against [[cosineTopK]]); recall/cost scales with nprobe/nlist
     * exactly like the reference's IVF sizing discussion
-    * (SIMILARITY-PLAN.md recall stage).
+    * (SIMILARITY-PLAN.md recall stage). `anchorPred` is evaluated
+    * against the renamed `id` column (as in [[lshCosineTopK]]).
     */
   def ivfCosineTopK(vectors: DataFrame, anchorPred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",

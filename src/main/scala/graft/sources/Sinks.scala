@@ -56,4 +56,18 @@ object Sinks {
       .write.mode(SaveMode.Overwrite)
       .option("header", "true")
       .csv(outDir)
+
+  /** Bucketed catalog table: pre-hash-partitions + sorts the data on
+    * the join key at WRITE time, so repeated fact⋈fact joins on that
+    * key run with ZERO exchanges — the co-located-join layout a
+    * 100 TB deployment uses for its hottest join keys (SCALE.md;
+    * SortMergeJoin reads both sides' buckets directly).
+    * SinksSpec asserts the exchange-free plan. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

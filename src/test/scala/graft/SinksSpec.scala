@@ -35,6 +35,33 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readJdbc(spark, url, "t_roundtrip", props).count() === 15)
   }
 
+  test("bucketed tables join with zero exchanges (co-located join layout)") {
+    val orders = Tables(spark, "/root/testdata/sf0.001").orders
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = Tables(spark, "/root/testdata/sf0.001").lineitem
+      .select("l_orderkey", "l_quantity")
+    Sinks.writeBucketed(orders, "b_orders", "o_orderkey", 4)
+    Sinks.writeBucketed(lineitem, "b_lineitem", "l_orderkey", 4)
+    // disable broadcast so the join would otherwise shuffle both sides
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+      assert(joined.count() === lineitem.count())
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("S10 partitioned JDBC read splits the scan without losing rows") {
     val df = (1 to 100).map(i => (i.toLong, i * 2)).toDF("id", "v")
     Sinks.writeJdbc(df, url, "t_part", props)
