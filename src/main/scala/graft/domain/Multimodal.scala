@@ -160,9 +160,63 @@ object Multimodal {
         s => s.getField("hex")).as("palette"))
   }
 
-  /** Resize plan (the effectful resize runs in the decoder seam):
-    * target ladder per media given source dims — pure columns,
-    * mirrors the reference's 120/300/600 artwork ladder. */
+  /** Nearest-neighbor resample kernel. The reference resizes with
+    * LANCZOS (generate_artwork_variants.py:84); swap the kernel here
+    * when a native image lib is present — the distribution shape
+    * around it is the deliverable. */
+  private def resampleNN(pixels: Array[Byte], w: Int, h: Int,
+      outW: Int, outH: Int, channels: Int): Array[Byte] = {
+    val px = new Array[Byte](outW * outH * channels)
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        val sx = x * w / outW
+        var c = 0
+        while (c < channels) {
+          px((y * outW + x) * channels + c) =
+            pixels((sy * w + sx) * channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  /** Resample decoded frames — pure pixel math, so unlike the
+    * codec-backed decode it runs for real in any environment.
+    * `channels` = bytes per pixel (1 = grayscale, 3 = RGB). */
+  def resizeFrames(frames: Dataset[DecodedFrame], outW: Int, outH: Int,
+      channels: Int = 1): Dataset[DecodedFrame] = {
+    require(outW > 0 && outH > 0 && channels > 0)
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map(f => f.copy(width = outW, height = outH,
+      pixels = resampleNN(f.pixels, f.width, f.height, outW, outH, channels)))
+  }
+
+  /** Execute a [[resizePlan]] against decoded frames: one resized
+    * frame per (media, ladder target) — the full S19 chain
+    * decode → ladder plan → resample, all distribution-real. */
+  def executeResizePlan(frames: Dataset[DecodedFrame], plan: DataFrame,
+      channels: Int = 1): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.toDF()
+      .join(plan.select(col("media_id"), col("target"),
+        col("out_w"), col("out_h")), "media_id")
+      .select(col("media_id"), col("frameIdx"), col("width"), col("height"),
+        col("pixels"), col("target"), col("out_w"), col("out_h"))
+      .as[(String, Int, Int, Int, Array[Byte], Int, Int, Int)]
+      .map { case (id, frameIdx, w, h, pixels, target, outW, outH) =>
+        (id, frameIdx, target, outW, outH,
+          resampleNN(pixels, w, h, outW, outH, channels))
+      }
+      .toDF("media_id", "frameIdx", "target", "width", "height", "pixels")
+  }
   def resizePlan(media: DataFrame, targets: Seq[Int] = Seq(120, 300, 600)): DataFrame =
     media.select(col("media_id"), col("meta.width").as("w"),
         col("meta.height").as("h"))

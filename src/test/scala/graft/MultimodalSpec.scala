@@ -78,6 +78,37 @@ class MultimodalSpec extends SparkSpec {
     assert(palette === Seq("#e02020", "#2020e0"))
   }
 
+  test("resizeFrames: nearest-neighbor downscale has known pixels") {
+    import Multimodal.DecodedFrame
+    // 4x4 gradient: pixel (x,y) = y*4+x; 2x2 NN → samples (0,0),(2,0),(0,2),(2,2)
+    val px = Array.tabulate[Byte](16)(_.toByte)
+    val frames = Seq(DecodedFrame("m", 0, 4, 4, px)).toDS()
+    val out = Multimodal.resizeFrames(frames, 2, 2).collect()(0)
+    assert(out.width === 2 && out.height === 2)
+    assert(out.pixels.toSeq === Seq[Byte](0, 2, 8, 10))
+  }
+
+  test("executeResizePlan: full decode → ladder → resample chain") {
+    import Multimodal.DecodedFrame
+    val m = Seq(("a", 600, 300)).toDF("media_id", "w", "h")
+      .select(col("media_id"), struct(lit("image/png").as("mime"),
+        col("w").as("width"), col("h").as("height"),
+        lit(null).cast("long").as("durationMs"),
+        lit(null).cast("string").as("codec")).as("meta"))
+    val plan = Multimodal.resizePlan(m) // targets 120, 300 (no upscale to 600→600x300 kept)
+    val frames = Seq(DecodedFrame("a", 0, 600, 300,
+      Array.tabulate[Byte](600 * 300)(i => (i % 251).toByte))).toDS()
+    val out = Multimodal.executeResizePlan(frames, plan)
+      .select("target", "width", "height")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out.contains((120, 120, 60)))
+    assert(out.contains((300, 300, 150)))
+    val pxLens = Multimodal.executeResizePlan(frames, plan)
+      .select("width", "height", "pixels").collect()
+    pxLens.foreach(r =>
+      assert(r.getAs[Array[Byte]](2).length === r.getInt(0) * r.getInt(1)))
+  }
+
   test("resizePlan: ladder, aspect ratio, no upscale") {
     val m = Seq(("a", 600, 300), ("b", 100, 200)).toDF("media_id", "w", "h")
       .select(col("media_id"), struct(lit("image/png").as("mime"),
