@@ -36,6 +36,17 @@ class SinksSpec extends SparkSpec {
   }
 
   test("bucketed tables join with zero exchanges (co-located join layout)") {
+    // the in-memory catalog resets between JVMs but the warehouse dir
+    // persists — clear both so reruns don't hit LOCATION_ALREADY_EXISTS
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
     val orders = Tables(spark, "/root/testdata/sf0.001").orders
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val lineitem = Tables(spark, "/root/testdata/sf0.001").lineitem
