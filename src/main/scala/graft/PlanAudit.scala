@@ -68,6 +68,15 @@ object PlanAudit {
     Check("q32_cosine_pairs",
       mustContain = Seq("BroadcastNestedLoopJoin", "cosinesimilarity")))
 
+  // Queries whose broadcast nested-loop join is the documented design:
+  // brute-force baselines with a fixed-size anchor side, and q31's
+  // all-label-pairs construction (a non-equi self-join of two DISTINCT
+  // label relations — G² pairs over tiny G; the unbounded-G path is
+  // GroupSimilarity.similarGroups' centroid recall instead).
+  val bnljAllowed: Set[String] = Set("q17_jaccard_pairs", "q20_cosine_topk",
+    "q22_knn_classify", "q30_chamfer_similarity", "q31_group_scores",
+    "q32_cosine_pairs")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
@@ -75,6 +84,19 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     var failures = 0
+    // generic sweep: NO query may contain a cartesian product, and
+    // only the declared brute-force baselines may broadcast-NL-join
+    QueryCatalog.all.foreach { q =>
+      val plan = q.run(spark, sfDir).queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+        !bnljAllowed.contains(q.name)
+      if (cart) { failures += 1; println(s"FAIL  ${q.name}: CartesianProduct") }
+      if (bnlj) { failures += 1
+        println(s"FAIL  ${q.name}: undeclared BroadcastNestedLoopJoin") }
+    }
+    println(s"sweep: ${QueryCatalog.all.size} query plans checked")
     checks.foreach { c =>
       val df = QueryCatalog.byName(c.query).run(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted")) +
