@@ -153,6 +153,56 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the
+    * MOSS algorithm): hash every k-shingle, slide a window of `w`
+    * hashes, keep each window's minimum. Guarantees any shared run of
+    * ≥ k+w−1 tokens contributes a shared fingerprint, so PARTIAL
+    * overlap (one doc embedded in another) is detectable — the case
+    * whole-document Jaccard/MinHash under-scores. Two materialized
+    * projections (the hash array is a column REFERENCE inside the
+    * window-min lambda, so it is computed once — a fused expression
+    * would re-evaluate it per window position). Zero shuffles.
+    * Returns (id, fps ARRAY<LONG> distinct). */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, window: Int = 4): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        transform(shingles(normalized(col(textCol)), shingleK),
+          s => xxhash64(s)).as("hs"))
+      .select(col("id"), array_distinct(
+        transform(sequence(lit(0), greatest(size(col("hs")) - window, lit(0))),
+          i => array_min(slice(col("hs"), i + 1, lit(window))))).as("fps"))
+
+  /** Partial-overlap pairs by shared winnowing fingerprints:
+    * containment = |shared fps| / min(|fps_a|, |fps_b|) — ≈1 when one
+    * document contains the other. Candidate generation is an
+    * equi-join on the fingerprint value; fingerprints shared by more
+    * than `maxDf` documents are dropped first (the corpus-boilerplate
+    * guard — same role as LSH's maxBucketSize, and MOSS's own
+    * high-frequency cull). */
+  def winnowedOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 5, window: Int = 4, minContainment: Double = 0.5,
+      maxDf: Int = 1000): DataFrame = {
+    val fps = winnowedFingerprints(docs, idCol, textCol, shingleK, window)
+      .persist()
+    val sizes = fps.select(col("id"), size(col("fps")).as("n"))
+    val ex = fps.select(col("id"), explode(col("fps")).as("fp"))
+    val common = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("fp"))
+    val culled = ex.join(broadcast(common), Seq("fp"), "left_anti")
+    culled.as("x").join(culled.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= minContainment)
+      .select(col("a_id"), col("b_id"), col("shared"), col("containment"))
+  }
+
   /** 64-bit SimHash over the distinct-token set: bit j of the
     * signature is the sign of Σ_tokens (±1 by bit j of xxhash64(tok)).
     * One zero-shuffle projection via the native SimHash64 expression

@@ -58,9 +58,18 @@ object DedupQueries {
         maxHamming = 3)
       .orderBy(col("a_id"), col("b_id"))
 
+  // Winnowing containment pairs (no SQL oracle: the window-min
+  // fingerprint selection isn't sanely expressible in DuckDB SQL; the
+  // containment math and the k+w-1 guarantee are spec-pinned).
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowedOverlapPairs(Tables(s, dir).documents, "doc_id", "text",
+        shingleK = 3, window = 4, minContainment = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
   val all: Seq[Q] = Seq(
     Q("q16_exact_dup_groups", q16, Some(q16Sql)),
     Q("q17_jaccard_pairs", q17, Some(q17Sql), headline = true),
     Q("q18_minhash_lsh", q18, None, headline = true),
-    Q("q19_simhash_pairs", q19, None, headline = true))
+    Q("q19_simhash_pairs", q19, None, headline = true),
+    Q("q34_winnow_containment", q34, None))
 }

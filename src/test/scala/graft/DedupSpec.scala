@@ -78,6 +78,39 @@ class DedupSpec extends SparkSpec {
     assert(got(1).getSeq[Long](1).length === 8)
   }
 
+  test("winnowing detects containment that whole-doc Jaccard misses") {
+    val contained = "pack my box with five dozen liquor jugs before the long summer night ends"
+    val container = "completely unrelated preamble text goes here first and then " +
+      contained + " with a very long trailing section of additional filler " +
+      "words extending the document so the token sets diverge substantially " +
+      "making whole document jaccard drop far below any sensible threshold"
+    val docs2 = Seq((10L, contained), (11L, container),
+      (12L, "sphinx of black quartz judge my vow tonight")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedOverlapPairs(docs2, "doc_id", "text",
+        shingleK = 3, window = 4, minContainment = 0.5)
+      .collect()
+    assert(pairs.length === 1)
+    assert((pairs(0).getLong(0), pairs(0).getLong(1)) === ((10L, 11L)))
+    assert(pairs(0).getAs[Double]("containment") > 0.8)
+    // whole-document Jaccard on the same pair is LOW — the case this
+    // operator exists for
+    val jac = Dedup.jaccardToAnchors(docs2, "doc_id", "text",
+      col("id") === 10, 0.5).collect()
+    assert(jac.isEmpty)
+  }
+
+  test("winnowing guarantee: shared run ≥ k+w-1 tokens ⇒ shared fingerprint") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    // shares exactly the 8-token run above inside other text; k=3,w=4
+    // → guarantee threshold k+w-1 = 6 tokens
+    val b = "prefix words " + a + " suffix words"
+    val fps = Dedup.winnowedFingerprints(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text",
+        shingleK = 3, window = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+  }
+
   test("simhashPairs finds hamming-close docs, not unrelated ones") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
