@@ -14,6 +14,14 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2) === Seq.empty)
   }
 
+  test("tokensRegex splits sub-word at digit/punct boundaries (BPE-ish)") {
+    val got = Seq("abc123def!ghi", "v2.0-beta", "plain words")
+      .toDF("t").select(tokensRegex($"t")).as[Seq[String]].collect()
+    assert(got(0) === Seq("abc", "123", "def", "!", "ghi"))
+    assert(got(1) === Seq("v", "2", ".", "0", "-", "beta"))
+    assert(got(2) === Seq("plain", "words"))
+  }
+
   test("fingerprint is whitespace/case insensitive but content sensitive") {
     val fps = Seq("Hello  World", "hello world", "hello\tworld", "hello worlds")
       .toDF("t").select(fingerprint($"t")).as[String].collect()
