@@ -23,5 +23,6 @@ object GraftSql {
     org.apache.spark.sql.graft.SimHashExpression.register(spark)
     org.apache.spark.sql.graft.SignatureExpressions.register(spark)
     org.apache.spark.sql.graft.TopKExpressions.register(spark)
+    org.apache.spark.sql.graft.FrequentKeysExpression.register(spark)
   }
 }

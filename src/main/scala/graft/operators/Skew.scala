@@ -23,6 +23,20 @@ import org.apache.spark.sql.expressions.Window
   */
 object Skew {
 
+  /** One-pass approximate heavy hitters over a key column — the
+    * detector that decides WHICH keys need the salted fallbacks
+    * below (or broadcast-side exclusion, or AQE skew hints). Misra–
+    * Gries summary as a partial-aggregating
+    * [[org.apache.spark.sql.graft.FrequentKeys]] expression: one scan,
+    * ≤ k counters per map task. Guarantee: every key with frequency
+    * > n/(k+1) appears; counts understate by ≤ n/(k+1).
+    * Returns (key, approx_count), count-descending. */
+  def hotKeys(df: DataFrame, keyCol: String, k: Int = 64): DataFrame =
+    df.agg(org.apache.spark.sql.graft.FrequentKeysExpression
+        .frequentKeys(col(keyCol), k).as("fk"))
+      .select(posexplode(col("fk")).as(Seq("rank", "e")))
+      .select(col("e.key").as("key"), col("e.approx_count").as("approx_count"))
+
   /** Running (cumulative) sum of `valueCol` per key in
     * (bucket, orderCols) order — result identical to
     * `sum(value).over(Window.partitionBy(keys).orderBy(orderCols))`

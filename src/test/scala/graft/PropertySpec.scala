@@ -131,5 +131,8 @@ class GraftSqlSpec extends SparkSpec {
       """SELECT graft_bounded_collect(CAST(embedding AS ARRAY<DOUBLE>), 2) c
         |FROM embeddings WHERE vec_id < 10""".stripMargin).collect()(0)
     assert(bc.getSeq[Any](0).length === 2)
+    val fk = spark.sql(
+      "SELECT graft_frequent_keys(o_custkey, 16) FROM orders").collect()(0)
+    assert(fk.getSeq[org.apache.spark.sql.Row](0).nonEmpty)
   }
 }

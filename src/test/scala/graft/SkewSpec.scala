@@ -92,6 +92,32 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("hotKeys: MG guarantee — every key above n/(k+1) is found") {
+    val rnd = new scala.util.Random(5)
+    // hot keys: "h1" 30%, "h2" 15%; 60 cold keys share the rest
+    val n = 20000
+    val rows = (1 to n).map { _ =>
+      val r = rnd.nextDouble()
+      if (r < 0.30) "h1" else if (r < 0.45) "h2" else s"cold${rnd.nextInt(60)}"
+    }
+    val df = rows.toDF("k").repartition(16)
+    val k = 8
+    val got = Skew.hotKeys(df, "k", k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // guarantee: freq > n/(k+1) ⇒ present, count within n/(k+1)
+    val bound = n.toDouble / (k + 1)
+    exact.filter(_._2 > bound).keys.foreach { key =>
+      assert(got.contains(key), s"hot key $key missing")
+      assert(got(key) <= exact(key))
+      assert(got(key) >= exact(key) - bound, s"$key count too low")
+    }
+    assert(got.size <= k)
+    // ranked by count: the hottest key is first
+    val first = Skew.hotKeys(df, "k", k).collect()(0)
+    assert(first.getString(0) === "h1")
+  }
+
   test("saltedSessionize stitches sessions across bucket boundaries") {
     // one user, hourly buckets; session spans the 10:59→11:10 boundary
     // (gap 11 min < 30 min), then a real new session at 13:00
