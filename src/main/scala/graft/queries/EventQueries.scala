@@ -32,6 +32,29 @@ object EventQueries {
       |  CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
+  /** Sliding window (10-minute length, 5-minute slide): each event
+    * lands in two windows. DuckDB mirror: two rows per event at
+    * time_bucket(ts) − {0, 5} minutes — every such window start
+    * satisfies win ≤ ts < win+10min by construction. */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(dec9(col("value"))).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private val q35Sql =
+    """SELECT win_start, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(CAST(value AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts)
+      |           - k * INTERVAL '5 minutes' AS win_start,
+      |         event_type, value
+      |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+      |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   /** X20 analog: JSON-in-string property extraction + rollup. */
   private def q25(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).events
@@ -82,5 +105,6 @@ object EventQueries {
   val all: Seq[Q] = Seq(
     Q("q24_tumbling_window", q24, Some(q24Sql)),
     Q("q25_json_extract", q25, Some(q25Sql)),
-    Q("q26_sessionize", q26, Some(q26Sql), headline = true))
+    Q("q26_sessionize", q26, Some(q26Sql), headline = true),
+    Q("q35_sliding_window", q35, Some(q35Sql)))
 }

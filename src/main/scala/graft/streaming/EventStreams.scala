@@ -31,12 +31,15 @@ object EventStreams {
       format: String = "parquet"): DataFrame =
     spark.readStream.schema(eventSchema).format(format).load(dir)
 
-  /** Tumbling 5-minute windowed counts/sums with a 10-minute
-    * watermark — the streaming twin of q24_tumbling_window. */
-  def windowedCounts(events: DataFrame): DataFrame =
+  /** Windowed counts/sums with a 10-minute watermark — the streaming
+    * twin of q24_tumbling_window (default) and, with a `slide`,
+    * q35_sliding_window. */
+  def windowedCounts(events: DataFrame, windowLen: String = "5 minutes",
+      slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .groupBy(slide.map(s => window(col("ts"), windowLen, s))
+        .getOrElse(window(col("ts"), windowLen)), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))

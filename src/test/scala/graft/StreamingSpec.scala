@@ -23,6 +23,24 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("win_out").count() === batch.count())
   }
 
+  test("streaming sliding windows match the batch sliding query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-slide").toString
+    graft.Tables(spark, "/root/testdata/sf0.001").events
+      .write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.readEventStream(spark, dir)
+    EventStreams.runToMemory(
+      EventStreams.windowedCounts(stream, "10 minutes", Some("5 minutes")),
+      "slide_out")
+    val batch = QueryCatalog.byName("q35_sliding_window")
+      .run(spark, "/root/testdata/sf0.001")
+    assert(spark.table("slide_out").count() === batch.count())
+    // every event lands in exactly two windows
+    val total = spark.table("slide_out")
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total === 2 * graft.Tables(spark, "/root/testdata/sf0.001")
+      .events.count())
+  }
+
   test("streaming dedup keeps one row per fingerprint, matching batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
