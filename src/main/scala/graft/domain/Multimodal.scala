@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   * driver involvement and decoders amortize per partition — the JVM
   * analog of `mapInPandas` batching.
   *
-  * The container has no media codecs, so [[FakeDecoder]] supplies a
-  * deterministic stand-in (documented stub); all Spark-side plumbing —
-  * schema, batching, partitioning, null handling — is real and
-  * tested. Swap in a JNI/FFmpeg-backed [[Decoder]] for production.
+  * Still images decode for real in-JVM via [[ImageIODecoder]]
+  * (`javax.imageio` ships PNG/JPEG/GIF/BMP readers with the JDK — no
+  * external binary needed). Audio/video codecs are not in the JDK, so
+  * [[FakeDecoder]] remains as a deterministic multi-frame stand-in for
+  * those paths; swap in a JNI/FFmpeg-backed [[Decoder]] for production
+  * video.
   *
   * Reference analog: S19 artwork variants
   * (generate_artwork_variants.py:50-95), S18 STREAMINFO decode, E1
@@ -50,10 +52,48 @@ object Multimodal {
     def close(): Unit = ()
   }
 
-  /** Deterministic stub decoder: "decodes" a payload into
-    * pseudo-frames derived from its bytes (content-addressed, so
-    * tests are reproducible). STUB — replace with a codec-backed
-    * implementation in production. */
+  /** Real still-image decoder backed by `javax.imageio.ImageIO` —
+    * decodes PNG/JPEG/GIF/BMP payloads into one RGB frame (interleaved
+    * byte triples, the layout [[dominantColors]] and [[resizeFrames]]
+    * consume with `channels = 3`). Reference analog: Pillow
+    * `Image.open` in generate_artwork_variants.py:50-60.
+    *
+    * Undecodable payloads (null, truncated, unknown format) yield zero
+    * frames rather than failing the task — at corpus scale a handful
+    * of corrupt blobs must not kill a 1000-executor stage; pair with a
+    * review-table anti-join to surface them. `ImageIO.setUseCache(false)`
+    * keeps decode in-memory (no temp-file churn on executors). */
+  class ImageIODecoder extends Decoder {
+    override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    def decode(mediaId: String, content: Array[Byte]): Iterator[DecodedFrame] = {
+      if (content == null) Iterator.empty
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Iterator.empty
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val argb = img.getRGB(0, 0, w, h, null, 0, w)
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < w * h) {
+            px(3 * i) = ((argb(i) >> 16) & 0xFF).toByte
+            px(3 * i + 1) = ((argb(i) >> 8) & 0xFF).toByte
+            px(3 * i + 2) = (argb(i) & 0xFF).toByte
+            i += 1
+          }
+          Iterator.single(DecodedFrame(mediaId, 0, w, h, px))
+        }
+      }
+    }
+  }
+
+  /** Deterministic stand-in decoder for codec families the JDK lacks
+    * (audio/video): "decodes" a payload into pseudo-frames derived
+    * from its bytes (content-addressed, so tests are reproducible).
+    * For still images use [[ImageIODecoder]], which is real. */
   class FakeDecoder(framesPerMedia: Int = 3, dim: Int = 4) extends Decoder {
     def decode(mediaId: String, content: Array[Byte]): Iterator[DecodedFrame] = {
       if (content == null) Iterator.empty

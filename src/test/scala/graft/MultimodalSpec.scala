@@ -125,6 +125,75 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.contains(("b", 120, 60, 120)))
     assert(!plan.exists(p => p._1 == "b" && p._2 > 200))
   }
+  // --- S19 real decode: javax.imageio end-to-end ---------------------
+
+  /** Encode a solid/striped test image to real PNG/JPEG bytes in-JVM. */
+  private def encodeImage(w: Int, h: Int, fmt: String)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("S19 ImageIODecoder decodes real PNG bytes to exact RGB pixels") {
+    // left half pure red, right half pure blue — lossless in PNG
+    val png = encodeImage(8, 4, "png")((x, _) => if (x < 4) 0xFF0000 else 0x0000FF)
+    val jpegLike = encodeImage(6, 6, "png")((_, y) => if (y < 3) 0x00FF00 else 0x000000)
+    val mediaDf = Multimodal.asMediaTable(
+      Seq(("p1", png), ("p2", jpegLike), ("bad", Array[Byte](1, 2, 3)),
+        ("nul", null.asInstanceOf[Array[Byte]])).toDF("id", "bytes"),
+      "id", "bytes", "image/png")
+    val frames = Multimodal.decodeFrames(mediaDf, new Multimodal.ImageIODecoder)
+      .collect().sortBy(_.media_id)
+    // corrupt + null payloads skipped, not fatal
+    assert(frames.map(_.media_id).toSeq === Seq("p1", "p2"))
+    val f1 = frames(0)
+    assert((f1.width, f1.height) === (8, 4))
+    assert(f1.pixels.length === 8 * 4 * 3)
+    val (r0, g0, b0) = (f1.pixels(0) & 0xFF, f1.pixels(1) & 0xFF, f1.pixels(2) & 0xFF)
+    assert((r0, g0, b0) === (255, 0, 0))
+    val o = (0 * 8 + 7) * 3 // top-right pixel
+    assert((f1.pixels(o) & 0xFF, f1.pixels(o + 1) & 0xFF, f1.pixels(o + 2) & 0xFF)
+      === (0, 0, 255))
+  }
+
+  test("S19 ImageIODecoder decodes JPEG (lossy: dims exact, color approximate)") {
+    val jpg = encodeImage(16, 12, "jpg")((_, _) => 0xC82014)
+    val mediaDf = Multimodal.asMediaTable(
+      Seq(("j1", jpg)).toDF("id", "bytes"), "id", "bytes", "image/jpeg")
+    val f = Multimodal.decodeFrames(mediaDf, new Multimodal.ImageIODecoder)
+      .collect()(0)
+    assert((f.width, f.height) === (16, 12))
+    // lossy codec: each channel within a tolerance of the encoded color
+    val (r, g, b) = (f.pixels(0) & 0xFF, f.pixels(1) & 0xFF, f.pixels(2) & 0xFF)
+    assert(math.abs(r - 0xC8) <= 16 && math.abs(g - 0x20) <= 16 &&
+      math.abs(b - 0x14) <= 16)
+  }
+
+  test("S19 end-to-end on real bytes: decode → resize ladder → dominant colors") {
+    // 64×32, left 3/4 red-ish, right 1/4 blue-ish
+    val png = encodeImage(64, 32, "png")((x, _) => if (x < 48) 0xE01010 else 0x1010E0)
+    val mediaDf = Multimodal.asMediaTable(
+        Seq(("art", png)).toDF("id", "bytes"), "id", "bytes", "image/png")
+      .withColumn("meta", struct(col("meta.mime"),
+        lit(64).as("width"), lit(32).as("height"),
+        col("meta.durationMs"), col("meta.codec")))
+    val frames = Multimodal.decodeFrames(mediaDf, new Multimodal.ImageIODecoder)
+    // full ladder over real decoded pixels (channels=3: RGB triples)
+    val plan = Multimodal.resizePlan(mediaDf, targets = Seq(16, 32))
+    val resized = Multimodal.executeResizePlan(frames, plan, channels = 3)
+      .collect().map(r => (r.getAs[Int]("target"),
+        (r.getAs[Int]("width"), r.getAs[Int]("height"),
+          r.getAs[Array[Byte]]("pixels").length))).toMap
+    assert(resized(16) === ((16, 8, 16 * 8 * 3)))  // aspect preserved
+    assert(resized(32) === ((32, 16, 32 * 16 * 3)))
+    // palette share order from the real decode: red bin then blue bin
+    val palette = Multimodal.dominantColors(frames, k = 2, levels = 4)
+      .select("palette").as[Seq[String]].collect()(0)
+    assert(palette === Seq("#e02020", "#2020e0"))
+  }
 }
 
 class ExternalProcessSpec extends SparkSpec {
