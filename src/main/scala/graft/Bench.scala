@@ -27,12 +27,24 @@ object Bench {
     // the regime a long-running 100 TB deployment's executors are in —
     // and is disclosed in the emitted JSON. Data-dependent work at the
     // target SF is untouched: warmup reads only sf0.001.
-    val warmupDir = "/root/testdata/sf0.001"
+    // Warmup dir is derived, not hardcoded: prefer the sibling
+    // sf0.001 of the target (cheap), fall back to the target itself,
+    // and RECORD what actually ran — a silently-failed warmup must not
+    // let the JSON claim steady-state timing.
+    val warmupDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR")
+      .orElse {
+        val sibling = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
+        if (sibling.isDirectory) Some(sibling.getPath) else None
+      }
+      .getOrElse(sfDir)
+    var warmupFailures = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, warmupDir).count()
       catch { case e: Throwable =>
+        warmupFailures += 1
         System.err.println(s"bench: warmup $name failed: $e")
       }
+      finally CacheScope.releaseAll()
     }
     // A failed query must be VISIBLE: it reports in "failed" (and on
     // stderr) rather than hiding inside a fast-looking elapsed time.
@@ -43,14 +55,20 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"bench: $name FAILED: $e"); false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      CacheScope.releaseAll() // cache bookkeeping outside the timing
+      (name, elapsed, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","warmup":"all queries once at sf0.001 (steady-state timing; codegen/JIT outside the timed region)"}""")
+    val warmupNote =
+      if (warmupFailures > 0)
+        s"INCOMPLETE: $warmupFailures queries failed warmup at $warmupDir"
+      else s"all queries once at $warmupDir (steady-state timing; codegen/JIT outside the timed region)"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","warmup":"$warmupNote"}""")
     spark.stop()
   }
 }

@@ -111,16 +111,16 @@ object Dedup {
     // at sf0.1 and O(corpus bytes) of cache at scale, vs O(rows·longs)
     // here. Verification runs on the hashed shingle sets: xxhash64
     // collisions (~n²·2⁻⁶⁴ per doc pair) are immaterial next to the
-    // MinHash approximation itself.
-    val base = docs
+    // MinHash approximation itself. Cache lifetime is caller-owned via
+    // CacheScope (released after the consuming action).
+    val base = graft.CacheScope.track(docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
         shingles(normalized(col(textCol)), shingleK).as("sh"))
       .select(col("id"),
         org.apache.spark.sql.graft.SignatureExpressions.minhashSignature(
           col("sh"), numHashes).as("sig"),
-        array_sort(transform(col("sh"), s => xxhash64(s))).as("hsh"))
-      .persist()
+        array_sort(transform(col("sh"), s => xxhash64(s))).as("hsh")))
     // (id, band, bucket) — bucket = murmur3 of the band's slice of
     // sig. A cheap projection of the persisted base, so no second
     // persist; a null sig (empty token array) simply doesn't band —
@@ -184,8 +184,8 @@ object Dedup {
   def winnowedOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, window: Int = 4, minContainment: Double = 0.5,
       maxDf: Int = 1000): DataFrame = {
-    val fps = winnowedFingerprints(docs, idCol, textCol, shingleK, window)
-      .persist()
+    val fps = graft.CacheScope.track(
+      winnowedFingerprints(docs, idCol, textCol, shingleK, window))
     val sizes = fps.select(col("id"), size(col("fps")).as("n"))
     val ex = fps.select(col("id"), explode(col("fps")).as("fp"))
     val common = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))

@@ -75,8 +75,14 @@ object GroupSimilarity {
       .join(capped.select(col("gid").as("a_gid"), col("vec").as("a_vec")), "a_gid")
       .join(capped.select(col("gid").as("b_gid"), col("vec").as("b_vec")), "b_gid")
       .select((lit(1.0) - fastCosine(col("a_vec"), col("b_vec"))).as("dist"))
-    val med = dists.agg(expr("percentile(dist, 0.5)")).head().getDouble(0)
-    1.0 / math.max(med, 1e-4)
+    // Empty sample (no anchors matched / no recall candidates) →
+    // percentile yields NULL; fail with the actual cause rather than
+    // an opaque NullPointerException downstream.
+    val medRow = dists.agg(expr("percentile(dist, 0.5)")).head()
+    require(!medRow.isNullAt(0),
+      "calibrateGamma: empty distance sample (no anchor-candidate pairs); " +
+        "check anchorPred/recallK or pass gamma explicitly")
+    1.0 / math.max(medRow.getDouble(0), 1e-4)
   }
 
   /** Per-group self kernel mass <μ,μ>: mean kernel over ALL n²
@@ -148,7 +154,8 @@ object GroupSimilarity {
   def similarGroups(members: DataFrame, groupCol: String, idCol: String,
       vecCol: String, anchorPred: Column, recallK: Int, pad: Int = 64,
       dupThresh: Double = 0.9985, gamma: Option[Double] = None): DataFrame = {
-    val capped = cappedMembers(members, groupCol, idCol, vecCol, pad).persist()
+    val capped = graft.CacheScope.track(
+      cappedMembers(members, groupCol, idCol, vecCol, pad))
     // group centroids: element-wise mean (normalization is irrelevant
     // to the cosine ranking that consumes them)
     val cent = capped

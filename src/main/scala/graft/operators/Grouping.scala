@@ -79,10 +79,16 @@ object Grouping {
           c => !array_contains(col("__used"), c)))
       .select((g :+ posexplode(col("__cand")).as(Seq("__pos", "__free"))): _*)
       .withColumn("__rank", col("__pos") + 1).drop("__pos")
-    marked.join(pool,
-        groupCols.map(k => marked(k) === pool(k)).reduce(_ && _) &&
-          col("__miss") === col("__rank"), "left")
-      .select((df.columns.map(marked(_)) :+ col("__miss") :+ col("__free")): _*)
+    // Qualified aliases: both sides derive from `df`, and unaliased
+    // marked(k) === pool(k) resolves to the SAME attribute ("trivially
+    // true equals predicate") — correct today only by accident of the
+    // __miss === __rank conjunct, and one lineage change from a
+    // semi-cartesian.
+    marked.alias("m").join(pool.alias("p"),
+        groupCols.map(k => col(s"m.$k") === col(s"p.$k")).reduce(_ && _) &&
+          col("m.__miss") === col("p.__rank"), "left")
+      .select((df.columns.map(c => col(s"m.$c")) :+
+        col("m.__miss") :+ col("p.__free")): _*)
       .withColumn(numberCol,
         when(col("__miss").isNull, col(numberCol).cast("int"))
           .otherwise(col("__free")))

@@ -20,13 +20,13 @@ object AdvancedQueries {
     // (order, part, supplier) repeats across lines
     // persisted: the operator consumes this twice (window pass +
     // free-number aggregation) — cache the 5-col projection rather
-    // than scanning lineitem per consumer
-    val base = Tables(s, dir).lineitem
+    // than scanning lineitem per consumer; released by the harness's
+    // CacheScope.releaseAll after the sink action
+    val base = graft.CacheScope.track(Tables(s, dir).lineitem
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         when(col("l_quantity") < 5, -1).otherwise(col("l_linenumber")).as("no"),
         ((col("l_partkey") * 1000000L + col("l_suppkey")) * 10L +
-          col("l_linenumber")).as("ordkey"))
-      .persist()
+          col("l_linenumber")).as("ordkey")))
     Grouping.gapFillNumbers(base, Seq("l_orderkey"), "no", "ordkey")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("no"))
       .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))

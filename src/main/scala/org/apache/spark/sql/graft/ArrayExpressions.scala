@@ -28,6 +28,20 @@ case class SortedArrayIntersectCount(left: Expression, right: Expression)
     TypeCollection(ArrayType(StringType), ArrayType(LongType)))
   override def dataType: DataType = IntegerType
 
+  // The TypeCollection admits each side independently; the merge
+  // comparator is chosen from the LEFT element type, so a mixed
+  // array<string> vs array<long> call must be rejected here, not read
+  // with the wrong accessor at runtime.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (left.dataType != right.dataType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"both inputs must share one element type, got " +
+          s"${left.dataType.simpleString} vs ${right.dataType.simpleString}")
+    else base
+  }
+
   private def isStringElem: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == StringType
 

@@ -43,14 +43,20 @@ case class TopKByScore(
   private def isString = id.dataType == StringType
   private def isInt = id.dataType == IntegerType
 
-  // better = higher score, then smaller id
-  private def better(s1: Double, i1: Any, s2: Double, i2: Any): Boolean =
-    s1 > s2 || (s1 == s2 && ((i1, i2) match {
+  // better = higher score, then smaller id. Double.compare (not >):
+  // it totally orders NaN as the largest value — exactly Spark's SQL
+  // ordering, so NaN scores rank first like the row_number window
+  // formulation this claims row-identity with, and eval's sortWith
+  // can't hit a contract violation.
+  private def better(s1: Double, i1: Any, s2: Double, i2: Any): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && ((i1, i2) match {
       case (a: UTF8String, b: UTF8String) => a.compareTo(b) < 0
       case (a: Long, b: Long) => a < b
       case (a: Int, b: Int) => a < b
       case _ => false
     }))
+  }
 
   override def createAggregationBuffer(): Buffer = new Buffer(k)
 

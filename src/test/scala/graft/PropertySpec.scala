@@ -110,6 +110,19 @@ class GraftSqlSpec extends SparkSpec {
     assert(cos.getInt(1) === 1)
   }
 
+  test("graft_sorted_intersect_count rejects mixed element types at analysis") {
+    GraftSql.registerAll(spark, "/root/testdata/sf0.001")
+    // long comparator + string accessor would read garbage at runtime;
+    // must fail type checking instead
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_sorted_intersect_count(array('a','b'), array(1L, 2L))")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("element type") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+
   test("signature + top-k functions work from SQL") {
     GraftSql.registerAll(spark, "/root/testdata/sf0.001")
     val sig = spark.sql(

@@ -25,6 +25,13 @@ class QueryCatalogSpec extends SparkSpec {
       val mayBeEmpty = Set("q10_set_except", "q16_exact_dup_groups",
         "q18_minhash_lsh", "q19_simhash_pairs", "q09_collision_groups")
       if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+      // Persist lifecycle: operator-internal caches are registered in
+      // CacheScope; after the consuming action + release, NOTHING may
+      // remain cached (a leaked persist accumulates across a
+      // long-lived session's query loop).
+      CacheScope.releaseAll()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"${q.name} left cached blocks behind after CacheScope.releaseAll")
     }
   }
 }

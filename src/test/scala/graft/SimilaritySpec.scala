@@ -163,6 +163,31 @@ class SimilaritySpec extends SparkSpec {
     assert(viaAgg.count() === viaWindow.count())
   }
 
+  test("TopKByScore orders NaN like the window formulation (NaN largest)") {
+    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, Double.NaN), ("a", 3L, 0.5),
+      ("a", 4L, Double.NaN), ("a", 5L, 1.0))
+      .toDF("anchor_id", "neighbor_id", "score")
+    val viaAgg = df.groupBy($"anchor_id")
+      .agg(topKByScore($"score", $"neighbor_id", 3).as("topk"))
+      .select($"anchor_id", posexplode($"topk").as(Seq("pos", "e")))
+      .select($"anchor_id", ($"pos" + 1).cast("int").as("rank"),
+        $"e.id".as("neighbor_id"))
+    val w = Window.partitionBy($"anchor_id")
+      .orderBy($"score".desc, $"neighbor_id".asc)
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"anchor_id", $"rank", $"neighbor_id")
+    // Spark SQL sorts NaN as the largest double: ranks 1,2 are the two
+    // NaN rows (id ties ascending), rank 3 the 1.0 row
+    assert(viaWindow.collect().map(_.toSeq).toSet ===
+      Set(Seq("a", 1, 2L), Seq("a", 2, 4L), Seq("a", 3, 5L)))
+    assert(viaAgg.collect().map(_.toSeq).toSet
+      === viaWindow.collect().map(_.toSeq).toSet)
+  }
+
   test("centroids: element-wise mean per group") {
     val two = Seq(
       (1L, Array(1.0f, 3.0f), "g"),
