@@ -56,7 +56,9 @@ object Bench {
           System.err.println(s"bench: $name FAILED: $e"); false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      CacheScope.releaseAll() // cache bookkeeping outside the timing
+      // blocking: evict NOW, outside any timing, rather than letting
+      // async eviction bleed into the next query's measured region
+      CacheScope.releaseAll(blocking = true)
       (name, elapsed, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }

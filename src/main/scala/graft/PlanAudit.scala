@@ -56,6 +56,14 @@ object PlanAudit {
       mustContain = Seq("BroadcastNestedLoopJoin", "cosinesimilarity",
         "topkbyscore"),
       mustNotContain = Seq("WindowExec", "WindowGroupLimit")),
+    // q34: fingerprints come from the O(n) native monotonic-deque
+    // expression (one fused projection), not the O(n·w)
+    // array_min(slice(...)) HOF copy-per-position; candidates stay an
+    // equi-join on fingerprint
+    Check("q34_winnow_containment",
+      mustContain = Seq("winnowedminhashes", "InMemoryTableScan"),
+      mustNotContain = Seq("array_min(slice", "CartesianProduct",
+        "BroadcastNestedLoopJoin")),
     // q24: partial aggregation before the shuffle
     Check("q24_tumbling_window",
       mustContain = Seq("HashAggregate", "hashpartitioning")),

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query runner for iterating on one plan:
+  * `sbt "runMain graft.RunOne <queryName> <sfDir> [explain|time]"`.
+  * Prints the row count (and optionally the formatted plan or 3
+  * repeated timings) for just that query — Verify/Bench run all 35.
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val mode = if (args.length > 2) args(2) else "count"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    mode match {
+      case "explain" =>
+        fn(spark, sfDir).explain("formatted")
+      case "time" =>
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = fn(spark, sfDir).count()
+          CacheScope.releaseAll(blocking = true)
+          println(f"[runone] run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      case _ =>
+        println(s"[runone] ${fn(spark, sfDir).count()} rows")
+        CacheScope.releaseAll()
+    }
+    spark.stop()
+  }
+}

@@ -158,21 +158,20 @@ object Dedup {
     * hashes, keep each window's minimum. Guarantees any shared run of
     * ≥ k+w−1 tokens contributes a shared fingerprint, so PARTIAL
     * overlap (one doc embedded in another) is detectable — the case
-    * whole-document Jaccard/MinHash under-scores. Two materialized
-    * projections (the hash array is a column REFERENCE inside the
-    * window-min lambda, so it is computed once — a fused expression
-    * would re-evaluate it per window position). Zero shuffles.
-    * Returns (id, fps ARRAY<LONG> distinct). */
+    * whole-document Jaccard/MinHash under-scores. ONE fused codegen'd
+    * projection, zero shuffles: the native WinnowedMinHashes
+    * expression is a monotonic-deque pass, O(n) per document — the
+    * round-2 `array_min(slice(...))` HOF copied a w-element array per
+    * token position (O(n·w), 18% of that round's bench) and is pinned
+    * equivalent in DedupSpec. Returns (id, fps ARRAY<LONG> distinct). */
   def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, window: Int = 4): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
-        transform(shingles(normalized(col(textCol)), shingleK),
-          s => xxhash64(s)).as("hs"))
-      .select(col("id"), array_distinct(
-        transform(sequence(lit(0), greatest(size(col("hs")) - window, lit(0))),
-          i => array_min(slice(col("hs"), i + 1, lit(window))))).as("fps"))
+        org.apache.spark.sql.graft.ArrayExpressions.winnowedMinHashes(
+          transform(shingles(normalized(col(textCol)), shingleK),
+            s => xxhash64(s)), window).as("fps"))
 
   /** Partial-overlap pairs by shared winnowing fingerprints:
     * containment = |shared fps| / min(|fps_a|, |fps_b|) — ≈1 when one

@@ -111,6 +111,45 @@ class DedupSpec extends SparkSpec {
     assert(fps(1L).intersect(fps(2L)).nonEmpty)
   }
 
+  test("native WinnowedMinHashes ≡ array_min(slice(...)) HOF formulation") {
+    import org.apache.spark.sql.graft.ArrayExpressions.winnowedMinHashes
+    // real documents (sf0.001) + crafted edges: constant array, n < w,
+    // n == w, strictly increasing/decreasing, repeated non-adjacent min
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+    val crafted = Seq(
+      (9001L, "x x x x x x x x"),              // constant hashes
+      (9002L, "one two"),                       // few tokens → n < w
+      (9003L, "a b c d"),                       // small n
+      (9004L, "a b c a b c a b c")).toDF("id", "text")
+    for ((w, k) <- Seq((4, 5), (4, 3), (7, 2), (1, 3))) {
+      val hashed = docs.unionByName(crafted)
+        .select(col("id"), transform(
+          graft.functions.TextFunctions.shingles(
+            graft.functions.TextFunctions.normalized(col("text")), k),
+          s => xxhash64(s)).as("hs"))
+      val mismatches = hashed
+        .select(col("id"),
+          winnowedMinHashes(col("hs"), w).as("native"),
+          array_distinct(transform(
+            sequence(lit(0), greatest(size(col("hs")) - w, lit(0))),
+            i => array_min(slice(col("hs"), i + 1, lit(w))))).as("hof"))
+        .filter(col("native") =!= col("hof"))
+        .count()
+      assert(mismatches === 0, s"window=$w shingleK=$k")
+    }
+  }
+
+  test("graft_winnow_mins registered for SQL") {
+    GraftSql.registerAll(spark, "/root/testdata/sf0.001")
+    val r = spark.sql(
+      "SELECT graft_winnow_mins(array(5L, 3L, 4L, 1L, 2L), 2) w")
+      .collect()(0).getSeq[Long](0)
+    // windows: min(5,3)=3, min(3,4)=3, min(4,1)=1, min(1,2)=1 → [3,1]
+    assert(r === Seq(3L, 1L))
+  }
+
   test("simhashPairs finds hamming-close docs, not unrelated ones") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
