@@ -74,7 +74,13 @@ object PlanAudit {
       mustNotContain = Seq("CartesianProduct")),
     // q32: anchors broadcast, native cosine in the scan stage
     Check("q32_cosine_pairs",
-      mustContain = Seq("BroadcastNestedLoopJoin", "cosinesimilarity")))
+      mustContain = Seq("BroadcastNestedLoopJoin", "cosinesimilarity")),
+    // q36: the composed pipeline joins album-side relations by
+    // BROADCAST (never shuffles the track rows for album metadata);
+    // every wide operation is a keyed shuffle — no cartesian, no BNLJ
+    Check("q36_catalog_pipeline",
+      mustContain = Seq("BroadcastHashJoin", "WindowGroupLimit"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   // Queries whose broadcast nested-loop join is the documented design:
   // brute-force baselines with a fixed-size anchor side, and q31's

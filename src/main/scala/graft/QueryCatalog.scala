@@ -8,7 +8,8 @@ import graft.queries._
 object QueryCatalog {
   def all: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ EventQueries.all ++ AdvancedQueries.all
+      SimilarityQueries.all ++ EventQueries.all ++ AdvancedQueries.all ++
+      PipelineQueries.all
 
   def byName: Map[String, Q] = all.map(q => q.name -> q).toMap
   def headline: Seq[Q] = all.filter(_.headline)
