@@ -1,0 +1,199 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Real-vocab byte-pair encoding for token budgeting (the
+  * data-pipeline complement to `TextFunctions.tokensRegex`, which is a
+  * vocab-free stand-in).
+  *
+  * Algorithm: Sennrich/Haddow/Birch, "Neural Machine Translation of
+  * Rare Words with Subword Units" (ACL 2016) — word-level BPE with an
+  * end-of-word marker: a word is a char-symbol sequence + `</w>`, and
+  * the merge list is applied greedily, lowest merge-rank first.
+  *
+  * Scale split, 100 TB shape:
+  *  - [[wordCounts]] — the DISTRIBUTED half: one map-side-combined
+  *    groupBy over the corpus (the only full-corpus pass training
+  *    needs).
+  *  - [[train]] — driver-side over the aggregated (word, count) vocab,
+  *    which is orders of magnitude smaller than the corpus (standard
+  *    practice trains on a sampled/aggregated vocabulary).
+  *  - [[encodeCounts]] — the DISTRIBUTED encoder: merges broadcast to
+  *    executors, greedy merge loop per distinct word with a
+  *    per-partition memo cache (corpus word frequencies are Zipfian —
+  *    the cache hit rate is the scale win), zero shuffles.
+  */
+object Bpe {
+
+  type Ranks = Map[(String, String), Int]
+
+  /** End-of-word symbol (Sennrich's `</w>`). */
+  val EndOfWord = "</w>"
+
+  /** Pre-tokenizer: lowercase words, letters/digits runs only —
+    * mirrors `TextFunctions.normalized` + punctuation stripping so the
+    * vocab is stable under the pipeline's own normalization. */
+  def preTokenize(text: String): Seq[String] =
+    if (text == null) Seq.empty
+    else "[\\p{L}\\p{N}]+".r.findAllIn(text.toLowerCase).toSeq
+
+  /** A word as its initial symbol sequence. */
+  private def symbols(word: String): Vector[String] =
+    word.map(_.toString).toVector :+ EndOfWord
+
+  /** Greedy BPE encode of one word: repeatedly merge the
+    * lowest-ranked adjacent pair until none applies. */
+  def encodeWord(word: String, ranks: Ranks): Vector[String] = {
+    var syms = symbols(word)
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++
+        syms.drop(bestIdx + 2)
+    }
+    syms
+  }
+
+  /** Tokens of a text under the merge table. */
+  def encode(text: String, ranks: Ranks): Seq[String] =
+    preTokenize(text).flatMap(encodeWord(_, ranks))
+
+  /** Parse a merges file (one `left right` pair per line, best first;
+    * `#`-prefixed lines are comments). */
+  def loadMerges(lines: Iterator[String]): Ranks =
+    lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .zipWithIndex.map { case (l, i) =>
+        val Array(a, b) = l.split(" ", 2)
+        (a, b) -> i
+      }.toMap
+
+  def loadMergesFile(path: String): Ranks = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try loadMerges(src.getLines()) finally src.close()
+  }
+
+  /** Load merges bundled on the classpath (test/demo vocab). */
+  def loadMergesResource(resource: String): Ranks = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"missing merges resource $resource")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try loadMerges(src.getLines()) finally src.close()
+  }
+
+  /** The committed fixture vocab (BpeTrainDemo output at sf0.001), in
+    * merge-priority order. */
+  lazy val mergesFixture: Seq[(String, String)] =
+    loadMergesResource("/graft/bpe/merges.txt").toSeq
+      .sortBy(_._2).map(_._1)
+
+  // ------------------------------------------------------------------
+  // training
+  // ------------------------------------------------------------------
+
+  /** Distributed word counting — the corpus-wide pass of BPE training.
+    * Returns (word, cnt), one shuffle with map-side combine. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol).cast("string")).as[String]
+      .flatMap(preTokenize)
+      .groupBy(col("value").as("word"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sennrich training loop over an aggregated vocabulary: at each
+    * step merge the most frequent adjacent symbol pair (ties broken by
+    * (left, right) lexicographic order so the vocab is deterministic
+    * across runs and engines). Driver-side by design — the vocab is
+    * the AGGREGATED word list, not the corpus. */
+  def train(vocab: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    var words: Map[Vector[String], Long] = vocab.groupBy(w => symbols(w._1))
+      .map { case (syms, ws) => syms -> ws.map(_._2).sum }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var step = 0
+    var exhausted = false
+    while (step < numMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.toSeq
+          .minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        val merged = best._1 + best._2
+        words = words.map { case (syms, n) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.result() -> n
+        }.groupBy(_._1).map { case (k, vs) => k -> vs.values.sum }
+        step += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Train merges end-to-end on a corpus: distributed word count, then
+    * the driver-side loop on the (bounded) vocabulary. `maxVocab`
+    * caps driver memory — keep the most frequent words (ties by word,
+    * deterministic). */
+  def trainOnCorpus(docs: DataFrame, textCol: String, numMerges: Int,
+      maxVocab: Int = 100000): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = wordCounts(docs, textCol)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxVocab)
+      .as[(String, Long)].collect().toSeq
+    train(vocab, numMerges)
+  }
+
+  // ------------------------------------------------------------------
+  // encoding at scale
+  // ------------------------------------------------------------------
+
+  /** Per-document BPE token count: (id, bpe_tokens INT). Merges are
+    * broadcast; each partition keeps a word→length memo (Zipfian
+    * corpora hit the memo for almost every token). Zero shuffles. */
+  def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranksB = spark.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap: Ranks)
+    docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ranks = ranksB.value
+        val memo = scala.collection.mutable.Map.empty[String, Int]
+        it.map { case (id, text) =>
+          val n = preTokenize(text).iterator
+            .map(w => memo.getOrElseUpdate(w, encodeWord(w, ranks).length))
+            .sum
+          (id, n)
+        }
+      }
+      .toDF("id", "bpe_tokens")
+  }
+}

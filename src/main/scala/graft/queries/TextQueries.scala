@@ -66,9 +66,23 @@ object TextQueries {
     """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Real-vocab BPE token counts (token budgeting for training
+    * pipelines): merges from the committed fixture vocab (trained by
+    * BpeTrainDemo, deterministic), broadcast to a zero-shuffle
+    * per-partition encoder. No DuckDB oracle — BPE is not
+    * SQL-expressible; BpeSpec pins counts against an independent
+    * Python reference implementation on the same merges file. */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Bpe.encodeCounts(Tables(s, dir).documents,
+      "doc_id", "text",
+      graft.functions.Bpe.mergesFixture)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   val all: Seq[Q] = Seq(
     Q("q12_token_stats", q12, Some(q12Sql)),
     Q("q13_text_quality", q13, Some(q13Sql), headline = true),
     Q("q14_lang_id", q14, Some(q14Sql)),
-    Q("q15_fingerprint", q15, Some(q15Sql)))
+    Q("q15_fingerprint", q15, Some(q15Sql)),
+    Q("q37_bpe_tokens", q37, None))
 }
