@@ -131,4 +131,71 @@ object MediaPlan {
         lit(",CODECS=\"mp4a.40.2\"\n"), b.cast("string"), lit("k/media.m3u8")))
     concat(lit("#EXTM3U\n#EXT-X-VERSION:7\n"), array_join(entries, "\n"))
   }
+
+  /** DASH timescale (dash-repackage.py:24). */
+  val MpdTimescale = 48000L
+
+  /** E6 (MPD half): the DASH manifest document per track from its
+    * representation ladder — one codegen'd string expression,
+    * byte-identical to the reference's ElementTree + minidom
+    * pretty-print (dash-repackage.py:73-154; pinned against a fixture
+    * generated by that algorithm).
+    *
+    * `reps` is `ARRAY<STRUCT>` with per-representation fields:
+    * bandwidth LONG, base_url, layout ('single_file'|'template'),
+    * durations ARRAY<DOUBLE>, and per layout: media_file +
+    * init_start/init_end + ranges ARRAY<STRUCT<s,e>> (single-file →
+    * SegmentList with mediaRanges — SegmentTemplate cannot express
+    * byte ranges), or init_file + segment_template (→
+    * SegmentTemplate). Durations scale by [[MpdTimescale]] with
+    * HALF_EVEN rounding (`bround` ≡ Python round);
+    * mediaPresentationDuration truncates whole seconds like the
+    * reference's `PT{int(total)}S`. */
+  def mpdDocument(reps: Column): Column = {
+    val tsAttr = s"""timescale="$MpdTimescale""""
+    def segTimeline(r: Column, indent: String): Column = concat(
+      lit(s"$indent<SegmentTimeline>\n"),
+      array_join(transform(r.getField("durations"), d =>
+        concat(lit(s"""$indent  <S d=""""),
+          bround(d * MpdTimescale).cast("long"), lit("\"/>"))), "\n"),
+      lit(s"\n$indent</SegmentTimeline>"))
+    def singleFile(r: Column): Column = concat(
+      lit(s"        <SegmentList $tsAttr>\n"),
+      lit("          <Initialization sourceURL=\""), r.getField("media_file"),
+      lit("\" range=\""), r.getField("init_start"), lit("-"),
+      r.getField("init_end"), lit("\"/>\n"),
+      segTimeline(r, "          "), lit("\n"),
+      array_join(transform(r.getField("ranges"), g =>
+        concat(lit("          <SegmentURL media=\""), r.getField("media_file"),
+          lit("\" mediaRange=\""), g.getField("s"), lit("-"),
+          g.getField("e"), lit("\"/>"))), "\n"),
+      lit("\n        </SegmentList>"))
+    def template(r: Column): Column = concat(
+      lit("        <SegmentTemplate initialization=\""), r.getField("init_file"),
+      lit("\" media=\""), r.getField("segment_template"),
+      lit(s"""" startNumber="0" $tsAttr>\n"""),
+      segTimeline(r, "          "),
+      lit("\n        </SegmentTemplate>"))
+    val repXml = transform(reps, r => concat(
+      lit("      <Representation id=\""), r.getField("bandwidth"),
+      lit("\" bandwidth=\""), r.getField("bandwidth"), lit("\">\n"),
+      lit("        <BaseURL>"), r.getField("base_url"), lit("</BaseURL>\n"),
+      when(r.getField("layout") === "single_file", singleFile(r))
+        .otherwise(template(r)),
+      lit("\n      </Representation>")))
+    val maxTotal = array_max(transform(reps, r =>
+      aggregate(r.getField("durations"), lit(0.0), (a, d) => a + d)))
+    concat(
+      lit("<?xml version=\"1.0\" ?>\n" +
+        "<MPD xmlns=\"urn:mpeg:dash:schema:mpd:2011\" " +
+        "profiles=\"urn:mpeg:dash:profile:isoff-on-demand:2011\" " +
+        "type=\"static\" minBufferTime=\"PT1.5S\" " +
+        "mediaPresentationDuration=\"PT"),
+      floor(maxTotal).cast("long"),
+      lit("S\">\n  <Period start=\"PT0S\">\n" +
+        "    <AdaptationSet mimeType=\"audio/mp4\" codecs=\"mp4a.40.2\" " +
+        "startWithSAP=\"1\" segmentAlignment=\"true\" lang=\"en\">\n"),
+      array_join(repXml, "\n"),
+      lit("\n    </AdaptationSet>\n  </Period>\n</MPD>\n"))
+  }
 }

@@ -191,6 +191,29 @@ class MediaPlanSpec extends SparkSpec {
     assert(got.toSeq === Seq("PT30S", "PT1M30.5S", "PT1H2M30S"))
   }
 
+  test("E6 mpdDocument is byte-identical to the reference-generated fixture") {
+    import MpdFixture._
+    // the same three representations the Python fixture generator
+    // (ElementTree + minidom, dash-repackage.py algorithm) was fed
+    val reps = Seq(
+      Rep(64000L, "64k/", "single_file", "media.m4s", 0L, 761L, null, null,
+        Seq(4.0096, 4.0096, 1.984),
+        Seq(Rng(762L, 403157L), Rng(403158L, 803999L), Rng(804000L, 1000000L))),
+      Rep(128000L, "128k/", "single_file", "media.m4s", 0L, 899L, null, null,
+        Seq(4.0096, 4.0096, 2.0),
+        Seq(Rng(900L, 700000L), Rng(700001L, 1400000L), Rng(1400001L, 1700000L))),
+      Rep(256000L, "256k/", "template", null, 0L, 0L, "init.mp4",
+        "seg-$Number$.m4s", Seq(4.0096, 4.0096, 2.0), Seq.empty))
+    val got = Seq(Tuple2("trk", reps)).toDF("track_id", "reps")
+      .select(MediaPlan.mpdDocument($"reps")).as[String].collect()(0)
+    val expected = {
+      val src = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream("/graft/mpd_fixture.xml"), "UTF-8")
+      try src.mkString finally src.close()
+    }
+    assert(got === expected)
+  }
+
   test("X19 shard ownership is stable and partitions completely") {
     val ids = (1 to 100).map(i => s"track-$i").toDF("id")
     val got = ids.select(MediaPlan.shardIndex($"id", 4)).as[Int].collect()
@@ -220,4 +243,13 @@ class CueSplitSpec extends SparkSpec {
     assert(got(1) === ((90.0, Some(110.0))))
     assert(got(2)._2.isEmpty)
   }
+}
+
+/** Encoder-friendly rows for the MPD fixture test. */
+object MpdFixture {
+  case class Rng(s: Long, e: Long)
+  case class Rep(bandwidth: Long, base_url: String, layout: String,
+      media_file: String, init_start: Long, init_end: Long,
+      init_file: String, segment_template: String,
+      durations: Seq[Double], ranges: Seq[Rng])
 }

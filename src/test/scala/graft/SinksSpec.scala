@@ -73,6 +73,31 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("S12 CSV shard sink: round trip, shard count, resume-safe overwrite") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val df = (1 to 200).map(i => (i.toLong, i % 8, s"name-$i"))
+      .toDF("id", "shard", "name")
+    Sinks.writeCsvShards(df, "shard", 8, out)
+    // shard layout: at most one data file per shard partition
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(files.length <= 8 && files.nonEmpty)
+    // round trip preserves every row and the schema's column names
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(out)
+    assert(back.columns.sorted.toSeq === Seq("id", "name", "shard"))
+    assert(back.count() === 200)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      === (1 to 200).map(_.toLong).sum)
+    // resume safety: re-running the sink (the reference's tmp+rename
+    // overwrite) replaces, never duplicates or appends
+    val half = df.filter(col("id") <= 100)
+    Sinks.writeCsvShards(half, "shard", 8, out)
+    val again = spark.read.option("header", "true").csv(out)
+    assert(again.count() === 100)
+  }
+
   test("S10 partitioned JDBC read splits the scan without losing rows") {
     val df = (1 to 100).map(i => (i.toLong, i * 2)).toDF("id", "v")
     Sinks.writeJdbc(df, url, "t_part", props)
