@@ -75,6 +75,19 @@ object PlanAudit {
     // q32: anchors broadcast, native cosine in the scan stage
     Check("q32_cosine_pairs",
       mustContain = Seq("BroadcastNestedLoopJoin", "cosinesimilarity")),
+    // q38: the as-of join compiles to union + window carry — ONE
+    // shuffle + sort, ZERO join operators (the dedup window and the
+    // carry window share the user_id partitioning)
+    Check("q38_asof_join",
+      mustContain = Seq("Window", "hashpartitioning"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct")),
+    // q39: the range join is a bucketed EQUI-join + containment
+    // filter, never the nested-loop plan Spark gives bare
+    // inequality joins
+    Check("q39_range_join",
+      mustContain = Seq("hashpartitioning"),
+      mustNotContain = Seq("BroadcastNestedLoopJoin", "CartesianProduct")),
     // q36: the composed pipeline joins album-side relations by
     // BROADCAST (never shuffles the track rows for album metadata);
     // every wide operation is a keyed shuffle — no cartesian, no BNLJ
