@@ -79,10 +79,51 @@ object TextQueries {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** BM25 relevance of every document against a fixed topic query
+    * (TextRank.bm25). k1 = 1.25 (not the 1.2 default) so every
+    * constant in the weight formula is an exact binary double —
+    * cross-engine parity then rests only on the rounded ln and exact
+    * decimal sums. */
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextRank.bm25(Tables(s, dir).documents,
+        "doc_id", "text", Seq("spark", "vector", "hash"),
+        k1 = 1.25, b = 0.75)
+      .orderBy(col("doc_id"))
+
+  private val q40Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(
+      |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '\s+'),
+      |      x -> length(x) > 0) AS tk
+      |  FROM documents),
+      |lens AS (SELECT doc_id, length(tk) AS dl FROM toks),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+      |hits AS (
+      |  SELECT doc_id, t AS term, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(tk) AS t FROM toks)
+      |  WHERE t IN ('spark', 'vector', 'hash') GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM hits GROUP BY 1)
+      |SELECT h.doc_id, count(*) AS n_hit,
+      |  CAST(sum(
+      |    CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)), 6) AS DECIMAL(18,6))
+      |    * CAST(round((CAST(h.tf AS DOUBLE) * 2.25)
+      |        / (CAST(h.tf AS DOUBLE) + 1.25 * (0.25 + 0.75 *
+      |            (CAST(l.dl AS DOUBLE)
+      |             / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))), 6)
+      |      AS DECIMAL(18,6))) AS DOUBLE) AS score
+      |FROM hits h
+      |JOIN dfreq d USING (term)
+      |JOIN lens l USING (doc_id)
+      |CROSS JOIN stats s
+      |GROUP BY h.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q12_token_stats", q12, Some(q12Sql)),
     Q("q13_text_quality", q13, Some(q13Sql), headline = true),
     Q("q14_lang_id", q14, Some(q14Sql)),
     Q("q15_fingerprint", q15, Some(q15Sql)),
-    Q("q37_bpe_tokens", q37, None))
+    Q("q37_bpe_tokens", q37, None),
+    Q("q40_bm25", q40, Some(q40Sql)))
 }

@@ -209,6 +209,28 @@ class ExternalProcessSpec extends SparkSpec {
     assert(got === Map("t1" -> "ok:a.flac", "t2" -> "ok:b.flac"))
   }
 
+  test("runFusedPerKey: one fused invocation per key, deterministic order") {
+    val runner = new ExternalProcess.RecordingRunner(argv =>
+      ExternalProcess.Result(0, argv.mkString("|"), ""))
+    val rungs = Seq(
+      ("trackA", Seq("ffmpeg", "-i", "a.flac", "-b:a", "128k", "a128.m4s")),
+      ("trackA", Seq("ffmpeg", "-i", "a.flac", "-b:a", "64k", "a64.m4s")),
+      ("trackB", Seq("ffmpeg", "-i", "b.flac", "-b:a", "64k", "b64.m4s")))
+      .toDS()
+    // fuse: shared decode flags from the first rung, then every rung's
+    // output clause — the single-decode multi-output ffmpeg form
+    val out = ExternalProcess.runFusedPerKey(rungs, runner) { argvs =>
+      argvs.head.take(3) ++ argvs.flatMap(_.drop(3))
+    }.collect().map(o => o.key -> o.stdout).toMap
+    // one OUTPUT (= one subprocess) per key, not per rung; the echoed
+    // argv proves both rungs ran inside trackA's single invocation,
+    // sorted (128k before 64k lexicographically) → deterministic
+    assert(out.size === 2)
+    assert(out("trackA") ===
+      "ffmpeg|-i|a.flac|-b:a|128k|a128.m4s|-b:a|64k|a64.m4s")
+    assert(out("trackB") === "ffmpeg|-i|b.flac|-b:a|64k|b64.m4s")
+  }
+
   test("CommandRunner runs a real subprocess and reports exit codes") {
     val r = new ExternalProcess.CommandRunner()
     val ok = r.run(Seq("sh", "-c", "printf hello"))
