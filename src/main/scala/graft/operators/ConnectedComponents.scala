@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list —
+  * the dedup-cluster endgame: near-dup PAIRS (MinHash/SimHash/cosine)
+  * become duplicate GROUPS by transitive closure, and the component
+  * id (min member id) is the canonical-survivor key (§2.7 / A4's
+  * group-then-canonicalize at corpus scale).
+  *
+  * Algorithm: min-label propagation with POINTER DOUBLING. Each
+  * iteration a node takes the min of (its label, its neighbors'
+  * labels, its label's label — the grandparent hop). The grandparent
+  * join doubles how far a small label has travelled, so convergence is
+  * O(log diameter) iterations instead of O(diameter) — on a 1M-node
+  * chain that is ~20 rounds, not 1M. Every iteration is two
+  * hash-partitioned equi-joins + one aggregation (all keyed shuffles,
+  * AQE-balanced); lineage is cut per round with an eager
+  * localCheckpoint so plans stay flat; convergence is detected by the
+  * monotone scalar Σlabels (labels only ever decrease), costing one
+  * tiny aggregate, not a diff join.
+  *
+  * Reference analog: the duplicate-circle resolution groups (SURVEY
+  * A4/J11) built per-key in Python; re-expressed as the standard
+  * distributed CC formulation (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond", SoCC 2014 — the large-star/small-star
+  * family; this is its dataframe-algebra sibling).
+  */
+object ConnectedComponents {
+
+  /** Components of the undirected graph given by (aCol, bCol) pairs.
+    * Returns (node, component) for every node incident to an edge;
+    * component = min node id reachable. Deterministic for any
+    * partitioning (min is order-free). */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = graft.CacheScope.track(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+          col(aCol).cast("long").as("dst")))
+        .distinct())
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighbor = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val grandparent = labels.select(col("node"), col("label").as("mid"))
+        .join(labels.select(col("node").as("mid"), col("label").as("glabel")), "mid")
+        .select(col("node"), col("glabel").as("label"))
+      val next = labels.unionByName(neighbor).unionByName(grandparent)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      // labels decrease monotonically → Σ is a complete change detector
+      val s = next.agg(sum(col("label"))).head().getLong(0)
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    require(converged, s"components did not converge in $maxIter iterations")
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Dedup clustering: near-dup pairs → (doc, dup_group, group_size),
+    * group id = min doc id (the canonical survivor). Singletons are
+    * not emitted — docs absent from `pairs` are their own group. */
+  def dupGroups(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = components(pairs, aCol, bCol)
+    // plain keyed join: #components is data-dependent (AQE may still
+    // broadcast it at runtime when small)
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("group_size"))
+    comp.join(sizes, "component")
+      .select(col("node").as("doc"), col("component").as("dup_group"),
+        col("group_size"))
+  }
+}

@@ -115,9 +115,47 @@ object AdvancedQueries {
       .toDF()
       .orderBy(col("anchor_id"), col("rank"))
 
+  /** Distributed connected components (ConnectedComponents: min-label
+    * + pointer doubling, O(log diameter) rounds) over a deterministic
+    * sparse graph synthesized from the dense order-key space: chain
+    * edges (k, k+1) broken every 7th key, skip edges (k, k+3) every
+    * 11th — chains that sometimes merge, so components are non-trivial
+    * but stay small enough for the oracle's recursive-CTE transitive
+    * closure. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables(s, dir).orders.select(col("o_orderkey").as("k"))
+    def shifted(d: Int, pred: org.apache.spark.sql.Column): DataFrame =
+      keys.alias("x").join(keys.alias("y"),
+          col("y.k") === col("x.k") + d)
+        .filter(pred)
+        .select(col("x.k").as("a"), col("y.k").as("b"))
+    val edges = shifted(1, col("x.k") % 7 =!= 6)
+      .unionByName(shifted(3, col("x.k") % 11 === 0))
+    graft.operators.ConnectedComponents.components(edges, "a", "b")
+      .orderBy(col("node"))
+  }
+
+  private val q41Sql =
+    """WITH RECURSIVE
+      |k AS (SELECT o_orderkey AS k FROM orders),
+      |e0 AS (
+      |  SELECT x.k AS a, y.k AS b FROM k x JOIN k y ON y.k = x.k + 1
+      |  WHERE x.k % 7 <> 6
+      |  UNION ALL
+      |  SELECT x.k AS a, y.k AS b FROM k x JOIN k y ON y.k = x.k + 3
+      |  WHERE x.k % 11 = 0),
+      |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+      |walk(node, label) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node)
+      |SELECT node, CAST(min(label) AS BIGINT) AS component
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q27_gap_fill", q27, Some(q27Sql)),
     Q("q28_rollup", q28, Some(q28Sql)),
     Q("q29_min_by", q29, Some(q29Sql)),
-    Q("q30_chamfer_similarity", q30, None, headline = true))
+    Q("q30_chamfer_similarity", q30, None, headline = true),
+    Q("q41_components", q41, Some(q41Sql), headline = true))
 }
