@@ -82,6 +82,47 @@ object EventStreams {
       }.toDF()
   }
 
+  case class BuildState(ts_ms: Long, id: Long, value: Double)
+  case class Enriched(event_id: Long, user_id: Long, ts_ms: Long,
+      matched_ts_ms: Option[Long], matched_id: Option[Long],
+      matched_value: Option[Double])
+
+  /** Streaming as-of enrichment — the continuous twin of
+    * `AsOfJoin.asOf` (q38): each `probeType` event is emitted with the
+    * latest `buildType` event at-or-before it for the same user. State
+    * is ONE row per key (the current build record), the minimal
+    * footprint a 1000-executor enrichment join needs; within a
+    * micro-batch events process in (ts, side, id) order so ties and
+    * same-ts duplicates resolve exactly like the batch operator
+    * (build-before-probe, max event id survives a ts tie). Cross-batch
+    * late build rows are the streaming caveat: a build event arriving
+    * after a later probe was already emitted cannot retro-enrich it —
+    * the same contract as any stream-state join. */
+  def asOfEnrich(spark: SparkSession, events: DataFrame,
+      buildType: String, probeType: String): DataFrame = {
+    import spark.implicits._
+    events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event]
+      .filter(e => e.event_type == buildType || e.event_type == probeType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BuildState, Enriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[BuildState]) =>
+          val sorted = it.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.event_type == buildType) 0 else 1, e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Enriched]
+          for (e <- sorted) {
+            if (e.event_type == buildType)
+              cur = Some(BuildState(e.ts.getTime, e.event_id, e.value))
+            else out += Enriched(e.event_id, userId, e.ts.getTime,
+              cur.map(_.ts_ms), cur.map(_.id), cur.map(_.value))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
   /** Streaming exact-dedup — the continuous-ingest twin of
     * `Dedup.dropExactDups` (q16 family): first arrival per
     * normalized-content fingerprint survives. State is BOUNDED by the

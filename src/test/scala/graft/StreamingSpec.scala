@@ -84,4 +84,31 @@ class StreamingSpec extends SparkSpec {
     val users = batch.select("user_id").distinct().count()
     assert(spark.table("sess_out").count() === totalSessions - users)
   }
+
+  test("streaming as-of enrichment matches the batch AsOfJoin on the same data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    val src = graft.Tables(spark, "/root/testdata/sf0.001").events
+    src.write.mode("overwrite").parquet(dir)
+
+    val stream = EventStreams.readEventStream(spark, dir)
+    EventStreams.runToMemory(
+      EventStreams.asOfEnrich(spark, stream, "purchase", "click"),
+      "asof_out", org.apache.spark.sql.streaming.OutputMode.Append())
+
+    // batch twin: q38's operator chain on the same rows
+    val batch = QueryCatalog.byName("q38_asof_join")
+      .run(spark, "/root/testdata/sf0.001")
+      .select(col("click_id"),
+        unix_millis(col("purchase_ts")).as("m_ts"),
+        col("purchase_id"), col("purchase_value"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    val got = spark.table("asof_out")
+      .select(col("event_id"), col("matched_ts_ms"), col("matched_id"),
+        col("matched_value"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got.size === batch.size)
+    assert(got === batch)
+  }
 }
