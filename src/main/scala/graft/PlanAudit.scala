@@ -100,9 +100,12 @@ object PlanAudit {
   // all-label-pairs construction (a non-equi self-join of two DISTINCT
   // label relations — G² pairs over tiny G; the unbounded-G path is
   // GroupSimilarity.similarGroups' centroid recall instead).
+  // q40's BNLJ is the 1-row corpus-stats scalar attach
+  // (crossJoin(broadcast(N, avgdl))) — a constant-size broadcast, not
+  // an unbounded nested loop.
   val bnljAllowed: Set[String] = Set("q17_jaccard_pairs", "q20_cosine_topk",
     "q22_knn_classify", "q30_chamfer_similarity", "q31_group_scores",
-    "q32_cosine_pairs")
+    "q32_cosine_pairs", "q40_bm25")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
