@@ -106,6 +106,47 @@ object SimilaritySearch {
       k)
   }
 
+  /** ALL-pairs embedding near-dup candidates — the corpus-scale twin
+    * of [[cosinePairs]] (which broadcasts a fixed anchor set and is
+    * O(anchors·N)): `numTables` random-hyperplane signatures band the
+    * corpus, candidates are a SELF equi-join on (table, bucket) —
+    * hash-partitioned, never a cross join — and exact cosine verifies
+    * each candidate once. The same plan family as MinHash-LSH (q18)
+    * and SimHash (q19), for the embedding modality: at 1000 executors
+    * the band join stays co-partitioned and the verify cost is
+    * |candidates|, not N². Oversized buckets (degenerate embeddings —
+    * zero vectors, collapsed models) are culled by `maxBucketSize`
+    * via a broadcast anti-join, the standard LSH skew guard.
+    *
+    * Probabilistic recall: a pair at angle θ shares one table's
+    * bucket with prob (1 − θ/π)^numPlanes; tables are independent, so
+    * misses decay exponentially in `numTables` (near-identical pairs
+    * are found with prob ≈ 1 — spec-pinned against the brute-force
+    * baseline on planted duplicates).
+    */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
+      numPlanes: Int = 8, numTables: Int = 4, maxBucketSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val keyed = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      posexplode(array((0 until numTables).map(t =>
+        lshKey(col(vecCol), t, numPlanes)): _*)).as(Seq("table", "bucket")))
+    val oversized = keyed.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select(col("table"), col("bucket"))
+    val sized = keyed.join(broadcast(oversized),
+      Seq("table", "bucket"), "left_anti")
+    sized.as("x").join(sized.as("y"),
+        col("x.table") === col("y.table") &&
+          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("x.vec").as("a_vec"),
+        col("y.id").as("b_id"), col("y.vec").as("b_vec"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("score", round(fastCosine(col("a_vec"), col("b_vec")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("a_id"), col("b_id"), col("score"))
+  }
+
   /** IVF-flat approximate top-k — the second scale path beside LSH:
     * a coarse k-means quantizer (Spark ML, fixed seed) partitions the
     * corpus into `nlist` cells; each anchor probes its `nprobe`

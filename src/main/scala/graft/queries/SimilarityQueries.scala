@@ -163,11 +163,22 @@ object SimilarityQueries {
       |JOIN sm mb ON mb.l = ks.lb
       |ORDER BY a_label, b_label""".stripMargin
 
+  /** ALL-pairs embedding near-dup via RHP banding — the corpus-scale
+    * twin of q32's anchored baseline (same plan family as q18/q19 for
+    * the embedding modality). Rows-only: the LSH candidate set is not
+    * SQL-expressible; SimilaritySpec pins precision (⊆ brute force)
+    * and planted-duplicate recall instead. */
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.cosineNearDupPairs(Tables(s, dir).embeddings,
+        threshold = 0.35, numPlanes = 8, numTables = 6)
+      .orderBy(col("a_id"), col("b_id"))
+
   val all: Seq[Q] = Seq(
     Q("q20_cosine_topk", q20, Some(q20Sql), headline = true),
     Q("q21_label_centroids", q21, Some(q21Sql)),
     Q("q22_knn_classify", q22, Some(q22Sql)),
     Q("q23_lsh_cosine_topk", q23, None, headline = true),
     Q("q31_group_scores", q31, Some(q31Sql), headline = true),
-    Q("q32_cosine_pairs", q32, Some(q32Sql)))
+    Q("q32_cosine_pairs", q32, Some(q32Sql)),
+    Q("q42_cosine_near_dup", q42, None))
 }

@@ -188,6 +188,33 @@ class SimilaritySpec extends SparkSpec {
       === viaWindow.collect().map(_.toSeq).toSet)
   }
 
+  test("cosineNearDupPairs: precision ⊆ brute force; planted dups recalled") {
+    import graft.operators.SimilaritySearch
+    // brute-force truth over ALL pairs at the same rounded threshold
+    val all = emb.select($"vec_id".as("a_id"), $"embedding".as("a_vec"))
+      .crossJoin(emb.select($"vec_id".as("b_id"), $"embedding".as("b_vec")))
+      .filter($"a_id" < $"b_id")
+      .withColumn("score", round(
+        org.apache.spark.sql.graft.VectorExpressions.cosine(
+          $"a_vec".cast("array<double>"), $"b_vec".cast("array<double>")), 4))
+      .filter($"score" >= 0.35)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // recall-tuned banding for this geometry: the 0.35-threshold pairs
+    // sit near 70° where per-table match prob is (1−θ/π)^planes —
+    // 4 planes × 8 tables ⇒ ~70% bulk recall expectation; 8×6 (the
+    // q42 default) trades recall for smaller buckets
+    val got = SimilaritySearch.cosineNearDupPairs(emb, threshold = 0.35,
+        numPlanes = 4, numTables = 8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // every emitted pair is exact-verified → no false positives
+    assert(got.subsetOf(all))
+    // the planted near-identical pair (100, 101) shares a bucket with
+    // probability ≈ 1 under 8 independent tables
+    assert(got.contains((100L, 101L)))
+    // and bulk recall on this corpus is substantial, not token
+    assert(got.size >= all.size / 2, s"recall ${got.size}/${all.size}")
+  }
+
   test("centroids: element-wise mean per group") {
     val two = Seq(
       (1L, Array(1.0f, 3.0f), "g"),
