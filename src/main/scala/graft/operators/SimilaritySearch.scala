@@ -200,6 +200,132 @@ object SimilaritySearch {
     rankTopK(cands, k)
   }
 
+  /** Product-quantization codebooks (Jégou/Douze/Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split
+    * dim into `m` subspaces, k-means each subspace to `ksub`
+    * centroids. Codebooks are m·ksub·(dim/m) doubles — driver-sized
+    * by construction, broadcast for encoding. Training runs one
+    * Spark ML KMeans per subspace over (optionally sampled) slices —
+    * m small jobs, each over an (n × dim/m) projection. */
+  def pqCodebooks(vectors: DataFrame, m: Int, ksub: Int,
+      vecCol: String = "embedding", seed: Long = 42L,
+      trainFraction: Double = 1.0): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dv = vectors.select(col(vecCol).cast("array<double>").as("v"))
+    val dim = dv.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val sampled =
+      if (trainFraction >= 1.0) dv else dv.sample(trainFraction, seed)
+    (0 until m).map { j =>
+      val sliceDf = sampled.select(
+        array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("features"))
+      new KMeans().setK(ksub).setSeed(seed + j).setFeaturesCol("features")
+        .fit(sliceDf).clusterCenters.map(_.toArray)
+    }.toArray
+  }
+
+  /** PQ-encode every vector: (id, code ARRAY<INT> of length m) —
+    * nearest codebook centroid per subspace by L2. The 100 TB point:
+    * the encoded corpus is m·log2(ksub) bits per vector (m=8,
+    * ksub=256 → 8 bytes vs 256 for a 64-dim float vector), so the
+    * candidate-scoring working set fits in memory where raw vectors
+    * cannot. Zero shuffles; codebooks broadcast. */
+  def pqEncode(vectors: DataFrame, codebooks: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    val m = codebooks.length
+    vectors.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cb = cbB.value
+        val dsub = v.length / m
+        val code = new Array[Int](m)
+        var j = 0
+        while (j < m) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cb(j).length) {
+            var d = 0.0; var t = 0
+            while (t < dsub) {
+              val diff = v(j * dsub + t) - cb(j)(c)(t); d += diff * diff
+              t += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          code(j) = best
+          j += 1
+        }
+        (id, code)
+      }.toDF("id", "code")
+  }
+
+  /** PQ top-k by asymmetric distance computation: each anchor
+    * precomputes an m×ksub inner-product lookup table against the
+    * codebooks (exact anchor × quantized neighbor), candidate scores
+    * are m table lookups per encoded vector (never touching the raw
+    * corpus vectors), the `rerank` best per anchor re-score exactly,
+    * and the final top-k comes from the bounded TopKByScore
+    * aggregate. Approximate by design — recall is spec-measured
+    * against [[cosineTopK]], the precision/memory dial is (m, ksub,
+    * rerank). */
+  def pqCosineTopK(vectors: DataFrame, anchorPred: Column, k: Int,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, trainFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val codebooks = pqCodebooks(vectors, m, ksub, vecCol, seed, trainFraction)
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    val encoded = pqEncode(vectors, codebooks, idCol, vecCol)
+    val anchors = vectors.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(anchorPred)
+    // ADC sweep: anchors broadcast against the encoded corpus; the
+    // per-anchor lookup table is built once per (partition, anchor)
+    val approx = encoded.toDF("nid", "code")
+      .crossJoin(broadcast(anchors.select(col("id").as("anchor_id"),
+        col("v").as("a_vec"))))
+      .filter(col("anchor_id") =!= col("nid"))
+      .as[(Long, Array[Int], Long, Array[Double])]
+      .mapPartitions { it =>
+        val cb = cbB.value
+        val mm = cb.length
+        // lookup tables memoized per anchor within the partition
+        val tables = scala.collection.mutable.Map.empty[Long, Array[Array[Double]]]
+        it.map { case (nid, code, aid, avec) =>
+          val tab = tables.getOrElseUpdate(aid, {
+            val dsub = avec.length / mm
+            Array.tabulate(mm, cb(0).length) { (j, c) =>
+              var s = 0.0; var t = 0
+              while (t < dsub) { s += avec(j * dsub + t) * cb(j)(c)(t); t += 1 }
+              s
+            }
+          })
+          var s = 0.0; var j = 0
+          while (j < mm) { s += tab(j)(code(j)); j += 1 }
+          (aid, nid, s)
+        }
+      }.toDF("anchor_id", "neighbor_id", "approx")
+    val shortlist = approx.groupBy(col("anchor_id"))
+      .agg(topKByScore(col("approx"), col("neighbor_id"), rerank).as("cand"))
+      .select(col("anchor_id"), explode(col("cand.id")).as("neighbor_id"))
+    val rescored = shortlist
+      .join(anchors.select(col("id").as("anchor_id"), col("v").as("a_vec")),
+        "anchor_id")
+      .join(vectors.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("n_vec")), "neighbor_id")
+      .withColumn("score", round(fastCosine(col("a_vec"), col("n_vec")), 4))
+      .select(col("anchor_id"), col("neighbor_id"), col("score"))
+    rankTopK(rescored, k)
+  }
+
   /** k-NN majority-vote classification: label each anchor by the
     * modal label among its exact top-k neighbors (tie → smaller
     * label). Composition of cosineTopK + the A1 majority pattern.

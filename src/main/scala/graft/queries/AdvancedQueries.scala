@@ -152,10 +152,35 @@ object AdvancedQueries {
       |SELECT node, CAST(min(label) AS BIGINT) AS component
       |FROM walk GROUP BY node ORDER BY node""".stripMargin
 
+  /** Exact interpolated quantiles per group (median / p90 / p99 of
+    * extended price by return flag). Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the (n−1)·p rank definition but interpolate
+    * with differently-ordered float ops — round(6) absorbs the ulp,
+    * the same discipline as every other cross-engine float. At scale
+    * exact percentile sorts per group; the streaming/approximate
+    * sibling is `approx_percentile`, deliberately not gated (its
+    * sketch is engine-specific). */
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+      .orderBy(col("l_returnflag"))
+
+  private val q43Sql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q27_gap_fill", q27, Some(q27Sql)),
     Q("q28_rollup", q28, Some(q28Sql)),
     Q("q29_min_by", q29, Some(q29Sql)),
     Q("q30_chamfer_similarity", q30, None, headline = true),
-    Q("q41_components", q41, Some(q41Sql), headline = true))
+    Q("q41_components", q41, Some(q41Sql), headline = true),
+    Q("q43_quantiles", q43, Some(q43Sql)))
 }
