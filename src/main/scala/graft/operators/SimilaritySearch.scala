@@ -265,39 +265,19 @@ object SimilaritySearch {
       }.toDF("id", "code")
   }
 
-  /** PQ top-k by asymmetric distance computation: each anchor
-    * precomputes an m×ksub inner-product lookup table against the
-    * codebooks (exact anchor × quantized neighbor), candidate scores
-    * are m table lookups per encoded vector (never touching the raw
-    * corpus vectors), the `rerank` best per anchor re-score exactly,
-    * and the final top-k comes from the bounded TopKByScore
-    * aggregate. Approximate by design — recall is spec-measured
-    * against [[cosineTopK]], the precision/memory dial is (m, ksub,
-    * rerank). */
-  def pqCosineTopK(vectors: DataFrame, anchorPred: Column, k: Int,
-      m: Int = 8, ksub: Int = 16, rerank: Int = 32,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L, trainFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
-    val spark = vectors.sparkSession
+  /** ADC scoring of (nid, code, anchor_id, a_vec) candidate rows:
+    * inner-product lookup tables memoized per anchor within each
+    * partition; m table lookups per candidate, never touching the raw
+    * corpus vectors. */
+  private def adcScores(cands: DataFrame,
+      cbB: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]]): DataFrame = {
+    val spark = cands.sparkSession
     import spark.implicits._
-    val codebooks = pqCodebooks(vectors, m, ksub, vecCol, seed, trainFraction)
-    val cbB = spark.sparkContext.broadcast(codebooks)
-    val encoded = pqEncode(vectors, codebooks, idCol, vecCol)
-    val anchors = vectors.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .filter(anchorPred)
-    // ADC sweep: anchors broadcast against the encoded corpus; the
-    // per-anchor lookup table is built once per (partition, anchor)
-    val approx = encoded.toDF("nid", "code")
-      .crossJoin(broadcast(anchors.select(col("id").as("anchor_id"),
-        col("v").as("a_vec"))))
-      .filter(col("anchor_id") =!= col("nid"))
+    cands.select(col("nid"), col("code"), col("anchor_id"), col("a_vec"))
       .as[(Long, Array[Int], Long, Array[Double])]
       .mapPartitions { it =>
         val cb = cbB.value
         val mm = cb.length
-        // lookup tables memoized per anchor within the partition
         val tables = scala.collection.mutable.Map.empty[Long, Array[Array[Double]]]
         it.map { case (nid, code, aid, avec) =>
           val tab = tables.getOrElseUpdate(aid, {
@@ -313,6 +293,13 @@ object SimilaritySearch {
           (aid, nid, s)
         }
       }.toDF("anchor_id", "neighbor_id", "approx")
+  }
+
+  /** Shortlist by approximate score, re-score exactly, bounded top-k. */
+  private def rerankTopK(approx: DataFrame, anchors: DataFrame,
+      vectors: DataFrame, k: Int, rerank: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
     val shortlist = approx.groupBy(col("anchor_id"))
       .agg(topKByScore(col("approx"), col("neighbor_id"), rerank).as("cand"))
       .select(col("anchor_id"), explode(col("cand.id")).as("neighbor_id"))
@@ -324,6 +311,84 @@ object SimilaritySearch {
       .withColumn("score", round(fastCosine(col("a_vec"), col("n_vec")), 4))
       .select(col("anchor_id"), col("neighbor_id"), col("score"))
     rankTopK(rescored, k)
+  }
+
+  /** PQ top-k by asymmetric distance computation over the WHOLE
+    * encoded corpus: anchors broadcast, candidate scores are m table
+    * lookups per encoded vector, the `rerank` best per anchor
+    * re-score exactly, and the final top-k comes from the bounded
+    * TopKByScore aggregate. Approximate by design — recall is
+    * spec-measured against [[cosineTopK]]; the precision/memory dial
+    * is (m, ksub, rerank). */
+  def pqCosineTopK(vectors: DataFrame, anchorPred: Column, k: Int,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, trainFraction: Double = 1.0): DataFrame = {
+    val spark = vectors.sparkSession
+    val codebooks = pqCodebooks(vectors, m, ksub, vecCol, seed, trainFraction)
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    val encoded = pqEncode(vectors, codebooks, idCol, vecCol)
+    val anchors = vectors.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(anchorPred)
+    val approx = adcScores(
+      encoded.toDF("nid", "code")
+        .crossJoin(broadcast(anchors.select(col("id").as("anchor_id"),
+          col("v").as("a_vec"))))
+        .filter(col("anchor_id") =!= col("nid")), cbB)
+    rerankTopK(approx, anchors, vectors, k, rerank, idCol, vecCol)
+  }
+
+  /** IVF+PQ fusion — the full billion-scale recipe: the coarse
+    * quantizer restricts each anchor's sweep to its `nprobe` nearest
+    * cells (a hash-partitioned equi-join on the cell id, as in
+    * [[ivfCosineTopK]]) and WITHIN those cells candidates score by PQ
+    * lookup tables instead of raw vectors (as in [[pqCosineTopK]]) —
+    * so the scan cost is nprobe/nlist of the corpus and the scanned
+    * payload is m small codes per vector, not the embedding. This
+    * variant quantizes raw vectors (no residual encoding — documented
+    * simplification; residuals sharpen recall at equal bits but need
+    * a per-cell codebook pass). nprobe = nlist degenerates to
+    * [[pqCosineTopK]] exactly (spec-pinned). */
+  def ivfPqTopK(vectors: DataFrame, anchorPred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42L,
+      trainFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
+    val spark = vectors.sparkSession
+    val codebooks = pqCodebooks(vectors, m, ksub, vecCol, seed, trainFraction)
+    val cbB = spark.sparkContext.broadcast(codebooks)
+    val feat = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val trainSet =
+      if (trainFraction >= 1.0) feat else feat.sample(trainFraction, seed)
+    val coarse = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").fit(trainSet)
+    val cells = coarse.transform(feat)
+      .select(col("id"), col("prediction").as("cell"))
+    val encoded = pqEncode(vectors, codebooks, idCol, vecCol)
+      .toDF("nid", "code")
+      .join(cells.withColumnRenamed("id", "nid"), "nid")
+    val centDf = spark.createDataFrame(
+      coarse.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray) }).toDF("cell", "cvec")
+    val anchors = feat.filter(anchorPred).select(col("id"), col("v"))
+    val probeCells = anchors.crossJoin(broadcast(centDf))
+      .withColumn("cs", fastCosine(col("v"), col("cvec")))
+      .groupBy(col("id"))
+      .agg(topKByScore(col("cs"), col("cell"), nprobe).as("pc"))
+      .select(col("id").as("anchor_id"), explode(col("pc.id")).as("cell"))
+    val cands = probeCells
+      .join(anchors.select(col("id").as("anchor_id"), col("v").as("a_vec")),
+        "anchor_id")
+      .join(encoded, "cell")
+      .filter(col("anchor_id") =!= col("nid"))
+    val approx = adcScores(cands, cbB)
+    rerankTopK(approx, anchors, vectors, k, rerank, idCol, vecCol)
   }
 
   /** k-NN majority-vote classification: label each anchor by the

@@ -252,6 +252,25 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.6, s"mean recall@$k = $mean")
   }
 
+  test("IVF+PQ: nprobe=nlist ≡ whole-corpus PQ; partial probe finds the dup") {
+    import graft.operators.SimilaritySearch
+    val full = SimilaritySearch.pqCosineTopK(emb, col("id") < 5, k = 3,
+        m = 4, ksub = 8, rerank = 16)
+      .collect().map(_.toSeq).toSet
+    val fused = SimilaritySearch.ivfPqTopK(emb, col("id") < 5, k = 3,
+        nlist = 4, nprobe = 4, m = 4, ksub = 8, rerank = 16)
+      .collect().map(_.toSeq).toSet
+    // probing every cell sweeps the same candidates with the same
+    // codebooks → identical output
+    assert(fused === full)
+    // near-identical vectors share a coarse cell → found at nprobe=1
+    val partial = SimilaritySearch.ivfPqTopK(emb, col("id") === 100, k = 1,
+        nlist = 4, nprobe = 1, m = 4, ksub = 8, rerank = 8)
+      .collect()
+    assert(partial.nonEmpty)
+    assert(partial(0).getAs[Long]("neighbor_id") === 101L)
+  }
+
   test("centroids: element-wise mean per group") {
     val two = Seq(
       (1L, Array(1.0f, 3.0f), "g"),
