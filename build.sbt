@@ -30,7 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
 // CJK file paths are load-bearing (SURVEY §7 hard-list e). The
 // container locale is POSIX, which makes sun.jnu.encoding ANSI and
 // breaks java.nio on non-ASCII paths; -D flags cannot override it,

@@ -27,11 +27,12 @@ object RunOne {
       case "explain" =>
         fn(spark, sfDir).explain("formatted")
       case "time" =>
-        (1 to 3).foreach { i =>
+        val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+        (1 to runs).foreach { i =>
           val t0 = System.nanoTime()
           val n = fn(spark, sfDir).count()
           CacheScope.releaseAll(blocking = true)
-          println(f"[runone] run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          println(f"[runone] run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs (ended ${System.currentTimeMillis() / 1000})")
         }
       case _ =>
         println(s"[runone] ${fn(spark, sfDir).count()} rows")

@@ -68,9 +68,12 @@ object Multimodal {
     def decode(mediaId: String, content: Array[Byte]): Iterator[DecodedFrame] = {
       if (content == null) Iterator.empty
       else {
+        // NonFatal, not just IOException: ImageIO throws RuntimeExceptions
+        // on hostile payloads (CMMException on bad color profiles, IAE /
+        // AIOOBE inside codec readers) and those must also mean "skip"
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Iterator.empty
         else {
           val w = img.getWidth

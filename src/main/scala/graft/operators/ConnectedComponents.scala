@@ -44,7 +44,16 @@ object ConnectedComponents {
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // sum(empty) is NULL: a pair set with no edges (nothing near-dup)
+    // must yield an empty component frame, not an NPE. DECIMAL sum —
+    // Σ of 2^63-scale labels over a large id space can exceed Long.
+    def labelSum(df: DataFrame): BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) BigDecimal(-1) else BigDecimal(r.getDecimal(0))
+    }
+    var prevSum = labelSum(labels)
+    if (prevSum == BigDecimal(-1))
+      return labels.select(col("node"), col("label").as("component"))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -57,7 +66,7 @@ object ConnectedComponents {
         .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
       // labels decrease monotonically → Σ is a complete change detector
-      val s = next.agg(sum(col("label"))).head().getLong(0)
+      val s = labelSum(next)
       labels = next
       converged = s == prevSum
       prevSum = s

@@ -127,9 +127,13 @@ object SimilaritySearch {
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
       numPlanes: Int = 8, numTables: Int = 4, maxBucketSize: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val keyed = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      posexplode(array((0 until numTables).map(t =>
-        lshKey(col(vecCol), t, numPlanes)): _*)).as(Seq("table", "bucket")))
+    // persisted via CacheScope: otherwise the signature scan recomputes
+    // for the oversized aggregate, the anti-join input, and BOTH sides
+    // of the self-join (4× the corpus pass — the q18 lesson)
+    val keyed = graft.CacheScope.track(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        posexplode(array((0 until numTables).map(t =>
+          lshKey(col(vecCol), t, numPlanes)): _*)).as(Seq("table", "bucket"))))
     val oversized = keyed.groupBy(col("table"), col("bucket"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucketSize)
