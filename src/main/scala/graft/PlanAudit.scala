@@ -93,7 +93,29 @@ object PlanAudit {
     // every wide operation is a keyed shuffle — no cartesian, no BNLJ
     Check("q36_catalog_pipeline",
       mustContain = Seq("BroadcastHashJoin", "WindowGroupLimit"),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // q44: the composed dedup pipeline caches the keyed relation once
+    // (bucket-size agg + both self-join sides read the cache) and every
+    // wide stage is a keyed shuffle
+    Check("q44_dedup_pipeline",
+      mustContain = Seq("InMemoryTableScan", "hashpartitioning"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // q45: the sample is a pure filter — column pruning strips `text`
+    // from the scan (the whole point: a 100 TB sample decision never
+    // reads the payload column), and nothing hash-shuffles (the only
+    // exchange is the final presentation sort)
+    Check("q45_stratified_sample",
+      mustContain = Seq("ReadSchema: struct<doc_id:bigint,lang:string,source:string,n_chars:bigint>"),
+      mustNotContain = Seq("hashpartitioning", "text")),
+    // q46: the one-row T and the per-domain quotas attach by BROADCAST;
+    // the rank is the only wide op over the corpus
+    Check("q46_mixture_rebalance",
+      mustContain = Seq("BroadcastHashJoin", "Window"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // q48: sketch partials aggregate map-side (ObjectHashAggregate
+    // partial_hll_sketch_agg) before any shuffle
+    Check("q48_hll_rollup",
+      mustContain = Seq("ObjectHashAggregate", "partial_hll_sketch_agg")))
 
   // Queries whose broadcast nested-loop join is the documented design:
   // brute-force baselines with a fixed-size anchor side, and q31's
@@ -102,10 +124,11 @@ object PlanAudit {
   // GroupSimilarity.similarGroups' centroid recall instead).
   // q40's BNLJ is the 1-row corpus-stats scalar attach
   // (crossJoin(broadcast(N, avgdl))) — a constant-size broadcast, not
-  // an unbounded nested loop.
+  // an unbounded nested loop. q46's is the same shape: the 1-row
+  // mixture total T broadcast onto the per-domain counts.
   val bnljAllowed: Set[String] = Set("q17_jaccard_pairs", "q20_cosine_topk",
     "q22_knn_classify", "q30_chamfer_similarity", "q31_group_scores",
-    "q32_cosine_pairs", "q40_bm25")
+    "q32_cosine_pairs", "q40_bm25", "q46_mixture_rebalance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.functions.TextFunctions.{normalized, tokenSet}
+import org.apache.spark.sql.graft.ArrayExpressions.sortedIntersectCount
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The COMPOSED near-dup pipeline — the LLM-curation sibling of the
+  * q36 catalog chain: exact dedup → candidate generation → exact
+  * verification → transitive closure → survivor election, one
+  * DataFrame in, one DataFrame out, so column drift BETWEEN dedup
+  * stages fails the oracle gate, not just per-operator specs.
+  *
+  * Stages (all shuffle on compact keys):
+  *   1. exact dedup — one shuffle on the md5 fingerprint, min-id
+  *      survivor ([[Dedup.dropExactDups]]);
+  *   2. candidates — docs sharing a deterministic bucket key (first
+  *      two normalized tokens: the prefix-bucketing family; any
+  *      equi-joinable key slots in). A bucket-size cull drops
+  *      boilerplate mega-buckets (the skew guard every banded join
+  *      here carries) — declared, and mirrored by the oracle;
+  *   3. verify — exact token-set Jaccard >= threshold inside buckets,
+  *      via the zero-allocation sorted-merge intersect expression;
+  *   4. closure — [[ConnectedComponents]] (min-label + pointer
+  *      doubling, O(log diameter) rounds);
+  *   5. election — component id (min doc id) is the canonical
+  *      survivor; singletons are their own group.
+  *
+  * Returns one row per exact-dedup survivor:
+  * (doc_id, dup_group, group_size, survivor).
+  *
+  * Scale: stages 1-3 are the q16/q17/q18 shapes (fingerprint shuffle,
+  * bucketed self-equi-join with skew cull); stage 4 is O(log d)
+  * keyed-shuffle rounds; stage 5 is one count per group. Nothing
+  * driver-side, nothing O(N^2) outside a culled bucket.
+  */
+object DedupPipeline {
+
+  /** Bucket key: first two tokens of the normalized text. */
+  private def bucketKey(text: org.apache.spark.sql.Column) =
+    concat_ws("|", split_part(normalized(text), lit(" "), lit(1)),
+      split_part(normalized(text), lit(" "), lit(2)))
+
+  def nearDupGroups(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxBucketSize: Int = 1000): DataFrame = {
+    // 1. exact dedup (keeps all columns; min id per fingerprint)
+    val surv = Dedup.dropExactDups(docs, idCol, textCol)
+    // one scan feeds the bucket-size agg and both self-join sides
+    val keyed = graft.CacheScope.track(
+      surv.select(col(idCol).cast("long").as("id"),
+        bucketKey(col(textCol)).as("bkey"),
+        array_sort(tokenSet(normalized(col(textCol)))).as("toks")))
+    // 2. boilerplate cull: mega-buckets out (declared skew guard)
+    val okBuckets = keyed.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize && col("bsz") > 1)
+      .select(col("bkey"))
+    val side = keyed.join(okBuckets, "bkey")
+    // 3. exact Jaccard verification inside buckets
+    val pairs = side.select(col("bkey"), col("id").as("a_id"), col("toks").as("a_toks"))
+      .join(side.select(col("bkey"), col("id").as("b_id"), col("toks").as("b_toks")),
+        "bkey")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", sortedIntersectCount(col("a_toks"), col("b_toks")))
+      // division form, NOT inter >= thr*union: must round exactly like
+      // the oracle's jaccard >= thr at boundary pairs (e.g. 16/20 vs 0.8)
+      .filter(col("inter").cast("double") /
+        (size(col("a_toks")) + size(col("b_toks")) - col("inter")).cast("double")
+        >= lit(threshold))
+      .select(col("a_id"), col("b_id"))
+    // 4. transitive closure
+    val comp = ConnectedComponents.components(pairs, "a_id", "b_id")
+    // 5. survivor election; singletons = own group of 1
+    val assigned = keyed.select(col("id").as("doc_id"))
+      .join(comp, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("dup_group"))
+    val sizes = assigned.groupBy(col("dup_group"))
+      .agg(count(lit(1)).as("group_size"))
+    assigned.join(sizes, "dup_group")
+      .select(col("doc_id"), col("dup_group"), col("group_size"),
+        (col("doc_id") === col("dup_group")).as("survivor"))
+  }
+}

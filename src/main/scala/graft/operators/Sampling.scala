@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: reproducible
+  * subsampling, per-stratum rates, and rebalancing a corpus to a
+  * target domain mixture.
+  *
+  * Every sample here is a pure function of the ROW (its id), not of
+  * the partitioning, the run, or a seed stream: `keep(id, rate)` is
+  * "the first 8 hex chars of md5(id) fall below a threshold string".
+  * That gives the three properties a 100 TB pipeline needs and
+  * `DataFrame.sample` does not have:
+  *
+  *   - reproducible across runs/cluster sizes/retries (a task retry
+  *     resamples identically; `sample()` does not guarantee that);
+  *   - NESTED: the rate-0.1 sample is a subset of the rate-0.2 sample
+  *     (thresholds are ordered), so ablation subsets are consistent;
+  *   - verifiable by any engine that has md5 (the oracle re-derives
+  *     the exact member set — no RNG state to replicate).
+  *
+  * Scale shape: threshold sampling is a narrow FILTER — no shuffle, no
+  * state, pushes past column pruning into the scan. Mixture
+  * rebalancing ranks within domain (one keyed shuffle) but uses pure
+  * integer arithmetic for the per-domain quotas so the result is
+  * bit-reproducible cross-engine (no float rate boundaries).
+  *
+  * Reference analog: the reference snapshots deterministic id→shard
+  * assignments for resumable processing (SURVEY X19/X25); this is the
+  * same idea promoted to corpus curation ops.
+  */
+object Sampling {
+
+  /** 8-hex-char lowercase threshold: a uniform hash-fraction u in
+    * [0,1) (the first 32 bits of md5) is kept iff hex(u) < threshold.
+    * Comparing fixed-width lowercase hex strings IS the numeric
+    * compare, so this works in any engine with md5 + substring.
+    */
+  def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate < 1.0, s"rate must be in [0,1): $rate")
+    f"${math.floor(rate * 4294967296.0).toLong}%08x"
+  }
+
+  /** The keep predicate for a deterministic `rate` sample keyed on
+    * `id` (cast to string; equals the SQL md5(CAST(id AS VARCHAR))).
+    */
+  def keep(id: Column, rate: Double): Column =
+    if (rate >= 1.0) lit(true)
+    else substring(md5(id.cast("string")), 1, 8) < lit(hexThreshold(rate))
+
+  /** Deterministic uniform sample: zero-shuffle filter. */
+  def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(keep(col(idCol), rate))
+
+  /** Per-stratum deterministic rates (e.g. language downsampling:
+    * keep 100% of low-resource languages, 20% of English). Strata
+    * absent from `rates` keep `defaultRate`. Still a pure filter —
+    * the rate map compiles to a literal CASE chain, not a join.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      idCol: String): DataFrame = {
+    // rates are compile-time → the predicate is one codegen'd CASE
+    // over string compares ("g" sorts above every hex char = keep all)
+    val thresholdOf: Double => Column = r =>
+      if (r >= 1.0) lit("g") else lit(hexThreshold(r))
+    // deterministic chain order (sorted keys) so plans are stable
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(thresholdOf(defaultRate)) {
+      case (acc, (k, r)) => when(col(stratumCol) === lit(k), thresholdOf(r)).otherwise(acc)
+    }
+    df.filter(substring(md5(col(idCol).cast("string")), 1, 8) < threshold)
+  }
+
+  /** Rebalance a corpus to a target domain mixture, keeping as much
+    * data as possible: the largest total T consistent with the
+    * targets is bounded by the scarcest domain, quota_d = how many
+    * rows of domain d appear in that T-row mixture, and each domain
+    * keeps its quota by deterministic hash order (so the selection is
+    * stable under reruns AND nested across target changes).
+    *
+    * Targets are RATIONAL (numerator per domain over a common
+    * denominator, e.g. en->2, de->1, fr->1 over denom 4 = 50/25/25%)
+    * so every quota is integer arithmetic — bit-identical in any
+    * engine, no float rate boundaries. Domains absent from `targets`
+    * are dropped (target share 0).
+    *
+    * Shape: one tiny per-domain count (partial agg), broadcast back,
+    * one rank within domain. The rank is a per-domain window — for a
+    * domain so hot its rows exceed one executor's spill budget, the
+    * bounded-state alternative is the TopKByScore aggregate (see
+    * SCALE.md); the window keeps the gate query planar.
+    */
+  def mixtureRebalance(df: DataFrame, domainCol: String,
+      targets: Map[String, Int], idCol: String): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0))
+    val denom = targets.values.sum.toLong
+    val numOf = targets.toSeq.sortBy(_._1).foldLeft(lit(null).cast("long")) {
+      case (acc, (k, n)) => when(col(domainCol) === lit(k), lit(n.toLong)).otherwise(acc)
+    }
+    val tagged = df.withColumn("__num", numOf).filter(col("__num").isNotNull)
+    // T = max total mixture size = min_d (count_d * denom div num_d).
+    // Integer `div`, never `/`: long / long is a DOUBLE divide in
+    // Spark, and a 2^53+ numerator would round the quota boundary.
+    val counts = tagged.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__cnt"), first(col("__num")).as("__n"))
+    val t = counts.agg(min(expr(s"__cnt * ${denom}L div __n")).as("t"))
+    // quota_d = num_d * T div denom: how many domain-d rows the T-row
+    // mixture contains. Broadcast: one row.
+    val quotas = counts.join(broadcast(t))
+      .select(col("__dom"), expr(s"__n * t div ${denom}L").as("__quota"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    tagged
+      .join(broadcast(quotas), col(domainCol) === col("__dom"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__quota"))
+      .drop("__num", "__dom", "__quota", "__rk")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions.{tokenCount, tokens}
+import graft.operators.{Packing, Sampling}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation suite: deterministic sampling, mixture
+  * rebalancing, sequence packing, and mergeable-sketch cardinality —
+  * the operations between deduplication and shard writing in a
+  * training-data pipeline.
+  *
+  * q45/q46 are fully oracle-backed: the md5-hex-threshold sample and
+  * the integer-quota mixture are bit-reproducible in any engine with
+  * md5 (that is the point of deterministic curation — an auditor can
+  * re-derive exactly which rows a 100 TB run kept). q47 (packing) and
+  * q48 (HLL sketches) have no SQL oracle — packing is an imperative
+  * per-shard decision and sketch bytes are engine-specific — so both
+  * are rows-only with invariant/error-bound specs (PackingSpec,
+  * SketchSpec).
+  */
+object CurationQueries {
+
+  /** q45: per-language deterministic downsampling (keep all zh, half
+    * de, a quarter of en, three quarters of everything else) — a pure
+    * zero-shuffle filter; thresholds are compile-time hex literals.
+    */
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables(s, dir).documents, "lang",
+        Map("en" -> 0.25, "de" -> 0.5, "zh" -> 1.0),
+        defaultRate = 0.75, idCol = "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  // thresholds: 0.25->40000000 0.5->80000000 0.75->c0000000 1.0->keep
+  // (Sampling.hexThreshold; 'g' sorts above every hex digit)
+  private val q45Sql =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      |  CASE lang WHEN 'zh' THEN 'g' WHEN 'en' THEN '40000000'
+      |    WHEN 'de' THEN '80000000' ELSE 'c0000000' END
+      |ORDER BY doc_id""".stripMargin
+
+  /** q46: rebalance sources to a 2:1:1 target mixture. All quota math
+    * is integer (rational targets), selection is md5-rank order —
+    * bit-reproducible cross-engine, nested under target changes.
+    */
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureRebalance(Tables(s, dir).documents, "source",
+        Map("src0" -> 2, "src1" -> 1, "src2" -> 1), idCol = "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  private val q46Sql =
+    """WITH tagged AS (
+      |  SELECT doc_id, lang, source,
+      |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+      |      WHEN 'src2' THEN 1 END AS num
+      |  FROM documents
+      |  WHERE source IN ('src0', 'src1', 'src2')),
+      |counts AS (SELECT source, num, count(*) AS cnt FROM tagged GROUP BY 1, 2),
+      |t AS (SELECT min(cnt * 4 // num) AS t FROM counts),
+      |quotas AS (SELECT source, num * t.t // 4 AS quota FROM counts, t),
+      |ranked AS (
+      |  SELECT doc_id, lang, source, row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM tagged)
+      |SELECT r.doc_id, r.lang, r.source
+      |FROM ranked r JOIN quotas q USING (source)
+      |WHERE r.rk <= q.quota
+      |ORDER BY r.doc_id""".stripMargin
+
+  /** q47: pack documents into 512-token training sequences (16
+    * deterministic shards, FFD within shard). Rows-only: the packing
+    * invariants (every doc exactly once, no bin over capacity unless
+    * oversize, FFD bin-count bound) are pinned by PackingSpec.
+    */
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(Tables(s, dir).documents, "doc_id",
+        tokenCount(col("text")), maxTokens = 512, numShards = 16)
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  /** q48: per-language distinct-token cardinality via MERGEABLE HLL
+    * sketches — per-(lang, source) partial sketches union'd up to
+    * language level, the two-level rollup a 100 TB corpus profile
+    * runs (partials merge across executors/days without re-reading
+    * text). Rows-only: sketch bytes are engine-specific; SketchSpec
+    * pins the estimates against exact distinct counts.
+    */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val partials = d
+      .select(col("lang"), col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(hll_sketch_agg(col("tok"), lit(12)).as("sketch"),
+        count(lit(1)).as("n_toks"))
+    partials.groupBy(col("lang"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+          .as("est_distinct_tokens"),
+        sum(col("n_toks")).as("total_tokens"),
+        count(lit(1)).as("n_partials"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q45_stratified_sample", q45, Some(q45Sql)),
+    Q("q46_mixture_rebalance", q46, Some(q46Sql), headline = true),
+    Q("q47_sequence_packing", q47, None, headline = true),
+    Q("q48_hll_rollup", q48, None))
+}

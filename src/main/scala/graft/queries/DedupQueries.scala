@@ -66,10 +66,61 @@ object DedupQueries {
         shingleK = 3, window = 4, minContainment = 0.5)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** The COMPOSED dedup pipeline (DedupPipeline: exact dedup →
+    * prefix-bucket candidates → exact-Jaccard verify → connected
+    * components → survivor election) under a FULL DuckDB oracle — the
+    * LLM-curation sibling of q36's composed catalog chain. The oracle
+    * re-derives all five stages, including the transitive closure
+    * (recursive CTE) and the mega-bucket skew cull.
+    */
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DedupPipeline.nearDupGroups(
+      Tables(s, dir).documents, "doc_id", "text", threshold = 0.8)
+      .orderBy(col("doc_id"))
+
+  private val q44Sql =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> length(x) > 0)) AS toks,
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+      |  FROM documents),
+      |surv AS (
+      |  SELECT doc_id, toks, norm FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+      |    FROM t) WHERE rn = 1),
+      |keyed AS (
+      |  SELECT doc_id, toks, length(toks) AS ntok,
+      |    split_part(norm, ' ', 1) || '|' || split_part(norm, ' ', 2) AS bkey
+      |  FROM surv
+      |  QUALIFY count(*) OVER (PARTITION BY bkey) <= 1000),
+      |p0 AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM keyed a JOIN keyed b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |  WHERE CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |      / (a.ntok + b.ntok - length(list_intersect(a.toks, b.toks))) >= 0.8),
+      |edges AS (SELECT a_id AS a, b_id AS b FROM p0
+      |  UNION SELECT b_id, a_id FROM p0),
+      |walk(node, label) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+      |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+      |assigned AS (
+      |  SELECT s.doc_id,
+      |    CAST(coalesce(c.component, s.doc_id) AS BIGINT) AS dup_group
+      |  FROM surv s LEFT JOIN comp c ON c.node = s.doc_id),
+      |sizes AS (SELECT dup_group, count(*) AS group_size
+      |  FROM assigned GROUP BY 1)
+      |SELECT a.doc_id, a.dup_group, z.group_size,
+      |  a.doc_id = a.dup_group AS survivor
+      |FROM assigned a JOIN sizes z USING (dup_group)
+      |ORDER BY a.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q16_exact_dup_groups", q16, Some(q16Sql)),
     Q("q17_jaccard_pairs", q17, Some(q17Sql), headline = true),
     Q("q18_minhash_lsh", q18, None, headline = true),
     Q("q19_simhash_pairs", q19, None, headline = true),
-    Q("q34_winnow_containment", q34, None))
+    Q("q34_winnow_containment", q34, None),
+    Q("q44_dedup_pipeline", q44, Some(q44Sql), headline = true))
 }

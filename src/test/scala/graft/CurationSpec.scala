@@ -1,0 +1,190 @@
+package graft
+
+import graft.operators.{DedupPipeline, Packing, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Sampling, mixture rebalance, composed dedup pipeline, sequence
+  * packing, HLL sketch rollups — the curation operator suite.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------- deterministic sampling ----------
+
+  test("hexThreshold: exact 8-hex-digit boundaries") {
+    assert(Sampling.hexThreshold(0.25) === "40000000")
+    assert(Sampling.hexThreshold(0.5) === "80000000")
+    assert(Sampling.hexThreshold(0.75) === "c0000000")
+    assert(Sampling.hexThreshold(0.0) === "00000000")
+    intercept[IllegalArgumentException](Sampling.hexThreshold(1.0))
+  }
+
+  private lazy val ids = (0L until 4000L).toDF("id")
+
+  test("deterministicSample: rate within tolerance, reproducible, nested") {
+    val s02 = Sampling.deterministicSample(ids, "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    val s05 = Sampling.deterministicSample(ids, "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    // md5 is uniform: 4000 draws at p=0.2 → ±4 sigma ≈ ±101
+    assert(math.abs(s02.size - 800) < 110, s"got ${s02.size}")
+    assert(math.abs(s05.size - 2000) < 130, s"got ${s05.size}")
+    // NESTED: the 20% sample is a subset of the 50% sample
+    assert(s02.subsetOf(s05))
+    // reproducible under repartitioning (pure function of the row)
+    val again = Sampling.deterministicSample(ids.repartition(7), "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(again === s02)
+  }
+
+  test("stratifiedSample: per-stratum rates and default applied") {
+    val df = ids.withColumn("stratum",
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b")
+        .otherwise("c"))
+    val kept = Sampling.stratifiedSample(df, "stratum",
+      Map("a" -> 1.0, "b" -> 0.25), defaultRate = 0.0, idCol = "id")
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(kept("a") === 1334)           // rate 1.0 keeps every row
+    assert(math.abs(kept("b") - 333) < 75)
+    assert(!kept.contains("c"))          // default 0.0 drops all
+  }
+
+  test("mixtureRebalance: integer quotas hit the target mixture exactly") {
+    // 600 of x, 100 of y, 300 of z; target 2:1:1 → T bounded by y:
+    // T = 100*4 div 1 = 400 → quotas x=200, y=100, z=100
+    val df = ((0L until 600L).map(i => (i, "x")) ++
+      (600L until 700L).map(i => (i, "y")) ++
+      (700L until 1000L).map(i => (i, "z"))).toDF("id", "dom")
+    val out = Sampling.mixtureRebalance(df, "dom",
+      Map("x" -> 2, "y" -> 1, "z" -> 1), idCol = "id")
+    val cnt = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(cnt === Map("x" -> 200L, "y" -> 100L, "z" -> 100L))
+    // domains not in the target are dropped entirely
+    val out2 = Sampling.mixtureRebalance(df, "dom",
+      Map("x" -> 1, "y" -> 1), idCol = "id")
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(out2 === Map("x" -> 100L, "y" -> 100L))
+    // selection is deterministic: rerun picks the identical id set
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Sampling.mixtureRebalance(df.repartition(5), "dom",
+      Map("x" -> 2, "y" -> 1, "z" -> 1), idCol = "id")
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
+  // ---------- composed dedup pipeline ----------
+
+  // 1↔2 exact dup; 3~4~5 a near-dup CHAIN (3~4 and 4~5 share 14/15
+  // tokens but 3~5 only 13/16 < 0.8 — transitivity must merge all
+  // three); 6 shares the bucket key with 3-5 but is unrelated; 7 has
+  // its own bucket.
+  private lazy val pipeDocs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "Alpha  beta gamma delta epsilon zeta eta theta iota kappa"),
+    (3L, "pack my box with five dozen liquor jugs before the long summer night ends"),
+    (4L, "pack my box with five dozen liquor jugs before the long winter night ends"),
+    (5L, "pack my box with five dozen liquor jugs before the cold winter night ends"),
+    (6L, "pack my crate entirely differently worded text goes right here now"),
+    (7L, "sphinx of black quartz judge my vow tonight"))
+    .toDF("doc_id", "text")
+
+  test("nearDupGroups: exact stage + chain closure + singleton election") {
+    val out = DedupPipeline.nearDupGroups(pipeDocs, "doc_id", "text", 0.8)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // doc 2 was removed by the exact stage
+    assert(out.map(_._1).toSeq === Seq(1L, 3L, 4L, 5L, 6L, 7L))
+    val byId = out.map(r => r._1 -> r).toMap
+    // chain 3~4~5 closed transitively into group 3 of size 3
+    assert(byId(3L) === ((3L, 3L, 3L, true)))
+    assert(byId(4L) === ((4L, 3L, 3L, false)))
+    assert(byId(5L) === ((5L, 3L, 3L, false)))
+    // same-bucket-but-dissimilar and lone docs are singleton survivors
+    assert(byId(6L) === ((6L, 6L, 1L, true)))
+    assert(byId(7L) === ((7L, 7L, 1L, true)))
+    assert(byId(1L) === ((1L, 1L, 1L, true)))
+  }
+
+  test("nearDupGroups: mega-bucket cull skips pairing but keeps docs") {
+    // 30 docs share a bucket; with maxBucketSize=10 none may pair, so
+    // all must surface as singleton survivors (silent drop = bias)
+    val many = (0L until 30L)
+      .map(i => (i, s"common prefix payload number $i end"))
+      .toDF("doc_id", "text")
+    val out = DedupPipeline.nearDupGroups(many, "doc_id", "text", 0.5,
+      maxBucketSize = 10)
+    assert(out.count() === 30)
+    assert(out.filter(col("survivor") && col("group_size") === 1).count() === 30)
+  }
+
+  // ---------- sequence packing ----------
+
+  private def checkPackingInvariants(
+      docs: org.apache.spark.sql.DataFrame, maxTokens: Int,
+      numShards: Int): Unit = {
+    val out = Packing.packSequences(docs, "doc_id",
+      col("w"), maxTokens, numShards).collect()
+    val inIds = docs.select(col("doc_id").cast("long")).as[Long]
+      .collect().sorted.toSeq
+    // every doc exactly once
+    assert(out.map(_.doc_id).sorted.toSeq === inIds)
+    // per-bin: fill = Σ weights; ≤ cap unless a lone oversize doc
+    out.groupBy(p => (p.shard, p.bin)).foreach { case ((_, _), members) =>
+      val fill = members.map(_.weight).sum
+      assert(members.forall(_.bin_fill === fill))
+      if (fill > maxTokens) {
+        assert(members.length === 1 && members.head.oversize,
+          s"overfull bin not a lone oversize doc: $members")
+      }
+      assert(members.forall(p => p.oversize === (p.weight > maxTokens)))
+    }
+    // FFD quality per shard: bins ≤ 11/9·OPT + 1, OPT ≥ ceil(Σw/cap)
+    out.groupBy(_.shard).foreach { case (_, members) =>
+      val regular = members.filter(!_.oversize)
+      if (regular.nonEmpty) {
+        val bins = regular.map(_.bin).distinct.length
+        val lower = math.ceil(regular.map(_.weight.toLong).sum
+          / maxTokens.toDouble)
+        assert(bins <= math.ceil(11.0 / 9.0 * lower) + 1,
+          s"FFD bound violated: $bins bins for lower bound $lower")
+      }
+    }
+  }
+
+  test("packSequences: invariants on a crafted mix") {
+    val docs = ((1L to 40L).map(i => (i, 100 + (i % 7).toInt * 50)) ++
+      Seq((98L, 700), (99L, 513))) // two oversize docs (cap 512)
+      .toDF("doc_id", "w")
+    checkPackingInvariants(docs, maxTokens = 512, numShards = 4)
+  }
+
+  test("packSequences: deterministic under repartitioning") {
+    val docs = (1L to 200L).map(i => (i, 1 + ((i * 37) % 400).toInt))
+      .toDF("doc_id", "w")
+    val a = Packing.packSequences(docs, "doc_id", col("w"), 512, 8)
+      .collect().sortBy(_.doc_id).toSeq
+    val b = Packing.packSequences(docs.repartition(13), "doc_id", col("w"), 512, 8)
+      .collect().sortBy(_.doc_id).toSeq
+    assert(a === b)
+  }
+
+  // ---------- HLL sketch rollup ----------
+
+  test("hll union of partial sketches tracks exact distinct counts") {
+    val df = (0L until 5000L)
+      .map(i => (s"part${i % 8}", s"tok${i % 700}"))
+      .toDF("part", "tok")
+    val partials = df.groupBy("part")
+      .agg(hll_sketch_agg(col("tok"), lit(12)).as("sk"))
+    val est = partials
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))))
+      .as[Long].head()
+    // HLL at lgK=12 has ~1.6% rse; 700 distinct → ±4 sigma ≈ 45
+    assert(math.abs(est - 700L) <= 45, s"estimate $est vs exact 700")
+    // mergeability: union of partials estimates within the same error
+    // band as one global sketch (not bit-equal: the union path may
+    // promote sketch mode, shifting the estimator by < 2 rse)
+    val global = df.agg(hll_sketch_estimate(
+      hll_sketch_agg(col("tok"), lit(12)))).as[Long].head()
+    assert(math.abs(est - global) <= 25, s"union $est vs global $global")
+  }
+}
