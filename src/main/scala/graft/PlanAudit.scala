@@ -115,7 +115,17 @@ object PlanAudit {
     // q48: sketch partials aggregate map-side (ObjectHashAggregate
     // partial_hll_sketch_agg) before any shuffle
     Check("q48_hll_rollup",
-      mustContain = Seq("ObjectHashAggregate", "partial_hll_sketch_agg")))
+      mustContain = Seq("ObjectHashAggregate", "partial_hll_sketch_agg")),
+    // q49: the benchmark-gram join is a keyed equi-join; corpus text
+    // never shuffles (only (doc_id, gram-hash) pairs move)
+    Check("q49_decontamination",
+      mustContain = Seq("hashpartitioning"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // q50: repetition scoring is a pure projection — nothing
+    // hash-shuffles (only the final presentation sort exchanges)
+    Check("q50_repetition",
+      mustContain = Seq("Project"),
+      mustNotContain = Seq("hashpartitioning", "Exchange hashpartitioning")))
 
   // Queries whose broadcast nested-loop join is the documented design:
   // brute-force baselines with a fixed-size anchor side, and q31's

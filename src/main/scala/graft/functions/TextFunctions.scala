@@ -42,6 +42,29 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Word n-grams (space-joined token windows, WITH repeats — the
+    * repetition signals need multiplicity). Empty for docs with fewer
+    * than n tokens: guarded, because Spark's `sequence(1, stop)`
+    * counts BACKWARD when stop < 1 instead of returning empty.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signal: the fraction of n-gram windows
+    * that repeat an earlier window (0 = no repetition). Null for docs
+    * with fewer than n tokens. Pure projection — no shuffle, no UDF.
+    */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val g = ngrams(text, n)
+    round((size(g) - size(array_distinct(g))).cast("double") /
+      nullif(size(g), lit(0)).cast("double"), 6)
+  }
+
   /** Count of characters matching a single-char regex class —
     * implemented as length-difference so it ports to any engine.
     */

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag training documents that contain
+  * n-gram overlap with an evaluation/benchmark corpus, the standard
+  * pre-training hygiene step (n-gram collision scrubbing à la GPT-3
+  * appendix C / PaLM / Llama; typically n = 8..13 on real corpora).
+  *
+  * Shape at 100 TB: benchmark suites are SMALL (milions of n-grams at
+  * most) and the corpus is huge, so the n-gram index of the benchmark
+  * side builds once (distinct md5 of each n-token window) and the
+  * join is an equi-join on the gram hash that AQE broadcasts when the
+  * suite fits — the corpus side never shuffles its text, only
+  * (doc_id, gram_hash) pairs, and docs with zero hits drop at the
+  * join (the common case: contamination is rare). The gram hash is
+  * md5 so the flag decision is auditable by any engine (same
+  * discipline as the sampling thresholds).
+  *
+  * Returns one row per CONTAMINATED doc: (doc_id, n_hits — distinct
+  * benchmark grams seen in the doc, n_grams — the doc's distinct
+  * gram count, contamination — n_hits/n_grams rounded to 6). Docs
+  * shorter than n tokens have no n-grams and cannot be flagged.
+  */
+object Decontamination {
+
+  /** Distinct md5 hashes of every n-token window (empty below n
+    * tokens — see [[graft.functions.TextFunctions.ngrams]]).
+    */
+  def gramHashes(text: Column, n: Int): Column =
+    array_distinct(transform(
+      graft.functions.TextFunctions.ngrams(text, n), g => md5(g)))
+
+  def flagContaminated(docs: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(gramHashes(col(textCol), n)).as("g"))
+    val benchGrams = benchmark
+      .select(explode(gramHashes(col(textCol), n)).as("g"))
+      .distinct()
+    val perDoc = docs.select(col(idCol).as("doc_id"),
+      size(gramHashes(col(textCol), n)).cast("long").as("n_grams"))
+    grams.join(benchGrams, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .join(perDoc, "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("n_grams"),
+        round(col("n_hits").cast("double") / col("n_grams").cast("double"), 6)
+          .as("contamination"))
+  }
+}

@@ -105,9 +105,79 @@ object CurationQueries {
       .orderBy(col("lang"))
   }
 
+  /** q49: benchmark decontamination — flag training docs sharing
+    * 3-gram windows with the "benchmark suite" (stand-in: every 97th
+    * doc). Real corpora use n = 8..13; the synthetic vocabulary is
+    * tiny, so n=3 keeps the collision signal non-trivial at every SF.
+    * Full oracle: the gram hashes are md5, so DuckDB re-derives the
+    * exact flag set (the auditability property).
+    */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    graft.operators.Decontamination.flagContaminated(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q49Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_distinct([md5(list_aggregate(toks[i:i+2], 'string_agg', ' '))
+      |      for i in generate_series(1, length(toks) - 2)]) AS grams
+      |  FROM t),
+      |bench AS (SELECT DISTINCT unnest(grams) AS gr FROM g WHERE doc_id % 97 = 0),
+      |docg AS (
+      |  SELECT doc_id, unnest(grams) AS gr, length(grams) AS n_grams
+      |  FROM g WHERE doc_id % 97 <> 0)
+      |SELECT d.doc_id, count(*) AS n_hits,
+      |  CAST(any_value(d.n_grams) AS BIGINT) AS n_grams,
+      |  round(CAST(count(*) AS DOUBLE) / any_value(d.n_grams), 6)
+      |    AS contamination
+      |FROM docg d JOIN bench b ON d.gr = b.gr
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q50: Gopher-style repetition quality signal — duplicate-3-gram
+    * fraction per doc, a pure zero-shuffle projection (the q12-q15
+    * family extended with the repetition filter real curation uses).
+    */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{dupNgramFraction, ngrams}
+    val g = ngrams(col("text"), 3)
+    Tables(s, dir).documents
+      .select(col("doc_id"), size(g).cast("long").as("n_grams"),
+        (size(g) - size(array_distinct(g))).cast("long").as("n_dup"),
+        dupNgramFraction(col("text"), 3).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q50Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, [list_aggregate(toks[i:i+2], 'string_agg', ' ')
+      |    for i in generate_series(1, length(toks) - 2)] AS grams
+      |  FROM t)
+      |SELECT doc_id, length(grams) AS n_grams,
+      |  length(grams) - length(list_distinct(grams)) AS n_dup,
+      |  round(CAST(length(grams) - length(list_distinct(grams)) AS DOUBLE)
+      |    / nullif(length(grams), 0), 6) AS dup_frac
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q45_stratified_sample", q45, Some(q45Sql)),
     Q("q46_mixture_rebalance", q46, Some(q46Sql), headline = true),
     Q("q47_sequence_packing", q47, None, headline = true),
-    Q("q48_hll_rollup", q48, None))
+    Q("q48_hll_rollup", q48, None),
+    Q("q49_decontamination", q49, Some(q49Sql), headline = true),
+    Q("q50_repetition", q50, Some(q50Sql)))
 }

@@ -167,6 +167,44 @@ class CurationSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // ---------- n-grams / repetition / decontamination ----------
+
+  test("ngrams and dupNgramFraction: hand-checked, short-doc guarded") {
+    import graft.functions.TextFunctions.{dupNgramFraction, ngrams}
+    val df = Seq((1L, "a b c d"), (2L, "x y x y x y"), (3L, "one two"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), ngrams(col("text"), 3).as("g"),
+        dupNgramFraction(col("text"), 3).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](1), Option(r.get(2)))).toMap
+    assert(df(1L)._1 === Seq("a b c", "b c d"))
+    assert(df(1L)._2 === Some(0.0))
+    // "x y x y x y": 3-grams [x y x, y x y, x y x, y x y] → 2 dups of 4
+    assert(df(2L)._1 === Seq("x y x", "y x y", "x y x", "y x y"))
+    assert(df(2L)._2 === Some(0.5))
+    // below n tokens: empty grams, NULL fraction (never negative/crash)
+    assert(df(3L)._1 === Seq.empty)
+    assert(df(3L)._2 === None)
+  }
+
+  test("flagContaminated: exact hit counts, short docs never flagged") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares "the quick brown" + "quick brown fox" + "brown fox jumps"
+      (1L, "we saw the quick brown fox jumps high today"),
+      (2L, "nothing in common with anything at all here"),
+      (3L, "fox jumps"), // < 3 tokens: no grams, cannot be flagged
+      (4L, "the quick brown dog sat still")) // 1 hit of 4 grams
+      .toDF("doc_id", "text")
+    val out = graft.operators.Decontamination
+      .flagContaminated(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(1L, 4L))
+    assert(out(1L) === ((3L, 7L, math.rint(3.0 / 7.0 * 1e6) / 1e6)))
+    assert(out(4L) === ((1L, 4L, 0.25)))
+  }
+
   // ---------- HLL sketch rollup ----------
 
   test("hll union of partial sketches tracks exact distinct counts") {
