@@ -32,13 +32,20 @@ object Decontamination {
     array_distinct(transform(
       graft.functions.TextFunctions.ngrams(text, n), g => md5(g)))
 
+  /** The benchmark-side gram index: distinct md5 gram hashes. Built
+    * once; at 100 TB this is the small static relation every
+    * ingest batch (or stream) joins against.
+    */
+  def benchIndex(benchmark: DataFrame, textCol: String, n: Int): DataFrame =
+    benchmark
+      .select(explode(gramHashes(col(textCol), n)).as("g"))
+      .distinct()
+
   def flagContaminated(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),
         explode(gramHashes(col(textCol), n)).as("g"))
-    val benchGrams = benchmark
-      .select(explode(gramHashes(col(textCol), n)).as("g"))
-      .distinct()
+    val benchGrams = benchIndex(benchmark, textCol, n)
     val perDoc = docs.select(col(idCol).as("doc_id"),
       size(gramHashes(col(textCol), n)).cast("long").as("n_grams"))
     grams.join(benchGrams, "g")

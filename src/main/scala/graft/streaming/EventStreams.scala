@@ -136,6 +136,36 @@ object EventStreams {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming deterministic-sampling twin — [[graft.operators
+    * .Sampling.keep]] is a pure per-row predicate (md5 threshold), so
+    * the SAME filter applies verbatim to a stream: zero state, and
+    * the kept set is identical to the batch sample of the same rows
+    * (a replayed/retried micro-batch re-samples identically).
+    */
+  def sampledStream(docs: DataFrame, idCol: String, rate: Double): DataFrame =
+    docs.filter(graft.operators.Sampling.keep(col(idCol), rate))
+
+  /** Streaming decontamination twin — the benchmark gram index is
+    * STATIC (built once via [[graft.operators.Decontamination
+    * .benchIndex]]), so flagging a continuous ingest feed is a
+    * stream-static equi-join + one stateful per-doc count. No
+    * stream-stream join: the doc's total gram count rides alongside
+    * the exploded grams instead of re-joining the stream side.
+    */
+  def contaminatedStream(docs: DataFrame, benchGrams: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = graft.operators.Decontamination.gramHashes(col(textCol), n)
+    docs.select(col(idCol).as("doc_id"), grams.as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("g"))
+      .join(benchGrams, "g")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"), col("n_grams"),
+        round(col("n_hits").cast("double") / col("n_grams").cast("double"), 6)
+          .as("contamination"))
+  }
+
   /** Drive a streaming DataFrame synchronously into a memory table
     * (test/smoke harness — processes everything currently available). */
   def runToMemory(df: DataFrame, name: String,

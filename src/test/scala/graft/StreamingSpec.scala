@@ -111,4 +111,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.size === batch.size)
     assert(got === batch)
   }
+
+  test("streaming deterministic sample keeps exactly the batch sample") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-samp").toString
+    val docs = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.sampledStream(stream, "doc_id", 0.3), "samp_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("samp_out").select("doc_id").as[Long].collect().toSet
+    val batch = graft.operators.Sampling
+      .deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === batch)
+    assert(got.nonEmpty && got.size < 500)
+  }
+
+  test("streaming decontamination matches the batch flag set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "we saw the quick brown fox jumps high today"),
+      (2L, "nothing in common with anything at all here"),
+      (3L, "the quick brown dog sat still"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val benchIdx = graft.operators.Decontamination.benchIndex(bench, "text", 3)
+    EventStreams.runToMemory(
+      EventStreams.contaminatedStream(stream, benchIdx, "doc_id", "text", 3),
+      "decon_out", org.apache.spark.sql.streaming.OutputMode.Update())
+    val got = spark.table("decon_out")
+      .select("doc_id", "n_hits", "n_grams", "contamination")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = graft.operators.Decontamination
+      .flagContaminated(docs, bench, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === batch)
+    assert(got.map(_._1) === Set(1L, 3L))
+  }
 }
