@@ -57,6 +57,43 @@ object Sinks {
       .option("header", "true")
       .csv(outDir)
 
+  /** Training-shard writer — the LAST stage of the curation pipeline
+    * (dedup → sample → pack → SHARD): writes parquet partitioned into
+    * `numShards` deterministic shards with a deterministic,
+    * seed-free global shuffle INSIDE each shard.
+    *
+    * Both decisions are pure functions of the id (same md5-order
+    * discipline as `operators.Sampling`):
+    *   - shard  = first hex nibbles of md5(id) → uniform, stable
+    *     under reruns/retries/cluster size — a resumed job rewrites
+    *     byte-identical shards instead of reshuffling the corpus;
+    *   - order  = md5(id) within the shard → the "shuffled" read
+    *     order LLM training wants, reproducible for an exact rerun
+    *     and auditable by any engine with md5.
+    *
+    * One repartition on the shard key + an in-partition sort — no
+    * global sort, no sample-based range exchange.
+    */
+  def writeTrainingShards(df: DataFrame, idCol: String, numShards: Int,
+      outDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    require(numShards > 0 && numShards <= 0x10000,
+      s"numShards must be in (0, 65536]: $numShards")
+    val key = md5(col(idCol).cast("string"))
+    // first 4 hex chars = 16 bits; uniform over [0, 65536) then mod
+    val shard = (conv(substring(key, 1, 4), 16, 10).cast("int") % numShards)
+      .as("shard")
+    // sort leads with the shard column: the file writer requires rows
+    // grouped by partition columns and would otherwise inject its own
+    // (unstable) sort, destroying the md5 order
+    df.withColumn("shard", shard)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), key, col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(outDir)
+  }
+
   /** Bucketed catalog table: pre-hash-partitions + sorts the data on
     * the join key at WRITE time, so repeated fact⋈fact joins on that
     * key run with ZERO exchanges — the co-located-join layout a

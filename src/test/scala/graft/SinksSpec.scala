@@ -107,4 +107,33 @@ class SinksSpec extends SparkSpec {
     assert(back.count() === 100)
     assert(back.agg(sum("v")).head.getLong(0) === 10100L)
   }
+
+  test("training shards: deterministic assignment, md5 order, stable rewrite") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = (0L until 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    Sinks.writeTrainingShards(df, "doc_id", numShards = 8, out)
+    val back = spark.read.parquet(out)
+    // every row exactly once, shard matches the md5-nibble formula
+    assert(back.count() === 500)
+    val mismatch = back.withColumn("expect",
+      conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 8)
+      .filter(col("shard") =!= col("expect")).count()
+    assert(mismatch === 0)
+    // within a shard, rows are in md5(id) order (the deterministic
+    // training shuffle) — parquet preserves row order per file
+    val shard0 = spark.read.parquet(s"$out/shard=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val expected = shard0.sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(shard0 === expected)
+    // rerun = identical shard contents (resume/rerun stability)
+    Sinks.writeTrainingShards(df, "doc_id", numShards = 8, out)
+    val again = spark.read.parquet(s"$out/shard=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(again === shard0)
+  }
 }
