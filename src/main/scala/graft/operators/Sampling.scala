@@ -73,6 +73,33 @@ object Sampling {
     df.filter(substring(md5(col(idCol).cast("string")), 1, 8) < threshold)
   }
 
+  /** Per-stratum quality filtering: keep the top `keepNum/keepDenom`
+    * fraction of each stratum by a quality score — the "drop the
+    * bottom quartile per language" curation step — expressed
+    * RANK-based, not threshold-based: a score threshold computed by
+    * interpolated percentile differs between engines by an ulp and
+    * flips membership of boundary docs, while rank ≤ ceil(frac·n)
+    * with a deterministic (score desc, id) order is integer-exact
+    * everywhere. Shape: one tiny per-stratum count + one window rank
+    * (same discipline as [[mixtureRebalance]]).
+    */
+  def qualityFilter(df: DataFrame, stratumCol: String, scoreCol: Column,
+      keepNum: Int, keepDenom: Int, idCol: String): DataFrame = {
+    require(keepNum > 0 && keepDenom >= keepNum)
+    val counts = df.groupBy(col(stratumCol).as("__s"))
+      .agg(count(lit(1)).as("__cnt"))
+    // keep_d = ceil(cnt * num / denom), integer-only
+    val keeps = counts.select(col("__s"),
+      expr(s"(__cnt * ${keepNum}L + ${keepDenom - 1}L) div ${keepDenom}L")
+        .as("__keep"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(scoreCol.desc, col(idCol))
+    df.join(broadcast(keeps), col(stratumCol) === col("__s"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__keep"))
+      .drop("__s", "__keep", "__rk")
+  }
+
   /** Rebalance a corpus to a target domain mixture, keeping as much
     * data as possible: the largest total T consistent with the
     * targets is bounded by the scarcest domain, quota_d = how many

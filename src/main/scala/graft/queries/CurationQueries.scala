@@ -173,11 +173,50 @@ object CurationQueries {
       |    / nullif(length(grams), 0), 6) AS dup_frac
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** q51: per-language quality filtering — keep the top 3/4 of each
+    * language by the q13 quality score, RANK-based (integer keep
+    * counts + deterministic (score desc, id) order) rather than
+    * threshold-based, so boundary docs can't flip on a cross-engine
+    * percentile ulp. The score itself is the q13 formulation, whose
+    * cross-engine value equality the q13 hash gate already pins.
+    */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    val scored = Tables(s, dir).documents
+      .withColumn("quality", qualityScore(col("text")))
+    Sampling.qualityFilter(scored, "lang", col("quality"),
+        keepNum = 3, keepDenom = 4, idCol = "doc_id")
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q51Sql =
+    """WITH q AS (
+      |  SELECT doc_id, lang, round(
+      |    0.25 * (CASE WHEN length(text) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
+      |    + 0.25 * (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) < 0.1 THEN 1.0 ELSE 0.0 END)
+      |    + 0.25 * (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) < 0.3 THEN 1.0 ELSE 0.0 END)
+      |    + 0.25 * least(CAST(length(list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0))) AS DOUBLE)
+      |        / greatest(length(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> length(x) > 0)), 1) * 2.0, 1.0)
+      |  , 6) AS quality
+      |  FROM documents),
+      |counts AS (SELECT lang, count(*) AS cnt FROM q GROUP BY 1),
+      |keeps AS (SELECT lang, (cnt * 3 + 3) // 4 AS keep FROM counts),
+      |ranked AS (
+      |  SELECT doc_id, lang, quality, row_number() OVER (
+      |    PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk
+      |  FROM q)
+      |SELECT r.doc_id, r.lang, r.quality
+      |FROM ranked r JOIN keeps k USING (lang)
+      |WHERE r.rk <= k.keep
+      |ORDER BY r.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q45_stratified_sample", q45, Some(q45Sql)),
     Q("q46_mixture_rebalance", q46, Some(q46Sql), headline = true),
     Q("q47_sequence_packing", q47, None, headline = true),
     Q("q48_hll_rollup", q48, None),
     Q("q49_decontamination", q49, Some(q49Sql), headline = true),
-    Q("q50_repetition", q50, Some(q50Sql)))
+    Q("q50_repetition", q50, Some(q50Sql)),
+    Q("q51_quality_filter", q51, Some(q51Sql)))
 }

@@ -72,6 +72,19 @@ class CurationSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("qualityFilter: exact per-stratum keep counts, worst docs dropped") {
+    // stratum a: 10 docs scored by id (keep 3/4 → ceil(7.5)=8 best);
+    // stratum b: 5 docs (keep ceil(3.75)=4)
+    val df = ((1L to 10L).map(i => (i, "a", i.toDouble)) ++
+      (11L to 15L).map(i => (i, "b", (20 - i).toDouble)))
+      .toDF("id", "s", "score")
+    val kept = Sampling.qualityFilter(df, "s", col("score"), 3, 4, "id")
+      .select("id").as[Long].collect().toSet
+    // a keeps scores 3..10 (drops the 2 worst), b keeps 11..14 (score
+    // 9..5 desc, drops 15)
+    assert(kept === ((3L to 10L) ++ (11L to 14L)).toSet)
+  }
+
   // ---------- composed dedup pipeline ----------
 
   // 1↔2 exact dup; 3~4~5 a near-dup CHAIN (3~4 and 4~5 share 14/15
