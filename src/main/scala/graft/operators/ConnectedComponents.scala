@@ -41,8 +41,15 @@ object ConnectedComponents {
         .unionByName(pairs.select(col(bCol).cast("long").as("src"),
           col(aCol).cast("long").as("dst")))
         .distinct())
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed with the neighbor-min instead of the identity: label₀ =
+    // min(node, incident neighbors) — the same one aggregation shape
+    // as a propagation round, but it replaces what would otherwise BE
+    // the first round, so every run converges one round earlier
+    var labels = edges
+      .groupBy(col("src"))
+      .agg(min(col("dst")).as("__nmin"))
+      .select(col("src").as("node"),
+        least(col("src"), col("__nmin")).as("label"))
       .localCheckpoint(true)
     // sum(empty) is NULL: a pair set with no edges (nothing near-dup)
     // must yield an empty component frame, not an NPE. DECIMAL sum —

@@ -80,4 +80,83 @@ object DedupPipeline {
       .select(col("doc_id"), col("dup_group"), col("group_size"),
         (col("doc_id") === col("dup_group")).as("survivor"))
   }
+
+  /** INCREMENTAL near-dup admission — the daily-ingest shape: decide
+    * which NEW docs to admit against an already-deduplicated corpus
+    * without ever comparing corpus docs to each other (the full
+    * pipeline's old×old work is exactly what a 100 TB daily batch
+    * cannot re-pay).
+    *
+    * Work done: new×new and new×corpus candidate pairs only — both
+    * equi-joins on the bucket key where ONE side is the (small) new
+    * batch, so the corpus side streams through the join without
+    * self-pairing. A new doc is rejected if it exactly matches a
+    * corpus fingerprint (anti-join), exactly matches an
+    * earlier-admitted new doc, or near-matches (Jaccard >= threshold)
+    * a corpus doc or an earlier new doc (transitively, via components
+    * over the new×new ∪ new×corpus edge set — corpus nodes are
+    * already-canonical sinks).
+    *
+    * Returns the admitted subset of `newDocs` (original columns).
+    * Equivalence contract (spec-pinned): admitted = the new docs that
+    * [[nearDupGroups]] over (corpus ∪ new) elects as survivors of
+    * groups containing no corpus member.
+    */
+  def admitIncremental(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val keyedOf = (df: DataFrame) => df.select(
+      col(idCol).cast("long").as("id"),
+      bucketKey(col(textCol)).as("bkey"),
+      graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
+      array_sort(tokenSet(normalized(col(textCol)))).as("toks"))
+    val newKeyed = graft.CacheScope.track(keyedOf(newDocs))
+    val corpusKeyed = keyedOf(corpus)
+    // exact stage: drop new docs whose fingerprint exists in the
+    // corpus (anti-join: corpus side never self-compares), keep the
+    // min-id new doc per new fingerprint
+    val wFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("id"))
+    val fresh = graft.CacheScope.track(newKeyed
+      .join(corpusKeyed.select(col("fp")), Seq("fp"), "left_anti")
+      .withColumn("__rn", row_number().over(wFp))
+      .filter(col("__rn") === 1).drop("__rn"))
+    // candidates: fresh×fresh and fresh×corpus, never corpus×corpus.
+    // Corpus ids are negated to a disjoint key space so components'
+    // min-label makes any corpus-touching group canonical-corpus
+    // (and thus rejected) without a flag column.
+    def jaccardPairs(a: DataFrame, b: DataFrame) = a
+      .join(b, "bkey")
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("inter", sortedIntersectCount(col("a_toks"), col("b_toks")))
+      .filter(col("inter").cast("double") /
+        (size(col("a_toks")) + size(col("b_toks")) - col("inter")).cast("double")
+        >= lit(threshold))
+      .select(col("a_id"), col("b_id"))
+    val aSide = fresh.select(col("bkey"), col("id").as("a_id"),
+      col("toks").as("a_toks"))
+    // bucket cull on the UNION side the pairs probe into
+    val probe = fresh.select(col("bkey"), col("id"), col("toks"))
+      .unionByName(corpusKeyed.select(col("bkey"), (-col("id") - 1).as("id"),
+        col("toks")))
+    val okBuckets = probe.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucketSize)
+      .select(col("bkey"))
+    val bSide = probe.join(okBuckets, "bkey")
+      .select(col("bkey"), col("id").as("b_id"), col("toks").as("b_toks"))
+    val pairs = jaccardPairs(aSide, bSide)
+      .filter(col("a_id") < col("b_id") || col("b_id") < 0)
+    val comp = ConnectedComponents.components(pairs, "a_id", "b_id")
+    // admitted: fresh docs whose component has no corpus member
+    // (label >= 0 — corpus ids are negative) and that ARE the
+    // canonical min (or are in no pair at all)
+    val admittedIds = fresh.select(col("id"))
+      .join(comp, col("id") === col("node"), "left")
+      .filter(col("component").isNull ||
+        (col("component") >= 0 && col("component") === col("id")))
+      .select(col("id").as("__admitted_id"))
+    newDocs.join(admittedIds,
+      col(idCol).cast("long") === col("__admitted_id"), "left_semi")
+  }
 }

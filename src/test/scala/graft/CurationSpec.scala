@@ -129,6 +129,47 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("survivor") && col("group_size") === 1).count() === 30)
   }
 
+  test("admitIncremental: rejects corpus dups, admits new survivors, ≡ full pipeline") {
+    // corpus (already deduplicated): two established docs. Corpus ids
+    // are LOWER than batch ids (the realistic invariant: the corpus
+    // is older), which also makes the full-pipeline comparison exact —
+    // an exact dup across corpus/new always resolves to the corpus doc.
+    val corpus = Seq(
+      (10L, "pack my box with five dozen liquor jugs before the long summer night ends"),
+      (20L, "sphinx of black quartz judge my vow while wizards explode frequently"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      // exact dup (mod case/ws) of corpus 10 → reject
+      (101L, "Pack my box  with five dozen liquor jugs before the long summer night ends"),
+      // near-dup of corpus 10 (one word) → reject
+      (102L, "pack my box with five dozen liquor jugs before the long winter night ends"),
+      // near-dup CHAIN to doc 102 only (two words off corpus) → still
+      // reject: transitively touches the corpus through doc 102
+      (103L, "pack my box with five dozen liquor jugs before the cold winter night ends"),
+      // novel doc → admit
+      (104L, "completely novel content about catalyst optimizer internals right here"),
+      // exact dup pair among new docs → admit min id only
+      (105L, "fresh new sentence that appears twice in this batch tonight"),
+      (106L, "fresh NEW sentence that appears twice in this batch tonight"))
+      .toDF("doc_id", "text")
+    val admitted = graft.operators.DedupPipeline
+      .admitIncremental(newDocs, corpus, "doc_id", "text", 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(104L, 105L))
+    // equivalence contract: admitted = new survivors of corpus-free
+    // groups in the FULL pipeline over corpus ∪ new
+    val full = graft.operators.DedupPipeline
+      .nearDupGroups(corpus.unionByName(newDocs), "doc_id", "text", 0.8)
+    val corpusIds = Set(10L, 20L)
+    val corpusGroups = full.filter(col("doc_id").isin(corpusIds.toSeq: _*))
+      .select("dup_group").as[Long].collect().toSet
+    val expected = full
+      .filter(col("survivor") && !col("dup_group").isin(corpusGroups.toSeq: _*)
+        && !col("doc_id").isin(corpusIds.toSeq: _*))
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted === expected)
+  }
+
   // ---------- sequence packing ----------
 
   private def checkPackingInvariants(
