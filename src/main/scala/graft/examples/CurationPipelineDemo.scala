@@ -1,0 +1,84 @@
+package graft.examples
+
+import graft.operators._
+import graft.sources.Sinks
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation through the public operator API
+  * — the LLM-pipeline lifecycle in one main, each stage feeding the
+  * next (the composed twins of gate queries q44-q51):
+  *
+  *   documents
+  *     → near-dup dedup (exact → candidates → verify → components →
+  *       survivors)                                  [DedupPipeline]
+  *     → benchmark decontamination (3-gram scrub)  [Decontamination]
+  *     → per-language quality filter (keep top 3/4)      [Sampling]
+  *     → mixture rebalance to a 2:1:1 source target      [Sampling]
+  *     → sequence packing into 512-token bins             [Packing]
+  *     → deterministic training shards                      [Sinks]
+  *
+  * Run: sbt "runMain graft.examples.CurationPipelineDemo [sfDir]"
+  */
+object CurationPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-curation-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    println(s"== corpus: ${docs.count()} docs")
+
+    // 1. near-dup dedup: keep group survivors
+    val groups = DedupPipeline.nearDupGroups(docs, "doc_id", "text", 0.8)
+    val deduped = docs.join(
+      groups.filter(col("survivor")).select(col("doc_id").as("__keep")),
+      col("doc_id") === col("__keep"), "left_semi")
+    println(s"== after dedup: ${deduped.count()}")
+
+    // 2. decontamination: drop docs colliding with the "benchmark"
+    // (stand-in: every 97th doc is eval data)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val train0 = deduped.filter(col("doc_id") % 97 =!= 0)
+    val flagged = Decontamination.flagContaminated(
+      train0, bench, "doc_id", "text", n = 3)
+    val clean = train0.join(flagged.select(col("doc_id").as("__bad")),
+      col("doc_id") === col("__bad"), "left_anti")
+    println(s"== after decontamination: ${clean.count()}")
+
+    // 3. per-language quality filter: keep the top 3/4
+    val scored = clean.withColumn("quality",
+      graft.functions.TextFunctions.qualityScore(col("text")))
+    val quality = Sampling.qualityFilter(
+      scored, "lang", col("quality"), 3, 4, "doc_id")
+    println(s"== after quality filter: ${quality.count()}")
+
+    // 4. rebalance three sources to a 2:1:1 mixture
+    val mixed = Sampling.mixtureRebalance(quality, "source",
+      Map("src0" -> 2, "src1" -> 1, "src2" -> 1), "doc_id")
+    println(s"== after mixture rebalance: ${mixed.count()}")
+    mixed.groupBy("source").count().orderBy(col("source")).show()
+
+    // 5. pack into 512-token training sequences
+    val packed = Packing.packSequences(mixed, "doc_id",
+      graft.functions.TextFunctions.tokenCount(col("text")),
+      maxTokens = 512, numShards = 4)
+    val bins = packed.select(col("shard"), col("bin")).distinct().count()
+    println(s"== packed into $bins bins")
+
+    // 6. deterministic shards on disk
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Sinks.writeTrainingShards(
+      mixed.join(packed.toDF().select(col("doc_id"), col("bin")), "doc_id"),
+      "doc_id", numShards = 4, out)
+    println(s"== shards written: $out")
+    spark.read.parquet(out).groupBy("shard").count()
+      .orderBy(col("shard")).show()
+    graft.CacheScope.releaseAll()
+    spark.stop()
+  }
+}

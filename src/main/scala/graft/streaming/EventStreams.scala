@@ -153,18 +153,9 @@ object EventStreams {
     * the exploded grams instead of re-joining the stream side.
     */
   def contaminatedStream(docs: DataFrame, benchGrams: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
-    val grams = graft.operators.Decontamination.gramHashes(col(textCol), n)
-    docs.select(col(idCol).as("doc_id"), grams.as("grams"))
-      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
-        explode(col("grams")).as("g"))
-      .join(benchGrams, "g")
-      .groupBy(col("doc_id"), col("n_grams"))
-      .agg(count(lit(1)).as("n_hits"))
-      .select(col("doc_id"), col("n_hits"), col("n_grams"),
-        round(col("n_hits").cast("double") / col("n_grams").cast("double"), 6)
-          .as("contamination"))
-  }
+      idCol: String, textCol: String, n: Int): DataFrame =
+    graft.operators.Decontamination.flagWithIndex(
+      docs, benchGrams, idCol, textCol, n)
 
   /** Drive a streaming DataFrame synchronously into a memory table
     * (test/smoke harness — processes everything currently available). */
