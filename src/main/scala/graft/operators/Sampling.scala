@@ -132,7 +132,13 @@ object Sampling {
     // Spark, and a 2^53+ numerator would round the quota boundary.
     val counts = tagged.groupBy(col(domainCol).as("__dom"))
       .agg(count(lit(1)).as("__cnt"), first(col("__num")).as("__n"))
-    val t = counts.agg(min(expr(s"__cnt * ${denom}L div __n")).as("t"))
+    // a target domain with ZERO rows caps T at 0 (the target mixture
+    // is unsatisfiable) — without the guard it would silently vanish
+    // from `counts` and the output would violate the requested
+    // proportions instead of being honestly empty
+    val t = counts.agg(
+      when(count(lit(1)) < lit(targets.size),
+        lit(0L)).otherwise(min(expr(s"__cnt * ${denom}L div __n"))).as("t"))
     // quota_d = num_d * T div denom: how many domain-d rows the T-row
     // mixture contains. Broadcast: one row.
     val quotas = counts.join(broadcast(t))

@@ -64,6 +64,11 @@ class CurationSpec extends SparkSpec {
       Map("x" -> 1, "y" -> 1), idCol = "id")
       .groupBy("dom").count().as[(String, Long)].collect().toMap
     assert(out2 === Map("x" -> 100L, "y" -> 100L))
+    // a target domain with no rows → honestly EMPTY, not a silently
+    // wrong mixture over the domains that do exist
+    val empty = Sampling.mixtureRebalance(df, "dom",
+      Map("x" -> 1, "missing" -> 1), idCol = "id")
+    assert(empty.count() === 0)
     // selection is deterministic: rerun picks the identical id set
     val a = out.select("id").as[Long].collect().toSet
     val b = Sampling.mixtureRebalance(df.repartition(5), "dom",
