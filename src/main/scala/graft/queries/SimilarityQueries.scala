@@ -173,6 +173,13 @@ object SimilarityQueries {
         threshold = 0.35, numPlanes = 8, numTables = 6)
       .orderBy(col("a_id"), col("b_id"))
 
+  // IVF-PQ (ivfPqTopK) is deliberately NOT a gate query: ~9 of its
+  // seconds are k-means codebook/cell TRAINING — an offline
+  // artifact-building step a deployment runs once and reuses, which a
+  // per-query bench line would misrepresent as query cost. The tier
+  // is spec-covered instead (SimilaritySpec: nprobe=nlist ≡
+  // whole-corpus PQ, measured recall floor vs exact).
+
   val all: Seq[Q] = Seq(
     Q("q20_cosine_topk", q20, Some(q20Sql), headline = true),
     Q("q21_label_centroids", q21, Some(q21Sql)),
