@@ -90,6 +90,51 @@ class PropertySpec extends SparkSpec {
         d.matches("\\d{4}(\\.(\\d{2}|xx))?(\\.(\\d{2}|xx))?"), s"'$d'")
     }
   }
+  test("sampling laws: nestedness, monotone size, rate bounds (12 random rate pairs)") {
+    import graft.operators.Sampling
+    val ids = (0L until 2000L).toDF("id")
+    val all = ids.select("id").as[Long].collect().toSet
+    (1 to 12).foreach { _ =>
+      val r1 = rnd.nextDouble() * 0.98
+      val r2 = r1 + rnd.nextDouble() * (0.99 - r1)
+      val s1 = Sampling.deterministicSample(ids, "id", r1)
+        .select("id").as[Long].collect().toSet
+      val s2 = Sampling.deterministicSample(ids, "id", r2)
+        .select("id").as[Long].collect().toSet
+      // nested: the lower-rate sample is always inside the higher-rate
+      assert(s1.subsetOf(s2), s"nestedness broken at $r1 <= $r2")
+      assert(s2.subsetOf(all))
+      // binomial bound: ±5 sigma around n·r
+      def within(s: Set[Long], r: Double): Unit = {
+        val sigma = math.sqrt(2000 * r * (1 - r)).max(1.0)
+        assert(math.abs(s.size - 2000 * r) <= 5 * sigma + 1,
+          s"rate $r gave ${s.size}/2000")
+      }
+      within(s1, r1); within(s2, r2)
+    }
+  }
+
+  test("mixtureRebalance: proportions exact to integer flooring (20 random targets)") {
+    import graft.operators.Sampling
+    (1 to 20).foreach { _ =>
+      val sizes = Seq("a" -> (50 + rnd.nextInt(400)),
+        "b" -> (50 + rnd.nextInt(400)), "c" -> (50 + rnd.nextInt(400)))
+      val df = sizes.flatMap { case (d, n) =>
+        (0 until n).map(i => (d.hashCode.toLong * 100000 + i, d))
+      }.toDF("id", "dom")
+      val targets = Map("a" -> (1 + rnd.nextInt(4)),
+        "b" -> (1 + rnd.nextInt(4)), "c" -> (1 + rnd.nextInt(4)))
+      val denom = targets.values.sum
+      val out = Sampling.mixtureRebalance(df, "dom", targets, "id")
+        .groupBy("dom").count().as[(String, Long)].collect().toMap
+      val t = sizes.map { case (d, n) => n.toLong * denom / targets(d) }.min
+      targets.foreach { case (d, num) =>
+        assert(out.getOrElse(d, 0L) === num.toLong * t / denom,
+          s"domain $d off: targets=$targets sizes=$sizes got=$out")
+      }
+    }
+  }
+
 }
 
 class GraftSqlSpec extends SparkSpec {
@@ -148,4 +193,5 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT graft_frequent_keys(o_custkey, 16) FROM orders").collect()(0)
     assert(fk.getSeq[org.apache.spark.sql.Row](0).nonEmpty)
   }
+
 }
