@@ -73,20 +73,28 @@ object Sinks {
     *
     * One repartition on the shard key + an in-partition sort — no
     * global sort, no sample-based range exchange.
+    *
+    * The shard assignment itself ([[shardOf]]: first 4 md5 hex chars
+    * = 16 uniform bits, mod the shard count) is shared with the
+    * streaming ingest twin, so a continuously-written feed lands
+    * every row in the SAME shard a batch rewrite would.
     */
-  def writeTrainingShards(df: DataFrame, idCol: String, numShards: Int,
-      outDir: String): Unit = {
+  def shardOf(idCol: String, numShards: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     require(numShards > 0 && numShards <= 0x10000,
       s"numShards must be in (0, 65536]: $numShards")
+    conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int") % numShards
+  }
+
+  def writeTrainingShards(df: DataFrame, idCol: String, numShards: Int,
+      outDir: String): Unit = {
+    import org.apache.spark.sql.functions._
     val key = md5(col(idCol).cast("string"))
-    // first 4 hex chars = 16 bits; uniform over [0, 65536) then mod
-    val shard = (conv(substring(key, 1, 4), 16, 10).cast("int") % numShards)
-      .as("shard")
     // sort leads with the shard column: the file writer requires rows
     // grouped by partition columns and would otherwise inject its own
     // (unstable) sort, destroying the md5 order
-    df.withColumn("shard", shard)
+    df.withColumn("shard", shardOf(idCol, numShards))
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), key, col(idCol))
       .write.mode(SaveMode.Overwrite)

@@ -157,6 +157,16 @@ object EventStreams {
     graft.operators.Decontamination.flagWithIndex(
       docs, benchGrams, idCol, textCol, n)
 
+  /** Streaming training-shard twin — tag a continuous ingest feed
+    * with [[graft.sources.Sinks.shardOf]]'s deterministic assignment
+    * so `writeStream.partitionBy("shard")` appends every row to the
+    * SAME shard directory a batch rewrite would choose. (Intra-shard
+    * md5 ORDER is a batch-rewrite property — a stream appends in
+    * arrival order; the batch writer is the compaction step.)
+    */
+  def shardedStream(docs: DataFrame, idCol: String, numShards: Int): DataFrame =
+    docs.withColumn("shard", graft.sources.Sinks.shardOf(idCol, numShards))
+
   /** Drive a streaming DataFrame synchronously into a memory table
     * (test/smoke harness — processes everything currently available). */
   def runToMemory(df: DataFrame, name: String,

@@ -155,4 +155,22 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
     assert(got.map(_._1) === Set(1L, 3L))
   }
+
+  test("streaming shard assignment matches the batch shard writer") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sshard").toString
+    val docs = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.shardedStream(stream, "doc_id", 8), "shard_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("shard_out").select("doc_id", "shard")
+      .as[(Long, Int)].collect().toMap
+    val batchOut = java.nio.file.Files.createTempDirectory("graft-bshard").toString
+    graft.sources.Sinks.writeTrainingShards(docs, "doc_id", 8, batchOut)
+    val batch = spark.read.parquet(batchOut).select("doc_id", "shard")
+      .as[(Long, Int)].collect().toMap
+    assert(got === batch)
+  }
 }
