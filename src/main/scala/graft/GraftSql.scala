@@ -18,11 +18,7 @@ object GraftSql {
       "lineitem" -> t.lineitem, "events" -> t.events,
       "documents" -> t.documents, "embeddings" -> t.embeddings
     ).foreach { case (name, df) => df.createOrReplaceTempView(name) }
-    org.apache.spark.sql.graft.VectorExpressions.register(spark)
-    org.apache.spark.sql.graft.ArrayExpressions.register(spark)
-    org.apache.spark.sql.graft.SimHashExpression.register(spark)
-    org.apache.spark.sql.graft.SignatureExpressions.register(spark)
-    org.apache.spark.sql.graft.TopKExpressions.register(spark)
-    org.apache.spark.sql.graft.FrequentKeysExpression.register(spark)
+    // one inventory behind both this path and graft.GraftExtensions
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
   }
 }

@@ -114,6 +114,48 @@ object TextFunctions {
       6)
   }
 
+  /** Non-overlapping token chunks of length `n` (the last chunk may be
+    * shorter) — a deterministic segmentation for segment-level dedup
+    * when the source has no natural line structure. Unlike [[ngrams]]
+    * the chunks PARTITION the token stream: concatenating them
+    * reproduces the normalized document.
+    */
+  def tokenChunks(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(toks) - 1) / n).cast("int")),
+        i => concat_ws(" ", slice(toks, i * n + 1, lit(n)))))
+  }
+
+  // PII patterns, shared verbatim by the Spark side and the DuckDB
+  // oracle: the subset of regex syntax where java.util.regex and RE2
+  // agree (ASCII classes, bounded quantifiers, \b on ASCII words).
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Count of email / IPv4 / phone-shaped spans (non-overlapping,
+    * leftmost-first — the semantics java.util.regex and RE2 share).
+    */
+  def emailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
+  def ipv4Count(text: Column): Column = regexp_count(text, lit(ipv4Pattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(phonePattern))
+
+  /** PII-redacted text: emails, then IPv4s, then phone-shaped spans
+    * replaced with typed placeholder tokens (the Dolma/FineWeb-style
+    * pre-training scrub). Order matters only in that emails are
+    * removed before the narrower numeric patterns run; the three
+    * patterns themselves cannot overlap (an email span contains '@',
+    * an IPv4 span is digits-and-dots, a phone span digits-and-dash).
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
   /** Word k-shingles of the token stream (for MinHash / Jaccard). */
   def shingles(text: Column, k: Int): Column = {
     val toks = tokens(text)

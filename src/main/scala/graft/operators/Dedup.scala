@@ -202,6 +202,116 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("shared"), col("containment"))
   }
 
+  /** Semantic dedup (SemDeDup — Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster document embeddings with a coarse
+    * k-means quantizer, compare pairs only WITHIN a cluster, connect
+    * pairs with cosine ≥ `threshold`, and keep ONE representative
+    * (min id) per connected near-dup group. Catches paraphrases and
+    * re-renderings that share no n-grams — the modality MinHash and
+    * SimHash are blind to.
+    *
+    * Scale shape: the quantizer trains on a sample (`trainFraction`),
+    * centroids broadcast, assignment is a zero-shuffle projection, and
+    * the pair scan is a self EQUI-join on the cell id — cells play the
+    * role LSH buckets play in [[minhashLshPairs]], with the same skew
+    * guard (`maxCellSize` culls degenerate cells via a broadcast
+    * anti-join). Cross-cell near-dups are missed by construction —
+    * SemDeDup's documented approximation; raise `nlist` resolution or
+    * run [[SimilaritySearch.cosineNearDupPairs]] for banded all-pairs.
+    *
+    * Returns one row per input vector:
+    * (id, group_id — min id of its near-dup group, itself if unique,
+    * keep — true for the group representative).
+    */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, seed: Long = 42L,
+      trainFraction: Double = 1.0, maxCellSize: Int = 10000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("vec"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val trainSet =
+      if (trainFraction >= 1.0) feat else feat.sample(trainFraction, seed)
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("features").fit(trainSet)
+    // persisted: the assignment feeds the cell-size aggregate, the
+    // anti-join input, and both self-join sides (the q18 lesson)
+    val assigned = graft.CacheScope.track(model.transform(feat)
+      .select(col("id"), col("vec"), col("prediction").as("cell")))
+    val oversized = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > maxCellSize)
+      .select(col("cell"))
+    val sized = assigned.join(broadcast(oversized), Seq("cell"), "left_anti")
+    val edges = sized.as("x").join(sized.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .withColumn("score", round(org.apache.spark.sql.graft.VectorExpressions
+        .cosine(col("x.vec"), col("y.vec")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val comps = ConnectedComponents.components(edges, "a", "b")
+      .withColumnRenamed("node", "id")
+    vectors.select(col(idCol).cast("long").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("group_id"))
+      .withColumn("keep", col("id") === col("group_id"))
+  }
+
+  /** Segment-level (line/paragraph) exact dedup — the CCNet-style
+    * boilerplate scrub (Wenzek et al., "CCNet", LREC 2020 dedupe
+    * paragraphs corpus-wide; Gopher/Dolma run the same pass at line
+    * granularity): every segment that textually repeats ANYWHERE in
+    * the corpus is dropped except its first occurrence, and documents
+    * are reassembled from their surviving segments in original order.
+    * Headers, footers, navigation chrome and licence blocks — the
+    * content whole-document dedup can never remove — disappear here.
+    *
+    * `segmentsCol` is any ARRAY<STRING> segmentation of the document
+    * (lines via `split(text, '\n')`, paragraphs, sentence chunks) —
+    * granularity is the caller's policy, the operator is shape-generic.
+    *
+    * Survivor rule: global min (doc_id, position) per md5 of the
+    * segment — deterministic and auditable cross-engine (same
+    * discipline as the sampling thresholds). Scale shape: ONE shuffle
+    * of (hash, doc_id, pos) — the min-struct aggregation combines
+    * map-side, so corpus-wide boilerplate (the skew case: a segment
+    * repeated billions of times) collapses to one row per partition
+    * BEFORE the shuffle, where a window-rank over the hash would sort
+    * the full explosion; text never shuffles with the hash relation
+    * (segments ride only the doc-side re-join and final re-assembly).
+    *
+    * Returns one row per input document:
+    * (doc_id, n_segments, n_kept, text_deduped).
+    */
+  def dedupSegments(docs: DataFrame, idCol: String, segmentsCol: Column,
+      sep: String = " "): DataFrame = {
+    val seg = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(segmentsCol).as(Seq("pos", "seg")))
+      .withColumn("h", unhex(md5(col("seg"))))
+    val firsts = seg
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+    val kept = seg.join(firsts, "h")
+      .filter(col("doc_id") === col("f_doc") && col("pos") === col("f_pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          s => s.getField("seg")), sep).as("text_deduped"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(segmentsCol).cast("long").as("n_segments"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
   /** 64-bit SimHash over the distinct-token set: bit j of the
     * signature is the sign of Σ_tokens (±1 by bit j of xxhash64(tok)).
     * One zero-shuffle projection via the native SimHash64 expression

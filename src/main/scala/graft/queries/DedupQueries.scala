@@ -116,11 +116,68 @@ object DedupQueries {
       |FROM assigned a JOIN sizes z USING (dup_group)
       |ORDER BY a.doc_id""".stripMargin
 
+  /** Segment-level exact dedup (CCNet/Dolma-style boilerplate scrub)
+    * under a FULL DuckDB oracle. The synthetic corpus has no newline
+    * structure, so segments are deterministic 4-token chunks
+    * (tokenChunks partitions the token stream; the small vocabulary
+    * makes cross-document chunk collisions — the "boilerplate" —
+    * frequent at every SF). The oracle re-derives the keep-first
+    * survivor rule and the ordered re-assembly, so a drift in either
+    * the survivor choice or segment order fails the hash.
+    */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSegments(Tables(s, dir).documents, "doc_id",
+        graft.functions.TextFunctions.tokenChunks(col("text"), 4))
+      .orderBy(col("doc_id"))
+
+  private val q52Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    [list_aggregate(toks[i*4+1 : i*4+4], 'string_agg', ' ')
+      |     for i in generate_series(0, (length(toks) - 1) // 4)] AS segs
+      |  FROM t),
+      |segs AS (
+      |  SELECT doc_id, unnest(segs) AS seg,
+      |    generate_subscripts(segs, 1) - 1 AS pos
+      |  FROM g),
+      |kept AS (
+      |  SELECT doc_id, pos, seg FROM (
+      |    SELECT doc_id, pos, seg,
+      |      row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn
+      |    FROM segs) WHERE rn = 1),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(seg, ' ' ORDER BY pos) AS text_deduped
+      |  FROM kept GROUP BY doc_id)
+      |SELECT g.doc_id, CAST(length(g.segs) AS BIGINT) AS n_segments,
+      |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+      |  coalesce(a.text_deduped, '') AS text_deduped
+      |FROM g LEFT JOIN agg a USING (doc_id)
+      |ORDER BY g.doc_id""".stripMargin
+
+  /** SemDeDup over the embeddings table (rows-only: the k-means
+    * quantizer is not SQL-expressible; DedupSpec pins the keep set
+    * against a brute-force all-pairs + union-find reference on
+    * planted near-duplicates). One row per vector, so the row gate is
+    * exact; the within-cell threshold matches q42's banded all-pairs.
+    */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(Tables(s, dir).embeddings, "vec_id", "embedding",
+        threshold = 0.35, nlist = 16)
+      .orderBy(col("id"))
+
   val all: Seq[Q] = Seq(
     Q("q16_exact_dup_groups", q16, Some(q16Sql)),
     Q("q17_jaccard_pairs", q17, Some(q17Sql), headline = true),
     Q("q18_minhash_lsh", q18, None, headline = true),
     Q("q19_simhash_pairs", q19, None, headline = true),
     Q("q34_winnow_containment", q34, None),
-    Q("q44_dedup_pipeline", q44, Some(q44Sql), headline = true))
+    Q("q44_dedup_pipeline", q44, Some(q44Sql), headline = true),
+    Q("q52_segment_dedup", q52, Some(q52Sql), headline = true),
+    Q("q54_semantic_dedup", q54, None))
 }

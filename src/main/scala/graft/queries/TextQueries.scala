@@ -119,11 +119,55 @@ object TextQueries {
       |GROUP BY h.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** PII tagging + redaction (the Dolma/FineWeb-style pre-training
+    * scrub: emails, IPv4s, phone-shaped spans → typed placeholders).
+    * The synthetic corpus contains no natural PII (no digits, no '@'),
+    * so PII-shaped spans are deterministically planted in every 7th
+    * document INSIDE the query on both engines (the q41
+    * synthesized-graph precedent) — the regex tag/redact machinery is
+    * what the full DuckDB oracle verifies. Zero-shuffle projection.
+    */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val aug = Tables(s, dir).documents.withColumn("text2",
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"),
+          lit(" tel 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")))
+    aug.select(col("doc_id"),
+        emailCount(col("text2")).cast("long").as("n_emails"),
+        ipv4Count(col("text2")).cast("long").as("n_ips"),
+        phoneCount(col("text2")).cast("long").as("n_phones"),
+        piiRedact(col("text2")).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q53Sql =
+    """WITH aug AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+      |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+      |      || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    ELSE text END AS text2
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(length(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      |  CAST(length(regexp_extract_all(text2, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+      |  regexp_replace(regexp_replace(regexp_replace(text2,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+      |FROM aug ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q12_token_stats", q12, Some(q12Sql)),
     Q("q13_text_quality", q13, Some(q13Sql), headline = true),
     Q("q14_lang_id", q14, Some(q14Sql)),
     Q("q15_fingerprint", q15, Some(q15Sql)),
     Q("q37_bpe_tokens", q37, None),
-    Q("q40_bm25", q40, Some(q40Sql)))
+    Q("q40_bm25", q40, Some(q40Sql)),
+    Q("q53_pii_redact", q53, Some(q53Sql)))
 }

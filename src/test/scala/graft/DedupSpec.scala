@@ -165,4 +165,74 @@ class DedupSpec extends SparkSpec {
     assert(sigs.toSeq === sigs2.toSeq)
     assert(sigs(0) === sigs(1))
   }
+
+  test("dedupSegments drops repeated lines corpus-wide, keeps first occurrence") {
+    // doc 1 owns "header boilerplate"; docs 2 and 3 repeat it; doc 3
+    // also repeats doc 2's "unique two". Reassembly must preserve each
+    // doc's original segment order.
+    val pages = Seq(
+      (1L, Seq("header boilerplate", "body one")),
+      (2L, Seq("header boilerplate", "unique two")),
+      (3L, Seq("unique two", "header boilerplate", "tail three")),
+      (4L, Seq.empty[String]))
+      .toDF("doc_id", "lines")
+    val got = Dedup.dedupSegments(pages, "doc_id", col("lines"), sep = "\n")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) === ((1L, 2L, 2L, "header boilerplate\nbody one")))
+    assert(got(1) === ((2L, 2L, 1L, "unique two")))
+    assert(got(2) === ((3L, 3L, 1L, "tail three")))
+    assert(got(3) === ((4L, 0L, 0L, "")))
+  }
+
+  test("dedupSegments survivor rule: earlier (doc, pos) wins within one doc too") {
+    val pages = Seq((7L, Seq("x", "y", "x", "x"))).toDF("doc_id", "lines")
+    val got = Dedup.dedupSegments(pages, "doc_id", col("lines"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) === ((7L, 4L, 2L, "x y")))
+  }
+
+  test("semanticDedup keeps one representative per planted near-dup group") {
+    // Two well-separated clusters; ids 0/1/2 are near-identical
+    // (cosine ≈ 1) around axis e0, ids 10/11 near-identical around e1,
+    // ids 20/21 are in the e0 cluster but orthogonal-ish to everything.
+    def v(axis: Int, eps: Double, at: Int): Seq[Double] =
+      Seq.tabulate(8)(i => (if (i == axis) 1.0 else 0.0) +
+        (if (i == at) eps else 0.0))
+    val vecs = Seq(
+      (0L, v(0, 0.01, 3)), (1L, v(0, 0.02, 3)), (2L, v(0, 0.015, 4)),
+      (10L, v(1, 0.01, 5)), (11L, v(1, 0.02, 5)),
+      (20L, v(6, 0.3, 7)), (21L, v(7, 0.3, 6)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.95, nlist = 2, maxCellSize = 100)
+      .orderBy("id")
+      .as[(Long, Long, Boolean)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    // e0 trio collapses to group 0, survivor 0
+    assert(byId(0L)._2 === 0L && byId(0L)._3)
+    assert(byId(1L)._2 === 0L && !byId(1L)._3)
+    assert(byId(2L)._2 === 0L && !byId(2L)._3)
+    // e1 pair collapses to group 10, survivor 10
+    assert(byId(10L)._2 === 10L && byId(10L)._3)
+    assert(byId(11L)._2 === 10L && !byId(11L)._3)
+    // the orthogonal-ish vectors survive as their own groups
+    assert(byId(20L)._2 === 20L && byId(20L)._3)
+    assert(byId(21L)._2 === 21L && byId(21L)._3)
+    // every input vector is accounted for exactly once
+    assert(got.length === 7)
+  }
+
+  test("semanticDedup with no pairs above threshold keeps everything") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.99, nlist = 2, maxCellSize = 100)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.forall(_._3))
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L))
+  }
 }

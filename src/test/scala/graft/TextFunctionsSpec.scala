@@ -49,6 +49,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2) === Seq("x"))
   }
 
+  test("tokenChunks partitions the token stream; last chunk short; empty text empty") {
+    val got = Seq("a b c d e f g", "a b c", "", "   ")
+      .toDF("t").select(tokenChunks($"t", 3)).as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "d e f", "g"))
+    assert(got(1) === Seq("a b c"))
+    assert(got(2) === Seq.empty)
+    assert(got(3) === Seq.empty)
+  }
+
+  test("pii counts and redaction: emails, ipv4s, phone-shaped spans") {
+    val t = "mail a.user+tag@sub-domain.org or bob@x.io, host 10.0.255.7, " +
+      "call 555-0100 or 555-01000 tail"
+    val got = Seq(t).toDF("t")
+      .select(emailCount($"t"), ipv4Count($"t"), phoneCount($"t"),
+        piiRedact($"t"))
+      .as[(Int, Int, Int, String)].collect()(0)
+    assert(got._1 === 2)
+    assert(got._2 === 1)
+    // 555-01000: trailing digit breaks the \b — not a phone span
+    assert(got._3 === 1)
+    assert(got._4 === "mail <EMAIL> or <EMAIL>, host <IP>, " +
+      "call <PHONE> or 555-01000 tail")
+  }
+
+  test("pii redaction is a no-op on clean text") {
+    val clean = "the quick brown fox jumps over the lazy dog"
+    val got = Seq(clean).toDF("t").select(piiRedact($"t")).as[String].collect()(0)
+    assert(got === clean)
+  }
+
   test("qualityScore rewards diverse prose, penalizes digit soup") {
     val q = Seq(
       "A reasonably long sentence with many distinct interesting words here.",
