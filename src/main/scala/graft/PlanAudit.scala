@@ -125,6 +125,19 @@ object PlanAudit {
     // hash-shuffles (only the final presentation sort exchanges)
     Check("q50_repetition",
       mustContain = Seq("Project"),
+      mustNotContain = Seq("hashpartitioning", "Exchange hashpartitioning")),
+    // q52: the keep-first survivor election is a map-side partial
+    // min-struct aggregation — corpus-wide boilerplate collapses to
+    // one row per partition BEFORE the shuffle (no window-rank sort
+    // of the full segment explosion)
+    Check("q52_segment_dedup",
+      mustContain = Seq("partial_min", "hashpartitioning"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "WindowExec")),
+    // q53: PII tag + redact is a pure projection — the only exchange
+    // is the final presentation sort
+    Check("q53_pii_redact",
+      mustContain = Seq("Project"),
       mustNotContain = Seq("hashpartitioning", "Exchange hashpartitioning")))
 
   // Queries whose broadcast nested-loop join is the documented design:

@@ -27,10 +27,15 @@ object Decontamination {
 
   /** Distinct md5 hashes of every n-token window (empty below n
     * tokens — see [[graft.functions.TextFunctions.ngrams]]).
+    * Carried as the 16 raw digest BYTES (unhex), not the 32-char hex
+    * string: the gram relation is what shuffles in the join, so the
+    * key width is the shuffle payload — same derivation, same
+    * auditability (any engine re-computes md5 and unhexes), half the
+    * bytes on the wire.
     */
   def gramHashes(text: Column, n: Int): Column =
     array_distinct(transform(
-      graft.functions.TextFunctions.ngrams(text, n), g => md5(g)))
+      graft.functions.TextFunctions.ngrams(text, n), g => unhex(md5(g))))
 
   /** The benchmark-side gram index: distinct md5 gram hashes. Built
     * once; at 100 TB this is the small static relation every

@@ -118,54 +118,89 @@ object VectorAgg {
   case class ChamferScore(anchor_id: String, neighbor_id: String,
       rank: Int, score: Double)
 
+  /** Exact-decimal per-id mean vectors: each component is an exact
+    * DECIMAL sum / count, rounded to 6 — BIT-REPRODUCIBLE on any
+    * engine regardless of accumulation order (the q21 centroid
+    * formulation). The recall stage of [[similarByChamfer]] ranks on
+    * cosines of these, so its candidate sets survive a cross-engine
+    * re-derivation; the one-pass [[PoolAggregator]] (A10) remains the
+    * streaming-scale pooling variant where bit-parity isn't needed. */
+  private def exactMeanVectors(chunks: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    chunks
+      .select(col(idCol).cast("string").as("vec_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("vec_id"), col("pos"))
+      .agg(round(sum(col("v").cast("decimal(28,9)")).cast("double")
+        / count(lit(1)), 6).as("mv"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+        s => s.getField("mv")).as("mean_vec"))
+
   /** P6/E7: two-stage similar-tracks — recall top `recallK` by pooled
-    * mean cosine (via [[SimilaritySearch.cosineTopK]]), then chamfer
-    * rerank on chunk sets, keep `keepK`. Chunks subsampled to
-    * `maxChunks` per track (pad-96 analog,
-    * precompute_similar_tracks.py:80-96) to bound group memory. */
+    * mean cosine (via [[SimilaritySearch.cosineTopK]] over
+    * [[exactMeanVectors]]), then chamfer rerank on chunk sets, keep
+    * `keepK`. Chunks subsampled to the `maxChunks` smallest vectors in
+    * array order per track (pad-96 analog,
+    * precompute_similar_tracks.py:80-96) to bound the expansion.
+    *
+    * The rerank is fully RELATIONAL (the q31 GroupSimilarity
+    * formulation): candidate pairs × maxChunks² cosine rows, rounded
+    * to 4 decimals once, per-chunk best via groupBy max, chamfer mean
+    * via exact DECIMAL sums — map-side partial aggregation keeps any
+    * single group from materializing a matrix, and every number is
+    * bit-reproducible cross-engine, so the whole two-stage plan sits
+    * under a full DuckDB oracle (gate q30). The earlier flatMapGroups
+    * + Scala-loop rerank computed the same chamfer but with raw
+    * double accumulation no other engine could replay. */
   def similarByChamfer(chunks: DataFrame, idCol: String, vecCol: String,
       anchorPred: org.apache.spark.sql.Column, recallK: Int, keepK: Int,
       maxChunks: Int = 96): Dataset[ChamferScore] = {
     val spark = chunks.sparkSession
     import spark.implicits._
-    val pooled = poolChunks(chunks, idCol, vecCol)
-      .withColumnRenamed("id", "vec_id")
+    val pooled = exactMeanVectors(chunks, idCol, vecCol)
     val recall = SimilaritySearch.cosineTopK(
       pooled, pooled.filter(anchorPred), recallK,
       idCol = "vec_id", vecCol = "mean_vec")
-    // deterministic chunk subsample: the maxChunks smallest vectors in
-    // array order (reference subsamples by stride instead). The
-    // bounded aggregate keeps O(maxChunks·dim) state per group —
-    // the collect_list + slice formulation it replaced held EVERY
-    // chunk before trimming (OOM-shaped at the reference's 9.7M-chunk
-    // store).
-    val chunkSets = chunks
+    // deterministic chunk cap with a per-chunk ORDINAL: row_number
+    // over the array ordering keeps the same maxChunks-smallest set
+    // BoundedSortedCollect gathered, but as rows — the identity each
+    // relational max-per-chunk group needs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("v"))
+    val capped = graft.CacheScope.track(chunks
       .select(col(idCol).cast("string").as("cid"),
         col(vecCol).cast("array<double>").as("v"))
-      .groupBy("cid")
-      .agg(org.apache.spark.sql.graft.TopKExpressions
-        .boundedSortedCollect(col("v"), maxChunks).as("chunks"))
-    recall
-      .join(chunkSets.withColumnRenamed("cid", "anchor_id")
-        .withColumnRenamed("chunks", "a_chunks"), "anchor_id")
-      .join(chunkSets.withColumnRenamed("cid", "neighbor_id")
-        .withColumnRenamed("chunks", "n_chunks"), "neighbor_id")
-      .select(col("anchor_id").cast("string"),
-        col("neighbor_id").cast("string"),
-        col("a_chunks"), col("n_chunks"))
-      .as[(String, String, Seq[Seq[Double]], Seq[Seq[Double]])]
-      .groupByKey(_._1)
-      .flatMapGroups { (anchor, it) =>
-        it.toSeq
-          .map { case (_, nid, ac, nc) => (nid, chamfer(ac, nc)) }
-          .sortBy { case (nid, s) => (-s, nid) }
-          .take(keepK)
-          .zipWithIndex
-          .map { case ((nid, s), i) =>
-            ChamferScore(anchor, nid, i + 1, math.rint(s * 1e6) / 1e6)
-          }
-          .iterator
-      }
+      .withColumn("mi", row_number().over(w))
+      .filter(col("mi") <= maxChunks))
+    val cross = recall
+      .select(col("anchor_id").cast("string").as("a_gid"),
+        col("neighbor_id").cast("string").as("b_gid"))
+      .join(capped.select(col("cid").as("a_gid"), col("mi").as("ai"),
+        col("v").as("a_vec")), "a_gid")
+      .join(capped.select(col("cid").as("b_gid"), col("mi").as("bi"),
+        col("v").as("b_vec")), "b_gid")
+      .select(col("a_gid"), col("b_gid"), col("ai"), col("bi"),
+        round(org.apache.spark.sql.graft.VectorExpressions.cosine(
+          col("a_vec"), col("b_vec")), 4).as("c"))
+    def side(mCol: String, sName: String, nName: String) =
+      cross.groupBy(col("a_gid"), col("b_gid"), col(mCol))
+        .agg(max(col("c")).as("best"))
+        .groupBy(col("a_gid"), col("b_gid"))
+        .agg(sum(col("best").cast("decimal(28,10)")).cast("double").as(sName),
+          count(lit(1)).as(nName))
+    val scored = side("ai", "sum_a", "na")
+      .join(side("bi", "sum_b", "nb"), Seq("a_gid", "b_gid"))
+      .select(col("a_gid"), col("b_gid"),
+        round(lit(0.5) * (col("sum_a") / col("na")
+          + col("sum_b") / col("nb")), 6).as("score"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_gid")).orderBy(col("score").desc, col("b_gid"))
+    scored.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= keepK)
+      .select(col("a_gid").as("anchor_id"), col("b_gid").as("neighbor_id"),
+        col("rank"), col("score"))
+      .as[ChamferScore]
   }
 
   /** A11-lite group similarity: cosine of group mean vectors plus the

@@ -105,8 +105,11 @@ object AdvancedQueries {
       |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
   /** P6/E7 chamfer recall→rerank over embeddings grouped by label
-    * (each label's vectors act as a track's chunk set). Rows-only:
-    * validated against a plain-Scala reference in VectorAggSpec. */
+    * (each label's vectors act as a track's chunk set) — under a FULL
+    * DuckDB oracle: the recall vectors are exact-decimal centroids,
+    * the rerank is the relational q31 chamfer formulation (round-4
+    * cosines, per-chunk groupBy max, exact DECIMAL sums), so the
+    * oracle re-derives BOTH stages including the candidate sets. */
   private def q30(s: SparkSession, dir: String): DataFrame =
     VectorAgg.similarByChamfer(
       Tables(s, dir).embeddings, "label", "embedding",
@@ -114,6 +117,51 @@ object AdvancedQueries {
       maxChunks = 64)
       .toDF()
       .orderBy(col("anchor_id"), col("rank"))
+
+  private val q30Sql =
+    """WITH ex AS (
+      |  SELECT CAST(label AS VARCHAR) AS gid,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v,
+      |    generate_subscripts(embedding, 1) - 1 AS pos
+      |  FROM embeddings),
+      |pool AS (
+      |  SELECT gid, pos,
+      |    round(CAST(sum(CAST(v AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6) AS mv
+      |  FROM ex GROUP BY 1, 2),
+      |pv AS (SELECT gid, list(mv ORDER BY pos) AS mean_vec FROM pool GROUP BY gid),
+      |recall AS (
+      |  SELECT a_gid, b_gid FROM (
+      |    SELECT a.gid AS a_gid, b.gid AS b_gid,
+      |      row_number() OVER (PARTITION BY a.gid
+      |        ORDER BY round(list_cosine_similarity(a.mean_vec, b.mean_vec), 4) DESC, b.gid) AS rk
+      |    FROM pv a JOIN pv b ON CAST(a.gid AS INT) % 3 = 0 AND a.gid <> b.gid)
+      |  WHERE rk <= 5),
+      |m AS (
+      |  SELECT gid, v, rn AS mi FROM (
+      |    SELECT CAST(label AS VARCHAR) AS gid, CAST(embedding AS DOUBLE[]) AS v,
+      |      row_number() OVER (PARTITION BY label ORDER BY CAST(embedding AS DOUBLE[])) AS rn
+      |    FROM embeddings) WHERE rn <= 64),
+      |cp AS (
+      |  SELECT r.a_gid, r.b_gid, x.mi AS ai, y.mi AS bi,
+      |    round(list_cosine_similarity(x.v, y.v), 4) AS c
+      |  FROM recall r JOIN m x ON x.gid = r.a_gid JOIN m y ON y.gid = r.b_gid),
+      |pa AS (SELECT a_gid, b_gid, ai, max(c) AS best FROM cp GROUP BY 1, 2, 3),
+      |sa AS (SELECT a_gid, b_gid,
+      |         CAST(sum(CAST(best AS DECIMAL(28,10))) AS DOUBLE) AS sum_a,
+      |         count(*) AS na FROM pa GROUP BY 1, 2),
+      |pb AS (SELECT a_gid, b_gid, bi, max(c) AS best FROM cp GROUP BY 1, 2, 3),
+      |sb AS (SELECT a_gid, b_gid,
+      |         CAST(sum(CAST(best AS DECIMAL(28,10))) AS DOUBLE) AS sum_b,
+      |         count(*) AS nb FROM pb GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT sa.a_gid, sa.b_gid,
+      |    round(0.5 * (sa.sum_a / sa.na + sb.sum_b / sb.nb), 6) AS score
+      |  FROM sa JOIN sb ON sa.a_gid = sb.a_gid AND sa.b_gid = sb.b_gid)
+      |SELECT a_gid AS anchor_id, b_gid AS neighbor_id, rank, score FROM (
+      |  SELECT a_gid, b_gid, score, row_number() OVER (
+      |    PARTITION BY a_gid ORDER BY score DESC, b_gid) AS rank
+      |  FROM scored)
+      |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin
 
   /** Distributed connected components (ConnectedComponents: min-label
     * + pointer doubling, O(log diameter) rounds) over a deterministic
@@ -180,7 +228,7 @@ object AdvancedQueries {
     Q("q27_gap_fill", q27, Some(q27Sql)),
     Q("q28_rollup", q28, Some(q28Sql)),
     Q("q29_min_by", q29, Some(q29Sql)),
-    Q("q30_chamfer_similarity", q30, None, headline = true),
+    Q("q30_chamfer_similarity", q30, Some(q30Sql), headline = true),
     Q("q41_components", q41, Some(q41Sql), headline = true),
     Q("q43_quantiles", q43, Some(q43Sql)))
 }
