@@ -39,7 +39,7 @@ object Bench {
       .getOrElse(sfDir)
     var warmupFailures = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, warmupDir).count()
+      try Measure.force(fn(spark, warmupDir))
       catch { case e: Throwable =>
         warmupFailures += 1
         System.err.println(s"bench: warmup $name failed: $e")
@@ -61,7 +61,7 @@ object Bench {
       var ok = true
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
+        try Measure.force(fn(spark, sfDir))
         catch { case e: Throwable =>
           System.err.println(s"bench: $name FAILED: $e"); ok = false
         }
@@ -85,7 +85,7 @@ object Bench {
       if (warmupFailures > 0)
         s"INCOMPLETE: $warmupFailures queries failed warmup at $warmupDir"
       else s"all queries once at $warmupDir (steady-state timing; codegen/JIT outside the timed region)"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","timing":"min of $reps runs per query (shared-box noise defense)","warmup":"$warmupNote"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","timing":"min of $reps runs per query (shared-box noise defense); full-plan materialization via queryExecution.toRdd (count() would let Catalyst prune the measured work: unused projections, unique-side joins, final sorts)","warmup":"$warmupNote"}""")
     spark.stop()
   }
 }

@@ -138,7 +138,13 @@ object PlanAudit {
     // is the final presentation sort
     Check("q53_pii_redact",
       mustContain = Seq("Project"),
-      mustNotContain = Seq("hashpartitioning", "Exchange hashpartitioning")))
+      mustNotContain = Seq("hashpartitioning", "Exchange hashpartitioning")),
+    // q55: quantile SKETCHES partial-aggregate map-side (the q48
+    // pattern) — the shuffle ships summaries, not values; no
+    // per-group sort anywhere (exact q43 pays one)
+    Check("q55_approx_quantiles",
+      mustContain = Seq("ObjectHashAggregate", "partial_approx_percentile"),
+      mustNotContain = Seq("SortAggregate")))
 
   // Queries whose broadcast nested-loop join is the documented design:
   // brute-force baselines with a fixed-size anchor side, and q31's

@@ -30,12 +30,12 @@ object RunOne {
         val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
         (1 to runs).foreach { i =>
           val t0 = System.nanoTime()
-          val n = fn(spark, sfDir).count()
+          val n = Measure.force(fn(spark, sfDir))
           CacheScope.releaseAll(blocking = true)
           println(f"[runone] run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs (ended ${System.currentTimeMillis() / 1000})")
         }
       case _ =>
-        println(s"[runone] ${fn(spark, sfDir).count()} rows")
+        println(s"[runone] ${Measure.force(fn(spark, sfDir))} rows")
         CacheScope.releaseAll()
     }
     spark.stop()

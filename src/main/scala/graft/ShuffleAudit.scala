@@ -41,7 +41,7 @@ object ShuffleAudit {
       (write.get, read.get, spill.get, records.get)
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val before = snap()
-      try fn(spark, sfDir).count()
+      try Measure.force(fn(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"shuffle-audit: $name FAILED: $e")
       }

@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Let-binding for HOF lambdas: evaluate `arr` ONCE and expose it to
+    * `body` as a bound lambda variable (the single-element-array
+    * transform trick). Spark's higher-order functions re-evaluate
+    * their entire lambda body per element, so an expression like
+    * `transform(sequence(...), i -> slice(tokens(text), ...))`
+    * re-tokenizes the whole document once PER ELEMENT — O(n²) per row
+    * (measured 4-8× on the n-gram family at sf0.1). Binding the token
+    * array makes it O(n).
+    */
+  private def bindArray(arr: Column)(body: Column => Column): Column =
+    get(transform(array(arr), a => body(a)), lit(0))
+
   /** Whitespace tokenizer (BPE-ish splitting is `tokensRegex`). */
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
@@ -47,8 +59,7 @@ object TextFunctions {
     * than n tokens: guarded, because Spark's `sequence(1, stop)`
     * counts BACKWARD when stop < 1 instead of returning empty.
     */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def ngrams(text: Column, n: Int): Column = bindArray(tokens(text)) { toks =>
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
@@ -59,11 +70,11 @@ object TextFunctions {
     * that repeat an earlier window (0 = no repetition). Null for docs
     * with fewer than n tokens. Pure projection — no shuffle, no UDF.
     */
-  def dupNgramFraction(text: Column, n: Int): Column = {
-    val g = ngrams(text, n)
-    round((size(g) - size(array_distinct(g))).cast("double") /
-      nullif(size(g), lit(0)).cast("double"), 6)
-  }
+  def dupNgramFraction(text: Column, n: Int): Column =
+    bindArray(ngrams(text, n)) { g =>
+      round((size(g) - size(array_distinct(g))).cast("double") /
+        nullif(size(g), lit(0)).cast("double"), 6)
+    }
 
   /** Count of characters matching a single-char regex class —
     * implemented as length-difference so it ports to any engine.
@@ -99,13 +110,13 @@ object TextFunctions {
     * punct/digit density, low word diversity. Deterministic integer
     * ratios → double, so it hashes identically cross-engine.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = bindArray(tokens(text)) { toks =>
     val n = greatest(length(text), lit(1)).cast("double")
-    val nTok = greatest(tokenCount(text), lit(1)).cast("double")
+    val nTok = greatest(size(toks), lit(1)).cast("double")
     val lenOk = when(length(text).between(20, 10000), lit(1.0)).otherwise(lit(0.0))
     val punctRatio = punctCount(text).cast("double") / n
     val digitRatio = digitCount(text).cast("double") / n
-    val diversity = size(tokenSet(text)).cast("double") / nTok
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
     round(
       lit(0.25) * lenOk
         + lit(0.25) * when(punctRatio < 0.1, 1.0).otherwise(0.0)
@@ -120,13 +131,13 @@ object TextFunctions {
     * the chunks PARTITION the token stream: concatenating them
     * reproduces the normalized document.
     */
-  def tokenChunks(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), floor((size(toks) - 1) / n).cast("int")),
-        i => concat_ws(" ", slice(toks, i * n + 1, lit(n)))))
-  }
+  def tokenChunks(text: Column, n: Int): Column =
+    bindArray(tokens(text)) { toks =>
+      when(size(toks) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(toks) - 1) / n).cast("int")),
+          i => concat_ws(" ", slice(toks, i * n + 1, lit(n)))))
+    }
 
   // PII patterns, shared verbatim by the Spark side and the DuckDB
   // oracle: the subset of regex syntax where java.util.regex and RE2
@@ -157,11 +168,11 @@ object TextFunctions {
       phonePattern, "<PHONE>")
 
   /** Word k-shingles of the token stream (for MinHash / Jaccard). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    val idx = sequence(lit(0), greatest(size(toks) - k, lit(0)))
-    when(size(toks) < k, array(array_join(toks, " ")))
-      .otherwise(array_distinct(
-        transform(idx, i => array_join(slice(toks, i + 1, lit(k)), " "))))
-  }
+  def shingles(text: Column, k: Int): Column =
+    bindArray(tokens(text)) { toks =>
+      val idx = sequence(lit(0), greatest(size(toks) - k, lit(0)))
+      when(size(toks) < k, array(array_join(toks, " ")))
+        .otherwise(array_distinct(
+          transform(idx, i => array_join(slice(toks, i + 1, lit(k)), " "))))
+    }
 }

@@ -229,9 +229,12 @@ object Dedup {
       trainFraction: Double = 1.0, maxCellSize: Int = 10000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feat = vectors.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("vec"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    // cached: k-means|| init + every Lloyd iteration rescans its
+    // input — uncached, that is parquet-scan × iterations
+    val feat = graft.CacheScope.track(
+      vectors.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec"),
+        array_to_vector(col(vecCol).cast("array<double>")).as("features")))
     val trainSet =
       if (trainFraction >= 1.0) feat else feat.sample(trainFraction, seed)
     val model = new KMeans().setK(nlist).setSeed(seed)

@@ -224,11 +224,32 @@ object AdvancedQueries {
       |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The mergeable-sketch twin of q43 — `approx_percentile`
+    * (Greenwald–Khanna summaries): partial aggregation with O(1/acc)
+    * state per group, kilobyte sketches shuffle instead of every
+    * value, no per-group sort. Honest-bench motivation: exact q43
+    * costs 3.7 s at sf0.1 because `percentile` gathers and sorts each
+    * group; the sketch path is what a 100 TB length/price profile
+    * actually runs (same pattern as q48's HLL rollup: partials merge
+    * across executors/days). Rows-only: the GK sketch is
+    * engine-specific and merge-order-dependent in its last ulps;
+    * AdvancedSpec bounds each approximation against the exact
+    * neighboring quantiles instead. */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"))
+      .orderBy(col("l_returnflag"))
+
   val all: Seq[Q] = Seq(
     Q("q27_gap_fill", q27, Some(q27Sql)),
     Q("q28_rollup", q28, Some(q28Sql)),
     Q("q29_min_by", q29, Some(q29Sql)),
     Q("q30_chamfer_similarity", q30, Some(q30Sql), headline = true),
     Q("q41_components", q41, Some(q41Sql), headline = true),
-    Q("q43_quantiles", q43, Some(q43Sql)))
+    Q("q43_quantiles", q43, Some(q43Sql)),
+    Q("q55_approx_quantiles", q55, None))
 }

@@ -148,12 +148,19 @@ object CurationQueries {
     * family extended with the repetition filter real curation uses).
     */
   private def q50(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.{dupNgramFraction, ngrams}
-    val g = ngrams(col("text"), 3)
+    import graft.functions.TextFunctions.ngrams
+    // the gram array and its distinct form materialize ONCE as named
+    // columns (CollapseProject won't inline a non-cheap expression
+    // referenced more than once) — inlining `g` into all three output
+    // columns re-derived the grams per column
     Tables(s, dir).documents
-      .select(col("doc_id"), size(g).cast("long").as("n_grams"),
-        (size(g) - size(array_distinct(g))).cast("long").as("n_dup"),
-        dupNgramFraction(col("text"), 3).as("dup_frac"))
+      .withColumn("g", ngrams(col("text"), 3))
+      .withColumn("n_grams", size(col("g")).cast("long"))
+      .withColumn("n_dup",
+        (size(col("g")) - size(array_distinct(col("g")))).cast("long"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") /
+          nullif(col("n_grams"), lit(0L)).cast("double"), 6).as("dup_frac"))
       .orderBy(col("doc_id"))
   }
 

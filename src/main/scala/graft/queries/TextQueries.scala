@@ -15,9 +15,10 @@ object TextQueries {
 
   private def q12(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents
+      .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        size(tokenSet(col("text"))).as("n_uniq_tokens"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_uniq_tokens"),
         length(col("text")).as("n_chars_measured"))
       .orderBy(col("doc_id"))
 

@@ -17,6 +17,32 @@ class QueryCatalogSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q55 approx quantiles sit inside the exact neighboring-quantile band") {
+    import org.apache.spark.sql.functions._
+    val approx = QueryCatalog.byName("q55_approx_quantiles").run(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // rank-error bound: approx_percentile(p) must land between the
+    // exact quantiles at p ± 0.02 (GK guarantees N/accuracy ranks,
+    // far tighter than this band)
+    val bands = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.48)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.52)").as("hi50"),
+        expr("percentile(l_extendedprice, 0.88)").as("lo90"),
+        expr("percentile(l_extendedprice, 0.92)").as("hi90"),
+        expr("percentile(l_extendedprice, 0.97)").as("lo99"),
+        expr("percentile(l_extendedprice, 1.0)").as("hi99"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (flag, (p50, p90, p99)) =>
+      val b = bands(flag)
+      assert(p50 >= b.getDouble(1) && p50 <= b.getDouble(2), s"$flag p50")
+      assert(p90 >= b.getDouble(3) && p90 <= b.getDouble(4), s"$flag p90")
+      assert(p99 >= b.getDouble(5) && p99 <= b.getDouble(6), s"$flag p99")
+    }
+  }
+
   QueryCatalog.all.foreach { q =>
     test(s"${q.name} runs at sf0.001") {
       val df = q.run(spark, sf)
