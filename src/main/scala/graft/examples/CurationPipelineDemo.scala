@@ -10,6 +10,9 @@ import org.apache.spark.sql.functions._
   * next (the composed twins of gate queries q44-q51):
   *
   *   documents
+  *     → PII redaction (emails/IPs/phones → placeholders)
+  *                                                    [TextFunctions]
+  *     → segment-level dedup (corpus-wide boilerplate scrub)  [Dedup]
   *     → near-dup dedup (exact → candidates → verify → components →
   *       survivors)                                  [DedupPipeline]
   *     → benchmark decontamination (3-gram scrub)  [Decontamination]
@@ -30,8 +33,24 @@ object CurationPipelineDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    println(s"== corpus: ${docs.count()} docs")
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+    println(s"== corpus: ${raw.count()} docs")
+
+    // 0a. PII scrub: typed placeholders, document text rewritten once
+    val scrubbed = raw.withColumn("text",
+      graft.functions.TextFunctions.piiRedact(col("text")))
+
+    // 0b. segment-level dedup: corpus-wide boilerplate removal (here
+    // segmented as 4-token chunks — real corpora split on newlines);
+    // documents continue downstream with their deduped text
+    val segged = Dedup.dedupSegments(scrubbed, "doc_id",
+      graft.functions.TextFunctions.tokenChunks(col("text"), 4))
+    val docs = scrubbed.drop("text")
+      .join(segged.select(col("doc_id"), col("text_deduped").as("text")),
+        "doc_id")
+    val segDropped = segged.agg(
+      sum(col("n_segments") - col("n_kept"))).head().getLong(0)
+    println(s"== segment dedup dropped $segDropped repeated segments")
 
     // 1. near-dup dedup: keep group survivors
     val groups = DedupPipeline.nearDupGroups(docs, "doc_id", "text", 0.8)

@@ -157,6 +157,29 @@ object EventStreams {
     graft.operators.Decontamination.flagWithIndex(
       docs, benchGrams, idCol, textCol, n)
 
+  /** Streaming segment-dedup twin — the segment-granular sibling of
+    * [[dedupByFingerprint]]: explode the stream's segments and keep
+    * the FIRST ARRIVAL per segment md5 within bounded state
+    * (dropDuplicatesWithinWatermark), emitting surviving
+    * (doc_id, pos, seg) rows. Arrival order replaces the batch
+    * (doc_id, pos) survivor rule — identical when the feed is ordered
+    * (spec drives one ordered file and matches the batch keep set).
+    * Document RE-ASSEMBLY stays a batch compaction
+    * ([[graft.operators.Dedup.dedupSegments]]): a stream cannot hold
+    * a document open waiting to learn which of its segments survive
+    * corpus-wide.
+    */
+  def segmentDedupStream(docs: DataFrame, idCol: String,
+      segmentsCol: org.apache.spark.sql.Column, tsCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+        posexplode(segmentsCol).as(Seq("pos", "seg")))
+      .withColumn("h", unhex(md5(col("seg"))))
+      .withWatermark("__ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("doc_id"), col("pos"), col("seg"))
+
   /** Streaming training-shard twin — tag a continuous ingest feed
     * with [[graft.sources.Sinks.shardOf]]'s deterministic assignment
     * so `writeStream.partitionBy("shard")` appends every row to the

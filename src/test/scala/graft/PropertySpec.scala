@@ -135,7 +135,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-}
+  test("piiRedact: idempotent, leaves no taggable span (150 generated texts)") {
+    import graft.functions.TextFunctions._
+    // fragments include near-misses (no TLD, 5 octets, digit-suffixed
+    // phones) that must survive, and real spans that must not
+    val frags = Vector("hello", "x9", "a@b.cc", "not@an", "10.1.2.3",
+      "1.2.3.4.5", "555-0100", "55-0100", "user.name+t@ex-a.org",
+      "999.999.999.999", "end.")
+    val inputs = Seq.fill(150)(
+      Seq.fill(1 + rnd.nextInt(8))(frags(rnd.nextInt(frags.length)))
+        .mkString(" "))
+    val got = inputs.toDF("t")
+      .select(piiRedact($"t").as("r1"))
+      .select($"r1", piiRedact($"r1").as("r2"),
+        emailCount($"r1").as("e"), ipv4Count($"r1").as("i"),
+        phoneCount($"r1").as("p"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[String]("r1") === r.getAs[String]("r2"),
+        "redaction not idempotent")
+      assert(r.getAs[Int]("e") === 0 && r.getAs[Int]("i") === 0 &&
+        r.getAs[Int]("p") === 0, s"taggable span survived: ${r.getAs[String]("r1")}")
+    }
+  }
+
+  test("dedupSegments ≡ plain-Scala keep-first reference (8 random corpora)") {
+    import graft.operators.Dedup
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    (1 to 8).foreach { _ =>
+      val docs = (0L until (3 + rnd.nextInt(8)).toLong).map { d =>
+        (d, Seq.fill(rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size))))
+      }
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = docs.map { case (d, segs) =>
+        val kept = segs.filter(s => seen.add(s))
+        (d, segs.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }
+      val got = Dedup.dedupSegments(docs.toDF("doc_id", "lines"),
+          "doc_id", col("lines"))
+        .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+      assert(got === expected)
+    }
+  }}
 
 class GraftSqlSpec extends SparkSpec {
   test("registerAll exposes tables + native functions to spark.sql") {

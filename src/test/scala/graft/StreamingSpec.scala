@@ -156,6 +156,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._1) === Set(1L, 3L))
   }
 
+  test("streaming segment dedup keeps the batch first-occurrence survivor set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-segdedup").toString
+    // same corpus as DedupSpec's batch fixture, in doc order, ONE
+    // partition — so stream arrival order ≡ the batch (doc_id, pos)
+    // survivor rule
+    val docs = Seq(
+      (1L, Seq("header boilerplate", "body one"), "2024-01-01 00:00:01"),
+      (2L, Seq("header boilerplate", "unique two"), "2024-01-01 00:00:02"),
+      (3L, Seq("unique two", "header boilerplate", "tail three"), "2024-01-01 00:00:03"))
+      .toDF("doc_id", "lines", "ts0")
+      .withColumn("ts", to_timestamp(col("ts0"))).drop("ts0")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.segmentDedupStream(stream, "doc_id", col("lines"), "ts"),
+      "segdedup_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("segdedup_out")
+      .select("doc_id", "pos", "seg").as[(Long, Int, String)].collect().toSet
+    assert(got === Set(
+      (1L, 0, "header boilerplate"), (1L, 1, "body one"),
+      (2L, 1, "unique two"), (3L, 2, "tail three")))
+    // reassembled survivors match the batch operator's output
+    val batch = graft.operators.Dedup
+      .dedupSegments(docs, "doc_id", col("lines"), sep = "\n")
+      .select("doc_id", "text_deduped").as[(Long, String)].collect().toMap
+    val reassembled = got.toSeq.sortBy(t => (t._1, t._2))
+      .groupBy(_._1).view.mapValues(_.map(_._3).mkString("\n")).toMap
+    assert(reassembled === batch.filter(_._2.nonEmpty))
+  }
+
   test("streaming shard assignment matches the batch shard writer") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sshard").toString
