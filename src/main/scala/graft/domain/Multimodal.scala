@@ -93,10 +93,49 @@ object Multimodal {
     }
   }
 
+  /** Real audio decoder backed by `javax.sound.sampled.AudioSystem` —
+    * decodes WAV/AIFF/AU PCM payloads in-JVM (no external binary) into
+    * sample-window "frames": one [[DecodedFrame]] per `samplesPerFrame`
+    * window (width = samples in the window, height = 1, pixels = the
+    * raw PCM bytes). Downstream consumers are the same as for images —
+    * [[frameFeatures]], [[sampleFrames]] — plus the audio-specific
+    * [[audioRms]]. Undecodable payloads (null, truncated, compressed
+    * codecs the JDK lacks) yield zero frames, the corrupt-blob
+    * contract shared with [[ImageIODecoder]]. Reference analog: the
+    * loudness-measurement decode feeding static gain
+    * (SURVEY X11/S7). */
+  class WavDecoder(samplesPerFrame: Int = 1024) extends Decoder {
+    def decode(mediaId: String, content: Array[Byte]): Iterator[DecodedFrame] = {
+      if (content == null) Iterator.empty
+      else {
+        val pcm =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(content))
+            val fmt = ais.getFormat
+            val bytesPerSample =
+              math.max(fmt.getSampleSizeInBits / 8, 1) * math.max(fmt.getChannels, 1)
+            val all = ais.readAllBytes()
+            ais.close()
+            Some((all, bytesPerSample))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        pcm match {
+          case None => Iterator.empty
+          case Some((all, bytesPerSample)) =>
+            all.grouped(samplesPerFrame * bytesPerSample).zipWithIndex.map {
+              case (chunk, i) =>
+                DecodedFrame(mediaId, i, chunk.length / bytesPerSample, 1, chunk)
+            }
+        }
+      }
+    }
+  }
+
   /** Deterministic stand-in decoder for codec families the JDK lacks
-    * (audio/video): "decodes" a payload into pseudo-frames derived
-    * from its bytes (content-addressed, so tests are reproducible).
-    * For still images use [[ImageIODecoder]], which is real. */
+    * (compressed audio/video — FLAC, MP3, H.264): "decodes" a payload
+    * into pseudo-frames derived from its bytes (content-addressed, so
+    * tests are reproducible). For still images use [[ImageIODecoder]]
+    * and for PCM audio [[WavDecoder]], which are real. */
   class FakeDecoder(framesPerMedia: Int = 3, dim: Int = 4) extends Decoder {
     def decode(mediaId: String, content: Array[Byte]): Iterator[DecodedFrame] = {
       if (content == null) Iterator.empty
@@ -149,6 +188,31 @@ object Multimodal {
       val n = math.max(f.pixels.length, 1)
       (f.media_id, f.frameIdx, hist.map(_ / n))
     }.toDF("media_id", "frameIdx", "features")
+  }
+
+  /** Per-window RMS loudness over [[WavDecoder]] frames (pixels =
+    * little-endian signed 16-bit PCM): rms normalized to [0, 1] full
+    * scale and dBFS — the distributed shape of the reference's
+    * loudness measurement stage (ffmpeg loudnorm → static gain,
+    * SURVEY X11/S7; here the JDK decodes and the math is in-engine).
+    * Silence floors at −120 dBFS. */
+  def audioRms(frames: Dataset[DecodedFrame]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map { f =>
+      val n = f.pixels.length / 2
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val s = (((f.pixels(2 * i + 1) & 0xFF) << 8) |
+          (f.pixels(2 * i) & 0xFF)).toShort
+        acc += s.toDouble * s
+        i += 1
+      }
+      val rms = math.sqrt(acc / math.max(n, 1)) / 32768.0
+      (f.media_id, f.frameIdx, rms,
+        if (rms > 0) 20.0 * math.log10(rms) else -120.0)
+    }.toDF("media_id", "frameIdx", "rms", "dbfs")
   }
 
   /** X24/S19: dominant-color palette per media — pixel-share-ordered

@@ -159,6 +159,47 @@ class MultimodalSpec extends SparkSpec {
       === (0, 0, 255))
   }
 
+  test("S19 WavDecoder decodes real PCM WAV; audioRms recovers the sine level") {
+    // hand-built canonical 44-byte PCM WAV: 16-bit mono 8 kHz,
+    // 2048 samples of a −6 dBFS 440 Hz sine
+    val sampleRate = 8000; val n = 2048; val amp = 16384
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = (amp * math.sin(2 * math.Pi * i * 440.0 / sampleRate)).toInt.toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + pcm.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(pcm.length); bb.put(pcm)
+    val wav = bb.array()
+
+    val dec = new Multimodal.WavDecoder(samplesPerFrame = 1024)
+    val frames = dec.decode("a.wav", wav).toSeq
+    assert(frames.map(_.frameIdx) === Seq(0, 1)) // 2048 / 1024 windows
+    assert(frames.forall(f => f.width === 1024 && f.height === 1))
+    assert(frames.head.pixels.length === 2048)
+    // compressed/corrupt/null payloads skip, not fail
+    assert(dec.decode("junk", Array[Byte](1, 2, 3)).isEmpty)
+    assert(dec.decode("nul", null).isEmpty)
+
+    // distributed: RMS of a sine = amp/√2 → −9.03 dBFS
+    val rms = Multimodal.audioRms(spark.createDataset(frames))
+      .collect().map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val expected = amp / math.sqrt(2) / 32768.0
+    rms.foreach { case (_, r, db) =>
+      assert(math.abs(r - expected) < 0.005, s"rms $r vs $expected")
+      assert(math.abs(db - 20 * math.log10(expected)) < 0.2)
+    }
+  }
+
   test("S19 ImageIODecoder decodes JPEG (lossy: dims exact, color approximate)") {
     val jpg = encodeImage(16, 12, "jpg")((_, _) => 0xC82014)
     val mediaDf = Multimodal.asMediaTable(
