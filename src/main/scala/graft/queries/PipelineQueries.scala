@@ -111,25 +111,40 @@ object PipelineQueries {
 
     // F1: extension whitelist
     val audio = Corpus.audioFiles(files)
-    // X1 + F4/X10 in ONE fused projection: re-parse the synthesized
-    // name through the real regex, classify the disc dir name through
-    // the real rule cascades ("Bonus Disc" → NOT a disc → index 0);
-    // after this projection only compact columns travel
-    val parsed = audio
-      .withColumn("p", CatalogExtract.parseTrackFilename(col("file_name")))
-      .withColumn("no", coalesce(col("p.track"), lit(-1)))
+    // F4/X10 disc classification, DICTIONARY-ENCODED: the cascade
+    // input has four distinct values (d_code ∈ 0..3), so the REAL
+    // rule cascades ("Bonus Disc" → NOT a disc → index 0) run once
+    // per distinct value and the 4-row result broadcasts — the
+    // low-cardinality-expensive-function pattern. Inlined per-row the
+    // cascades were 30% of q36's wall time (measured +4.3 s at sf0.1
+    // for 600k rows); at 100 TB that is 4 regex-cascade evaluations
+    // instead of 10¹².
+    val discDict = broadcast(s.range(0, 4)
+      .select(col("id").cast("int").as("d_code"))
       .withColumn("disc_idx",
         when(DiscScanner.looksLikeDisc(discDirOf(col("d_code"))),
           DiscScanner.discIndexFromName(discDirOf(col("d_code"))).cast("int"))
-          .otherwise(lit(0)))
+          .otherwise(lit(0))))
+    // X1: re-parse the synthesized name through the real regex; after
+    // this projection only compact columns travel
+    val parsed = audio
+      .withColumn("p", CatalogExtract.parseTrackFilename(col("file_name")))
+      .withColumn("no", coalesce(col("p.track"), lit(-1)))
+      .join(discDict, "d_code")
       .select(col("album_id"), col("cust_id"), col("catalog_id"),
         col("d_code"), col("ordkey"), col("untag"), col("no"),
         col("disc_idx"), col("tdate0"))
-    // A1+A2: impute missing release dates from the album majority
-    val imputed = Grouping.imputeByMajority(parsed, Seq("album_id"), "tdate0")
+    // A1+A2: impute missing release dates from the album majority.
+    // PERSISTED: gapFillNumbers consumes its input twice (ranked rows
+    // + the free-number pool), and unlike q27's cheap scan projection
+    // this input carries the regex parse — uncached, the parse
+    // re-executes per consumer (measured +6.5 s at sf0.1). Same for
+    // `filled` below: canonicalize is a window + join-back over it.
+    val imputed = graft.CacheScope.track(
+      Grouping.imputeByMajority(parsed, Seq("album_id"), "tdate0"))
     // A3: lowest-unused track numbers per (album, disc), in ordkey order
-    val filled = Grouping.gapFillNumbers(imputed,
-      Seq("album_id", "d_code"), "no", "ordkey")
+    val filled = graft.CacheScope.track(Grouping.gapFillNumbers(imputed,
+      Seq("album_id", "d_code"), "no", "ordkey"))
     // A4/A5: canonical album per catalog number (min album id)
     val canon = Grouping.canonicalize(filled, Seq("catalog_id"),
       Seq(col("album_id")), Seq("album_id"))
