@@ -144,7 +144,12 @@ object PlanAudit {
     // per-group sort anywhere (exact q43 pays one)
     Check("q55_approx_quantiles",
       mustContain = Seq("ObjectHashAggregate", "partial_approx_percentile"),
-      mustNotContain = Seq("SortAggregate")))
+      mustNotContain = Seq("SortAggregate")),
+    // q56: split assignment is a pure projection of the fingerprint —
+    // no shuffle but the presentation sort
+    Check("q56_leakage_free_split",
+      mustContain = Seq("Project"),
+      mustNotContain = Seq("hashpartitioning", "Exchange hashpartitioning")))
 
   // Queries whose broadcast nested-loop join is the documented design:
   // brute-force baselines with a fixed-size anchor side, and q31's

@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   *     → per-language quality filter (keep top 3/4)      [Sampling]
   *     → mixture rebalance to a 2:1:1 source target      [Sampling]
   *     → sequence packing into 512-token bins             [Packing]
-  *     → deterministic training shards                      [Sinks]
+  *     → leakage-free train/val/test split                [Sampling]
+  *     → deterministic training shards (train split)        [Sinks]
   *
   * Run: sbt "runMain graft.examples.CurationPipelineDemo [sfDir]"
   */
@@ -89,10 +90,18 @@ object CurationPipelineDemo {
     val bins = packed.select(col("shard"), col("bin")).distinct().count()
     println(s"== packed into $bins bins")
 
-    // 6. deterministic shards on disk
+    // 6. leakage-free splits: keyed on the content fingerprint so any
+    // surviving duplicate can never straddle train and eval
+    val split = mixed.withColumn("split", Sampling.assignSplit(
+      graft.functions.TextFunctions.fingerprint(col("text")),
+      Seq("train" -> 8, "val" -> 1, "test" -> 1)))
+    split.groupBy("split").count().orderBy(col("split")).show()
+
+    // 7. deterministic shards on disk
     val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
     Sinks.writeTrainingShards(
-      mixed.join(packed.toDF().select(col("doc_id"), col("bin")), "doc_id"),
+      split.filter(col("split") === "train").drop("split")
+        .join(packed.toDF().select(col("doc_id"), col("bin")), "doc_id"),
       "doc_id", numShards = 4, out)
     println(s"== shards written: $out")
     spark.read.parquet(out).groupBy("shard").count()

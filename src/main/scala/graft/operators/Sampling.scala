@@ -100,6 +100,32 @@ object Sampling {
       .drop("__s", "__keep", "__rk")
   }
 
+  /** Leakage-free train/val/test split assignment: a pure function of
+    * a LEAKAGE KEY — typically the normalized-content fingerprint or
+    * the dedup group id, NOT the row id — so duplicate and
+    * near-duplicate documents can never straddle train and eval (the
+    * contamination path a row-keyed split leaves open). Buckets are
+    * cumulative md5-threshold edges over integer weights
+    * (`("train",8),("val",1),("test",1)` = 80/10/10), sharing the
+    * [[keep]] machinery's properties: a zero-shuffle projection,
+    * reproducible across runs/retries/cluster sizes, NESTED under
+    * weight refinements of the same prefix, and auditable by any
+    * engine with md5. The final bucket is the CASE fallthrough, so
+    * every row is assigned.
+    */
+  def assignSplit(key: Column, weights: Seq[(String, Int)]): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive")
+    val total = weights.map(_._2).sum.toDouble
+    val h = substring(md5(key.cast("string")), 1, 8)
+    val cum = weights.scanLeft(0)(_ + _._2).tail
+    weights.zip(cum).dropRight(1)
+      .foldRight(lit(weights.last._1): Column) {
+        case (((name, _), c), acc) =>
+          when(h < lit(hexThreshold(c / total)), name).otherwise(acc)
+      }
+  }
+
   /** Rebalance a corpus to a target domain mixture, keeping as much
     * data as possible: the largest total T consistent with the
     * targets is bounded by the scarcest domain, quota_d = how many

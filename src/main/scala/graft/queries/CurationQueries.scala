@@ -218,6 +218,32 @@ object CurationQueries {
       |WHERE r.rk <= k.keep
       |ORDER BY r.doc_id""".stripMargin
 
+  /** q56: leakage-free 80/10/10 train/val/test split — keyed on the
+    * normalized-content FINGERPRINT (not the doc id), so exact
+    * duplicates always land in the same split and can never leak from
+    * train into eval. Zero-shuffle projection; full DuckDB oracle
+    * (md5 thresholds: 0.8 → cccccccc, 0.9 → e6666666 — the same
+    * auditability discipline as q45).
+    */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .select(col("doc_id"), col("fp"),
+        Sampling.assignSplit(col("fp"),
+          Seq("train" -> 8, "val" -> 1, "test" -> 1)).as("split"))
+      .orderBy(col("doc_id"))
+
+  private val q56Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents)
+      |SELECT doc_id, fp, CASE
+      |  WHEN substring(md5(fp), 1, 8) < 'cccccccc' THEN 'train'
+      |  WHEN substring(md5(fp), 1, 8) < 'e6666666' THEN 'val'
+      |  ELSE 'test' END AS split
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q45_stratified_sample", q45, Some(q45Sql)),
     Q("q46_mixture_rebalance", q46, Some(q46Sql), headline = true),
@@ -225,5 +251,6 @@ object CurationQueries {
     Q("q48_hll_rollup", q48, None),
     Q("q49_decontamination", q49, Some(q49Sql), headline = true),
     Q("q50_repetition", q50, Some(q50Sql)),
-    Q("q51_quality_filter", q51, Some(q51Sql)))
+    Q("q51_quality_filter", q51, Some(q51Sql)),
+    Q("q56_leakage_free_split", q56, Some(q56Sql)))
 }

@@ -284,4 +284,37 @@ class CurationSpec extends SparkSpec {
       hll_sketch_agg(col("tok"), lit(12)))).as[Long].head()
     assert(math.abs(est - global) <= 25, s"union $est vs global $global")
   }
+
+  test("assignSplit: exhaustive, proportional, and leakage-free on the key") {
+    import graft.operators.Sampling
+    val weights = Seq("train" -> 8, "val" -> 1, "test" -> 1)
+    val keys = (0L until 4000L).toDF("k")
+      .select(col("k"), Sampling.assignSplit(col("k"), weights).as("split"))
+    val counts = keys.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    // exhaustive: every row assigned, only the three labels
+    assert(counts.values.sum === 4000L)
+    assert(counts.keySet === Set("train", "val", "test"))
+    // proportional within 5 sigma of binomial
+    def within(name: String, p: Double): Unit = {
+      val sigma = math.sqrt(4000 * p * (1 - p))
+      assert(math.abs(counts(name) - 4000 * p) <= 5 * sigma,
+        s"$name: ${counts(name)} vs ${4000 * p}")
+    }
+    within("train", 0.8); within("val", 0.1); within("test", 0.1)
+    // leakage-free: rows sharing a fingerprint key always share a
+    // split, regardless of their row ids
+    val docs = Seq(
+      (1L, "the SAME   text"), (900L, "The same text"), (7L, "other words"))
+      .toDF("doc_id", "text")
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .select(col("doc_id"),
+        Sampling.assignSplit(col("fp"), weights).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(docs(1L) === docs(900L))
+    // deterministic across invocations
+    val again = keys.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = keys.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === first)
+  }
 }
