@@ -149,7 +149,14 @@ object PlanAudit {
     // no shuffle but the presentation sort
     Check("q56_leakage_free_split",
       mustContain = Seq("Project"),
-      mustNotContain = Seq("hashpartitioning", "Exchange hashpartitioning")))
+      mustNotContain = Seq("hashpartitioning", "Exchange hashpartitioning")),
+    // q57: the composed curation chain — every wide stage is a keyed
+    // shuffle (segment hash, fingerprint, gram hash, language), the
+    // segment survivor election partial-aggregates map-side, and the
+    // shared post-segment-dedup relation is cached once
+    Check("q57_curation_pipeline",
+      mustContain = Seq("partial_min", "hashpartitioning", "InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
 
   // Queries whose broadcast nested-loop join is the documented design:
   // brute-force baselines with a fixed-size anchor side, and q31's

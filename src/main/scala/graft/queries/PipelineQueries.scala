@@ -261,6 +261,148 @@ object PipelineQueries {
       |FROM named WHERE album_id % 10 <> 0
       |ORDER BY circle, album, disc_dir, file_name""".stripMargin
 
+  /** The COMPOSED curation pipeline under ONE oracle — the q36
+    * sibling for the LLM-curation lifecycle: PII redaction (planted
+    * spans, the q53 fixture convention) → segment-level dedup
+    * (documents continue with their DEDUPED text — the composition
+    * step per-operator gates never exercise) → exact dedup on the
+    * deduped text (segment dedup CREATES exact duplicates: docs
+    * reduced to the same survivor set) → benchmark decontamination
+    * over the deduped text → per-language quality filter → leakage-
+    * free split keyed on the post-dedup fingerprint. Any drift in
+    * what one stage emits vs what the next consumes fails the hash at
+    * three SFs.
+    */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    import graft.operators.{Dedup, Decontamination, Sampling}
+    val d = Tables(s, dir).documents
+    // 1. plant PII in every 7th doc (q53 convention), then redact
+    val aug = d.withColumn("t1", piiRedact(
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"),
+          lit(" tel 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text"))))
+    // 2. segment dedup: docs continue with the deduped text
+    val segd = Dedup.dedupSegments(
+      aug.select(col("doc_id"), col("t1").as("text")),
+      "doc_id", tokenChunks(col("text"), 4))
+      .select(col("doc_id"), col("text_deduped").as("t2"))
+    val base = graft.CacheScope.track(
+      aug.select(col("doc_id"), col("lang"), col("source")).join(segd, "doc_id"))
+    // 3. exact dedup on the deduped text (min doc_id survives)
+    val fps = base.withColumn("fp", fingerprint(col("t2")))
+    val deduped = fps.join(
+      fps.groupBy(col("fp")).agg(min(col("doc_id")).as("__keep")), "fp")
+      .filter(col("doc_id") === col("__keep")).drop("__keep")
+    // 4. decontamination: bench docs (every 97th) index their deduped
+    // text; surviving train docs sharing a 3-gram are dropped
+    val bench = base.filter(col("doc_id") % 97 === 0)
+    val train = deduped.filter(col("doc_id") % 97 =!= 0)
+    val flagged = Decontamination.flagContaminated(
+      train, bench, "doc_id", "t2", n = 3)
+    val clean = train.join(flagged.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // 5. per-language quality filter (keep top 3/4 by the q13 score)
+    val kept = Sampling.qualityFilter(
+      clean.withColumn("quality", qualityScore(col("t2"))),
+      "lang", col("quality"), 3, 4, "doc_id")
+    // 6. leakage-free split on the post-dedup fingerprint
+    kept.select(col("doc_id"), col("lang"), col("source"), col("quality"),
+        Sampling.assignSplit(col("fp"),
+          Seq("train" -> 8, "val" -> 1, "test" -> 1)).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q57Sql =
+    """WITH aug AS (
+      |  SELECT doc_id, lang, source,
+      |    regexp_replace(regexp_replace(regexp_replace(
+      |      CASE WHEN doc_id % 7 = 0 THEN
+      |        text || ' contact user' || CAST(doc_id AS VARCHAR)
+      |          || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+      |          || '.' || CAST(doc_id % 100 AS VARCHAR)
+      |          || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE text END,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |      '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS t1
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, lang, source,
+      |    list_filter(regexp_split_to_array(trim(t1), '\s+'),
+      |      x -> length(x) > 0) AS toks
+      |  FROM aug),
+      |g AS (
+      |  SELECT doc_id, lang, source,
+      |    [list_aggregate(toks[i*4+1 : i*4+4], 'string_agg', ' ')
+      |     for i in generate_series(0, (length(toks) - 1) // 4)] AS segs
+      |  FROM tk),
+      |segrows AS (
+      |  SELECT doc_id, unnest(segs) AS seg,
+      |    generate_subscripts(segs, 1) - 1 AS pos
+      |  FROM g),
+      |segkept AS (
+      |  SELECT doc_id, pos, seg FROM (
+      |    SELECT doc_id, pos, seg,
+      |      row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos) AS rn
+      |    FROM segrows) WHERE rn = 1),
+      |segagg AS (
+      |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS td
+      |  FROM segkept GROUP BY doc_id),
+      |base AS (
+      |  SELECT g.doc_id, g.lang, g.source, coalesce(a.td, '') AS t2
+      |  FROM g LEFT JOIN segagg a USING (doc_id)),
+      |fps AS (
+      |  SELECT *, md5(lower(trim(regexp_replace(t2, '\s+', ' ', 'g')))) AS fp
+      |  FROM base),
+      |dedup AS (
+      |  SELECT * FROM (
+      |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM fps)
+      |  WHERE doc_id = keep_id),
+      |tk2 AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(t2), '\s+'),
+      |      x -> length(x) > 0) AS toks
+      |  FROM base),
+      |gr AS (
+      |  SELECT doc_id,
+      |    list_distinct([md5(list_aggregate(toks[i:i+2], 'string_agg', ' '))
+      |      for i in generate_series(1, length(toks) - 2)]) AS grams
+      |  FROM tk2),
+      |benchg AS (SELECT DISTINCT unnest(grams) AS gr FROM gr WHERE doc_id % 97 = 0),
+      |flags AS (
+      |  SELECT DISTINCT d.doc_id FROM (
+      |    SELECT doc_id, unnest(grams) AS gr FROM gr WHERE doc_id % 97 <> 0) d
+      |  JOIN benchg b ON d.gr = b.gr),
+      |train AS (
+      |  SELECT * FROM dedup
+      |  WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flags)),
+      |q AS (
+      |  SELECT doc_id, lang, source, fp, round(
+      |    0.25 * (CASE WHEN length(t2) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END)
+      |    + 0.25 * (CASE WHEN CAST(length(t2) - length(regexp_replace(t2, '[[:punct:]]', '', 'g')) AS DOUBLE) / greatest(length(t2), 1) < 0.1 THEN 1.0 ELSE 0.0 END)
+      |    + 0.25 * (CASE WHEN CAST(length(t2) - length(regexp_replace(t2, '[0-9]', '', 'g')) AS DOUBLE) / greatest(length(t2), 1) < 0.3 THEN 1.0 ELSE 0.0 END)
+      |    + 0.25 * least(CAST(length(list_distinct(list_filter(regexp_split_to_array(trim(t2), '\s+'), x -> length(x) > 0))) AS DOUBLE)
+      |        / greatest(length(list_filter(regexp_split_to_array(trim(t2), '\s+'), x -> length(x) > 0)), 1) * 2.0, 1.0)
+      |  , 6) AS quality
+      |  FROM train),
+      |counts AS (SELECT lang, count(*) AS cnt FROM q GROUP BY 1),
+      |keeps AS (SELECT lang, (cnt * 3 + 3) // 4 AS keep FROM counts),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk
+      |  FROM q)
+      |SELECT r.doc_id, r.lang, r.source, r.quality, CASE
+      |    WHEN substring(md5(r.fp), 1, 8) < 'cccccccc' THEN 'train'
+      |    WHEN substring(md5(r.fp), 1, 8) < 'e6666666' THEN 'val'
+      |    ELSE 'test' END AS split
+      |FROM ranked r JOIN keeps k USING (lang)
+      |WHERE r.rk <= k.keep
+      |ORDER BY r.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
-    Q("q36_catalog_pipeline", q36, Some(q36Sql), headline = true))
+    Q("q36_catalog_pipeline", q36, Some(q36Sql), headline = true),
+    Q("q57_curation_pipeline", q57, Some(q57Sql), headline = true))
 }
