@@ -300,7 +300,10 @@ object PipelineQueries {
     // 4. decontamination: bench docs (every 97th) index their deduped
     // text; surviving train docs sharing a 3-gram are dropped
     val bench = base.filter(col("doc_id") % 97 === 0)
-    val train = deduped.filter(col("doc_id") % 97 =!= 0)
+    // cached: flagContaminated scans its docs side twice (grams +
+    // per-doc totals), and train's lineage carries the survivor join
+    val train = graft.CacheScope.track(
+      deduped.filter(col("doc_id") % 97 =!= 0))
     val flagged = Decontamination.flagContaminated(
       train, bench, "doc_id", "t2", n = 3)
     val clean = train.join(flagged.select(col("doc_id")), Seq("doc_id"), "left_anti")
