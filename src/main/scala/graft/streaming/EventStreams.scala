@@ -157,6 +157,17 @@ object EventStreams {
     graft.operators.Decontamination.flagWithIndex(
       docs, benchGrams, idCol, textCol, n)
 
+  /** Streaming PII-scrub twin — [[graft.functions.TextFunctions
+    * .piiRedact]] is a pure per-row projection, so the SAME
+    * redaction applies verbatim at ingest: zero state, and a
+    * replayed/retried micro-batch redacts identically (idempotence is
+    * property-tested). Real pipelines scrub BEFORE landing bytes —
+    * raw PII then never touches durable storage.
+    */
+  def redactedStream(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn(textCol,
+      graft.functions.TextFunctions.piiRedact(col(textCol)))
+
   /** Streaming segment-dedup twin — the segment-granular sibling of
     * [[dedupByFingerprint]]: explode the stream's segments and keep
     * the FIRST ARRIVAL per segment md5 within bounded state

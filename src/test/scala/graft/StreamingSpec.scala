@@ -156,6 +156,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_._1) === Set(1L, 3L))
   }
 
+  test("streaming PII scrub matches the batch redaction row-for-row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    val docs = Seq(
+      (1L, "mail bob@x.io now"), (2L, "clean text"),
+      (3L, "host 10.0.0.7 tel 555-0100"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.redactedStream(stream, "text"), "pii_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("pii_out").as[(Long, String)].collect().toMap
+    val batch = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.piiRedact(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(got === batch)
+    assert(got(1L) === "mail <EMAIL> now")
+    assert(got(3L) === "host <IP> tel <PHONE>")
+  }
+
   test("streaming segment dedup keeps the batch first-occurrence survivor set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-segdedup").toString
