@@ -110,11 +110,21 @@ object Multimodal {
       else {
         val pcm =
           try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            import javax.sound.sampled.{AudioFormat, AudioSystem}
+            val src = AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(content))
-            val fmt = ais.getFormat
-            val bytesPerSample =
-              math.max(fmt.getSampleSizeInBits / 8, 1) * math.max(fmt.getChannels, 1)
+            // NORMALIZE to signed 16-bit little-endian PCM at the
+            // source rate/channels: AIFF/AU are big-endian, WAV can be
+            // 8-bit or μ-law — without this the downstream sample math
+            // ([[audioRms]] assumes 16-bit LE) reads byte-swapped
+            // noise. The JDK converts between PCM encodings natively;
+            // an unconvertible codec throws and yields zero frames.
+            val f0 = src.getFormat
+            val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+              f0.getSampleRate, 16, f0.getChannels,
+              2 * math.max(f0.getChannels, 1), f0.getSampleRate, false)
+            val ais = AudioSystem.getAudioInputStream(target, src)
+            val bytesPerSample = 2 * math.max(f0.getChannels, 1)
             val all = ais.readAllBytes()
             ais.close()
             Some((all, bytesPerSample))

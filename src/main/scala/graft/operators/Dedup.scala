@@ -278,13 +278,20 @@ object Dedup {
     *
     * Survivor rule: global min (doc_id, position) per md5 of the
     * segment — deterministic and auditable cross-engine (same
-    * discipline as the sampling thresholds). Scale shape: ONE shuffle
-    * of (hash, doc_id, pos) — the min-struct aggregation combines
-    * map-side, so corpus-wide boilerplate (the skew case: a segment
-    * repeated billions of times) collapses to one row per partition
-    * BEFORE the shuffle, where a window-rank over the hash would sort
-    * the full explosion; text never shuffles with the hash relation
-    * (segments ride only the doc-side re-join and final re-assembly).
+    * discipline as the sampling thresholds). Scale shape: segment
+    * TEXT never enters a wide operation — the exploded relation drops
+    * to (doc_id, pos, 16-byte hash) before its one shuffle, and the
+    * min-struct aggregation combines map-side, so corpus-wide
+    * boilerplate (the skew case: a segment repeated billions of
+    * times) collapses to one row per partition BEFORE the shuffle.
+    * Surviving POSITIONS (compact ints) group per doc and join back
+    * to the documents on doc_id; reassembly filters each doc's own
+    * segment array in place, so the only relation that ever carries
+    * text is keyed by doc_id — uniformly distributed by construction.
+    * (An earlier formulation joined the exploded text back on the
+    * hash key, which re-serialized every copy of the hottest
+    * boilerplate segment onto one reducer — exactly the skew the
+    * aggregation avoids.)
     *
     * Returns one row per input document:
     * (doc_id, n_segments, n_kept, text_deduped).
@@ -294,25 +301,22 @@ object Dedup {
     val seg = docs
       .select(col(idCol).cast("long").as("doc_id"),
         posexplode(segmentsCol).as(Seq("pos", "seg")))
-      .withColumn("h", unhex(md5(col("seg"))))
-    val firsts = seg
+      .select(col("doc_id"), col("pos"), unhex(md5(col("seg"))).as("h"))
+    val keptPos = seg
       .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
-    val kept = seg.join(firsts, "h")
-      .filter(col("doc_id") === col("f_doc") && col("pos") === col("f_pos"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("seg")))),
-          s => s.getField("seg")), sep).as("text_deduped"))
+      .groupBy(col("f.doc_id").as("doc_id"))
+      .agg(collect_list(col("f.pos")).as("__kept"))
     docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        size(segmentsCol).cast("long").as("n_segments"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_segments"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+      .select(col(idCol).cast("long").as("doc_id"), segmentsCol.as("__segs"))
+      .join(keptPos, Seq("doc_id"), "left")
+      .withColumn("__kept",
+        coalesce(col("__kept"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("__segs")).cast("long").as("n_segments"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(filter(col("__segs"),
+          (_, i) => array_contains(col("__kept"), i)), sep).as("text_deduped"))
   }
 
   /** 64-bit SimHash over the distinct-token set: bit j of the

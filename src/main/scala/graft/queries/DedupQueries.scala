@@ -138,8 +138,9 @@ object DedupQueries {
       |  FROM documents),
       |g AS (
       |  SELECT doc_id,
-      |    [list_aggregate(toks[i*4+1 : i*4+4], 'string_agg', ' ')
-      |     for i in generate_series(0, (length(toks) - 1) // 4)] AS segs
+      |    CASE WHEN length(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+      |      [list_aggregate(toks[i*4+1 : i*4+4], 'string_agg', ' ')
+      |       for i in generate_series(0, (length(toks) - 1) // 4)] END AS segs
       |  FROM t),
       |segs AS (
       |  SELECT doc_id, unnest(segs) AS seg,

