@@ -254,7 +254,10 @@ object Dedup {
         .cosine(col("x.vec"), col("y.vec")), 4))
       .filter(col("score") >= threshold)
       .select(col("x.id").as("a"), col("y.id").as("b"))
-    val comps = ConnectedComponents.components(edges, "a", "b")
+    // near-dup edges of a deduplicated corpus are rare by
+    // construction — the bounded local-closure fallback applies
+    val comps = ConnectedComponents.components(edges, "a", "b",
+      collectThreshold = 1000000L)
       .withColumnRenamed("node", "id")
     vectors.select(col(idCol).cast("long").as("id"))
       .join(comps, Seq("id"), "left")

@@ -69,7 +69,8 @@ object DedupPipeline {
         >= lit(threshold))
       .select(col("a_id"), col("b_id"))
     // 4. transitive closure
-    val comp = ConnectedComponents.components(pairs, "a_id", "b_id")
+    val comp = ConnectedComponents.components(pairs, "a_id", "b_id",
+      collectThreshold = 1000000L)
     // 5. survivor election; singletons = own group of 1
     val assigned = keyed.select(col("id").as("doc_id"))
       .join(comp, col("doc_id") === col("node"), "left")
@@ -147,7 +148,8 @@ object DedupPipeline {
       .select(col("bkey"), col("id").as("b_id"), col("toks").as("b_toks"))
     val pairs = jaccardPairs(aSide, bSide)
       .filter(col("a_id") < col("b_id") || col("b_id") < 0)
-    val comp = ConnectedComponents.components(pairs, "a_id", "b_id")
+    val comp = ConnectedComponents.components(pairs, "a_id", "b_id",
+      collectThreshold = 1000000L)
     // admitted: fresh docs whose component has no corpus member
     // (label >= 0 — corpus ids are negative) and that ARE the
     // canonical min (or are in no pair at all)

@@ -37,6 +37,40 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("local-closure fallback ≡ distributed path ≡ union-find (random graphs)") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 3) {
+      val edges = (1 to 120).map(_ =>
+        (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("a", "b")
+      def run(threshold: Long): Map[Long, Long] =
+        ConnectedComponents.components(df, "a", "b",
+            collectThreshold = threshold)
+          .as[(Long, Long)].collect().toMap
+      val local = run(1000000L) // edges well below → driver union-find
+      val dist = run(0L)        // always distributed
+      assert(local === dist)
+      assert(local === ufComponents(edges))
+      graft.CacheScope.releaseAll()
+    }
+  }
+
+  test("local-closure fallback: threshold respected, empty edges fine") {
+    // above-threshold graphs must take the distributed path and agree
+    val edges = (0L until 50L).map(i => (i, i + 1)).toDF("a", "b")
+    val viaTiny = ConnectedComponents.components(edges, "a", "b",
+        collectThreshold = 5L) // 100 doubled edges > 5 → distributed
+      .as[(Long, Long)].collect().toMap
+    assert(viaTiny.values.toSet === Set(0L))
+    graft.CacheScope.releaseAll()
+    val empty = ConnectedComponents.components(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b",
+      collectThreshold = 10L)
+    assert(empty.count() === 0)
+    graft.CacheScope.releaseAll()
+  }
+
   test("components: long chain converges (pointer doubling, few rounds)") {
     // a 400-node path — diameter 399; plain propagation would need
     // 399 rounds and trip maxIter, doubling needs ~log2
