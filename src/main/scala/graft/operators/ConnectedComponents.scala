@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   * O(log diameter) iterations instead of O(diameter) — on a 1M-node
   * chain that is ~20 rounds, not 1M. Every iteration is two
   * hash-partitioned equi-joins + one aggregation (all keyed shuffles,
-  * AQE-balanced); lineage is cut per round with an eager
-  * localCheckpoint so plans stay flat; convergence is detected by the
-  * monotone scalar Σlabels (labels only ever decrease), costing one
-  * tiny aggregate, not a diff join.
+  * AQE-balanced); lineage is cut per round with a LAZY localCheckpoint
+  * whose materialization is driven by the convergence aggregate — one
+  * job per round, and plans stay flat. Convergence is the monotone
+  * scalar Σlabels (labels only ever decrease): one tiny aggregate,
+  * not a diff join.
   *
   * Reference analog: the duplicate-circle resolution groups (SURVEY
   * A4/J11) built per-key in Python; re-expressed as the standard
@@ -85,9 +86,11 @@ object ConnectedComponents {
       val grandparent = labels.select(col("node"), col("label").as("mid"))
         .join(labels.select(col("node").as("mid"), col("label").as("glabel")), "mid")
         .select(col("node"), col("glabel").as("label"))
+      // LAZY checkpoint: the convergence-sum action below materializes
+      // it, so each round runs ONE job (eager + separate sum was two)
       val next = labels.unionByName(neighbor).unionByName(grandparent)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // labels decrease monotonically → Σ is a complete change detector
       val s = labelSum(next)
       labels = next
