@@ -96,8 +96,10 @@ object Multimodal {
   /** Real audio decoder backed by `javax.sound.sampled.AudioSystem` —
     * decodes WAV/AIFF/AU PCM payloads in-JVM (no external binary) into
     * sample-window "frames": one [[DecodedFrame]] per `samplesPerFrame`
-    * window (width = samples in the window, height = 1, pixels = the
-    * raw PCM bytes). Downstream consumers are the same as for images —
+    * window (width = sample FRAMES in the window — one frame spans all
+    * channels, so stereo width counts stereo pairs, not individual
+    * channel samples; height = 1, pixels = the raw interleaved PCM
+    * bytes). Downstream consumers are the same as for images —
     * [[frameFeatures]], [[sampleFrames]] — plus the audio-specific
     * [[audioRms]]. Undecodable payloads (null, truncated, compressed
     * codecs the JDK lacks) yield zero frames, the corrupt-blob
@@ -124,17 +126,18 @@ object Multimodal {
               f0.getSampleRate, 16, f0.getChannels,
               2 * math.max(f0.getChannels, 1), f0.getSampleRate, false)
             val ais = AudioSystem.getAudioInputStream(target, src)
-            val bytesPerSample = 2 * math.max(f0.getChannels, 1)
+            // 2 bytes per 16-bit sample × channels = one sample FRAME
+            val bytesPerFrame = 2 * math.max(f0.getChannels, 1)
             val all = ais.readAllBytes()
             ais.close()
-            Some((all, bytesPerSample))
+            Some((all, bytesPerFrame))
           } catch { case scala.util.control.NonFatal(_) => None }
         pcm match {
           case None => Iterator.empty
-          case Some((all, bytesPerSample)) =>
-            all.grouped(samplesPerFrame * bytesPerSample).zipWithIndex.map {
+          case Some((all, bytesPerFrame)) =>
+            all.grouped(samplesPerFrame * bytesPerFrame).zipWithIndex.map {
               case (chunk, i) =>
-                DecodedFrame(mediaId, i, chunk.length / bytesPerSample, 1, chunk)
+                DecodedFrame(mediaId, i, chunk.length / bytesPerFrame, 1, chunk)
             }
         }
       }

@@ -43,10 +43,13 @@ object ConnectedComponents {
     * overhead — ~6 s for a 1k-edge graph at local[32] — while the
     * thresholded near-dup pair set of a deduplicated corpus is
     * typically tiny relative to the corpus (pairs are the RARE case).
-    * The threshold makes the driver memory bound explicit
-    * (16 bytes/edge; 10⁶ edges ≈ 16 MB — the same bounded-collect
-    * class as the IVF centroids and skew-key lists); graphs above it
-    * take the distributed path, which q41 gates at 600k nodes.
+    * The threshold makes the driver memory bound explicit — edges
+    * land as PACKED primitive longs (executor-side packing, no boxed
+    * tuples reach the driver), union-find state is index arrays:
+    * 16 bytes/edge + ~20 bytes/node persistent, so 10⁶ edges ≈ 16 MB
+    * + node arrays — the same bounded-collect class as the IVF
+    * centroids and skew-key lists; graphs above it take the
+    * distributed path, which q41 gates at 600k nodes.
     * Default 0 = always distributed. */
   def components(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50, collectThreshold: Long = 0L): DataFrame = {
@@ -102,38 +105,66 @@ object ConnectedComponents {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** The default bounded local-closure threshold the dedup pipelines
+    * use (DedupPipeline, Dedup.semanticDedup): 10⁶ doubled edges ≈
+    * 16 MB packed on the driver. Callers with tighter driver heaps
+    * pass their own bound. */
+  val DefaultLocalClosureThreshold: Long = 1000000L
+
   /** Driver union-find over a collected (src, dst) edge relation —
-    * the small-graph path of [[components]]. Path compression +
-    * union by attachment to the smaller root keeps it near-linear;
-    * the component id is the MIN member (resolved in a second pass),
+    * the small-graph path of [[components]]. All driver state is
+    * PRIMITIVE: edges arrive as per-partition packed Array[Long]
+    * (boxing happens streaming on executors, never accumulates on the
+    * driver), node ids dedup via sort + unique into one Array[Long],
+    * and union-find runs over an Array[Int] parent-index table with
+    * path halving + union-by-min. The component id is the MIN member,
     * matching the distributed formulation exactly (spec-pinned on
     * random graphs against the distributed path). */
   private def componentsLocal(spark: org.apache.spark.sql.SparkSession,
       edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val arr = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x0: Long): Long = {
+    // pack (src, dst) pairs executor-side: one primitive Array[Long]
+    // per partition crosses the wire, 16 bytes/edge on the driver
+    val packed: Array[Long] = edges.select(col("src"), col("dst")).rdd
+      .mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+        Iterator.single(buf.result())
+      }.collect().flatten
+    // sorted-unique node table → index-based union-find (no boxed map)
+    val nodes = {
+      val sorted = java.util.Arrays.copyOf(packed, packed.length)
+      java.util.Arrays.sort(sorted)
+      val out = new scala.collection.mutable.ArrayBuilder.ofLong
+      var i = 0
+      while (i < sorted.length) {
+        if (i == 0 || sorted(i) != sorted(i - 1)) out += sorted(i)
+        i += 1
+      }
+      out.result()
+    }
+    val n = nodes.length
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(nodes, v)
+    val parent = Array.tabulate(n)(identity)
+    def find(x0: Int): Int = {
       var x = x0
-      while (parent.getOrElse(x, x) != x) {
-        val p = parent(x)
-        parent(x) = parent.getOrElse(p, p) // path halving
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
         x = parent(x)
       }
       x
     }
-    arr.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
+    var e = 0
+    while (e < packed.length) {
+      val ra = find(idx(packed(e)))
+      val rb = find(idx(packed(e + 1)))
+      // attach the larger root under the smaller: nodes are sorted, so
+      // the root index IS the min member index of its set
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      e += 2
     }
-    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
-    parent.keys.foreach { n =>
-      val r = find(n)
-      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
-    }
-    parent.keys.toSeq.map(n => (n, minOfRoot(find(n))))
-      .toDF("node", "component")
+    (0 until n).iterator.map(i => (nodes(i), nodes(find(i))))
+      .toSeq.toDF("node", "component")
   }
 
   /** Dedup clustering: near-dup pairs → (doc, dup_group, group_size),

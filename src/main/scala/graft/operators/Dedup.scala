@@ -226,7 +226,9 @@ object Dedup {
     */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nlist: Int = 16, seed: Long = 42L,
-      trainFraction: Double = 1.0, maxCellSize: Int = 10000): DataFrame = {
+      trainFraction: Double = 1.0, maxCellSize: Int = 10000,
+      ccCollectThreshold: Long =
+        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // cached: k-means|| init + every Lloyd iteration rescans its
@@ -257,7 +259,7 @@ object Dedup {
     // near-dup edges of a deduplicated corpus are rare by
     // construction — the bounded local-closure fallback applies
     val comps = ConnectedComponents.components(edges, "a", "b",
-      collectThreshold = 1000000L)
+      collectThreshold = ccCollectThreshold)
       .withColumnRenamed("node", "id")
     vectors.select(col(idCol).cast("long").as("id"))
       .join(comps, Seq("id"), "left")

@@ -42,7 +42,9 @@ object DedupPipeline {
       split_part(normalized(text), lit(" "), lit(2)))
 
   def nearDupGroups(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxBucketSize: Int = 1000): DataFrame = {
+      threshold: Double, maxBucketSize: Int = 1000,
+      ccCollectThreshold: Long =
+        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
     // 1. exact dedup (keeps all columns; min id per fingerprint)
     val surv = Dedup.dropExactDups(docs, idCol, textCol)
     // one scan feeds the bucket-size agg and both self-join sides
@@ -70,7 +72,7 @@ object DedupPipeline {
       .select(col("a_id"), col("b_id"))
     // 4. transitive closure
     val comp = ConnectedComponents.components(pairs, "a_id", "b_id",
-      collectThreshold = 1000000L)
+      collectThreshold = ccCollectThreshold)
     // 5. survivor election; singletons = own group of 1
     val assigned = keyed.select(col("id").as("doc_id"))
       .join(comp, col("doc_id") === col("node"), "left")
@@ -105,7 +107,9 @@ object DedupPipeline {
     */
   def admitIncremental(newDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      ccCollectThreshold: Long =
+        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
     val keyedOf = (df: DataFrame) => df.select(
       col(idCol).cast("long").as("id"),
       bucketKey(col(textCol)).as("bkey"),
@@ -149,7 +153,7 @@ object DedupPipeline {
     val pairs = jaccardPairs(aSide, bSide)
       .filter(col("a_id") < col("b_id") || col("b_id") < 0)
     val comp = ConnectedComponents.components(pairs, "a_id", "b_id",
-      collectThreshold = 1000000L)
+      collectThreshold = ccCollectThreshold)
     // admitted: fresh docs whose component has no corpus member
     // (label >= 0 — corpus ids are negative) and that ARE the
     // canonical min (or are in no pair at all)

@@ -316,5 +316,18 @@ class CurationSpec extends SparkSpec {
     val again = keys.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val first = keys.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again === first)
+    // NULL keys: assigned (not dumped in the last bucket by CASE
+    // fallthrough) and all land in the SAME split — a null fingerprint
+    // is one shared leakage key, so its rows must never straddle
+    // train/eval
+    val nulls = Seq((1L, null: String), (2L, null: String), (3L, "real key"))
+      .toDF("id", "fp")
+      .select(col("id"), Sampling.assignSplit(col("fp"), weights).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(nulls(1L) != null && nulls(1L) === nulls(2L))
+    // the null bucket is the sentinel's md5 bucket, not the
+    // fallthrough: with an 80/10/10 split the sentinel hashes into
+    // train (pinned so a sentinel change is a visible decision)
+    assert(nulls(1L) === "train")
   }
 }

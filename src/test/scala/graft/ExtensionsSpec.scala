@@ -13,20 +13,33 @@ class ExtensionsSpec extends SparkSpec {
     // default-session slot (other suites hold a direct reference)
     spark.sparkContext
     TestSpark.synchronized {
-      val prevDefault = SparkSession.getDefaultSession
-      val prevActive = SparkSession.getActiveSession
-      SparkSession.clearDefaultSession()
-      SparkSession.clearActiveSession()
+      // same SparkContext, NEW SparkSession built with the injector.
+      // (.withExtensions, not .config("spark.sql.extensions", …):
+      // that key is a STATIC conf read from the SparkContext, and
+      // the shared test context already exists — on a cluster both
+      // paths run the identical GraftExtensions.apply.)
+      // The JVM-global default/active session slots are cleared ONLY
+      // around the getOrCreate call (the one API that reads them) and
+      // restored in a finally immediately after — tests are forked
+      // sequential (build.sbt), and keeping the window this narrow
+      // means even a future parallel runner could only race a few ms
+      // of builder time, not the whole suite body.
+      val s2 = {
+        val prevDefault = SparkSession.getDefaultSession
+        val prevActive = SparkSession.getActiveSession
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+        try {
+          SparkSession.builder()
+            .master("local[4]")
+            .withExtensions(new GraftExtensions)
+            .getOrCreate()
+        } finally {
+          prevDefault.foreach(SparkSession.setDefaultSession)
+          prevActive.foreach(SparkSession.setActiveSession)
+        }
+      }
       try {
-        // same SparkContext, NEW SparkSession built with the injector.
-        // (.withExtensions, not .config("spark.sql.extensions", …):
-        // that key is a STATIC conf read from the SparkContext, and
-        // the shared test context already exists — on a cluster both
-        // paths run the identical GraftExtensions.apply.)
-        val s2 = SparkSession.builder()
-          .master("local[4]")
-          .withExtensions(new GraftExtensions)
-          .getOrCreate()
         assert(s2 ne spark, "expected a fresh session over the shared context")
         val row = s2.sql(
           """SELECT graft_cosine(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c,
@@ -60,8 +73,9 @@ class ExtensionsSpec extends SparkSpec {
           "SELECT graft_simhash64(array('a', 'b')) AS s").collect()(0).getLong(0)
         assert(viaTemp === row.getLong(2))
       } finally {
-        prevDefault.foreach(SparkSession.setDefaultSession)
-        prevActive.foreach(SparkSession.setActiveSession)
+        // hand the active-session slot back to the shared session so
+        // later suites on this thread see the expected globals
+        SparkSession.setActiveSession(spark)
       }
     }
   }
