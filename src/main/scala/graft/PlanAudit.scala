@@ -156,7 +156,15 @@ object PlanAudit {
     // shared post-segment-dedup relation is cached once
     Check("q57_curation_pipeline",
       mustContain = Seq("partial_min", "hashpartitioning", "InMemoryTableScan"),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")))
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // q58: substring dedup — the global-first election is the q52
+    // map-side partial min-struct (hot grams collapse before the
+    // shuffle); all joins are keyed; no window-rank sort of the gram
+    // explosion
+    Check("q58_substring_dedup",
+      mustContain = Seq("partial_min", "hashpartitioning"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "WindowExec")))
 
   // Queries whose broadcast nested-loop join is the documented design:
   // brute-force baselines with a fixed-size anchor side, and q31's

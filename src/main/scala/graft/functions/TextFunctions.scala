@@ -22,7 +22,7 @@ object TextFunctions {
     * (measured 4-8× on the n-gram family at sf0.1). Binding the token
     * array makes it O(n).
     */
-  private def bindArray(arr: Column)(body: Column => Column): Column =
+  private[graft] def bindArray(arr: Column)(body: Column => Column): Column =
     get(transform(array(arr), a => body(a)), lit(0))
 
   /** Whitespace tokenizer (BPE-ish splitting is `tokensRegex`). */

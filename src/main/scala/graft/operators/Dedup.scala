@@ -324,6 +324,93 @@ object Dedup {
           (_, i) => array_contains(col("__kept"), i)), sep).as("text_deduped"))
   }
 
+  /** Exact duplicate-SUBSTRING removal (the ExactSubstr pass of Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022, arXiv:2107.06499): any k-token window whose
+    * text repeats ANYWHERE in the corpus is cut from every occurrence
+    * except the globally first — repeated SPANS (quotes, licence
+    * blocks, templated passages embedded in otherwise-unique
+    * documents) survive both whole-document dedup and
+    * [[dedupSegments]] (which only catches repeats aligned on segment
+    * boundaries); the paper's finding is that memorization tracks the
+    * span, not the document. The suffix-array construction is
+    * re-expressed relationally:
+    *
+    *   1. grams: every k-token window → (doc_id, start, md5 hash) — a
+    *      positions-and-hashes projection, window TEXT never enters a
+    *      wide operation;
+    *   2. one aggregation per gram hash elects the global first
+    *      occurrence (min (doc_id, start) — map-side partial min, so a
+    *      window repeated a billion times collapses per partition
+    *      BEFORE the shuffle, the [[dedupSegments]] discipline) and
+    *      keeps only hashes seen more than once;
+    *   3. repeated-gram windows join back on the hash (keyed
+    *      equi-join; AQE's skew handling splits hot-gram partitions)
+    *      and group per doc into cut starts (non-first occurrences)
+    *      and protected starts (the canonical copies), both bounded by
+    *      the doc's own token count;
+    *   4. each doc filters its own token array in place — the only
+    *      relation carrying text stays keyed by doc_id (uniform by
+    *      construction). The coverage test is O(tokens × spans) per
+    *      doc via nested HOFs; spans are rare post-dedup, and both
+    *      arrays are bound once (no per-element re-evaluation).
+    *
+    * Survivor semantics (spec-pinned): a token survives unless a
+    * NON-first duplicate window covers it, except that tokens under a
+    * doc's own canonical (globally-first) window always survive — so
+    * exactly one copy of a duplicated substring remains corpus-wide
+    * even when its repeats self-overlap ("a a a a a" at k=2 keeps
+    * "a a"). Docs with fewer than k tokens are untouched.
+    * Reconstruction joins surviving tokens with single spaces
+    * (whitespace canonicalized, as in [[dedupSegments]]).
+    *
+    * Returns (doc_id, n_tokens, n_kept, text_deduped).
+    */
+  def dedupSubstrings(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "window must span at least 2 tokens")
+    // hashes of all k-token windows, token array bound once (O(n))
+    val gramHashes = bindArray(tokens(col(textCol))) { ts =>
+      when(size(ts) >= k,
+        transform(sequence(lit(0), size(ts) - k),
+          i => unhex(md5(concat_ws(" ", slice(ts, i + lit(1), lit(k)))))))
+        .otherwise(array().cast("array<binary>"))
+    }
+    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(gramHashes).as(Seq("s", "h")))
+    val firsts = grams.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("s"))).as("f"),
+        count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("h"), col("f"))
+    // per-doc window starts of repeated grams, split canonical vs cut
+    // (collect_list drops the nulls the `when` leaves on the other arm)
+    val spans = grams.join(firsts, "h")
+      .withColumn("__isFirst",
+        struct(col("doc_id"), col("s")) === col("f"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_sort(collect_list(when(!col("__isFirst"), col("s"))))
+          .as("__cuts"),
+        array_sort(collect_list(when(col("__isFirst"), col("s"))))
+          .as("__firsts"))
+    val emptyInts = array().cast("array<int>")
+    val covered = (starts: Column, i: Column) =>
+      exists(starts, s => s <= i && i < s + lit(k))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("__toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("__cuts", coalesce(col("__cuts"), emptyInts))
+      .withColumn("__firsts", coalesce(col("__firsts"), emptyInts))
+      .withColumn("__kept", filter(col("__toks"), (_, i) =>
+        !covered(col("__cuts"), i) || covered(col("__firsts"), i)))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("text_deduped"))
+  }
+
   /** 64-bit SimHash over the distinct-token set: bit j of the
     * signature is the sign of Σ_tokens (±1 by bit j of xxhash64(tok)).
     * One zero-shuffle projection via the native SimHash64 expression

@@ -161,6 +161,63 @@ object DedupQueries {
       |FROM g LEFT JOIN agg a USING (doc_id)
       |ORDER BY g.doc_id""".stripMargin
 
+  /** Exact duplicate-substring removal (Lee et al. ExactSubstr) under
+    * a FULL DuckDB oracle: the oracle re-derives the k-token window
+    * hashes, the global-first election, the canonical-copy protection,
+    * and the in-place reconstruction — a drift in any of the four
+    * stages (or in the tokenizer) fails the hash at all three SFs.
+    * k=4 matches q52's chunk width, so the corpus's cross-document
+    * collisions exercise both the cross-doc and self-overlap paths.
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSubstrings(Tables(s, dir).documents, "doc_id", "text", k = 4)
+      .orderBy(col("doc_id"))
+
+  private val q58Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(toks) >= 4 THEN
+      |      [md5(list_aggregate(toks[i+1 : i+4], 'string_agg', ' '))
+      |       for i in generate_series(0, length(toks) - 4)]
+      |    ELSE CAST([] AS VARCHAR[]) END AS hs
+      |  FROM t),
+      |g AS (
+      |  SELECT doc_id, unnest(hs) AS h,
+      |    generate_subscripts(hs, 1) - 1 AS s
+      |  FROM g0),
+      |marked AS (
+      |  SELECT doc_id, s, rn = 1 AS is_first FROM (
+      |    SELECT doc_id, s,
+      |      row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn,
+      |      count(*) OVER (PARTITION BY h) AS c
+      |    FROM g) WHERE c > 1),
+      |tok AS (
+      |  SELECT doc_id, unnest(toks) AS tk,
+      |    generate_subscripts(toks, 1) - 1 AS p
+      |  FROM t),
+      |kept AS (
+      |  SELECT tk.doc_id, tk.tk, tk.p FROM tok tk
+      |  WHERE NOT EXISTS (SELECT 1 FROM marked m
+      |      WHERE m.doc_id = tk.doc_id AND NOT m.is_first
+      |        AND tk.p >= m.s AND tk.p < m.s + 4)
+      |    OR EXISTS (SELECT 1 FROM marked m
+      |      WHERE m.doc_id = tk.doc_id AND m.is_first
+      |        AND tk.p >= m.s AND tk.p < m.s + 4)),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(tk, ' ' ORDER BY p) AS text_deduped
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(length(t.toks) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+      |  coalesce(a.text_deduped, '') AS text_deduped
+      |FROM t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   /** SemDeDup over the embeddings table (rows-only: the k-means
     * quantizer is not SQL-expressible; DedupSpec pins the keep set
     * against a brute-force all-pairs + union-find reference on
@@ -180,5 +237,6 @@ object DedupQueries {
     Q("q34_winnow_containment", q34, None),
     Q("q44_dedup_pipeline", q44, Some(q44Sql), headline = true),
     Q("q52_segment_dedup", q52, Some(q52Sql), headline = true),
-    Q("q54_semantic_dedup", q54, None))
+    Q("q54_semantic_dedup", q54, None),
+    Q("q58_substring_dedup", q58, Some(q58Sql), headline = true))
 }

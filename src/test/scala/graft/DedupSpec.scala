@@ -192,6 +192,63 @@ class DedupSpec extends SparkSpec {
     assert(got(0) === ((7L, 4L, 2L, "x y")))
   }
 
+  test("dedupSubstrings cuts a repeated span from later docs, first copy intact") {
+    val corpus = Seq(
+      (1L, "a1 a2 s1 s2 s3 s4 a3 a4"), // owns the span s1..s4
+      (2L, "b1 b2 b3 s1 s2 s3 s4 b4"), // repeats it mid-doc → span cut
+      (3L, "s1 s2"))                   // shorter than k → untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSubstrings(corpus, "doc_id", "text", k = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(got(0) === ((1L, 8L, 8L, "a1 a2 s1 s2 s3 s4 a3 a4")))
+    assert(got(1) === ((2L, 8L, 4L, "b1 b2 b3 b4")))
+    assert(got(2) === ((3L, 2L, 2L, "s1 s2")))
+  }
+
+  test("dedupSubstrings keeps exactly one copy under self-overlap and in-doc repeats") {
+    val corpus = Seq(
+      (1L, "r r r r r"),          // one gram, overlapping itself
+      (2L, "x y z m x y z"))      // same gram twice, disjoint, one doc
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSubstrings(corpus, "doc_id", "text", k = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    // canonical window [0,2] is protected; cut windows at 1,2 cover 1..4
+    assert(got(0) === ((1L, 5L, 3L, "r r r")))
+    assert(got(1) === ((2L, 7L, 4L, "x y z m")))
+  }
+
+  test("dedupSubstrings ≡ brute-force reference on a collision-heavy corpus") {
+    val k = 3
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("v0", "v1", "v2", "v3", "v4")
+    val corpus = (0L until 40L).map(i =>
+      (i, Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    // reference: global first per gram, protect-first / cut-rest
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val occ = scala.collection.mutable.Map.empty[String, Vector[(Long, Int)]]
+    for ((id, ts) <- toks.toSeq.sortBy(_._1); s <- 0 to ts.length - k)
+      occ(ts.slice(s, s + k).mkString(" ")) =
+        occ.getOrElse(ts.slice(s, s + k).mkString(" "), Vector.empty) :+ (id, s)
+    val expected = corpus.map { case (id, _) =>
+      val ts = toks(id)
+      val marked = occ.values.filter(_.size > 1).toSeq.flatMap { os =>
+        val f = os.min
+        os.filter(_._1 == id).map(o => (o._2, o == f))
+      }
+      val kept = ts.indices.filter(i => !marked.exists {
+        case (s, isFirst) => !isFirst && s <= i && i < s + k
+      } || marked.exists {
+        case (s, isFirst) => isFirst && s <= i && i < s + k
+      }).map(ts)
+      (id, ts.length.toLong, kept.length.toLong, kept.mkString(" "))
+    }
+    val got = Dedup.dedupSubstrings(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("semanticDedup keeps one representative per planted near-dup group") {
     // Two well-separated clusters; ids 0/1/2 are near-identical
     // (cosine ≈ 1) around axis e0, ids 10/11 near-identical around e1,
