@@ -164,7 +164,16 @@ object PlanAudit {
     Check("q58_substring_dedup",
       mustContain = Seq("partial_min", "hashpartitioning"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
-        "WindowExec")))
+        "WindowExec")),
+    // q59: the bloom artifact builds by map-side partial aggregation
+    // (partial_bloomfilterbuild), the probe is the codegen'd native
+    // expression, and BOTH verify joins broadcast the suspect-sized
+    // side — the corpus relation is never sort-merge-joined or
+    // shuffled for membership
+    Check("q59_bloom_admission",
+      mustContain = Seq("partial_bloomfilterbuild", "bloommightcontain",
+        "BroadcastHashJoin"),
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
 
   // Queries whose broadcast nested-loop join is the documented design:
   // brute-force baselines with a fixed-size anchor side, and q31's
@@ -175,9 +184,12 @@ object PlanAudit {
   // (crossJoin(broadcast(N, avgdl))) — a constant-size broadcast, not
   // an unbounded nested loop. q46's is the same shape: the 1-row
   // mixture total T broadcast onto the per-domain counts.
+  // q59's is the 1-row bloom-artifact attach (crossJoin(broadcast(
+  // fingerprintBloom)) — the q40/q46 scalar-attach shape).
   val bnljAllowed: Set[String] = Set("q17_jaccard_pairs", "q20_cosine_topk",
     "q22_knn_classify", "q30_chamfer_similarity", "q31_group_scores",
-    "q32_cosine_pairs", "q40_bm25", "q46_mixture_rebalance")
+    "q32_cosine_pairs", "q40_bm25", "q46_mixture_rebalance",
+    "q59_bloom_admission")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

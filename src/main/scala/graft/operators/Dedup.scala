@@ -411,6 +411,75 @@ object Dedup {
         array_join(col("__kept"), " ").as("text_deduped"))
   }
 
+  /** Corpus-fingerprint Bloom artifact: ONE row, one BINARY column
+    * `bloom` — `numBits/8` bytes summarizing the corpus's exact-dedup
+    * key set. Built by mergeable map-side partial aggregation (the
+    * q48-HLL discipline: each task ships one filter, OR-merged), and
+    * BIT-DETERMINISTIC for a given key set regardless of partitioning
+    * — so the artifact can be persisted next to the corpus and
+    * re-derived/verified by any engine with xxhash64.
+    *
+    * Sizing: FPR ≈ (1 − e^(−k·n/m))^k; at 9.6 bits/key and k=7 that
+    * is ~1% — 10⁹ corpus keys ≈ 1.2 GB, a broadcast-able artifact
+    * that replaces a 100 TB corpus scan in the membership role.
+    */
+  def fingerprintBloom(corpus: DataFrame, textCol: String,
+      numBits: Long, numHashes: Int = 7): DataFrame =
+    corpus.select(fingerprint(col(textCol)).as("fp"))
+      .agg(org.apache.spark.sql.graft.BloomExpressions
+        .bloomAgg(col("fp"), numBits, numHashes).as("bloom"))
+
+  /** EXACT incremental admission with a Bloom prefilter — the
+    * daily-batch twin of [[DedupPipeline.admitIncremental]]'s exact
+    * stage, restructured so the corpus is never shuffled and only
+    * FPR-rare suspects pay any join at all:
+    *
+    *   1. in-batch election — first (min-id) doc per fingerprint
+    *      within the batch (one batch-sized shuffle);
+    *   2. bloom probe — a zero-shuffle projection against the 1-row
+    *      broadcast [[fingerprintBloom]] artifact: `false` means
+    *      DEFINITELY new (no-false-negatives guarantee), admitted with
+    *      no further work; `true` means suspect (true re-crawl or
+    *      false positive, FPR-bounded);
+    *   3. verify — corpus fingerprints MAP-SCAN against the broadcast
+    *      suspect set (BroadcastHashJoin LeftSemi, corpus side streams:
+    *      zero corpus shuffle) to find which suspects really exist;
+    *   4. admit — batch anti-join against the broadcast confirmed-hit
+    *      set. Result is EXACT: the bloom only routes work, it never
+    *      decides membership (false positives are cleared in step 3) —
+    *      which is why this carries a full SQL oracle (q59) that knows
+    *      nothing about the bloom.
+    *
+    * At 100 TB: the artifact is built once (offline, like IVF/PQ
+    * codebooks) and reused across batches; per-batch cost is one scan
+    * of the batch + a join whose BOTH sides are suspect-sized. This
+    * formulation rebuilds it in-plan, which the gate keeps honest.
+    *
+    * Returns admitted rows: `fp` + the original batch columns.
+    */
+  def admitNewExact(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      numBits: Long = 1L << 23, numHashes: Int = 7): DataFrame = {
+    import org.apache.spark.sql.graft.BloomExpressions._
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    // consumed by the suspect derivation AND the final anti-join;
+    // bounded by the batch (CacheScope releases after the action)
+    val elected = graft.CacheScope.track(
+      newDocs.withColumn("__fp", fingerprint(col(textCol)))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"))
+    val bloomDf = fingerprintBloom(corpus, textCol, numBits, numHashes)
+    val suspects = elected
+      .crossJoin(broadcast(bloomDf)) // declared 1-row artifact attach
+      .filter(bloomMightContain(col("bloom"), col("__fp")))
+      .select(col("__fp")).distinct()
+    val hits = corpus.select(fingerprint(col(textCol)).as("__fp"))
+      .join(broadcast(suspects), Seq("__fp"), "left_semi")
+      .distinct()
+    elected.join(broadcast(hits), Seq("__fp"), "left_anti")
+      .withColumnRenamed("__fp", "fp")
+  }
+
   /** 64-bit SimHash over the distinct-token set: bit j of the
     * signature is the sign of Σ_tokens (±1 by bit j of xxhash64(tok)).
     * One zero-shuffle projection via the native SimHash64 expression

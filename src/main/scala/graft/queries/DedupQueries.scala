@@ -218,6 +218,57 @@ object DedupQueries {
       |FROM t LEFT JOIN agg a USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Bloom-prefiltered EXACT incremental admission (q59): a synthetic
+    * daily batch — every 5th doc re-crawled, with every 10th doc
+    * genuinely updated (" v2") and odd multiples of 25 replaced by a
+    * shared boilerplate page — admitted against the full corpus via
+    * [[Dedup.admitNewExact]]. The result is EXACT (the bloom only
+    * routes work: definite-new docs skip the verify join, suspects are
+    * cleared against the corpus), so the oracle is a plain
+    * first-per-fingerprint election + anti-join that knows nothing
+    * about the bloom — a drift in the artifact's no-false-negative
+    * guarantee, the suspect routing, or the election fails the hash.
+    * Expected: re-crawls rejected, v2 docs admitted, ONE boilerplate
+    * survivor.
+    */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val batch = d.filter(col("doc_id") % 5 === 0)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+          .when(col("doc_id") % 25 === 0, lit("batch boilerplate page"))
+          .otherwise(col("text")))
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    Dedup.admitNewExact(batch, d, "doc_id", "text",
+        numBits = 1L << 16, numHashes = 7)
+      .select(col("doc_id"), col("lang"), col("source"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q59Sql =
+    """WITH batch AS (
+      |  SELECT doc_id + 1000000 AS doc_id, lang, source,
+      |    CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+      |         WHEN doc_id % 25 = 0 THEN 'batch boilerplate page'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |bf AS (
+      |  SELECT doc_id, lang, source,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM batch),
+      |corpus AS (
+      |  SELECT DISTINCT
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents),
+      |elected AS (
+      |  SELECT doc_id, lang, source, fp FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |    FROM bf) WHERE rn = 1)
+      |SELECT e.doc_id, e.lang, e.source, e.fp
+      |FROM elected e
+      |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = e.fp)
+      |ORDER BY e.doc_id""".stripMargin
+
   /** SemDeDup over the embeddings table (rows-only: the k-means
     * quantizer is not SQL-expressible; DedupSpec pins the keep set
     * against a brute-force all-pairs + union-find reference on
@@ -238,5 +289,6 @@ object DedupQueries {
     Q("q44_dedup_pipeline", q44, Some(q44Sql), headline = true),
     Q("q52_segment_dedup", q52, Some(q52Sql), headline = true),
     Q("q54_semantic_dedup", q54, None),
-    Q("q58_substring_dedup", q58, Some(q58Sql), headline = true))
+    Q("q58_substring_dedup", q58, Some(q58Sql), headline = true),
+    Q("q59_bloom_admission", q59, Some(q59Sql), headline = true))
 }

@@ -25,6 +25,9 @@ object GraftFunctions {
   private def litInt(e: Expression): Int =
     e.eval().asInstanceOf[Number].intValue()
 
+  private def litLong(e: Expression): Long =
+    e.eval().asInstanceOf[Number].longValue()
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> ((exprs: Seq[Expression]) =>
       CosineSimilarity(exprs(0), exprs(1))),
@@ -45,7 +48,12 @@ object GraftFunctions {
     "graft_bounded_collect" -> ((exprs: Seq[Expression]) =>
       BoundedSortedCollect(exprs(0), litInt(exprs(1))).toAggregateExpression()),
     "graft_frequent_keys" -> ((exprs: Seq[Expression]) =>
-      FrequentKeys(exprs(0), litInt(exprs(1))).toAggregateExpression()))
+      FrequentKeys(exprs(0), litInt(exprs(1))).toAggregateExpression()),
+    "graft_bloom_agg" -> ((exprs: Seq[Expression]) =>
+      BloomFilterBuild(exprs(0), litLong(exprs(1)), litInt(exprs(2)))
+        .toAggregateExpression()),
+    "graft_bloom_might_contain" -> ((exprs: Seq[Expression]) =>
+      BloomMightContain(exprs(0), exprs(1))))
 
   /** Temp-function registration on a live session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
