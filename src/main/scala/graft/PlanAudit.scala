@@ -173,7 +173,14 @@ object PlanAudit {
     Check("q59_bloom_admission",
       mustContain = Seq("partial_bloomfilterbuild", "bloommightcontain",
         "BroadcastHashJoin"),
-      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")))
+      mustNotContain = Seq("SortMergeJoin", "CartesianProduct")),
+    // q60: model training partial-aggregates the (w1, w2) stream
+    // map-side before its one shuffle; scoring joins are keyed (no
+    // cartesian); the only nested-loop is the declared 1-row
+    // vocabulary attach
+    Check("q60_ngram_lm_score",
+      mustContain = Seq("partial_count", "hashpartitioning"),
+      mustNotContain = Seq("CartesianProduct")))
 
   // Queries whose broadcast nested-loop join is the documented design:
   // brute-force baselines with a fixed-size anchor side, and q31's
@@ -185,11 +192,12 @@ object PlanAudit {
   // an unbounded nested loop. q46's is the same shape: the 1-row
   // mixture total T broadcast onto the per-domain counts.
   // q59's is the 1-row bloom-artifact attach (crossJoin(broadcast(
-  // fingerprintBloom)) — the q40/q46 scalar-attach shape).
+  // fingerprintBloom)) — the q40/q46 scalar-attach shape; q60's is
+  // the same shape for the 1-row training-vocabulary size.
   val bnljAllowed: Set[String] = Set("q17_jaccard_pairs", "q20_cosine_topk",
     "q22_knn_classify", "q30_chamfer_similarity", "q31_group_scores",
     "q32_cosine_pairs", "q40_bm25", "q46_mixture_rebalance",
-    "q59_bloom_admission")
+    "q59_bloom_admission", "q60_ngram_lm_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

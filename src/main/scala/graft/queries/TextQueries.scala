@@ -163,6 +163,61 @@ object TextQueries {
       |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
       |FROM aug ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM fluency scoring (q60) — the CCNet perplexity-filter
+    * discipline as a relational operator: the model trains on a
+    * deterministic trusted slice (every 7th doc), scores ALL docs, and
+    * the full DuckDB oracle re-derives the model (bigram counts, head
+    * counts, vocabulary) AND the per-doc surprisal sums — rounded
+    * log2 terms accumulated in exact decimal (the q31/q40 float
+    * discipline), so a drift in smoothing, tokenization, or the
+    * OOV path fails the hash at all three SFs.
+    */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val model = graft.operators.NgramLm.train(
+      d.filter(col("doc_id") % 7 === 0), "text")
+    graft.operators.NgramLm.score(d, "doc_id", "text", model)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q60Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(toks) AS w,
+      |    generate_subscripts(toks, 1) AS p
+      |  FROM t),
+      |bg AS (
+      |  SELECT doc_id, w AS w1,
+      |    lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+      |  FROM pos QUALIFY w2 IS NOT NULL),
+      |tbg AS (SELECT w1, w2, count(*) AS c FROM bg
+      |  WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+      |thead AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM tbg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS V FROM pos WHERE doc_id % 7 = 0),
+      |terms AS (
+      |  SELECT b.doc_id, g.c IS NULL AS oov,
+      |    -round(log2(CAST(coalesce(g.c, 0) + 1 AS DOUBLE)
+      |      / CAST(coalesce(u.c1, 0) + v.V AS DOUBLE)), 6) AS bits
+      |  FROM bg b
+      |  LEFT JOIN tbg g ON b.w1 = g.w1 AND b.w2 = g.w2
+      |  LEFT JOIN thead u ON b.w1 = u.w1
+      |  CROSS JOIN v),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |    CAST(sum(CAST(bits AS DECIMAL(28,6))) AS DOUBLE) AS sum_bits
+      |  FROM terms GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |  CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+      |  a.sum_bits, a.sum_bits / a.n_bigrams AS avg_bits
+      |FROM t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q12_token_stats", q12, Some(q12Sql)),
     Q("q13_text_quality", q13, Some(q13Sql), headline = true),
@@ -170,5 +225,6 @@ object TextQueries {
     Q("q15_fingerprint", q15, Some(q15Sql)),
     Q("q37_bpe_tokens", q37, None),
     Q("q40_bm25", q40, Some(q40Sql)),
-    Q("q53_pii_redact", q53, Some(q53Sql)))
+    Q("q53_pii_redact", q53, Some(q53Sql)),
+    Q("q60_ngram_lm_score", q60, Some(q60Sql), headline = true))
 }
