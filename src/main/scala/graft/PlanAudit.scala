@@ -180,6 +180,19 @@ object PlanAudit {
     // vocabulary attach
     Check("q60_ngram_lm_score",
       mustContain = Seq("partial_count", "hashpartitioning"),
+      mustNotContain = Seq("CartesianProduct")),
+    // q61: the segment-frequency aggregate partial-combines map-side
+    // (hot boilerplate collapses per partition before the shuffle) and
+    // the small boilerplate set returns as a BROADCAST anti-join — no
+    // second shuffle of the corpus
+    Check("q61_boilerplate_removal",
+      mustContain = Seq("partial_count", "BroadcastHashJoin", "LeftAnti"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // q62: chunking is one fused zero-shuffle projection; the only
+    // wide ops are the canonical-election aggregate (map-side partial
+    // min) and keyed joins
+    Check("q62_cdc_dedup",
+      mustContain = Seq("partial_min", "hashpartitioning"),
       mustNotContain = Seq("CartesianProduct")))
 
   // Queries whose broadcast nested-loop join is the documented design:

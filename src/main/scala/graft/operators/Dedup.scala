@@ -339,6 +339,51 @@ object Dedup {
           (_, i) => array_contains(col("__kept"), i)), sep).as("text_deduped"))
   }
 
+  /** Frequency-threshold boilerplate removal (the C4 line filter —
+    * Raffel et al., "Exploring the Limits of Transfer Learning with a
+    * Unified Text-to-Text Transformer", JMLR 2020 §2.2 discard any
+    * line occurring ≥3 times in the corpus; Dolma and RefinedWeb run
+    * the same discipline): any segment whose corpus-wide occurrence
+    * count reaches `minDf` is removed from EVERY document — unlike
+    * [[dedupSegments]], which keeps the globally-first copy, here no
+    * copy survives, because a segment that frequent is chrome
+    * (navigation, cookie banners, licence headers), not content.
+    *
+    * Scale shape — the boilerplate set is the SMALL side: the exploded
+    * relation drops to (doc_id, pos, 16-byte hash) before its one
+    * aggregation (map-side combine collapses the hot segments per
+    * partition — the [[dedupSegments]] skew discipline), the
+    * `df >= minDf` survivor set is tiny by construction (Zipf: few
+    * segments are frequent), and it BROADCASTS back onto the exploded
+    * relation as an anti-join, so no second shuffle of the corpus.
+    * Reassembly filters each doc's own array in place, keyed by
+    * doc_id.
+    *
+    * Returns (doc_id, n_segments, n_kept, text_cleaned).
+    */
+  def removeFrequentSegments(docs: DataFrame, idCol: String,
+      segmentsCol: Column, minDf: Long, sep: String = " "): DataFrame = {
+    val seg = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(segmentsCol).as(Seq("pos", "seg")))
+      .select(col("doc_id"), col("pos"), unhex(md5(col("seg"))).as("h"))
+    val boiler = seg.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("h"))
+    val keptPos = seg.join(broadcast(boiler), Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("pos")).as("__kept"))
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), segmentsCol.as("__segs"))
+      .join(keptPos, Seq("doc_id"), "left")
+      .withColumn("__kept",
+        coalesce(col("__kept"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("__segs")).cast("long").as("n_segments"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(filter(col("__segs"),
+          (_, i) => array_contains(col("__kept"), i)), sep).as("text_cleaned"))
+  }
+
   /** Exact duplicate-SUBSTRING removal (the ExactSubstr pass of Lee
     * et al., "Deduplicating Training Data Makes Language Models
     * Better", ACL 2022, arXiv:2107.06499): any k-token window whose

@@ -321,6 +321,117 @@ object DedupQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = e.fp)
       |ORDER BY e.doc_id""".stripMargin
 
+  /** C4-style frequency-threshold boilerplate removal (q61) under a
+    * FULL DuckDB oracle: segments (4-token chunks, the q52
+    * convention) occurring ≥ 3 times corpus-wide are removed from
+    * EVERY document — the survivor-less sibling of q52's keep-first
+    * segment dedup. The oracle re-derives segmentation, corpus
+    * frequencies, the threshold set, and ordered reassembly.
+    */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenChunks
+    val d = Tables(s, dir).documents
+    Dedup.removeFrequentSegments(d, "doc_id", tokenChunks(col("text"), 4),
+        minDf = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q61Sql =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+      |      [list_aggregate(toks[i*4+1 : i*4+4], 'string_agg', ' ')
+      |       for i in generate_series(0, (length(toks) - 1) // 4)] END AS segs
+      |  FROM tk),
+      |segrows AS (
+      |  SELECT doc_id, unnest(segs) AS seg,
+      |    generate_subscripts(segs, 1) - 1 AS pos
+      |  FROM g),
+      |boiler AS (
+      |  SELECT seg FROM segrows GROUP BY seg HAVING count(*) >= 3),
+      |kept AS (
+      |  SELECT s.doc_id, s.seg, s.pos FROM segrows s
+      |  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.seg = s.seg)),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(seg, ' ' ORDER BY pos) AS cleaned
+      |  FROM kept GROUP BY doc_id)
+      |SELECT g.doc_id,
+      |  CAST(length(g.segs) AS BIGINT) AS n_segments,
+      |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+      |  coalesce(a.cleaned, '') AS text_cleaned
+      |FROM g LEFT JOIN agg a USING (doc_id)
+      |ORDER BY g.doc_id""".stripMargin
+
+  /** Content-defined chunking dedup accounting (q62) under a FULL
+    * DuckDB oracle: boundaries where the k-token rolling window's
+    * portable hash ≡ 0 mod 16, chunks content-addressed by md5,
+    * global first occurrence elected per chunk, per-doc storage-dedup
+    * stats. The oracle re-derives boundary selection, chunk slicing,
+    * canonical election, and the token accounting end-to-end.
+    */
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.cdcDedupStats(Tables(s, dir).documents,
+        "doc_id", "text", k = 3, divisor = 16, hashFn = Dedup.md5Hash60)
+      .orderBy(col("doc_id"))
+
+  private val q62Sql =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, toks, length(toks) AS n,
+      |    CASE WHEN length(toks) >= 4 THEN
+      |      [i for i in generate_series(2, length(toks) - 2)
+      |       if CAST(('0x' || substring(md5(
+      |            array_to_string(toks[i-1 : i+1], ' ')), 1, 15)) AS BIGINT)
+      |          % 16 = 0]
+      |    ELSE CAST([] AS INTEGER[]) END AS bpos
+      |  FROM tk),
+      |ch AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n > 0 THEN
+      |      [struct_pack(
+      |         chunk := array_to_string(
+      |           toks[list_prepend(0, [x + 1 for x in bpos])[j] + 1 :
+      |                list_append(bpos, n - 1)[j] + 1], ' '),
+      |         nt := list_append(bpos, n - 1)[j]
+      |               - list_prepend(0, [x + 1 for x in bpos])[j] + 1)
+      |       for j in generate_series(1, length(bpos) + 1)]
+      |    ELSE CAST([] AS STRUCT(chunk VARCHAR, nt INTEGER)[]) END AS chunks
+      |  FROM b),
+      |rows_ AS (
+      |  SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS chunk_idx,
+      |    unnest(chunks, recursive := true)
+      |  FROM ch),
+      |firsts AS (
+      |  SELECT chunk, min(doc_id * 1000000 + chunk_idx) AS fkey
+      |  FROM rows_ GROUP BY chunk),
+      |marked AS (
+      |  SELECT r.doc_id, r.nt,
+      |    (r.doc_id * 1000000 + r.chunk_idx) <> f.fkey AS dup
+      |  FROM rows_ r JOIN firsts f USING (chunk)),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_chunks,
+      |    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN dup THEN nt ELSE 0 END) AS BIGINT) AS dup_tokens
+      |  FROM marked GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+      |  coalesce(a.n_dup_chunks, 0) AS n_dup_chunks,
+      |  coalesce(a.n_tokens, 0) AS n_tokens,
+      |  coalesce(a.dup_tokens, 0) AS dup_tokens
+      |FROM tk t LEFT JOIN agg a USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   /** SemDeDup over the embeddings table (rows-only: the k-means
     * quantizer is not SQL-expressible; DedupSpec pins the keep set
     * against a brute-force all-pairs + union-find reference on
@@ -342,5 +453,7 @@ object DedupQueries {
     Q("q52_segment_dedup", q52, Some(q52Sql), headline = true),
     Q("q54_semantic_dedup", q54, None),
     Q("q58_substring_dedup", q58, Some(q58Sql), headline = true),
-    Q("q59_bloom_admission", q59, Some(q59Sql), headline = true))
+    Q("q59_bloom_admission", q59, Some(q59Sql), headline = true),
+    Q("q61_boilerplate_removal", q61, Some(q61Sql), headline = true),
+    Q("q62_cdc_dedup", q62, Some(q62Sql), headline = true))
 }
