@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge learning (Sennrich et al., "Neural Machine
+  * Translation of Rare Words with Subword Units", ACL 2016) — the
+  * TRAINING half of the tokenizer story ([[graft.functions
+  * .TextFunctions]]'s `bpeTokens` applies a merges table; this learns
+  * one from the corpus).
+  *
+  * The scale insight is the classic one: BPE statistics live on the
+  * WORD-FREQUENCY table, not the corpus — one corpus-wide
+  * aggregation collapses 100 TB of text to |distinct words| rows
+  * (Zipf: millions, not trillions), and every merge iteration then
+  * runs on that small persisted relation. Per iteration:
+  *
+  *   1. adjacent-pair counts — explode (symbol_i, symbol_i+1) per
+  *      word weighted by word frequency, ONE keyed aggregation with
+  *      map-side combine;
+  *   2. the argmax pair — a 1-row collect (freq DESC, then pair ASC:
+  *      deterministic on any partitioning, the CC convergence-scalar
+  *      discipline);
+  *   3. greedy left-to-right merge within each word — a typed
+  *      Dataset.map (genuinely sequential per-row logic; the row set
+  *      never grows), with a lazy localCheckpoint every few rounds so
+  *      lineage stays flat across the iteration chain.
+  *
+  * Rows whose symbols don't contain the winning pair pass through
+  * untouched, so late iterations (when merges are rare words) cost a
+  * scan of a compact cached relation and a near-empty shuffle.
+  *
+  * Symbols are characters; merges are word-internal (no end-of-word
+  * marker — callers wanting Sennrich's `</w>` semantics append a
+  * marker to each word before training, the operator is agnostic).
+  *
+  * Returns (rank, left, right, freq): the merge table in learned
+  * order, directly consumable as a merges fixture by `bpeTokens`.
+  */
+object BpeTrain {
+
+  /** Greedy left-to-right single-pair merge — the textbook BPE inner
+    * loop. */
+  private[operators] def mergePair(syms: Seq[String], l: String,
+      r: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Learn `numMerges` merges. `collectThreshold` bounds the LOCAL
+    * fallback (the ConnectedComponents.componentsLocal discipline,
+    * and what production trainers — SentencePiece, HF tokenizers —
+    * actually do): the corpus-wide aggregation is always distributed,
+    * and when the resulting word-frequency table has at most that
+    * many rows the merge loop runs on the driver over the collected
+    * vocab (memory ≈ Σ word lengths — megabytes for real languages)
+    * instead of paying numMerges × (shuffle + collect) in fixed job
+    * overhead; measured 5.3 s → 0.74 s for 30 merges at sf0.1. Vocabs
+    * above the threshold iterate distributed, result-identical
+    * (spec-pinned: both paths against the same Python reference).
+    * 0 = always distributed. */
+  def learnMerges(docs: DataFrame, textCol: String,
+      numMerges: Int, checkpointEvery: Int = 8,
+      collectThreshold: Long = 1L << 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // 100 TB → |vocab| in one aggregation; this is the ONLY pass over
+    // the corpus
+    var words: Dataset[(Seq[String], Long)] = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .as[(Seq[String], Long)]
+      .localCheckpoint(true)
+    if (collectThreshold > 0 && words.count() <= collectThreshold)
+      return learnLocal(spark, words.collect(), numMerges)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = words.toDF("syms", "freq")
+        // single-symbol words carry no pairs; sequence(1, 0) would
+        // count BACKWARD (the ngrams lesson), so filter explicitly
+        .filter(size(col("syms")) >= 2)
+        .select(posexplode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS l, syms[i] AS r))"))
+          .as(Seq("__p", "pair")), col("freq"))
+        .groupBy(col("pair.l").as("l"), col("pair.r").as("r"))
+        .agg(sum(col("freq")).as("f"))
+        .orderBy(col("f").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((rank, l, r, f))
+        val prev = words
+        words = prev.map { case (syms, freq) => (mergePair(syms, l, r), freq) }
+        // lazy checkpoint: the NEXT iteration's pair-count job (or the
+        // final action) materializes it; cut lineage before the plan
+        // chain deepens enough to re-run every map
+        if ((rank + 1) % checkpointEvery == 0 || rank + 1 == numMerges)
+          words = words.localCheckpoint(false)
+        rank += 1
+      }
+    }
+    merges.result()
+      .toDF("rank", "left", "right", "freq")
+      .orderBy(col("rank"))
+  }
+
+  /** Driver merge loop over the collected word-frequency table — the
+    * small-vocab path of [[learnMerges]]. Same pair statistics, same
+    * (freq DESC, l ASC, r ASC) argmax, same greedy merge; pinned
+    * result-identical to the distributed loop. */
+  private def learnLocal(spark: SparkSession,
+      vocab: Array[(Seq[String], Long)], numMerges: Int): DataFrame = {
+    import spark.implicits._
+    val words = vocab.map { case (s, f) => (s.toArray, f) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val pairs = new java.util.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          pairs.merge((syms(i), syms(i + 1)), f, _ + _)
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        pairs.forEach { (p, f) =>
+          if (best == null || f > best._2 ||
+            (f == best._2 && Ordering[(String, String)].lt(p, best._1)))
+            best = (p, f)
+        }
+        val ((l, r), f) = best
+        merges += ((rank, l, r, f))
+        var wi = 0
+        while (wi < words.length) {
+          words(wi) = (mergePair(words(wi)._1.toSeq, l, r).toArray,
+            words(wi)._2)
+          wi += 1
+        }
+        rank += 1
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "freq")
+      .orderBy(col("rank"))
+  }
+}

@@ -218,6 +218,15 @@ object TextQueries {
       |FROM t LEFT JOIN agg a USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Distributed BPE merge learning (q63) — rows-only: the merge loop
+    * is iterative argmax (not SQL-expressible); BpeTrainSpec pins the
+    * full merge table against an independent Python BPE reference,
+    * and the row count gates determinism (merge ranks are dense).
+    */
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    graft.operators.BpeTrain.learnMerges(Tables(s, dir).documents,
+      "text", numMerges = 30)
+
   val all: Seq[Q] = Seq(
     Q("q12_token_stats", q12, Some(q12Sql)),
     Q("q13_text_quality", q13, Some(q13Sql), headline = true),
@@ -226,5 +235,6 @@ object TextQueries {
     Q("q37_bpe_tokens", q37, None),
     Q("q40_bm25", q40, Some(q40Sql)),
     Q("q53_pii_redact", q53, Some(q53Sql)),
-    Q("q60_ngram_lm_score", q60, Some(q60Sql), headline = true))
+    Q("q60_ngram_lm_score", q60, Some(q60Sql), headline = true),
+    Q("q63_bpe_train", q63, None, headline = true))
 }
