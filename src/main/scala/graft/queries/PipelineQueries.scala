@@ -139,6 +139,15 @@ object PipelineQueries {
       .select(col("album_id"), col("cust_id"), col("catalog_id"),
         col("d_code"), col("ordkey"), col("untag"), col("no"),
         col("disc_idx"), col("tdate0"))
+      // ONE shuffle by album_id feeds every album-keyed stage: hash
+      // partitioning on a PREFIX of each downstream clustering key
+      // (majority groupBy/window on album_id, gap-fill window/groupBy/
+      // join on (album_id, d_code)) satisfies their distributions, so
+      // Catalyst plans zero further exchanges until the catalog_id
+      // canonicalization — and the two consumers inside the majority
+      // join share the exchange (ReusedExchange), so the regex parse
+      // above runs once, not twice
+      .repartition(col("album_id"))
     // A1+A2: impute missing release dates from the album majority.
     // PERSISTED: gapFillNumbers consumes its input twice (ranked rows
     // + the free-number pool), and unlike q27's cheap scan projection
