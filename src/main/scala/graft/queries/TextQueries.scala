@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents table: token counting,
@@ -218,6 +218,103 @@ object TextQueries {
       |FROM t LEFT JOIN agg a USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  /** CCNet perplexity-bucket filtering (q64) — the composition the
+    * CCNet pipeline actually runs (Wenzek et al., LREC 2020 §4.4:
+    * score every document under the trusted-corpus LM, split each
+    * language at the 1/3 and 2/3 perplexity quantiles into
+    * head/middle/tail, keep the fluent buckets): q60's bigram model
+    * scores the corpus, per-language EXACT tercile boundaries come
+    * from the q43 rank-pick (one window over the per-doc scores —
+    * tiny: one row per document, not per token), and each doc is
+    * bucketed against its language's boundaries. Docs too short to
+    * score (no bigrams) bucket as 'na'.
+    *
+    * The full DuckDB oracle re-derives the model, the scores, the
+    * quantile_cont tercile boundaries AND the bucketing. Boundary
+    * doubles never appear in the output (bucket strings only): an
+    * interpolated boundary can differ between engines in its last
+    * ulp, but no document score lies strictly between two adjacent
+    * sorted scores, so bucket assignment is ulp-robust — only the
+    * boundary VALUE would hash-mismatch, and it is not emitted.
+    */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir).documents
+    val model = graft.operators.NgramLm.train(
+      d.filter(col("doc_id") % 7 === 0), "text")
+    val scored = graft.operators.NgramLm.score(d, "doc_id", "text", model)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+    val byLang = Window.partitionBy(col("lang"))
+    val ranked = scored.filter(col("avg_bits").isNotNull)
+      .withColumn("rn",
+        row_number().over(byLang.orderBy(col("avg_bits"), col("doc_id"))) - 1)
+      .withColumn("n", count(lit(1)).over(byLang))
+    def share(p: Double): Column = {
+      val r = (col("n") - 1) * lit(p)
+      val lo = floor(r)
+      val hi = ceil(r)
+      when(col("rn") === lo && col("rn") === hi, col("avg_bits"))
+        .when(col("rn") === lo, col("avg_bits") * (lit(1.0) - (r - lo)))
+        .when(col("rn") === hi, col("avg_bits") * (r - lo))
+    }
+    val bounds = ranked
+      .filter(share(1.0 / 3).isNotNull || share(2.0 / 3).isNotNull)
+      .groupBy(col("lang"))
+      .agg(sum(share(1.0 / 3)).as("b33"), sum(share(2.0 / 3)).as("b66"))
+    scored.join(broadcast(bounds), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("avg_bits"),
+        when(col("avg_bits").isNull, "na")
+          .when(col("avg_bits") <= col("b33"), "head")
+          .when(col("avg_bits") <= col("b66"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q64Sql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(toks) AS w,
+      |    generate_subscripts(toks, 1) AS p
+      |  FROM t),
+      |bg AS (
+      |  SELECT doc_id, w AS w1,
+      |    lead(w) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+      |  FROM pos QUALIFY w2 IS NOT NULL),
+      |tbg AS (SELECT w1, w2, count(*) AS c FROM bg
+      |  WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+      |thead AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM tbg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS V FROM pos WHERE doc_id % 7 = 0),
+      |terms AS (
+      |  SELECT b.doc_id,
+      |    -round(log2(CAST(coalesce(g.c, 0) + 1 AS DOUBLE)
+      |      / CAST(coalesce(u.c1, 0) + v.V AS DOUBLE)), 6) AS bits
+      |  FROM bg b
+      |  LEFT JOIN tbg g ON b.w1 = g.w1 AND b.w2 = g.w2
+      |  LEFT JOIN thead u ON b.w1 = u.w1
+      |  CROSS JOIN v),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(CAST(bits AS DECIMAL(28,6))) AS DOUBLE) AS sum_bits
+      |  FROM terms GROUP BY doc_id),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang, a.sum_bits / a.n_bigrams AS avg_bits
+      |  FROM t LEFT JOIN agg a USING (doc_id)),
+      |bounds AS (
+      |  SELECT lang, quantile_cont(avg_bits, 1.0/3) AS b33,
+      |    quantile_cont(avg_bits, 2.0/3) AS b66
+      |  FROM scored WHERE avg_bits IS NOT NULL GROUP BY lang)
+      |SELECT s.doc_id, s.lang, s.avg_bits, CASE
+      |    WHEN s.avg_bits IS NULL THEN 'na'
+      |    WHEN s.avg_bits <= b.b33 THEN 'head'
+      |    WHEN s.avg_bits <= b.b66 THEN 'middle'
+      |    ELSE 'tail' END AS bucket
+      |FROM scored s LEFT JOIN bounds b USING (lang)
+      |ORDER BY s.doc_id""".stripMargin
+
   /** Distributed BPE merge learning (q63) — rows-only: the merge loop
     * is iterative argmax (not SQL-expressible); BpeTrainSpec pins the
     * full merge table against an independent Python BPE reference,
@@ -236,5 +333,6 @@ object TextQueries {
     Q("q40_bm25", q40, Some(q40Sql)),
     Q("q53_pii_redact", q53, Some(q53Sql)),
     Q("q60_ngram_lm_score", q60, Some(q60Sql), headline = true),
-    Q("q63_bpe_train", q63, None, headline = true))
+    Q("q63_bpe_train", q63, None, headline = true),
+    Q("q64_perplexity_buckets", q64, Some(q64Sql), headline = true))
 }
