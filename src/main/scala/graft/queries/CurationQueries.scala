@@ -244,6 +244,32 @@ object CurationQueries {
       |  ELSE 'test' END AS split
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Deterministic training-order shuffle + sharding (q65) under a
+    * FULL DuckDB oracle: seeded-md5 global permutation, hash-bit
+    * shards, per-shard rank — the epoch handoff a data loader
+    * consumes. The oracle re-derives hash, shard arithmetic, and the
+    * within-shard ordering.
+    */
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    Sampling.shuffleShards(
+        Tables(s, dir).documents.select(col("doc_id")),
+        "doc_id", numShards = 8, seed = "epoch0")
+      .orderBy(col("doc_id"))
+
+  private val q65Sql =
+    """WITH h AS (
+      |  SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS hh
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, hh,
+      |    CAST(CAST(('0x' || substring(hh, 1, 15)) AS BIGINT) % 8
+      |      AS INTEGER) AS shard
+      |  FROM h)
+      |SELECT doc_id, shard,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY shard ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q45_stratified_sample", q45, Some(q45Sql)),
     Q("q46_mixture_rebalance", q46, Some(q46Sql), headline = true),
@@ -252,5 +278,6 @@ object CurationQueries {
     Q("q49_decontamination", q49, Some(q49Sql), headline = true),
     Q("q50_repetition", q50, Some(q50Sql)),
     Q("q51_quality_filter", q51, Some(q51Sql)),
-    Q("q56_leakage_free_split", q56, Some(q56Sql)))
+    Q("q56_leakage_free_split", q56, Some(q56Sql)),
+    Q("q65_shuffle_shards", q65, Some(q65Sql)))
 }

@@ -330,4 +330,30 @@ class CurationSpec extends SparkSpec {
     // train (pinned so a sentinel change is a visible decision)
     assert(nulls(1L) === "train")
   }
+
+  test("shuffleShards: permutation, balance, determinism, partitioning-independence") {
+    val ids = (0L until 2000L).toDF("doc_id")
+    val out = Sampling.shuffleShards(ids, "doc_id", numShards = 8,
+      seed = "epoch0")
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every id exactly once
+    assert(rows.map(_._1).sorted.toSeq === (0L until 2000L))
+    // per-shard positions are dense 0..n_s-1 (a valid loader order)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (0L until rs.length))
+    }
+    // binomial balance: no empty shard, no shard over 2x the mean
+    val sizes = rows.groupBy(_._2).view.mapValues(_.length).values.toSeq
+    assert(sizes.size === 8 && sizes.min > 100 && sizes.max < 500)
+    // deterministic AND independent of input partitioning
+    val again = Sampling.shuffleShards(ids.repartition(13), "doc_id",
+        numShards = 8, seed = "epoch0")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
+    // a different seed is a different permutation (epochs differ)
+    val epoch1 = Sampling.shuffleShards(ids, "doc_id", numShards = 8,
+        seed = "epoch1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(epoch1.sortBy(_._1).toSeq != rows.sortBy(_._1).toSeq)
+  }
 }
