@@ -49,7 +49,7 @@ object NgramLm {
 
   /** (w1, w2) struct array of a document — one bound-array projection,
     * empty for docs with fewer than 2 tokens. */
-  private def bigramArray(text: Column): Column = bindArray(tokens(text)) { ts =>
+  private[graft] def bigramArray(text: Column): Column = bindArray(tokens(text)) { ts =>
     when(size(ts) >= 2,
       transform(sequence(lit(1), size(ts) - 1),
         i => struct(element_at(ts, i).as("w1"), element_at(ts, i + 1).as("w2"))))

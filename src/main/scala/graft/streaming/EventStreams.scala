@@ -201,6 +201,48 @@ object EventStreams {
   def shardedStream(docs: DataFrame, idCol: String, numShards: Int): DataFrame =
     docs.withColumn("shard", graft.sources.Sinks.shardOf(idCol, numShards))
 
+  /** Streaming LM-scoring twin — the CCNet fluency gate at ingest.
+    * The bigram model is a STATIC artifact ([[graft.operators.NgramLm
+    * .train]] output, persisted like the bloom/IVF artifacts), so
+    * scoring a live feed is explode → stream-static equi-joins
+    * against the model relations (the 1-row vocabulary attaches via a
+    * constant equi-key: stream-static BHJ, no stream cross join) →
+    * ONE windowed aggregation per (event-window, doc), state bounded
+    * by the watermark. Surprisal terms use the exact batch formula
+    * (rounded log2, decimal accumulation), so for a doc arriving once
+    * the emitted row is bit-identical to [[graft.operators.NgramLm
+    * .score]]'s. Sub-2-token docs carry no bigrams and emit nothing —
+    * the stream twin scores what is scorable; the batch left join is
+    * a compaction-time concern.
+    */
+  def lmScoredStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, model: graft.operators.NgramLm.Model,
+      watermarkDelay: String = "10 minutes",
+      windowLen: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bg = docs
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("__ts"),
+        explode(graft.operators.NgramLm.bigramArray(col(textCol))).as("bg"))
+      .select(col("doc_id"), col("__ts"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .withWatermark("__ts", watermarkDelay)
+    val p = (coalesce(col("c"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + col("V")).cast("double")
+    bg
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.heads, Seq("w1"), "left")
+      .withColumn("__k", lit(1))
+      .join(broadcast(model.vocab.withColumn("__k", lit(1))), "__k")
+      .select(col("doc_id"), col("__ts"), col("c").isNull.as("oov"),
+        (-round(log2(p), 6)).as("bits"))
+      .groupBy(window(col("__ts"), windowLen), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("oov").cast("long")).as("n_oov"),
+        sum(col("bits").cast(DecimalType(28, 6))).cast("double").as("sum_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+        col("sum_bits"), (col("sum_bits") / col("n_bigrams")).as("avg_bits"))
+  }
+
   /** Drive a streaming DataFrame synchronously into a memory table
     * (test/smoke harness — processes everything currently available). */
   def runToMemory(df: DataFrame, name: String,

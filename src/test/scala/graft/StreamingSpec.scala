@@ -208,6 +208,35 @@ class StreamingSpec extends SparkSpec {
     assert(reassembled === batch.filter(_._2.nonEmpty))
   }
 
+  test("streaming LM scoring emits the batch scores bit-for-bit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    val trainDocs = Seq((100L, "a b a b a c")).toDF("doc_id", "text")
+    val model = graft.operators.NgramLm.train(trainDocs, "text")
+    val docs = Seq(
+      (1L, "a b c", "2024-01-01 00:00:01"),
+      (2L, "c a b a", "2024-01-01 00:00:02"),
+      (3L, "x", "2024-01-01 00:00:03")) // sub-2-token: no emission
+      .toDF("doc_id", "text", "ts0")
+      .withColumn("ts", to_timestamp(col("ts0"))).drop("ts0")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(
+      spark.read.parquet(dir).schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.lmScoredStream(stream, "doc_id", "text", "ts", model),
+      "lm_out")
+    val got = spark.table("lm_out")
+      .select("doc_id", "n_bigrams", "n_oov", "sum_bits", "avg_bits")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    val batch = graft.operators.NgramLm.score(docs, "doc_id", "text", model)
+      .filter(col("n_bigrams") > 0)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(got === batch)
+    assert(!got.contains(3L))
+  }
+
   test("streaming shard assignment matches the batch shard writer") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-sshard").toString
