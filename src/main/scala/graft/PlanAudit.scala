@@ -193,7 +193,19 @@ object PlanAudit {
     // min) and keyed joins
     Check("q62_cdc_dedup",
       mustContain = Seq("partial_min", "hashpartitioning"),
-      mustNotContain = Seq("CartesianProduct")))
+      mustNotContain = Seq("CartesianProduct")),
+    // q64: the per-language tercile bounds BROADCAST onto the scored
+    // relation (one tiny row per language); the only BNLJ is the
+    // inherited q60 vocab attach
+    Check("q64_perplexity_buckets",
+      mustContain = Seq("BroadcastHashJoin", "hashpartitioning"),
+      mustNotContain = Seq("CartesianProduct")),
+    // q65: sharding is a zero-shuffle projection; the only exchange is
+    // the per-shard rank window's, keyed on the shard
+    Check("q65_shuffle_shards",
+      mustContain = Seq("hashpartitioning(__shard"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoopJoin")))
 
   // Queries whose broadcast nested-loop join is the documented design:
   // brute-force baselines with a fixed-size anchor side, and q31's
@@ -207,10 +219,12 @@ object PlanAudit {
   // q59's is the 1-row bloom-artifact attach (crossJoin(broadcast(
   // fingerprintBloom)) — the q40/q46 scalar-attach shape; q60's is
   // the same shape for the 1-row training-vocabulary size.
+  // q64 composes the q60 scorer, inheriting the same 1-row vocabulary
+  // attach.
   val bnljAllowed: Set[String] = Set("q17_jaccard_pairs", "q20_cosine_topk",
     "q22_knn_classify", "q30_chamfer_similarity", "q31_group_scores",
     "q32_cosine_pairs", "q40_bm25", "q46_mixture_rebalance",
-    "q59_bloom_admission", "q60_ngram_lm_score")
+    "q59_bloom_admission", "q60_ngram_lm_score", "q64_perplexity_buckets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
