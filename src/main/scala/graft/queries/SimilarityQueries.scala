@@ -180,6 +180,38 @@ object SimilarityQueries {
   // is spec-covered instead (SimilaritySpec: nprobe=nlist ≡
   // whole-corpus PQ, measured recall floor vs exact).
 
+  /** SQ8 round-trip accuracy audit (q66) under a FULL DuckDB oracle:
+    * per-vector int8 affine quantization, decode, and the
+    * max-abs-error / MSE audit a deployment runs before flipping an
+    * index to quantized storage. All arithmetic elementwise double
+    * with floor(t + 0.5) codes (no engine round-half variance);
+    * error terms rounded then decimal-summed (the q31 discipline).
+    */
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantization.sq8ErrorStats(
+        Tables(s, dir).embeddings, "vec_id", "embedding")
+      .orderBy(col("id"))
+
+  private val q66Sql =
+    """WITH v AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS xs
+      |  FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, xs, list_min(xs) AS qmin,
+      |    CASE WHEN list_max(xs) > list_min(xs)
+      |      THEN (list_max(xs) - list_min(xs)) / 255.0 ELSE 1.0 END AS qscale
+      |  FROM v),
+      |e AS (
+      |  SELECT vec_id,
+      |    unnest([abs(x - (qmin + floor((x - qmin) / qscale + 0.5) * qscale))
+      |            for x in xs]) AS err
+      |  FROM b)
+      |SELECT vec_id AS id, count(*) AS n_dims,
+      |  max(round(err, 9)) AS max_abs_err,
+      |  CAST(sum(CAST(round(err * err, 12) AS DECIMAL(38,12))) AS DOUBLE)
+      |    / count(*) AS mse
+      |FROM e GROUP BY vec_id ORDER BY id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q20_cosine_topk", q20, Some(q20Sql), headline = true),
     Q("q21_label_centroids", q21, Some(q21Sql)),
@@ -187,5 +219,6 @@ object SimilarityQueries {
     Q("q23_lsh_cosine_topk", q23, None, headline = true),
     Q("q31_group_scores", q31, Some(q31Sql), headline = true),
     Q("q32_cosine_pairs", q32, Some(q32Sql)),
-    Q("q42_cosine_near_dup", q42, None))
+    Q("q42_cosine_near_dup", q42, None),
+    Q("q66_sq8_quantization", q66, Some(q66Sql)))
 }
