@@ -69,6 +69,68 @@ object Decontamination {
         round(col("n_hits").cast("double") / col("n_grams").cast("double"), 6)
           .as("contamination"))
 
+  /** Fuzzy (MinHash-similarity) decontamination — catches
+    * near-verbatim benchmark leakage that exact n-gram collision
+    * misses: reformatting or a one-word edit breaks every n-token
+    * window (spec pins exactly that case) while the shingle Jaccard
+    * barely moves. This is the fuzzy decon pass of the Llama/OLMo
+    * lineage, the directed sibling of [[Dedup.minhashLshPairs]].
+    *
+    * Shape at 100 TB: the benchmark side is TINY, so its banded
+    * signature relation and hashed shingle sets both BROADCAST — the
+    * training corpus never shuffles. Candidates fall out of a
+    * broadcast equi-join on (band, bucket); only candidates pay the
+    * exact-Jaccard verify, with the bench shingle sets again on the
+    * broadcast side. Training text never leaves its executor: the
+    * moving relations are all ids + longs.
+    *
+    * Returns one row per contaminated train doc:
+    * (doc_id, bench_id — the most-similar flagging bench doc, ties
+    * broken toward the larger id, jaccard rounded to 6).
+    */
+  def fuzzyContaminated(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 2,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions.{normalized, shingles}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def base(df: DataFrame) = df.select(col(idCol).as("id"),
+        shingles(normalized(col(textCol)), shingleK).as("sh"))
+      .select(col("id"),
+        org.apache.spark.sql.graft.SignatureExpressions.minhashSignature(
+          col("sh"), numHashes).as("sig"),
+        array_sort(transform(col("sh"), s => xxhash64(s))).as("hsh"))
+    def banded(df: DataFrame) = df.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * r + 1, lit(r)))))
+        .as(Seq("band", "bucket")))
+    // train signatures are consumed twice (banding + verify join-back)
+    val trainBase = graft.CacheScope.track(base(train))
+    val benchBase = base(bench)
+    val cands = banded(trainBase)
+      .join(broadcast(banded(benchBase)
+          .select(col("id").as("bench_id"), col("band"), col("bucket"))),
+        Seq("band", "bucket"))
+      .select(col("id").as("doc_id"), col("bench_id")).distinct()
+    cands
+      .join(trainBase.select(col("id").as("doc_id"), col("hsh").as("t_sh")),
+        "doc_id")
+      .join(broadcast(benchBase
+          .select(col("id").as("bench_id"), col("hsh").as("b_sh"))),
+        "bench_id")
+      .withColumn("inter", org.apache.spark.sql.graft.ArrayExpressions
+        .sortedIntersectCount(col("t_sh"), col("b_sh")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("t_sh")) + size(col("b_sh")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(round(col("jaccard"), 6).as("jaccard"),
+        col("bench_id").as("bench_id"))).as("f"))
+      .select(col("doc_id"), col("f.bench_id").as("bench_id"),
+        col("f.jaccard").as("jaccard"))
+  }
+
   def flagContaminated(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),

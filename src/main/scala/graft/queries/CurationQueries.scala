@@ -270,6 +270,22 @@ object CurationQueries {
       |    PARTITION BY shard ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Fuzzy MinHash decontamination (q67) — rows-only (the LSH
+    * candidate set depends on the hash family, the q18/q42 class);
+    * CurationSpec pins the flag set on planted near-verbatim leaks
+    * INCLUDING the one-word-edit case exact n-gram decon (q49)
+    * provably misses, plus precision against brute-force Jaccard.
+    * Bench side = every 97th doc (the q49/q57 convention).
+    */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    graft.operators.Decontamination.fuzzyContaminated(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleK = 2, numHashes = 32, bands = 8,
+        threshold = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q45_stratified_sample", q45, Some(q45Sql)),
     Q("q46_mixture_rebalance", q46, Some(q46Sql), headline = true),
@@ -279,5 +295,6 @@ object CurationQueries {
     Q("q50_repetition", q50, Some(q50Sql)),
     Q("q51_quality_filter", q51, Some(q51Sql)),
     Q("q56_leakage_free_split", q56, Some(q56Sql)),
-    Q("q65_shuffle_shards", q65, Some(q65Sql)))
+    Q("q65_shuffle_shards", q65, Some(q65Sql)),
+    Q("q67_fuzzy_decontamination", q67, None))
 }

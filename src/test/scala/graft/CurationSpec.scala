@@ -331,6 +331,44 @@ class CurationSpec extends SparkSpec {
     assert(nulls(1L) === "train")
   }
 
+  test("fuzzyContaminated: catches the one-word edit exact n-gram decon misses") {
+    import graft.operators.Decontamination
+    val bench = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // verbatim
+      (2L, "alpha beta gamma delta CHANGED zeta eta theta iota"), // 1-word edit
+      (3L, "totally unrelated content about something else entirely"))
+      .toDF("doc_id", "text")
+    // exact 8-gram decon: the 9-token doc has two 8-grams, and the
+    // middle-word edit kills both — doc 2 escapes
+    val exact = Decontamination.flagContaminated(train, bench,
+      "doc_id", "text", n = 8).select("doc_id").as[Long].collect().toSet
+    assert(exact === Set(1L))
+    // fuzzy MinHash decon: shingle Jaccard barely moves — both flagged
+    val fuzzy = Decontamination.fuzzyContaminated(train, bench,
+        "doc_id", "text", shingleK = 2, numHashes = 32, bands = 16,
+        threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(fuzzy.keySet === Set(1L, 2L))
+    assert(fuzzy(1L) === ((1000L, 1.0))) // verbatim: jaccard exactly 1
+    assert(fuzzy(2L)._1 === 1000L && fuzzy(2L)._2 >= 0.4 && fuzzy(2L)._2 < 1.0)
+    // precision: flagged pairs are >= threshold under brute-force
+    // token-shingle Jaccard (no false flags from banding)
+    def shingleSet(s: String) =
+      s.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val benchSh = shingleSet("alpha beta gamma delta epsilon zeta eta theta iota")
+    fuzzy.foreach { case (id, (_, j)) =>
+      val t = train.filter(col("doc_id") === id)
+        .select("text").as[String].collect()(0)
+      val ts = shingleSet(t)
+      val bruteJ = ts.intersect(benchSh).size.toDouble /
+        ts.union(benchSh).size
+      assert(math.abs(bruteJ - j) < 1e-6, s"doc $id: $bruteJ vs $j")
+    }
+  }
+
   test("shuffleShards: permutation, balance, determinism, partitioning-independence") {
     val ids = (0L until 2000L).toDF("doc_id")
     val out = Sampling.shuffleShards(ids, "doc_id", numShards = 8,
