@@ -286,6 +286,26 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Trained quality classifier (q68) — rows-only (L-BFGS float
+    * accumulation is partitioning-dependent in its last ulps; the
+    * row set — one score per document — is exact). Trains on the
+    * even-id half with labels distilled from the q13 heuristic, then
+    * scores every document; CurationSpec pins high held-out accuracy
+    * on separable corpora and agreement with the teacher heuristic
+    * here.
+    */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    val d = Tables(s, dir).documents
+    val labeled = d.withColumn("label",
+      (qualityScore(col("text")) >= 0.75).cast("int"))
+    val model = graft.operators.QualityClassifier.train(
+      labeled.filter(col("doc_id") % 2 === 0), "text", "label")
+    graft.operators.QualityClassifier.score(d, "doc_id", "text", model)
+      .join(labeled.select(col("doc_id"), col("label")), "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q45_stratified_sample", q45, Some(q45Sql)),
     Q("q46_mixture_rebalance", q46, Some(q46Sql), headline = true),
@@ -296,5 +316,6 @@ object CurationQueries {
     Q("q51_quality_filter", q51, Some(q51Sql)),
     Q("q56_leakage_free_split", q56, Some(q56Sql)),
     Q("q65_shuffle_shards", q65, Some(q65Sql)),
-    Q("q67_fuzzy_decontamination", q67, None))
+    Q("q67_fuzzy_decontamination", q67, None),
+    Q("q68_quality_classifier", q68, None))
 }

@@ -369,6 +369,37 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("quality classifier: separates planted classes, distills the heuristic") {
+    import graft.operators.QualityClassifier
+    val rnd = new scala.util.Random(11)
+    val goodWords = Vector("clear", "prose", "reads", "well", "argued",
+      "coherent", "measured", "precise")
+    val spamWords = Vector("BUY", "NOW", "click", "FREE", "winner",
+      "$$$", "offer", "urgent")
+    def doc(words: Vector[String]) =
+      Seq.fill(12)(words(rnd.nextInt(words.size))).mkString(" ")
+    val rows = (0L until 200L).map { i =>
+      val good = i % 2 == 0
+      (i, doc(if (good) goodWords else spamWords), if (good) 1 else 0)
+    }
+    val df = rows.toDF("doc_id", "text", "label")
+    val trainDf = df.filter(col("doc_id") < 150)
+    val held = df.filter(col("doc_id") >= 150)
+    val model = QualityClassifier.train(trainDf, "text", "label")
+    val scored = QualityClassifier.score(held, "doc_id", "text", model)
+      .join(held.select(col("doc_id"), col("label")), "doc_id")
+      .select(col("doc_id"), col("p_quality"), col("label"))
+      .as[(Long, Double, Int)].collect()
+    val correct = scored.count { case (_, p, l) =>
+      (p >= 0.5 && l == 1) || (p < 0.5 && l == 0) }
+    assert(correct.toDouble / scored.length >= 0.95,
+      s"held-out accuracy ${correct.toDouble / scored.length}")
+    // scoring the same docs twice with the same model is identical
+    val again = QualityClassifier.score(held, "doc_id", "text", model)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(again.toSeq === scored.map(t => (t._1, t._2)).sortBy(_._1).toSeq)
+  }
+
   test("shuffleShards: permutation, balance, determinism, partitioning-independence") {
     val ids = (0L until 2000L).toDF("doc_id")
     val out = Sampling.shuffleShards(ids, "doc_id", numShards = 8,
