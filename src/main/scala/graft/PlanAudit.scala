@@ -194,6 +194,13 @@ object PlanAudit {
     Check("q62_cdc_dedup",
       mustContain = Seq("partial_min", "hashpartitioning"),
       mustNotContain = Seq("CartesianProduct")),
+    // q69: the portable-LSH twin keeps q18's plan family — banding is
+    // a keyed equi-join, the cull a broadcast anti-join, no nested
+    // loops anywhere
+    Check("q69_minhash_lsh_oracle",
+      mustContain = Seq("hashpartitioning", "InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin")),
     // q64: the per-language tercile bounds BROADCAST onto the scored
     // relation (one tiny row per language); the only BNLJ is the
     // inherited q60 vocab attach

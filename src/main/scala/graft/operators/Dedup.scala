@@ -153,6 +153,61 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** MinHash + LSH with ENGINE-PORTABLE hashing — the verification
+    * twin of [[minhashLshPairs]]. The native path's candidate set
+    * depends on xxhash64 + murmur3, which no other engine computes,
+    * so q18 can only ever be rows-only. This variant derives every
+    * hash from md5 ([[md5Hash60]] salted by the hash index; band
+    * buckets are md5 of the comma-joined band slice), so a SQL engine
+    * re-derives signatures, banding, the bucket-size cull, candidate
+    * pairs AND the verified Jaccard value-for-value — the LSH
+    * MECHANICS (banding recall, cull, verify) sit under a full oracle
+    * (q69), and that verification transfers to the xxhash64 path,
+    * whose only difference is the hash family. Signatures are still
+    * ONE zero-shuffle array projection (O(numHashes·|shingles|) per
+    * doc, fused codegen); md5's crypto rounds price it at ~1.3× the
+    * native path (1.87 vs 1.43 s at sf0.1) — the verification cost,
+    * not the 100 TB default.
+    */
+  def minhashLshPairsPortable(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 2, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val base = graft.CacheScope.track(docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        shingles(normalized(col(textCol)), shingleK).as("sh"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(numHashes - 1)), i =>
+          array_min(transform(col("sh"), s =>
+            md5Hash60(concat(i.cast("string"), lit(":"), s))))).as("sig"),
+        array_sort(transform(col("sh"), s => md5Hash60(s))).as("hsh")))
+    val banded = base.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        md5(array_join(slice(col("sig"), b * r + 1, lit(r)), ","))))
+        .as(Seq("band", "bucket")))
+    val oversized = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val sized = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+    val cands = sized.as("x").join(sized.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    cands
+      .join(base.select(col("id").as("a_id"), col("hsh").as("a_sh")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("hsh").as("b_sh")), "b_id")
+      .withColumn("inter", sortedIntersectCount(col("a_sh"), col("b_sh")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("a_sh")) + size(col("b_sh")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the
     * MOSS algorithm): hash every k-shingle, slide a window of `w`
     * hashes, keep each window's minimum. Guarantees any shared run of

@@ -432,6 +432,63 @@ object DedupQueries {
       |FROM tk t LEFT JOIN agg a USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  /** MinHash + LSH under a FULL DuckDB oracle (q69) — the
+    * verification twin of q18 (same shingling, banding, cull and
+    * verify MECHANICS, same parameters) with every hash derived from
+    * md5, so the oracle re-derives signatures, band buckets,
+    * candidates and verified Jaccard value-for-value. q18's xxhash64
+    * path stays the scale default; its only difference is the hash
+    * family this gate proves is the sole unverified ingredient.
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairsPortable(Tables(s, dir).documents, "doc_id", "text",
+        shingleK = 2, numHashes = 32, bands = 8, threshold = 0.2)
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val q69Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(
+      |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN length(toks) < 2
+      |    THEN [array_to_string(toks, ' ')]
+      |    ELSE [array_to_string(toks[i:i+1], ' ')
+      |          for i in generate_series(1, length(toks) - 1)] END) AS shs
+      |  FROM t),
+      |base AS (
+      |  SELECT doc_id,
+      |    [list_min([CAST(('0x' || substring(md5(
+      |        CAST(i AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)
+      |      for s in shs]) for i in generate_series(0, 31)] AS sig,
+      |    list_distinct([CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)
+      |      for s in shs]) AS hsh
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b AS band,
+      |    md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket
+      |  FROM base, generate_series(0, 7) AS g(b)),
+      |sized AS (
+      |  SELECT doc_id, band, bucket FROM banded
+      |  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= 10000),
+      |cands AS (
+      |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      |  FROM sized x JOIN sized y
+      |    ON x.band = y.band AND x.bucket = y.bucket
+      |    AND x.doc_id < y.doc_id),
+      |verified AS (
+      |  SELECT c.a_id, c.b_id,
+      |    CAST(length(list_intersect(a.hsh, b.hsh)) AS DOUBLE)
+      |      / (length(a.hsh) + length(b.hsh)
+      |         - length(list_intersect(a.hsh, b.hsh))) AS jaccard
+      |  FROM cands c
+      |  JOIN base a ON a.doc_id = c.a_id
+      |  JOIN base b ON b.doc_id = c.b_id)
+      |SELECT a_id, b_id, jaccard FROM verified
+      |WHERE jaccard >= 0.2 ORDER BY a_id, b_id""".stripMargin
+
   /** SemDeDup over the embeddings table (rows-only: the k-means
     * quantizer is not SQL-expressible; DedupSpec pins the keep set
     * against a brute-force all-pairs + union-find reference on
@@ -455,5 +512,6 @@ object DedupQueries {
     Q("q58_substring_dedup", q58, Some(q58Sql), headline = true),
     Q("q59_bloom_admission", q59, Some(q59Sql), headline = true),
     Q("q61_boilerplate_removal", q61, Some(q61Sql), headline = true),
-    Q("q62_cdc_dedup", q62, Some(q62Sql), headline = true))
+    Q("q62_cdc_dedup", q62, Some(q62Sql), headline = true),
+    Q("q69_minhash_lsh_oracle", q69, Some(q69Sql), headline = true))
 }

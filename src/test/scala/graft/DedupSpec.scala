@@ -48,6 +48,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("portable MinHash LSH (q69): same mechanics, md5 hash family") {
+    // same planted structure as the native-path test: the mechanics
+    // (banding recall, verify threshold, skew cull) are hash-agnostic
+    val pairs = Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
+        shingleK = 2, numHashes = 32, bands = 16, threshold = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) === 1.0) // exact dup
+    assert(pairs.contains((3L, 4L)))                            // near dup
+    assert(!pairs.keySet.exists(p => p._1 == 6L || p._2 == 6L))
+    // every reported jaccard is the TRUE shingle-set jaccard (the
+    // verify stage is exact; only candidate RECALL is probabilistic)
+    import graft.functions.TextFunctions._
+    val shs = docs.select(col("doc_id"),
+        shingles(normalized(col("text")), 2).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    pairs.foreach { case ((a, b), j) =>
+      val (sa, sb) = (shs(a).toSet, shs(b).toSet)
+      val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(expect - j) < 1e-12, s"($a,$b): $expect vs $j")
+    }
+  }
+
   test("native MinHashSignature is bit-identical to the min-agg formulation") {
     import graft.functions.TextFunctions._
     val numHashes = 32
