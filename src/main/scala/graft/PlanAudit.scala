@@ -201,6 +201,11 @@ object PlanAudit {
       mustContain = Seq("hashpartitioning", "InMemoryTableScan"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin")),
+    // q70: the portable-SimHash twin — one keyed 60-column sign
+    // aggregation, pigeonhole band equi-join, no nested loops
+    Check("q70_simhash_oracle",
+      mustContain = Seq("hashpartitioning", "InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // q64: the per-language tercile bounds BROADCAST onto the scored
     // relation (one tiny row per language); the only BNLJ is the
     // inherited q60 vocab attach

@@ -595,6 +595,62 @@ object Dedup {
       .withColumnRenamed("__fp", "fp")
   }
 
+  /** SimHash near-dup pairs with ENGINE-PORTABLE hashing — the q69
+    * companion for the SimHash family: a 60-bit signature over
+    * [[md5Hash60]] token hashes (bit j = sign of Σ ±1 by bit j of
+    * each distinct token's hash), 4 × 15-bit pigeonhole bands for
+    * hamming ≤ 3, popcount-verified. Every step — token hashing,
+    * per-bit vote, band values, the bucket cull, the hamming check —
+    * is integer arithmetic a SQL engine reproduces exactly, so the
+    * SimHash MECHANICS sit under a full value oracle (q70); q19's
+    * zero-shuffle native xxhash64 expression stays the scale path,
+    * differing only in hash family and width. Signature construction
+    * here is one 60-column codegen'd aggregation of exploded token
+    * hashes (one keyed shuffle of (id, long) pairs); measured 3.2 s
+    * vs the native path's 1.2 s at sf0.1 — the verification cost.
+    *
+    * Returns (a_id, b_id, hamming ≤ maxHamming). maxHamming must be
+    * 3 (4 bands × 15 bits pigeonhole the 60-bit space).
+    */
+  def simhashPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming == 3, "portable variant pigeonholes 60 bits as 4x15")
+    val bits = 60
+    val signs = docs
+      .select(col(idCol).as("id"),
+        explode(tokenSet(normalized(col(textCol)))).as("t"))
+      .select(col("id"), md5Hash60(col("t")).as("h"))
+    val sums = (0 until bits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$j"))
+    val base = graft.CacheScope.track(signs.groupBy(col("id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until bits).map(j =>
+          when(col(s"s$j") >= 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("sig")))
+    val banded = base.select(col("id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 15).bitwiseAND(32767)): _*))
+        .as(Seq("band", "bv")))
+    val oversized = banded.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select(col("band"), col("bv"))
+    val sized = banded.join(broadcast(oversized), Seq("band", "bv"), "left_anti")
+    sized.as("x").join(sized.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+      .join(base.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .withColumn("hamming",
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+  }
+
   /** 64-bit SimHash over the distinct-token set: bit j of the
     * signature is the sign of Σ_tokens (±1 by bit j of xxhash64(tok)).
     * One zero-shuffle projection via the native SimHash64 expression

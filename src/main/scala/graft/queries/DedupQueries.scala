@@ -489,6 +489,55 @@ object DedupQueries {
       |SELECT a_id, b_id, jaccard FROM verified
       |WHERE jaccard >= 0.2 ORDER BY a_id, b_id""".stripMargin
 
+  /** SimHash under a FULL DuckDB oracle (q70) — the q69 companion:
+    * 60-bit md5-derived signatures, 4×15-bit pigeonhole bands,
+    * popcount verify — all integer arithmetic both engines compute
+    * identically, so signatures, banding, cull, candidates and
+    * hamming distances hash-match value-for-value. q19's native
+    * xxhash64 path stays the scale default.
+    */
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairsPortable(Tables(s, dir).documents, "doc_id", "text",
+        maxHamming = 3)
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val q70Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(regexp_split_to_array(
+      |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |      x -> length(x) > 0)) AS toks
+      |  FROM documents),
+      |hs AS (
+      |  SELECT doc_id,
+      |    [CAST(('0x' || substring(md5(tk), 1, 15)) AS BIGINT)
+      |     for tk in toks] AS h
+      |  FROM t WHERE length(toks) > 0),
+      |base AS (
+      |  SELECT doc_id,
+      |    list_sum([CASE WHEN list_sum(
+      |        [CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END for x in h])
+      |      >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END
+      |      for j in generate_series(0, 59)]) AS sig
+      |  FROM hs),
+      |banded AS (
+      |  SELECT doc_id, b AS band, (sig >> (b * 15)) & 32767 AS bv
+      |  FROM base, generate_series(0, 3) AS g(b)),
+      |sized AS (
+      |  SELECT doc_id, band, bv FROM banded
+      |  QUALIFY count(*) OVER (PARTITION BY band, bv) <= 10000),
+      |cands AS (
+      |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      |  FROM sized x JOIN sized y
+      |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      |SELECT c.a_id, c.b_id,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+      |FROM cands c
+      |JOIN base a ON a.doc_id = c.a_id
+      |JOIN base b ON b.doc_id = c.b_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** SemDeDup over the embeddings table (rows-only: the k-means
     * quantizer is not SQL-expressible; DedupSpec pins the keep set
     * against a brute-force all-pairs + union-find reference on
@@ -513,5 +562,6 @@ object DedupQueries {
     Q("q59_bloom_admission", q59, Some(q59Sql), headline = true),
     Q("q61_boilerplate_removal", q61, Some(q61Sql), headline = true),
     Q("q62_cdc_dedup", q62, Some(q62Sql), headline = true),
-    Q("q69_minhash_lsh_oracle", q69, Some(q69Sql), headline = true))
+    Q("q69_minhash_lsh_oracle", q69, Some(q69Sql), headline = true),
+    Q("q70_simhash_oracle", q70, Some(q70Sql)))
 }

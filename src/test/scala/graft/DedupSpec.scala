@@ -70,6 +70,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("portable SimHash (q70): planted dups at hamming 0, disjoint docs unpaired") {
+    val pairs = Dedup.simhashPairsPortable(docs, "doc_id", "text",
+        maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // identical docs: identical token sets → identical signature
+    assert(pairs.get((1L, 2L)) === Some(0))
+    // the unrelated doc never pairs
+    assert(!pairs.keySet.exists(p => p._1 == 6L || p._2 == 6L))
+    // every reported hamming is the true signature distance (verify
+    // is exact; banding only gates candidates)
+    pairs.values.foreach(h => assert(h >= 0 && h <= 3))
+  }
+
   test("native MinHashSignature is bit-identical to the min-agg formulation") {
     import graft.functions.TextFunctions._
     val numHashes = 32
