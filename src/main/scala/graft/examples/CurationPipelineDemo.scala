@@ -12,14 +12,18 @@ import org.apache.spark.sql.functions._
   *   documents
   *     → PII redaction (emails/IPs/phones → placeholders)
   *                                                    [TextFunctions]
-  *     → segment-level dedup (corpus-wide boilerplate scrub)  [Dedup]
+  *     → C4 boilerplate removal (freq ≥ 3 segments dropped)   [Dedup]
+  *     → segment-level dedup (corpus-wide keep-first scrub)    [Dedup]
   *     → near-dup dedup (exact → candidates → verify → components →
   *       survivors)                                  [DedupPipeline]
-  *     → benchmark decontamination (3-gram scrub)  [Decontamination]
+  *     → benchmark decontamination: exact 3-gram AND fuzzy
+  *       MinHash scrub                             [Decontamination]
+  *     → LM fluency scoring + head/middle bucket keep       [NgramLm]
   *     → per-language quality filter (keep top 3/4)      [Sampling]
   *     → mixture rebalance to a 2:1:1 source target      [Sampling]
   *     → sequence packing into 512-token bins             [Packing]
   *     → leakage-free train/val/test split                [Sampling]
+  *     → epoch-0 training-order shuffle + sharding         [Sampling]
   *     → deterministic training shards (train split)        [Sinks]
   *
   * Run: sbt "runMain graft.examples.CurationPipelineDemo [sfDir]"
@@ -41,12 +45,21 @@ object CurationPipelineDemo {
     val scrubbed = raw.withColumn("text",
       graft.functions.TextFunctions.piiRedact(col("text")))
 
-    // 0b. segment-level dedup: corpus-wide boilerplate removal (here
-    // segmented as 4-token chunks — real corpora split on newlines);
-    // documents continue downstream with their deduped text
-    val segged = Dedup.dedupSegments(scrubbed, "doc_id",
+    // 0b. C4 boilerplate removal: any 4-token segment occurring ≥ 3
+    // times corpus-wide is chrome, removed from EVERY doc
+    val boiled = Dedup.removeFrequentSegments(scrubbed, "doc_id",
+      graft.functions.TextFunctions.tokenChunks(col("text"), 4), minDf = 3)
+    val cleaned = scrubbed.drop("text").join(
+      boiled.select(col("doc_id"), col("text_cleaned").as("text")), "doc_id")
+    println(s"== boilerplate removal dropped " +
+      boiled.agg(sum(col("n_segments") - col("n_kept"))).head().getLong(0) +
+      " segments")
+
+    // 0c. segment-level dedup: keep-first survivor per remaining
+    // segment; documents continue downstream with their deduped text
+    val segged = Dedup.dedupSegments(cleaned, "doc_id",
       graft.functions.TextFunctions.tokenChunks(col("text"), 4))
-    val docs = scrubbed.drop("text")
+    val docs = cleaned.drop("text")
       .join(segged.select(col("doc_id"), col("text_deduped").as("text")),
         "doc_id")
     val segDropped = segged.agg(
@@ -66,20 +79,54 @@ object CurationPipelineDemo {
     val train0 = deduped.filter(col("doc_id") % 97 =!= 0)
     val flagged = Decontamination.flagContaminated(
       train0, bench, "doc_id", "text", n = 3)
-    val clean = train0.join(flagged.select(col("doc_id").as("__bad")),
-      col("doc_id") === col("__bad"), "left_anti")
-    println(s"== after decontamination: ${clean.count()}")
+    val fuzzyFlagged = Decontamination.fuzzyContaminated(
+      train0, bench, "doc_id", "text", threshold = 0.5)
+    val clean = train0
+      .join(flagged.select(col("doc_id").as("__bad")),
+        col("doc_id") === col("__bad"), "left_anti")
+      .join(fuzzyFlagged.select(col("doc_id").as("__fuzzy")),
+        col("doc_id") === col("__fuzzy"), "left_anti")
+    // cached: the LM stage consumes `clean` four times (model slice,
+    // bigram stream, score join-back, the keep semi-join) and every
+    // downstream stage re-derives it — uncached, the whole dedup/
+    // decon lineage (including the components closure) re-executes
+    // per consumer
+    graft.CacheScope.track(clean)
+    println(s"== after exact+fuzzy decontamination: ${clean.count()}")
+
+    // 2b. LM fluency gate: train the bigram model on a trusted slice,
+    // bucket per-language by surprisal terciles, keep head+middle
+    // (the CCNet keep rule); unscorable docs pass through
+    val lm = NgramLm.train(clean.filter(col("doc_id") % 7 === 0), "text")
+    val lmScores = NgramLm.score(clean, "doc_id", "text", lm)
+    // the 2/3 boundary is ONE row (GK sketch agg) attached by
+    // broadcast — no global window funnel
+    val bound = lmScores.filter(col("avg_bits").isNotNull)
+      .agg(expr("approx_percentile(avg_bits, 0.67, 10000)").as("b"))
+    val fluent = clean.join(
+      lmScores.filter(col("avg_bits").isNotNull)
+        .crossJoin(broadcast(bound))
+        .filter(col("avg_bits") <= col("b"))
+        .select(col("doc_id").as("__keep2")),
+      col("doc_id") === col("__keep2"), "left_semi")
+    graft.CacheScope.track(fluent)
+    println(s"== after LM fluency gate: ${fluent.count()}")
 
     // 3. per-language quality filter: keep the top 3/4
-    val scored = clean.withColumn("quality",
+    val scored = fluent.withColumn("quality",
       graft.functions.TextFunctions.qualityScore(col("text")))
     val quality = Sampling.qualityFilter(
       scored, "lang", col("quality"), 3, 4, "doc_id")
     println(s"== after quality filter: ${quality.count()}")
 
     // 4. rebalance three sources to a 2:1:1 mixture
+    // localCheckpoint: five downstream consumers (packing, split,
+    // epoch order, shard join, the show) would otherwise each carry
+    // the full 9-stage lineage in every task binary (~2 MB plans;
+    // the accumulation OOM'd an 8 GB driver before this cut)
     val mixed = Sampling.mixtureRebalance(quality, "source",
       Map("src0" -> 2, "src1" -> 1, "src2" -> 1), "doc_id")
+      .localCheckpoint()
     println(s"== after mixture rebalance: ${mixed.count()}")
     mixed.groupBy("source").count().orderBy(col("source")).show()
 
@@ -96,6 +143,13 @@ object CurationPipelineDemo {
       graft.functions.TextFunctions.fingerprint(col("text")),
       Seq("train" -> 8, "val" -> 1, "test" -> 1)))
     split.groupBy("split").count().orderBy(col("split")).show()
+
+    // 6b. epoch-0 training order: seeded global shuffle + shards the
+    // data loader streams (new epoch = new seed)
+    val epoch = Sampling.shuffleShards(
+      split.filter(col("split") === "train"), "doc_id",
+      numShards = 4, seed = "epoch0")
+    println(s"== epoch-0 order over ${epoch.count()} docs in 4 shards")
 
     // 7. deterministic shards on disk
     val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
