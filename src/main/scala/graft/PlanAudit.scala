@@ -206,6 +206,13 @@ object PlanAudit {
     Check("q70_simhash_oracle",
       mustContain = Seq("hashpartitioning", "InMemoryTableScan"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // q71: the portable-RHP twin — the 3k-row hyperplane relation
+    // broadcasts into the product stream as an EQUI-join on the
+    // dimension (collapses map-side); band equi-join; no nested loops
+    Check("q71_rhp_lsh_oracle",
+      mustContain = Seq("hashpartitioning", "InMemoryTableScan",
+        "BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // q64: the per-language tercile bounds BROADCAST onto the scored
     // relation (one tiny row per language); the only BNLJ is the
     // inherited q60 vocab attach

@@ -151,6 +151,116 @@ object SimilaritySearch {
       .select(col("a_id"), col("b_id"), col("score"))
   }
 
+  /** RHP cosine near-dup with ENGINE-PORTABLE arithmetic — the
+    * q69/q70 companion completing the LSH-family trilogy. Hyperplane
+    * component (t, p, d) is the CENTERED md5-60 hash of "t:p:d"
+    * (signed ~±2⁵⁹ long, cast to double — both engines' long→double
+    * is the same IEEE rounding), per-dimension products are rounded
+    * then summed in EXACT DECIMAL (order-free, so the map-side
+    * partial aggregation cannot flip a sign bit), the bucket is the
+    * sign-bit integer, and the verify cosine uses the same
+    * rounded-product decimal dot/norms — every stage integer- or
+    * decimal-deterministic, so signatures, banding, cull, candidates
+    * AND scores hash-match a SQL engine (q71 full oracle). The
+    * native [[cosineNearDupPairs]] (fused signature expression, q42)
+    * stays the scale path; it differs only in hash family and float
+    * summation. Shape: the (vec, table, plane, dim) product stream
+    * is generated by a broadcast join against the 48-row plane
+    * relation and collapses map-side to one row per (vec, table,
+    * plane) — nothing vector-sized shuffles.
+    */
+  def cosineNearDupPairsPortable(vectors: DataFrame, threshold: Double,
+      numPlanes: Int = 8, numTables: Int = 4, maxBucketSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(numPlanes <= 30, "bucket is an int of numPlanes sign bits")
+    val spark = vectors.sparkSession
+    // repartition BEFORE the ×(tables·planes) expansion: a one-file
+    // parquet input would otherwise push the whole product stream
+    // through one or two tasks
+    val dims = vectors
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+    // centered signed plane components, derived from md5 of "t:p:d"
+    // (both engines recompute the same values) — materialized ONCE as
+    // a tables×planes×dims relation (48×64 = 3k rows) and broadcast,
+    // NOT re-hashed per corpus row: inlining the md5 into the product
+    // stream cost 30 s at sf0.1 (60M digest evaluations) vs ~3 s for
+    // the same plan with the 3k-row equi-join
+    val vecDim = vectors.select(size(col(vecCol))).head().getInt(0)
+    // one range, div/mod decomposition — no crossJoin (a nested-loop
+    // node, even over 3k driver-local rows, fails the plan audit's
+    // no-undeclared-BNLJ sweep)
+    val planes = broadcast(
+      spark.range(numTables.toLong * numPlanes * vecDim)
+        .select((col("id") / (numPlanes * vecDim)).cast("int").as("t"),
+          ((col("id") / vecDim).cast("long") % numPlanes).cast("int").as("p"),
+          (col("id") % vecDim).cast("int").as("d"))
+        .select(col("t"), col("p"), col("d"),
+          // rescaled by exactly 2⁻⁵⁹ (an exponent shift — bit-exact
+          // in any IEEE engine) into [−1, 1): keeps the rounded
+          // product terms inside DECIMAL(18,12), whose unscaled-long
+          // fast path is ~4× the 128-bit Decimal(38,_) arithmetic
+          // over the 60M-row product stream
+          ((conv(substring(md5(concat_ws(":", col("t"), col("p"), col("d"))),
+            1, 15), 16, 10).cast("long") - lit(1L << 59)).cast("double")
+            / lit(576460752303423488.0)).as("c")))
+    // ONE aggregation: the per-plane decimal sums are `numPlanes`
+    // conditional-sum columns of the same (id, t) group, not a second
+    // shuffle — signs (and therefore buckets) identical to the
+    // two-stage (id, t, p) formulation
+    val planeSums = (0 until numPlanes).map(k =>
+      sum(when(col("p") === k, col("term"))).as(s"s$k"))
+    val buckets = dims.join(planes, "d")
+      .select(col("id"), col("t"), col("p"),
+        round(col("x") * col("c"), 12).cast(DecimalType(18, 12)).as("term"))
+      .groupBy(col("id"), col("t"))
+      .agg(planeSums.head, planeSums.tail: _*)
+      .select(col("id"), col("t"),
+        (0 until numPlanes).map(k =>
+          when(col(s"s$k") >= 0, lit(1 << k)).otherwise(0))
+          .reduce(_ + _).cast("long").as("bucket"))
+    // (id, d, x) is consumed by the bucket stream AND both verify
+    // sides — cached once
+    val dimsC = graft.CacheScope.track(dims)
+    val norms = dimsC
+      .select(col("id"), round(col("x") * col("x"), 12)
+        .cast(DecimalType(18, 12)).as("t2"))
+      .groupBy(col("id")).agg(sum(col("t2")).cast("double").as("n2"))
+    val keyed = graft.CacheScope.track(buckets)
+    val oversized = keyed.groupBy(col("t"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select(col("t"), col("bucket"))
+    val sized = keyed.join(broadcast(oversized), Seq("t", "bucket"), "left_anti")
+    val cands = sized.as("x").join(sized.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    // verify as EXPLODED codegen'd aggregation, not a per-pair HOF
+    // fold: interpreted lambda evaluation over |cands|·dims elements
+    // was the wall-time hotspot (the round-4 bindArray lesson, again)
+    val dots = cands
+      .join(dimsC.select(col("id").as("a_id"), col("d"), col("x").as("xa")),
+        "a_id")
+      .join(dimsC.select(col("id").as("__bid"), col("d").as("d2"),
+        col("x").as("xb")),
+        col("b_id") === col("__bid") && col("d") === col("d2"))
+      .select(col("a_id"), col("b_id"),
+        round(col("xa") * col("xb"), 12).cast(DecimalType(18, 12)).as("tp"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("tp")).cast("double").as("dot"))
+    dots
+      .join(norms.select(col("id").as("a_id"), col("n2").as("a_n2")), "a_id")
+      .join(norms.select(col("id").as("b_id"), col("n2").as("b_n2")), "b_id")
+      .withColumn("score",
+        round(col("dot") / (sqrt(col("a_n2")) * sqrt(col("b_n2"))), 6))
+      .filter(col("score") >= threshold)
+      .select(col("a_id"), col("b_id"), col("score"))
+  }
+
   /** IVF-flat approximate top-k — the second scale path beside LSH:
     * a coarse k-means quantizer (Spark ML, fixed seed) partitions the
     * corpus into `nlist` cells; each anchor probes its `nprobe`

@@ -212,6 +212,69 @@ object SimilarityQueries {
       |    / count(*) AS mse
       |FROM e GROUP BY vec_id ORDER BY id""".stripMargin
 
+  /** RHP cosine near-dup under a FULL DuckDB oracle (q71) — the
+    * q69/q70 companion completing the LSH trilogy: md5-derived
+    * centered hyperplanes, rounded-product DECIMAL dot sums (sign
+    * bits cannot flip across engines or partitionings), integer
+    * buckets, and the same decimal discipline in the verify cosine.
+    * q42's native fused-signature path stays the scale default.
+    */
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.cosineNearDupPairsPortable(Tables(s, dir).embeddings,
+        threshold = 0.35, numPlanes = 8, numTables = 4)
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val q71Sql =
+    """WITH v AS (
+      |  SELECT vec_id AS id, [CAST(x AS DOUBLE) for x in embedding] AS xs
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT id, generate_subscripts(xs, 1) - 1 AS d, unnest(xs) AS x
+      |  FROM v),
+      |pl AS (SELECT t, p FROM generate_series(0, 3) AS gt(t),
+      |  generate_series(0, 7) AS gp(p)),
+      |terms AS (
+      |  SELECT m.id, pl.t, pl.p,
+      |    CAST(round(m.x * (CAST(
+      |      CAST(('0x' || substring(md5(pl.t || ':' || pl.p || ':' || m.d),
+      |        1, 15)) AS BIGINT) - (CAST(1 AS BIGINT) << 59) AS DOUBLE)
+      |      / 576460752303423488.0), 12)
+      |      AS DECIMAL(18,12)) AS term
+      |  FROM dims m, pl),
+      |sums AS (
+      |  SELECT id, t, p, sum(term) AS s FROM terms GROUP BY 1, 2, 3),
+      |buckets AS (
+      |  SELECT id, t,
+      |    CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+      |      AS bucket
+      |  FROM sums GROUP BY 1, 2),
+      |sized AS (
+      |  SELECT id, t, bucket FROM buckets
+      |  QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 10000),
+      |cands AS (
+      |  SELECT DISTINCT x.id AS a_id, y.id AS b_id
+      |  FROM sized x JOIN sized y
+      |    ON x.t = y.t AND x.bucket = y.bucket AND x.id < y.id),
+      |norms AS (
+      |  SELECT id, CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+      |    AS DOUBLE) AS n2
+      |  FROM dims GROUP BY id),
+      |dots AS (
+      |  SELECT c.a_id, c.b_id,
+      |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
+      |      AS DOUBLE) AS dot
+      |  FROM cands c
+      |  JOIN dims da ON da.id = c.a_id
+      |  JOIN dims db ON db.id = c.b_id AND db.d = da.d
+      |  GROUP BY 1, 2)
+      |SELECT d.a_id, d.b_id,
+      |  round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS score
+      |FROM dots d
+      |JOIN norms na ON na.id = d.a_id
+      |JOIN norms nb ON nb.id = d.b_id
+      |WHERE round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35
+      |ORDER BY a_id, b_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q20_cosine_topk", q20, Some(q20Sql), headline = true),
     Q("q21_label_centroids", q21, Some(q21Sql)),
@@ -220,5 +283,6 @@ object SimilarityQueries {
     Q("q31_group_scores", q31, Some(q31Sql), headline = true),
     Q("q32_cosine_pairs", q32, Some(q32Sql)),
     Q("q42_cosine_near_dup", q42, None),
-    Q("q66_sq8_quantization", q66, Some(q66Sql)))
+    Q("q66_sq8_quantization", q66, Some(q66Sql)),
+    Q("q71_rhp_lsh_oracle", q71, Some(q71Sql), headline = true))
 }

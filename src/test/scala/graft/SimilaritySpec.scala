@@ -215,6 +215,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size >= all.size / 2, s"recall ${got.size}/${all.size}")
   }
 
+  test("portable RHP near-dup (q71): planted recall, scores are true cosines") {
+    import graft.operators.SimilaritySearch
+    val got = SimilaritySearch.cosineNearDupPairsPortable(emb,
+        threshold = 0.35, numPlanes = 4, numTables = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the planted near-identical pair is found and scores ≈ 1
+    assert(got.contains((100L, 101L)) && got((100L, 101L)) > 0.999)
+    // every emitted score is the true cosine to the rounding the
+    // operator promises (decimal-summed rounded products vs a plain
+    // double computation differ below 1e-9)
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    got.foreach { case ((a, b), s) =>
+      val (va, vb) = (vecs(a), vecs(b))
+      val cos = va.zip(vb).map { case (x, y) => x * y }.sum /
+        (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      assert(math.abs(cos - s) < 1e-6, s"($a,$b): $cos vs $s")
+      assert(s >= 0.35)
+    }
+  }
+
   test("PQ: codebook shape, compact codes, ADC top-k recalls the planted dup") {
     import graft.operators.SimilaritySearch
     val cb = SimilaritySearch.pqCodebooks(emb, m = 4, ksub = 8)
