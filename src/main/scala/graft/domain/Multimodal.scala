@@ -280,6 +280,130 @@ object Multimodal {
         s => s.getField("hex")).as("palette"))
   }
 
+  /** X24/S19 adaptive variant: per-image OCTREE quantization — the
+    * reference's actual algorithm ("the v5 backend's octree approach",
+    * generate_artwork_variants.py:56-66: adaptive 8-color quantize of
+    * a ≤100px NEAREST-resampled probe, palette ordered by pixel share
+    * desc). [[dominantColors]] keeps the fixed-grid formulation as the
+    * one-groupBy relational path; this is the semantic-parity path for
+    * palettes the grid misrepresents (e.g. an image living inside ONE
+    * grid cell collapses to a single bin center; the octree still
+    * yields k distinct shades).
+    *
+    * Distribution shape: an image's pixels already live in one
+    * [[DecodedFrame]] row, so per-image adaptivity is a narrow `map`
+    * — no per-group loop, no shuffle; the probe resample bounds the
+    * per-row work at 100×100 pixels regardless of source size,
+    * exactly like the reference's `thumbnail((100, 100), NEAREST)`.
+    * Returns (media_id, frameIdx, palette ARRAY<STRING>).
+    */
+  def octreePalette(frames: Dataset[DecodedFrame], k: Int = 8,
+      probeEdge: Int = 100): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map { f =>
+      val longest = math.max(f.width, f.height)
+      val px =
+        if (longest <= probeEdge || longest == 0) f.pixels
+        else {
+          val ow = math.max(1, f.width * probeEdge / longest)
+          val oh = math.max(1, f.height * probeEdge / longest)
+          resampleNN(f.pixels, f.width, f.height, ow, oh, 3)
+        }
+      (f.media_id, f.frameIdx, octreeQuantize(px, k))
+    }.toDF("media_id", "frameIdx", "palette")
+  }
+
+  /** Gervautz–Purgathofer octree color quantization of interleaved
+    * RGB triples: insert at `maxDepth` (indexing by the d-th high bit
+    * of each channel), then repeatedly merge the least-populated
+    * deepest all-leaf-children node into its parent until ≤ k leaves;
+    * each leaf emits its mean color, ordered by (pixel count, hex)
+    * descending — the reference's `sorted(getcolors(), reverse=True)`
+    * share-then-index order. Deterministic: merge candidates tie-break
+    * by insertion order (`minBy` keeps the first minimum). */
+  private final class ONode {
+    var count = 0L; var rSum = 0L; var gSum = 0L; var bSum = 0L
+    var leaf = false
+    val kids = new Array[ONode](8)
+  }
+  private[domain] def octreeQuantize(pixels: Array[Byte], k: Int,
+      maxDepth: Int = 6): Seq[String] = {
+    val root = new ONode
+    val levels = Array.fill(maxDepth)(
+      scala.collection.mutable.ArrayBuffer.empty[ONode])
+    levels(0) += root
+    var nLeaves = 0
+    val n = pixels.length / 3
+    var i = 0
+    while (i < n) {
+      val r = pixels(3 * i) & 0xFF
+      val g = pixels(3 * i + 1) & 0xFF
+      val b = pixels(3 * i + 2) & 0xFF
+      var node = root
+      var d = 0
+      while (d < maxDepth) {
+        val bit = 7 - d
+        val idx = (((r >> bit) & 1) << 2) | (((g >> bit) & 1) << 1) |
+          ((b >> bit) & 1)
+        if (node.kids(idx) == null) {
+          val child = new ONode
+          node.kids(idx) = child
+          if (d + 1 == maxDepth) { child.leaf = true; nLeaves += 1 }
+          else levels(d + 1) += child
+        }
+        node = node.kids(idx)
+        d += 1
+      }
+      node.count += 1; node.rSum += r; node.gSum += g; node.bSum += b
+      i += 1
+    }
+    def childWeight(nd: ONode): Long = {
+      var s = 0L; var j = 0
+      while (j < 8) { if (nd.kids(j) != null) s += nd.kids(j).count; j += 1 }
+      s
+    }
+    var reducible = true
+    while (nLeaves > k && reducible) {
+      var d = maxDepth - 1
+      reducible = false
+      while (d >= 0 && !reducible) {
+        val cands = levels(d).filter(nd => !nd.leaf &&
+          nd.kids.exists(_ != null) &&
+          nd.kids.forall(c => c == null || c.leaf))
+        if (cands.nonEmpty) {
+          val nd = cands.minBy(childWeight)
+          var j = 0; var merged = 0
+          while (j < 8) {
+            val c = nd.kids(j)
+            if (c != null) {
+              nd.count += c.count; nd.rSum += c.rSum
+              nd.gSum += c.gSum; nd.bSum += c.bSum
+              nd.kids(j) = null; merged += 1
+            }
+            j += 1
+          }
+          nd.leaf = true
+          nLeaves -= merged - 1
+          reducible = true
+        } else d -= 1
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def walk(nd: ONode): Unit =
+      if (nd.leaf) {
+        if (nd.count > 0)
+          out += ((nd.count, f"#${(nd.rSum / nd.count).toInt}%02x" +
+            f"${(nd.gSum / nd.count).toInt}%02x" +
+            f"${(nd.bSum / nd.count).toInt}%02x"))
+      } else { var j = 0; while (j < 8) { if (nd.kids(j) != null) walk(nd.kids(j)); j += 1 } }
+    walk(root)
+    out.sortBy { case (c, hex) => (-c, hex) }(
+        Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+      .take(k).map(_._2).toSeq
+  }
+
   /** Nearest-neighbor resample kernel. The reference resizes with
     * LANCZOS (generate_artwork_variants.py:84); swap the kernel here
     * when a native image lib is present — the distribution shape

@@ -116,6 +116,30 @@ object BpeTrain {
       .orderBy(col("rank"))
   }
 
+  /** UTF-8 byte-wise (= code-point) lexicographic less-than on (l, r)
+    * pairs — matches Spark's UTF8String binary ordering used by the
+    * distributed argmax's `orderBy(l, r)`. Java String ordering
+    * compares UTF-16 code UNITS, which disagrees with code-point
+    * order for supplementary-plane symbols vs chars in [U+E000,
+    * U+FFFF]; tie-breaking with it would break the result-identical
+    * local/distributed guarantee on non-BMP corpora. */
+  private def ltUtf8(a: (String, String), b: (String, String)): Boolean = {
+    def cmp(x: String, y: String): Int = {
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(xb.length, yb.length)
+      while (i < n) {
+        val d = (xb(i) & 0xFF) - (yb(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      xb.length - yb.length
+    }
+    val c = cmp(a._1, b._1)
+    c < 0 || (c == 0 && cmp(a._2, b._2) < 0)
+  }
+
   /** Driver merge loop over the collected word-frequency table — the
     * small-vocab path of [[learnMerges]]. Same pair statistics, same
     * (freq DESC, l ASC, r ASC) argmax, same greedy merge; pinned
@@ -141,7 +165,7 @@ object BpeTrain {
         var best: ((String, String), Long) = null
         pairs.forEach { (p, f) =>
           if (best == null || f > best._2 ||
-            (f == best._2 && Ordering[(String, String)].lt(p, best._1)))
+            (f == best._2 && ltUtf8(p, best._1)))
             best = (p, f)
         }
         val ((l, r), f) = best

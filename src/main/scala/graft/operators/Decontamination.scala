@@ -131,6 +131,60 @@ object Decontamination {
         col("f.jaccard").as("jaccard"))
   }
 
+  /** Fuzzy decontamination with ENGINE-PORTABLE hashing — the
+    * verification twin of [[fuzzyContaminated]], completing the
+    * q69/q70/q71 playbook for the last LSH *application*: every hash
+    * derives from md5 ([[Dedup.md5Hash60]] salted by the hash index,
+    * band buckets md5 of the comma-joined slice), so a SQL engine
+    * re-derives the signatures, the directed banded candidates, the
+    * verified Jaccard AND the per-doc argmax value-for-value (q72
+    * full oracle). Same directed shape as the native path: the bench
+    * side broadcasts, the training corpus never shuffles text.
+    */
+  def fuzzyContaminatedPortable(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, shingleK: Int = 2,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions.{normalized, shingles}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def base(df: DataFrame) = df.select(col(idCol).as("id"),
+        shingles(normalized(col(textCol)), shingleK).as("sh"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(numHashes - 1)), i =>
+          array_min(transform(col("sh"), s =>
+            Dedup.md5Hash60(concat(i.cast("string"), lit(":"), s))))).as("sig"),
+        array_sort(array_distinct(
+          transform(col("sh"), s => Dedup.md5Hash60(s)))).as("hsh"))
+    def banded(df: DataFrame) = df.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        md5(array_join(slice(col("sig"), b * r + 1, lit(r)), ","))))
+        .as(Seq("band", "bucket")))
+    val trainBase = graft.CacheScope.track(base(train))
+    val benchBase = base(bench)
+    val cands = banded(trainBase)
+      .join(broadcast(banded(benchBase)
+          .select(col("id").as("bench_id"), col("band"), col("bucket"))),
+        Seq("band", "bucket"))
+      .select(col("id").as("doc_id"), col("bench_id")).distinct()
+    cands
+      .join(trainBase.select(col("id").as("doc_id"), col("hsh").as("t_sh")),
+        "doc_id")
+      .join(broadcast(benchBase
+          .select(col("id").as("bench_id"), col("hsh").as("b_sh"))),
+        "bench_id")
+      .withColumn("inter", org.apache.spark.sql.graft.ArrayExpressions
+        .sortedIntersectCount(col("t_sh"), col("b_sh")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("t_sh")) + size(col("b_sh")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(round(col("jaccard"), 6).as("jaccard"),
+        col("bench_id").as("bench_id"))).as("f"))
+      .select(col("doc_id"), col("f.bench_id").as("bench_id"),
+        col("f.jaccard").as("jaccard"))
+  }
+
   def flagContaminated(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),

@@ -668,22 +668,40 @@ object Dedup {
     * pigeonhole — any pair within hamming d of 64 bits shares at
     * least one of (d+1) 16-bit bands exactly. Band equi-join, then
     * popcount verify.
+    *
+    * The band key is only 16 bits (65,536 buckets per band), so at
+    * corpus scale near-identical content — the dedup target — piles
+    * into single buckets and the self-join goes quadratic without a
+    * guard. Buckets larger than `maxBucketSize` are culled by the
+    * same broadcast anti-join every sibling uses (the portable twin,
+    * MinHash, RHP); exact dedup upstream is expected to have removed
+    * the degenerate identical-signature mass. Candidates are
+    * de-duplicated on IDS ONLY, then signatures join back from the
+    * cached base — a (long, long) exchange, never (long, long, sig,
+    * sig) × 4 bands.
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming <= 3, "4 x 16-bit bands guarantee recall only to hamming 3")
-    val sigs = simhashSignatures(docs, idCol, textCol)
-    val banded = sigs.select(col("id"), col("sig"),
+    // cached: consumed by the banding and both verify-side joins
+    val sigs = graft.CacheScope.track(simhashSignatures(docs, idCol, textCol))
+    val banded = sigs.select(col("id"),
       posexplode(array((0 until 4).map(k =>
         shiftrightunsigned(col("sig"), k * 16).bitwiseAND(lit(0xFFFFL))): _*)
       ).as(Seq("band", "key")))
-    banded.as("x").join(banded.as("y"),
+    val oversized = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val sized = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
+    sized.as("x").join(sized.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-        col("x.sig").as("a_sig"), col("y.sig").as("b_sig"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
+      .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))

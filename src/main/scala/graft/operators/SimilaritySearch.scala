@@ -127,13 +127,22 @@ object SimilaritySearch {
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
       numPlanes: Int = 8, numTables: Int = 4, maxBucketSize: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // persisted via CacheScope: otherwise the signature scan recomputes
-    // for the oversized aggregate, the anti-join input, and BOTH sides
-    // of the self-join (4× the corpus pass — the q18 lesson)
+    // base (id, vec) persisted via CacheScope: read by the signature
+    // scan and by both verify-side joins. keyed (id, table, bucket) is
+    // persisted SEPARATELY and vector-free — the oversized aggregate,
+    // the anti-join input and BOTH self-join sides read an all-longs
+    // relation, and the candidate distinct exchanges (id, id) pairs
+    // only; vectors join back from `base` once per verified candidate
+    // (the minhashLshPairs shape). Carrying vecs through the banded
+    // self-join shuffled up to numTables copies of two full embeddings
+    // per candidate — at 1024-dim that is shuffling the corpus.
+    val base = graft.CacheScope.track(
+      vectors.repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+        .select(col(idCol).as("id"), col(vecCol).as("vec")))
     val keyed = graft.CacheScope.track(
-      vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      base.select(col("id"),
         posexplode(array((0 until numTables).map(t =>
-          lshKey(col(vecCol), t, numPlanes)): _*)).as(Seq("table", "bucket"))))
+          lshKey(col("vec"), t, numPlanes)): _*)).as(Seq("table", "bucket"))))
     val oversized = keyed.groupBy(col("table"), col("bucket"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucketSize)
@@ -143,9 +152,10 @@ object SimilaritySearch {
     sized.as("x").join(sized.as("y"),
         col("x.table") === col("y.table") &&
           col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("x.vec").as("a_vec"),
-        col("y.id").as("b_id"), col("y.vec").as("b_vec"))
-      .dropDuplicates("a_id", "b_id")
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+      .join(base.select(col("id").as("a_id"), col("vec").as("a_vec")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("vec").as("b_vec")), "b_id")
       .withColumn("score", round(fastCosine(col("a_vec"), col("b_vec")), 4))
       .filter(col("score") >= threshold)
       .select(col("a_id"), col("b_id"), col("score"))

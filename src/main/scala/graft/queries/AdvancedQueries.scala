@@ -28,9 +28,14 @@ object AdvancedQueries {
         when(col("l_quantity") < 5, -1).otherwise(col("l_linenumber")).as("no"),
         ((col("l_partkey") * 1000000L + col("l_suppkey")) * 10L +
           col("l_linenumber")).as("ordkey")))
+    // `no` in the sort: (l_orderkey, l_partkey, l_suppkey) is NOT
+    // unique when an order repeats a (part, supplier) pair, and a
+    // tie-ambiguous presentation sort hash-mismatches engines; (order,
+    // no) IS unique (kept numbers are distinct linenumbers, filled
+    // ones come from the unused pool)
     Grouping.gapFillNumbers(base, Seq("l_orderkey"), "no", "ordkey")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("no"))
-      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("no"))
   }
 
   // Relational mirror of the sequential semantics: k-th missing row
@@ -63,7 +68,8 @@ object AdvancedQueries {
       |LEFT JOIN missing m ON b.no < 1 AND m.l_orderkey = b.l_orderkey
       |  AND m.ordkey = b.ordkey
       |LEFT JOIN cand c ON c.l_orderkey = m.l_orderkey AND c.rnk = m.rnk
-      |ORDER BY b.l_orderkey, b.l_partkey, b.l_suppkey""".stripMargin
+      |ORDER BY b.l_orderkey, b.l_partkey, b.l_suppkey,
+      |  CASE WHEN b.no >= 1 THEN b.no ELSE c.f END""".stripMargin
 
   /** A14: rollup over (region, nation) — subtotals + grand total. */
   private def q28(s: SparkSession, dir: String): DataFrame = {

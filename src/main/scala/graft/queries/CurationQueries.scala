@@ -275,16 +275,87 @@ object CurationQueries {
     * CurationSpec pins the flag set on planted near-verbatim leaks
     * INCLUDING the one-word-edit case exact n-gram decon (q49)
     * provably misses, plus precision against brute-force Jaccard.
-    * Bench side = every 97th doc (the q49/q57 convention).
+    * Bench side = every 89th doc — NOT q49's 97: the synthetic
+    * corpus's near-dup pairs straddle the 89-split at every SF
+    * (verified ≥3 cross-split pairs with exact Jaccard ≥ 0.93 at
+    * sf0.001/0.01/0.1) but not the 97-split (zero at sf0.01), which
+    * made the rows-only gate vacuous. q72 is this query's portable
+    * twin under a full oracle.
     */
   private def q67(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir).documents
     graft.operators.Decontamination.fuzzyContaminated(
-        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        d.filter(col("doc_id") % 89 =!= 0), d.filter(col("doc_id") % 89 === 0),
         "doc_id", "text", shingleK = 2, numHashes = 32, bands = 8,
         threshold = 0.5)
       .orderBy(col("doc_id"))
   }
+
+  /** Fuzzy decontamination under a FULL DuckDB oracle (q72) — the
+    * md5-portable twin of q67 (same split, same parameters),
+    * completing the q69/q70/q71 playbook for the last LSH
+    * *application*: the oracle re-derives shingles, salted-md5
+    * signatures, the directed banded candidate join, the verified
+    * Jaccard and the per-doc (jaccard, bench_id) argmax
+    * value-for-value. q67's xxhash64 path stays the scale default;
+    * the hash family is its only unverified ingredient.
+    */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    graft.operators.Decontamination.fuzzyContaminatedPortable(
+        d.filter(col("doc_id") % 89 =!= 0), d.filter(col("doc_id") % 89 === 0),
+        "doc_id", "text", shingleK = 2, numHashes = 32, bands = 8,
+        threshold = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q72Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(
+      |      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN length(toks) < 2
+      |    THEN [array_to_string(toks, ' ')]
+      |    ELSE [array_to_string(toks[i:i+1], ' ')
+      |          for i in generate_series(1, length(toks) - 1)] END) AS shs
+      |  FROM t),
+      |base AS (
+      |  SELECT doc_id,
+      |    [list_min([CAST(('0x' || substring(md5(
+      |        CAST(i AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)
+      |      for s in shs]) for i in generate_series(0, 31)] AS sig,
+      |    list_distinct([CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)
+      |      for s in shs]) AS hsh
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b AS band,
+      |    md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket
+      |  FROM base, generate_series(0, 7) AS g(b)),
+      |cands AS (
+      |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS bench_id
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bucket = y.bucket
+      |  WHERE x.doc_id % 89 <> 0 AND y.doc_id % 89 = 0),
+      |verified AS (
+      |  SELECT c.doc_id, c.bench_id,
+      |    CAST(length(list_intersect(a.hsh, b.hsh)) AS DOUBLE)
+      |      / (length(a.hsh) + length(b.hsh)
+      |         - length(list_intersect(a.hsh, b.hsh))) AS jaccard
+      |  FROM cands c
+      |  JOIN base a ON a.doc_id = c.doc_id
+      |  JOIN base b ON b.doc_id = c.bench_id
+      |  WHERE CAST(length(list_intersect(a.hsh, b.hsh)) AS DOUBLE)
+      |      / (length(a.hsh) + length(b.hsh)
+      |         - length(list_intersect(a.hsh, b.hsh))) >= 0.5)
+      |SELECT doc_id, bench_id, jaccard FROM (
+      |  SELECT doc_id, bench_id, round(jaccard, 6) AS jaccard,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY round(jaccard, 6) DESC, bench_id DESC) AS rn
+      |  FROM verified) WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
 
   /** Trained quality classifier (q68) — rows-only (L-BFGS float
     * accumulation is partitioning-dependent in its last ulps; the
@@ -317,5 +388,6 @@ object CurationQueries {
     Q("q56_leakage_free_split", q56, Some(q56Sql)),
     Q("q65_shuffle_shards", q65, Some(q65Sql)),
     Q("q67_fuzzy_decontamination", q67, None),
-    Q("q68_quality_classifier", q68, None))
+    Q("q68_quality_classifier", q68, None),
+    Q("q72_fuzzy_decon_oracle", q72, Some(q72Sql)))
 }

@@ -231,11 +231,17 @@ object TextQueries {
     *
     * The full DuckDB oracle re-derives the model, the scores, the
     * quantile_cont tercile boundaries AND the bucketing. Boundary
-    * doubles never appear in the output (bucket strings only): an
-    * interpolated boundary can differ between engines in its last
-    * ulp, but no document score lies strictly between two adjacent
-    * sorted scores, so bucket assignment is ulp-robust — only the
-    * boundary VALUE would hash-mismatch, and it is not emitted.
+    * doubles never appear in the output (bucket strings only), and the
+    * boundary is interpolated with quantile_cont's OWN formula —
+    * v_lo + frac·(v_hi − v_lo), the lo/hi rank values aggregated
+    * separately — not the algebraically-equal-but-FP-different
+    * v_lo·(1−frac) + v_hi·frac sum of shares. The distinction matters
+    * exactly when the boundary straddles two EQUAL scores (duplicate
+    * docs): the share formulation can land 1 ulp below the tied score
+    * and flip that doc head↔middle between engines; with this formula
+    * a tied straddle yields v + frac·0 = v bit-exactly in both
+    * engines, and a non-tied straddle separates adjacent scores by
+    * far more than 1 ulp, so bucketing is robust.
     */
   private def q64(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -249,18 +255,20 @@ object TextQueries {
       .withColumn("rn",
         row_number().over(byLang.orderBy(col("avg_bits"), col("doc_id"))) - 1)
       .withColumn("n", count(lit(1)).over(byLang))
-    def share(p: Double): Column = {
-      val r = (col("n") - 1) * lit(p)
-      val lo = floor(r)
-      val hi = ceil(r)
-      when(col("rn") === lo && col("rn") === hi, col("avg_bits"))
-        .when(col("rn") === lo, col("avg_bits") * (lit(1.0) - (r - lo)))
-        .when(col("rn") === hi, col("avg_bits") * (r - lo))
-    }
+    // rank-pick the lo/hi values at r = (n-1)p, plus the fractional
+    // offset (constant per language); the group input is one row per
+    // document, so the aggregate is tiny
+    def r(p: Double): Column = (col("n") - 1) * lit(p)
+    def lo(p: Double): Column = max(when(col("rn") === floor(r(p)), col("avg_bits")))
+    def hi(p: Double): Column = max(when(col("rn") === ceil(r(p)), col("avg_bits")))
+    def fr(p: Double): Column = max(r(p) - floor(r(p)))
     val bounds = ranked
-      .filter(share(1.0 / 3).isNotNull || share(2.0 / 3).isNotNull)
       .groupBy(col("lang"))
-      .agg(sum(share(1.0 / 3)).as("b33"), sum(share(2.0 / 3)).as("b66"))
+      .agg(lo(1.0 / 3).as("lo33"), hi(1.0 / 3).as("hi33"), fr(1.0 / 3).as("f33"),
+        lo(2.0 / 3).as("lo66"), hi(2.0 / 3).as("hi66"), fr(2.0 / 3).as("f66"))
+      .select(col("lang"),
+        (col("lo33") + col("f33") * (col("hi33") - col("lo33"))).as("b33"),
+        (col("lo66") + col("f66") * (col("hi66") - col("lo66"))).as("b66"))
     scored.join(broadcast(bounds), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("avg_bits"),
         when(col("avg_bits").isNull, "na")

@@ -369,6 +369,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyContaminatedPortable (q72 twin): same flags, md5 hash family") {
+    import graft.operators.Decontamination
+    val bench = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // verbatim
+      (2L, "alpha beta gamma delta CHANGED zeta eta theta iota"), // 1-word edit
+      (3L, "totally unrelated content about something else entirely"))
+      .toDF("doc_id", "text")
+    val fuzzy = Decontamination.fuzzyContaminatedPortable(train, bench,
+        "doc_id", "text", shingleK = 2, numHashes = 32, bands = 16,
+        threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // identical flag semantics to the native path on the same corpus:
+    // the hash family changes candidate probabilities, not the verify
+    assert(fuzzy.keySet === Set(1L, 2L))
+    assert(fuzzy(1L) === ((1000L, 1.0)))
+    assert(fuzzy(2L)._1 === 1000L && fuzzy(2L)._2 >= 0.4 && fuzzy(2L)._2 < 1.0)
+  }
+
   test("quality classifier: separates planted classes, distills the heuristic") {
     import graft.operators.QualityClassifier
     val rnd = new scala.util.Random(11)

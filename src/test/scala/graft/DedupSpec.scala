@@ -192,6 +192,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((5L, 6L)))
   }
 
+  test("simhashPairs mega-bucket cull: identical-doc pile is dropped, normal pairs survive") {
+    // the q19 scale guard: thousands of identical docs share ONE
+    // 16-bit bucket in every band — without the cull the self-join on
+    // that bucket is quadratic. Plant 60 identical docs with
+    // maxBucketSize=50: their bucket is culled in all 4 bands (no
+    // pairs, no blow-up) while the unrelated near-dup pair, whose
+    // buckets hold ≤ a handful of ids, is still found.
+    val mega = (100L until 160L).map(i =>
+      (i, "identical boilerplate row repeated across the whole corpus shard"))
+    val planted = (mega ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "The quick  BROWN fox jumps over the lazy dog near the river")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(planted, "doc_id", "text",
+        maxHamming = 3, maxBucketSize = 50)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 >= 100L || p._2 >= 100L))
+    // and with the default (large) cap the pile IS reported — the cull
+    // is a guard, not a semantics change at sane bucket sizes
+    val uncapped = Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 3)
+      .count()
+    assert(uncapped === 60L * 59 / 2 + 1)
+  }
+
   test("simhash hamming(1,2)=0 and signature is deterministic") {
     val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
       .orderBy("id").select("sig").as[Long].collect()

@@ -78,6 +78,53 @@ class MultimodalSpec extends SparkSpec {
     assert(palette === Seq("#e02020", "#2020e0"))
   }
 
+  test("S19/X24 octreePalette: adaptive shades where the fixed grid collapses to one bin") {
+    import Multimodal.DecodedFrame
+    // a dark-red gradient living entirely inside ONE levels=4 grid
+    // cell (r ∈ [0,64), g=b=0): the fixed-bin palette is a single
+    // color; the octree still separates k shades — the exact gap the
+    // reference's adaptive quantize closes
+    val px = Array.tabulate[Byte](64 * 3) { i =>
+      if (i % 3 == 0) (i / 3).toByte else 0.toByte
+    }
+    val frames = Seq(DecodedFrame("g", 0, 64, 1, px)).toDS()
+    val fixed = Multimodal.dominantColors(frames, k = 8, levels = 4)
+      .select("palette").as[Seq[String]].collect()(0)
+    assert(fixed.length === 1)
+    val octree = Multimodal.octreePalette(frames, k = 8)
+      .select("palette").as[Seq[String]].collect()(0)
+    assert(octree.length === 8)
+    assert(octree.distinct.length === 8)
+    // every emitted color is a red shade from the gradient's range
+    octree.foreach { hex =>
+      assert(hex.endsWith("0000") && hex.startsWith("#"))
+      assert(Integer.parseInt(hex.substring(1, 3), 16) < 64)
+    }
+  }
+
+  test("S19/X24 octreePalette: share order, merged means, probe resample") {
+    import Multimodal.DecodedFrame
+    // two tight clusters, red 3x the pixels of blue: palette leads
+    // with the red mean, and within-cluster variation merges to means
+    val reds = Seq.fill(12)(Seq(200, 10, 10)) ++ Seq.fill(6)(Seq(204, 10, 10))
+    val blues = Seq.fill(6)(Seq(10, 10, 200))
+    val px = (reds ++ blues).flatten.map(_.toByte).toArray
+    val frames = Seq(DecodedFrame("c", 0, 24, 1, px)).toDS()
+    val palette = Multimodal.octreePalette(frames, k = 2)
+      .select("palette").as[Seq[String]].collect()(0)
+    assert(palette.length === 2)
+    // red cluster mean: (12*200 + 6*204)/18 = 201 = 0xc9
+    assert(palette(0) === "#c90a0a")
+    assert(palette(1) === "#0a0ac8")
+    // oversized frames resample to the probe edge first: a 200-wide
+    // frame of one solid color still quantizes (and stays one color)
+    val wide = Array.fill(200 * 3)(50.toByte)
+    val solid = Multimodal.octreePalette(
+        Seq(DecodedFrame("w", 0, 200, 1, wide)).toDS(), k = 8)
+      .select("palette").as[Seq[String]].collect()(0)
+    assert(solid === Seq("#323232"))
+  }
+
   test("resizeFrames: nearest-neighbor downscale has known pixels") {
     import Multimodal.DecodedFrame
     // 4x4 gradient: pixel (x,y) = y*4+x; 2x2 NN → samples (0,0),(2,0),(0,2),(2,2)
