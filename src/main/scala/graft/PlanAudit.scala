@@ -245,6 +245,13 @@ object PlanAudit {
       mustContain = Seq("BroadcastHashJoin", "InMemoryTableScan"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin")),
+    // q73: the IVF-PQ deployment path — cell assignment and PQ encode
+    // are zero-shuffle maps (artifacts broadcast), candidates come
+    // from a keyed equi-join on the cell id; the only nested-loop is
+    // the declared anchors × 16-centroid broadcast probe
+    Check("q73_ivfpq_fixture",
+      mustContain = Seq("topkbyscore"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
     // q64: the per-language tercile bounds BROADCAST onto the scored
     // relation (one tiny row per language); the only BNLJ is the
     // inherited q60 vocab attach
@@ -275,7 +282,9 @@ object PlanAudit {
   val bnljAllowed: Set[String] = Set("q17_jaccard_pairs", "q20_cosine_topk",
     "q22_knn_classify", "q30_chamfer_similarity", "q31_group_scores",
     "q32_cosine_pairs", "q40_bm25", "q46_mixture_rebalance",
-    "q59_bloom_admission", "q60_ngram_lm_score", "q64_perplexity_buckets")
+    "q59_bloom_admission", "q60_ngram_lm_score", "q64_perplexity_buckets",
+    // q73: anchors × 16-centroid broadcast probe (the IVF cell pick)
+    "q73_ivfpq_fixture")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

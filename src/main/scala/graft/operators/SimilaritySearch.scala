@@ -356,37 +356,42 @@ object SimilaritySearch {
     * ksub=256 → 8 bytes vs 256 for a 64-dim float vector), so the
     * candidate-scoring working set fits in memory where raw vectors
     * cannot. Zero shuffles; codebooks broadcast. */
+  /** Encode one vector against PQ codebooks: nearest centroid per
+    * subspace by L2, ties to the lowest index. */
+  private def pqEncodeVec(v: Array[Double],
+      cb: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = cb.length
+    val dsub = v.length / m
+    val code = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb(j).length) {
+        var d = 0.0; var t = 0
+        while (t < dsub) {
+          val diff = v(j * dsub + t) - cb(j)(c)(t); d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      code(j) = best
+      j += 1
+    }
+    code
+  }
+
   def pqEncode(vectors: DataFrame, codebooks: Array[Array[Array[Double]]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val cbB = spark.sparkContext.broadcast(codebooks)
-    val m = codebooks.length
     vectors.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
-      .map { case (id, v) =>
-        val cb = cbB.value
-        val dsub = v.length / m
-        val code = new Array[Int](m)
-        var j = 0
-        while (j < m) {
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cb(j).length) {
-            var d = 0.0; var t = 0
-            while (t < dsub) {
-              val diff = v(j * dsub + t) - cb(j)(c)(t); d += diff * diff
-              t += 1
-            }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          code(j) = best
-          j += 1
-        }
-        (id, code)
-      }.toDF("id", "code")
+      .map { case (id, v) => (id, pqEncodeVec(v, cbB.value)) }
+      .toDF("id", "code")
   }
 
   /** ADC scoring of (nid, code, anchor_id, a_vec) candidate rows:
@@ -404,15 +409,56 @@ object SimilaritySearch {
         val mm = cb.length
         val tables = scala.collection.mutable.Map.empty[Long, Array[Array[Double]]]
         it.map { case (nid, code, aid, avec) =>
-          val tab = tables.getOrElseUpdate(aid, {
-            val dsub = avec.length / mm
-            Array.tabulate(mm, cb(0).length) { (j, c) =>
+          val tab = tables.getOrElseUpdate(aid, adcTable(avec, cb))
+          var s = 0.0; var j = 0
+          while (j < mm) { s += tab(j)(code(j)); j += 1 }
+          (aid, nid, s)
+        }
+      }.toDF("anchor_id", "neighbor_id", "approx")
+  }
+
+  /** Per-anchor inner-product lookup table: dot of each anchor
+    * subspace slice with each codebook centroid. */
+  private def adcTable(avec: Array[Double],
+      cb: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val mm = cb.length
+    val dsub = avec.length / mm
+    Array.tabulate(mm, cb(0).length) { (j, c) =>
+      var s = 0.0; var t = 0
+      while (t < dsub) { s += avec(j * dsub + t) * cb(j)(c)(t); t += 1 }
+      s
+    }
+  }
+
+  /** Residual-variant ADC: candidate rows additionally carry the
+    * coarse `cell`, and approx dot(a, v) = dot(a, c_cell) + Σⱼ
+    * tab(j)(code(j)) since code quantizes v − c_cell. Both the
+    * lookup table AND the nlist anchor·centroid dots memoize per
+    * anchor within the partition. */
+  private def adcScoresResidual(cands: DataFrame,
+      cbB: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Double]]]],
+      centB: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands.select(col("nid"), col("code"), col("cell"), col("anchor_id"),
+        col("a_vec"))
+      .as[(Long, Array[Int], Int, Long, Array[Double])]
+      .mapPartitions { it =>
+        val cb = cbB.value
+        val cc = centB.value
+        val mm = cb.length
+        val memo = scala.collection.mutable
+          .Map.empty[Long, (Array[Array[Double]], Array[Double])]
+        it.map { case (nid, code, cell, aid, avec) =>
+          val (tab, cdots) = memo.getOrElseUpdate(aid, {
+            val cd = cc.map { c =>
               var s = 0.0; var t = 0
-              while (t < dsub) { s += avec(j * dsub + t) * cb(j)(c)(t); t += 1 }
+              while (t < avec.length) { s += avec(t) * c(t); t += 1 }
               s
             }
+            (adcTable(avec, cb), cd)
           })
-          var s = 0.0; var j = 0
+          var s = cdots(cell); var j = 0
           while (j < mm) { s += tab(j)(code(j)); j += 1 }
           (aid, nid, s)
         }
@@ -463,44 +509,183 @@ object SimilaritySearch {
     rerankTopK(approx, anchors, vectors, k, rerank, idCol, vecCol)
   }
 
-  /** IVF+PQ fusion — the full billion-scale recipe: the coarse
-    * quantizer restricts each anchor's sweep to its `nprobe` nearest
-    * cells (a hash-partitioned equi-join on the cell id, as in
-    * [[ivfCosineTopK]]) and WITHIN those cells candidates score by PQ
-    * lookup tables instead of raw vectors (as in [[pqCosineTopK]]) —
-    * so the scan cost is nprobe/nlist of the corpus and the scanned
-    * payload is m small codes per vector, not the embedding. This
-    * variant quantizes raw vectors (no residual encoding — documented
-    * simplification; residuals sharpen recall at equal bits but need
-    * a per-cell codebook pass). nprobe = nlist degenerates to
-    * [[pqCosineTopK]] exactly (spec-pinned). */
-  def ivfPqTopK(vectors: DataFrame, anchorPred: Column, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
-      rerank: Int = 32, idCol: String = "vec_id",
-      vecCol: String = "embedding", seed: Long = 42L,
-      trainFraction: Double = 1.0): DataFrame = {
+  /** Pre-trained IVF-PQ index artifacts — what a deployment builds
+    * OFFLINE (one training job over a corpus sample) and ships to
+    * every query job: PQ codebooks (m × ksub × dim/m) and
+    * coarse-quantizer centroids (nlist × dim). Driver-sized by
+    * construction (m·ksub·dim + nlist·dim doubles), broadcast at
+    * query time. Reference analog: the chunk store + pgvector index
+    * built once and served many times (Docs/SIMILARITY-PLAN.md:9-30).
+    */
+  case class IvfPqArtifacts(codebooks: Array[Array[Array[Double]]],
+      coarseCentroids: Array[Array[Double]],
+      residual: Boolean = false) {
+    require(codebooks.nonEmpty && coarseCentroids.nonEmpty)
+    val m: Int = codebooks.length
+    val ksub: Int = codebooks(0).length
+    val dsub: Int = codebooks(0)(0).length
+    val nlist: Int = coarseCentroids.length
+    val dim: Int = coarseCentroids(0).length
+    require(m * dsub == dim,
+      s"codebook subspaces (m=$m × dsub=$dsub) must cover dim=$dim")
+    require(codebooks.forall(b => b.length == ksub && b.forall(_.length == dsub)))
+    require(coarseCentroids.forall(_.length == dim))
+  }
+
+  /** Train IVF-PQ artifacts: a coarse k-means quantizer + PQ
+    * codebooks per subspace. The offline half of [[ivfPqTopKScore]].
+    *
+    * `residual = true` trains the codebooks on v − c(v) (each vector
+    * minus its coarse centroid) instead of raw vectors — the
+    * classical IVFADC refinement (Jégou et al. §IV): residuals
+    * concentrate near 0 regardless of which cell a vector lives in,
+    * so the same m·log₂(ksub) bits quantize a much smaller support
+    * and the ADC approximation sharpens at equal code size. Costs one
+    * extra corpus map at train time, nothing at query time. */
+  def trainIvfPqArtifacts(vectors: DataFrame, nlist: Int = 16,
+      m: Int = 8, ksub: Int = 16, vecCol: String = "embedding",
+      seed: Long = 42L, trainFraction: Double = 1.0,
+      residual: Boolean = false): IvfPqArtifacts = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
     val spark = vectors.sparkSession
-    val codebooks = pqCodebooks(vectors, m, ksub, vecCol, seed, trainFraction)
-    val cbB = spark.sparkContext.broadcast(codebooks)
-    val feat = vectors.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v"),
+    import spark.implicits._
+    val feat = vectors.select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val trainSet =
       if (trainFraction >= 1.0) feat else feat.sample(trainFraction, seed)
     val coarse = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("features").fit(trainSet)
-    val cells = coarse.transform(feat)
-      .select(col("id"), col("prediction").as("cell"))
-    val encoded = pqEncode(vectors, codebooks, idCol, vecCol)
-      .toDF("nid", "code")
-      .join(cells.withColumnRenamed("id", "nid"), "nid")
+    val cents = coarse.clusterCenters.map(_.toArray)
+    val cbInput =
+      if (!residual) vectors
+      else {
+        val centB = spark.sparkContext.broadcast(cents)
+        vectors.select(col(vecCol).cast("array<double>").as("v"))
+          .as[Array[Double]]
+          .map { v =>
+            val c = centB.value(nearestCentroid(v, centB.value))
+            val r = new Array[Double](v.length)
+            var t = 0
+            while (t < v.length) { r(t) = v(t) - c(t); t += 1 }
+            r
+          }.toDF(vecCol)
+      }
+    val codebooks = pqCodebooks(cbInput, m, ksub, vecCol, seed, trainFraction)
+    IvfPqArtifacts(codebooks, cents, residual)
+  }
+
+  /** Plain-text artifact serialization (no deps, diffable):
+    * `meta m ksub dsub nlist dim [residual]`, then `cb j c v…` per
+    * codebook centroid and `cent i v…` per coarse centroid. The
+    * 5-field header (pre-residual fixtures) loads as residual=0. */
+  def saveArtifacts(a: IvfPqArtifacts, out: java.io.Writer): Unit = {
+    val res = if (a.residual) 1 else 0
+    out.write(s"meta ${a.m} ${a.ksub} ${a.dsub} ${a.nlist} ${a.dim} $res\n")
+    for (j <- 0 until a.m; c <- 0 until a.ksub)
+      out.write(s"cb $j $c " +
+        a.codebooks(j)(c).map(java.lang.Double.toString).mkString(" ") + "\n")
+    for (i <- 0 until a.nlist)
+      out.write(s"cent $i " +
+        a.coarseCentroids(i).map(java.lang.Double.toString).mkString(" ") + "\n")
+  }
+
+  def loadArtifacts(in: java.io.InputStream): IvfPqArtifacts = {
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+    val meta = lines.head.split(" ")
+    require(meta(0) == "meta" && (meta.length == 6 || meta.length == 7),
+      s"bad artifact header: ${lines.head}")
+    val Array(m, ksub, dsub, nlist, dim) = meta.slice(1, 6).map(_.toInt)
+    val residual = meta.length == 7 && meta(6) == "1"
+    val cb = Array.ofDim[Array[Double]](m, ksub)
+    val cent = new Array[Array[Double]](nlist)
+    lines.tail.foreach { ln =>
+      val p = ln.split(" ")
+      p(0) match {
+        case "cb" =>
+          cb(p(1).toInt)(p(2).toInt) = p.drop(3).map(_.toDouble)
+        case "cent" => cent(p(1).toInt) = p.drop(2).map(_.toDouble)
+        case other => throw new IllegalArgumentException(s"bad line tag $other")
+      }
+    }
+    val a = IvfPqArtifacts(cb.map(_.toArray), cent, residual)
+    require(a.dsub == dsub && a.dim == dim, "artifact meta/body mismatch")
+    a
+  }
+
+  /** The committed fixture trained once on the sf0.01 embeddings table
+    * (tools.TrainIvfPqFixture) — the q73 deployment-path gate loads
+    * this instead of timing artifact training inside the query. */
+  def loadFixtureArtifacts(): IvfPqArtifacts = {
+    val in = getClass.getResourceAsStream("/graft/fixtures/ivfpq_artifacts.txt")
+    require(in != null, "fixture /graft/fixtures/ivfpq_artifacts.txt missing")
+    try loadArtifacts(in) finally in.close()
+  }
+
+  /** Nearest coarse centroid by L2, ties to the lowest index — the
+    * Spark ML KMeans assignment semantics, reimplemented so the
+    * QUERY path needs artifacts only, no fitted model object. */
+  private def nearestCentroid(v: Array[Double],
+      cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      var d = 0.0; var t = 0
+      val c = cents(i)
+      while (t < v.length) { val x = v(t) - c(t); d += x * x; t += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** IVF+PQ QUERY path against pre-trained [[IvfPqArtifacts]] — the
+    * deployment shape: artifacts broadcast, cell assignment and PQ
+    * encoding are zero-shuffle maps over the corpus, the coarse
+    * quantizer restricts each anchor's sweep to its `nprobe` nearest
+    * cells (hash-partitioned equi-join on cell id, as in
+    * [[ivfCosineTopK]]) and WITHIN those cells candidates score by PQ
+    * lookup tables instead of raw vectors (as in [[pqCosineTopK]]) —
+    * so the scan cost is nprobe/nlist of the corpus and the scanned
+    * payload is m small codes per vector, not the embedding. With
+    * `artifacts.residual` the codes quantize v − c_cell and ADC adds
+    * the dot(a, c_cell) term back (classical IVFADC); otherwise raw
+    * vectors are quantized. At deployment scale the encode+assign
+    * products are themselves offline artifacts (a stored encoded
+    * corpus); recomputing them here keeps the gate self-contained
+    * while the timed cost stays the cheap map side. */
+  def ivfPqTopKScore(vectors: DataFrame, anchorPred: Column, k: Int,
+      artifacts: IvfPqArtifacts, nprobe: Int = 4, rerank: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val residual = artifacts.residual
+    val cbB = spark.sparkContext.broadcast(artifacts.codebooks)
+    val centB = spark.sparkContext.broadcast(artifacts.coarseCentroids)
+    val feat = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // encode + cell-assign FUSED in one zero-shuffle pass (joining two
+    // separate maps of the same corpus would be a pointless
+    // corpus-sized sort-merge join)
+    val encoded = feat.as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cell = nearestCentroid(v, centB.value)
+        val enc =
+          if (!residual) v
+          else {
+            val c = centB.value(cell)
+            val r = new Array[Double](v.length)
+            var t = 0
+            while (t < v.length) { r(t) = v(t) - c(t); t += 1 }
+            r
+          }
+        (id, pqEncodeVec(enc, cbB.value), cell)
+      }.toDF("nid", "code", "cell")
     val centDf = spark.createDataFrame(
-      coarse.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray) }).toDF("cell", "cvec")
-    val anchors = feat.filter(anchorPred).select(col("id"), col("v"))
+      artifacts.coarseCentroids.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c) }).toDF("cell", "cvec")
+    val anchors = feat.filter(anchorPred)
     val probeCells = anchors.crossJoin(broadcast(centDf))
       .withColumn("cs", fastCosine(col("v"), col("cvec")))
       .groupBy(col("id"))
@@ -511,8 +696,25 @@ object SimilaritySearch {
         "anchor_id")
       .join(encoded, "cell")
       .filter(col("anchor_id") =!= col("nid"))
-    val approx = adcScores(cands, cbB)
+    val approx =
+      if (residual) adcScoresResidual(cands, cbB, centB)
+      else adcScores(cands, cbB)
     rerankTopK(approx, anchors, vectors, k, rerank, idCol, vecCol)
+  }
+
+  /** IVF+PQ fusion, training inline — [[trainIvfPqArtifacts]] then
+    * [[ivfPqTopKScore]]. nprobe = nlist degenerates to
+    * [[pqCosineTopK]] exactly (spec-pinned). Deployments train once
+    * and call the score path with saved artifacts (the q73 gate). */
+  def ivfPqTopK(vectors: DataFrame, anchorPred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42L,
+      trainFraction: Double = 1.0): DataFrame = {
+    val artifacts = trainIvfPqArtifacts(vectors, nlist, m, ksub, vecCol,
+      seed, trainFraction)
+    ivfPqTopKScore(vectors, anchorPred, k, artifacts, nprobe, rerank,
+      idCol, vecCol)
   }
 
   /** k-NN majority-vote classification: label each anchor by the

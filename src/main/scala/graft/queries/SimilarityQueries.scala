@@ -173,12 +173,26 @@ object SimilarityQueries {
         threshold = 0.35, numPlanes = 8, numTables = 6)
       .orderBy(col("a_id"), col("b_id"))
 
-  // IVF-PQ (ivfPqTopK) is deliberately NOT a gate query: ~9 of its
-  // seconds are k-means codebook/cell TRAINING — an offline
-  // artifact-building step a deployment runs once and reuses, which a
-  // per-query bench line would misrepresent as query cost. The tier
-  // is spec-covered instead (SimilaritySpec: nprobe=nlist ≡
-  // whole-corpus PQ, measured recall floor vs exact).
+  // IVF-PQ TRAINING (trainIvfPqArtifacts) is deliberately NOT inside
+  // any gate query: ~9 of its seconds are k-means codebook/cell
+  // fitting — an offline artifact-building step a deployment runs once
+  // and reuses, which a per-query bench line would misrepresent as
+  // query cost. The QUERY path gates as q73 below against a COMMITTED
+  // fixture codebook (tools.TrainIvfPqFixture provenance); training
+  // stays spec-covered (SimilaritySpec: nprobe=nlist ≡ whole-corpus
+  // PQ, measured recall floor vs exact).
+
+  /** IVF-PQ deployment-path gate (q73): ADC scoring with a
+    * PRE-TRAINED fixture codebook + coarse quantizer — rows-only (the
+    * candidate geometry is not SQL-expressible; SimilaritySpec pins a
+    * recall floor vs exact search and exact-k output shape). Fully
+    * deterministic: every number derives from the committed artifact
+    * file and double arithmetic, no in-query RNG or k-means. */
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.ivfPqTopKScore(Tables(s, dir).embeddings,
+        col("id") % 50 === 0, k = 5,
+        SimilaritySearch.loadFixtureArtifacts(), nprobe = 8, rerank = 64)
+      .orderBy(col("anchor_id"), col("rank"))
 
   /** SQ8 round-trip accuracy audit (q66) under a FULL DuckDB oracle:
     * per-vector int8 affine quantization, decode, and the
@@ -284,5 +298,6 @@ object SimilarityQueries {
     Q("q32_cosine_pairs", q32, Some(q32Sql)),
     Q("q42_cosine_near_dup", q42, None),
     Q("q66_sq8_quantization", q66, Some(q66Sql)),
-    Q("q71_rhp_lsh_oracle", q71, Some(q71Sql), headline = true))
+    Q("q71_rhp_lsh_oracle", q71, Some(q71Sql), headline = true),
+    Q("q73_ivfpq_fixture", q73, None))
 }

@@ -292,6 +292,122 @@ class SimilaritySpec extends SparkSpec {
     assert(partial(0).getAs[Long]("neighbor_id") === 101L)
   }
 
+  test("IVF+PQ artifacts: save/load round-trips; score path ≡ inline training") {
+    import graft.operators.SimilaritySearch
+    val art = SimilaritySearch.trainIvfPqArtifacts(emb, nlist = 4, m = 4,
+      ksub = 8)
+    // text round trip is bit-exact (Double.toString ↔ toDouble)
+    val sw = new java.io.StringWriter()
+    SimilaritySearch.saveArtifacts(art, sw)
+    val back = SimilaritySearch.loadArtifacts(
+      new java.io.ByteArrayInputStream(sw.toString.getBytes("UTF-8")))
+    assert(back.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      art.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(back.coarseCentroids.map(_.toSeq).toSeq ===
+      art.coarseCentroids.map(_.toSeq).toSeq)
+    // the deployment path (artifacts in) produces exactly what the
+    // train-inline wrapper produces with the same seeds
+    val viaArtifacts = SimilaritySearch.ivfPqTopKScore(emb, col("id") < 5,
+        k = 3, art, nprobe = 4, rerank = 16)
+      .collect().map(_.toSeq).toSet
+    val inline = SimilaritySearch.ivfPqTopK(emb, col("id") < 5, k = 3,
+        nlist = 4, nprobe = 4, m = 4, ksub = 8, rerank = 16)
+      .collect().map(_.toSeq).toSet
+    assert(viaArtifacts === inline)
+  }
+
+  test("q73 fixture: loads, matches the embeddings dim, recall floor vs exact") {
+    import graft.operators.SimilaritySearch
+    val art = SimilaritySearch.loadFixtureArtifacts()
+    assert(art.m === 8 && art.ksub === 16 && art.nlist === 16 && art.dim === 64)
+    val sfEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val k = 5
+    val anchors = sfEmb.filter($"vec_id" % 50 === 0)
+    val exact = SimilaritySearch.cosineTopK(sfEmb, anchors, k)
+      .select($"anchor_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (a, ns) => a -> ns.map(_._2).toSet }
+    val approx = SimilaritySearch.ivfPqTopKScore(sfEmb, col("id") % 50 === 0,
+        k, art, nprobe = 8, rerank = 64)
+      .select($"anchor_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (a, ns) => a -> ns.map(_._2).toSet }
+    // exact k rows per anchor — the deterministic q73 row-count shape
+    assert(approx.keySet === exact.keySet)
+    approx.values.foreach(ns => assert(ns.size === k))
+    val recalls = exact.map { case (a, truth) =>
+      approx.getOrElse(a, Set.empty).intersect(truth).size.toDouble / truth.size }
+    val mean = recalls.sum / recalls.size
+    // measured 0.68 on the committed fixture at sf0.001 (nprobe 8/16,
+    // rerank 64): the synthetic embeddings are near-UNIFORM, so a
+    // random anchor's true neighbors spread across cells and recall is
+    // bounded by the swept fraction — the clustered-corpus regime IVF
+    // exists for looks like the planted-dup pins in the IVF+PQ specs
+    // above, not this bulk number. Floor set under the measured
+    // value's noise band.
+    assert(mean >= 0.55, s"fixture recall@$k = $mean")
+  }
+
+  test("residual IVF+PQ (IVFADC): sharper codes at equal bits on clustered data") {
+    import graft.operators.SimilaritySearch
+    // 4 tight clusters at distant centers: a GLOBAL codebook of 4
+    // centroids per subspace spends them separating clusters, so all
+    // members of one cluster share a code and ADC cannot rank within
+    // the cluster; RESIDUALS pool to a small support around 0 and the
+    // same bits resolve intra-cluster geometry — the classical IVFADC
+    // argument, made measurable
+    // unit-normalized: ADC approximates the DOT product while truth and
+    // rerank rank by cosine — on the sphere the two orders coincide, so
+    // the measurement isolates code resolution, not norm skew
+    val r = new scala.util.Random(13)
+    val dim = 16
+    val centers = Array.fill(4)(Array.fill(dim)(r.nextGaussian() * 5))
+    val pts = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      val raw = Array.tabulate(dim)(d => c(d) + r.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      (i.toLong, raw.map(x => (x / n).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val k = 5
+    val exact = SimilaritySearch.cosineTopK(df, df.filter($"vec_id" < 8), k)
+      .select($"anchor_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (a, ns) => a -> ns.map(_._2).toSet }
+    def recallOf(res: Boolean, rerank: Int): Double = {
+      val art = SimilaritySearch.trainIvfPqArtifacts(df, nlist = 4, m = 4,
+        ksub = 4, residual = res)
+      assert(art.residual === res)
+      val got = SimilaritySearch.ivfPqTopKScore(df, col("id") < 8, k, art,
+          nprobe = 2, rerank = rerank)
+        .select($"anchor_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (a, ns) => a -> ns.map(_._2).toSet }
+      val rs = exact.map { case (a, truth) =>
+        got.getOrElse(a, Set.empty).intersect(truth).size.toDouble / truth.size }
+      rs.sum / rs.size
+    }
+    // measured (rerank → plain / residual recall@5): 8 → 0.175/0.375,
+    // 16 → 0.55/0.70, 24 → 0.775/0.875, 32 → 1.0/1.0. At rerank=8 the
+    // plain codebook collapses each cluster to ONE code (ties broken by
+    // id — the classical failure), while residual codes rank within the
+    // cluster. 8-bit codes can't hit an absolute 0.7 at a tight
+    // shortlist — the honest claim is comparative at equal bits, plus a
+    // floor under the measured value's k-means noise band.
+    val plain = recallOf(res = false, rerank = 8)
+    val residual = recallOf(res = true, rerank = 8)
+    assert(residual >= plain + 0.1,
+      s"residual recall $residual not > plain $plain at equal bits")
+    assert(residual >= 0.3, s"residual recall@$k = $residual")
+    // a wide-enough shortlist recovers exact top-k for BOTH (the
+    // rerank dial works): the probed cells contain the whole cluster
+    assert(recallOf(res = true, rerank = 32) === 1.0)
+    // the flag survives the artifact file round trip
+    val art = SimilaritySearch.trainIvfPqArtifacts(df, nlist = 4, m = 4,
+      ksub = 4, residual = true)
+    val sw = new java.io.StringWriter()
+    SimilaritySearch.saveArtifacts(art, sw)
+    val back = SimilaritySearch.loadArtifacts(
+      new java.io.ByteArrayInputStream(sw.toString.getBytes("UTF-8")))
+    assert(back.residual === true)
+  }
+
   test("centroids: element-wise mean per group") {
     val two = Seq(
       (1L, Array(1.0f, 3.0f), "g"),
