@@ -116,7 +116,13 @@ object Bench {
       if (warmupFailures > 0)
         s"INCOMPLETE: $warmupFailures queries failed warmup at $warmupDir"
       else s"all queries once at $warmupDir (steady-state timing; codegen/JIT outside the timed region)"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load_1m_at_min_rep":$loads,"failed":$failed,"sf":"$sfDir","timing":"min of $reps INTERLEAVED rounds (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started; full-plan materialization via queryExecution.toRdd (count() would let Catalyst prune the measured work: unused projections, unique-side joins, final sorts)","warmup":"$warmupNote"}""")
+    // The per-query `queries` dict is deliberately the LAST key: the
+    // driver's artifact capture keeps only the tail of this line, and
+    // round 6's ordering (times before sentinels) truncated every
+    // timing out of the committed BENCH_r06 (VERDICT r6 item 4). The
+    // keys the gate needs most — failed, then the timings — go last so
+    // any head-truncation clips prose, not numbers.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","timing":"min of $reps INTERLEAVED rounds (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started; full-plan materialization via queryExecution.toRdd (count() would let Catalyst prune the measured work: unused projections, unique-side joins, final sorts)","warmup":"$warmupNote","load_1m_at_min_rep":$loads,"failed":$failed,"queries":$qs}""")
     spark.stop()
   }
 }

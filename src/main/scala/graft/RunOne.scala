@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Ad-hoc single-query runner for iterating on one plan:
   * `sbt "runMain graft.RunOne <queryName> <sfDir> [explain|time]"`.
   * Prints the row count (and optionally the formatted plan or 3
-  * repeated timings) for just that query — Verify/Bench run all 35.
+  * repeated timings) for just that query — Verify/Bench run the full
+  * catalog.
   */
 object RunOne {
   def main(args: Array[String]): Unit = {

@@ -20,25 +20,32 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
-    * natively; read it as a long (nanos since epoch) and floor to a
-    * microsecond timestamp — exactly how DuckDB truncates ns→µs, so
-    * oracle ordering/values agree.
+  /** events.ts is parquet TIMESTAMP(NANOS). How Spark surfaces that
+    * depends on the engine version: ≤4.0 with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` infers a LongType of
+    * nanos-since-epoch; 4.1+ reads it natively as TIMESTAMP_NTZ with
+    * ns→µs truncation (ignoring the legacy conf). Both paths must land
+    * on the same micro-truncated TimestampType values — exactly how
+    * DuckDB truncates ns→µs, so oracle ordering/values agree. We branch
+    * on the INFERRED type rather than the Spark version so any future
+    * inference change fails loudly (MatchError with the unexpected
+    * type) instead of silently producing a mis-typed column.
     */
   def events: DataFrame = {
-    // nanosAsLong is only consulted during schema inference (the
-    // eager spark.read call below), so set it just for that window
-    // and restore — an accessor must not permanently mutate shared
-    // session conf.
+    // nanosAsLong is only consulted during schema inference (the eager
+    // spark.read call below), so set it just for that window and
+    // restore — an accessor must not permanently mutate shared session
+    // conf. Harmless where the engine ignores it (4.1+).
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    try t("events").withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    val raw =
+      try t("events")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    Tables.eventsNormalizeTs(raw)
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
@@ -46,4 +53,24 @@ final class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Normalize an events frame whose `ts` arrived as either
+    * nanos-since-epoch LongType (legacy nanosAsLong inference) or
+    * TIMESTAMP_NTZ (Spark 4.1+ native nanos read, already µs-truncated)
+    * to a session-TZ TimestampType. The session TZ is pinned UTC
+    * everywhere in this repo, so the NTZ cast is value-identical to the
+    * long path bit-for-bit. Exposed for the loader spec, which feeds it
+    * both shapes regardless of what the runtime engine infers.
+    */
+  private[graft] def eventsNormalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts inferred as unexpected type $other; expected nanos Long, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+  }
 }
