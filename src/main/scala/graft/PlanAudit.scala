@@ -221,13 +221,19 @@ object PlanAudit {
     Check("q70_simhash_oracle",
       mustContain = Seq("hashpartitioning", "InMemoryTableScan"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
-    // q71: the portable-RHP twin — the 3k-row hyperplane relation
-    // broadcasts into the product stream as an EQUI-join on the
-    // dimension (collapses map-side); band equi-join; no nested loops
+    // q71: the portable-RHP twin, round-7 fused shape — signatures
+    // and exact decimal dots are native kernels in the projection
+    // (rhpdecimalbuckets / decimalscaleddot), both the (id, vec, n2)
+    // base and the (id, t, bucket) banding are cached, the bucket
+    // cull is a broadcast anti-join, and NOTHING vector-shaped or
+    // dimension-exploded shuffles (the round-5 relational plan pushed
+    // a 64×-row product stream through a plane join and two (id, dim)
+    // sort-merge verify joins)
     Check("q71_rhp_lsh_oracle",
-      mustContain = Seq("hashpartitioning", "InMemoryTableScan",
-        "BroadcastHashJoin"),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      mustContain = Seq("rhpdecimalbuckets", "decimalscaleddot",
+        "hashpartitioning", "InMemoryTableScan", "LeftAnti"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin")),
     // q42: RHP candidate generation — both self-join sides read the
     // cached vector-FREE (id, table, bucket) relation, the candidate
     // distinct exchanges (id, id) pairs only, and vectors join back

@@ -105,9 +105,11 @@ object Decontamination {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * r + 1, lit(r)))))
         .as(Seq("band", "bucket")))
-    // train signatures are consumed twice (banding + verify join-back)
-    val trainBase = graft.CacheScope.track(base(train))
-    val benchBase = base(bench)
+    // train signatures are consumed twice (banding + verify join-back);
+    // ensureWide: the signature projection is the CPU cost and a small
+    // corpus scans as one partition (see Par)
+    val trainBase = graft.CacheScope.track(base(Par.ensureWide(train)))
+    val benchBase = base(Par.ensureWide(bench))
     val cands = banded(trainBase)
       .join(broadcast(banded(benchBase)
           .select(col("id").as("bench_id"), col("band"), col("bucket"))),
@@ -160,8 +162,12 @@ object Decontamination {
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         md5(array_join(slice(col("sig"), b * r + 1, lit(r)), ","))))
         .as(Seq("band", "bucket")))
-    val trainBase = graft.CacheScope.track(base(train))
-    val benchBase = base(bench)
+    // ensureWide matters MOST here: the salted-md5 signatures are
+    // ~33 crypto hashes per shingle, and a one-partition scan
+    // serializes all of it on one core (measured 10.6 s → ~2.5 s at
+    // sf0.1 on 32 cores)
+    val trainBase = graft.CacheScope.track(base(Par.ensureWide(train)))
+    val benchBase = base(Par.ensureWide(bench))
     val cands = banded(trainBase)
       .join(broadcast(banded(benchBase)
           .select(col("id").as("bench_id"), col("band"), col("bucket"))),

@@ -54,8 +54,7 @@ object Dedup {
     // single core (at production scale the source is already split).
     // Then sort once per side; the pair scan counts intersections
     // with a zero-allocation codegen'd merge (SortedArrayIntersectCount).
-    val toks = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val toks = Par.ensureWide(docs)
       .select(col(idCol).as("id"),
         array_sort(tokenSet(normalized(col(textCol)))).as("toks"))
     val anchors = toks.filter(anchorPred)
@@ -82,8 +81,7 @@ object Dedup {
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, numHashes: Int): DataFrame =
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    Par.ensureWide(docs)
       .select(col(idCol).as("id"),
         org.apache.spark.sql.graft.SignatureExpressions.minhashSignature(
           shingles(normalized(col(textCol)), shingleK), numHashes).as("sig"))
@@ -113,8 +111,7 @@ object Dedup {
     // collisions (~n²·2⁻⁶⁴ per doc pair) are immaterial next to the
     // MinHash approximation itself. Cache lifetime is caller-owned via
     // CacheScope (released after the consuming action).
-    val base = graft.CacheScope.track(docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val base = graft.CacheScope.track(Par.ensureWide(docs)
       .select(col(idCol).as("id"),
         shingles(normalized(col(textCol)), shingleK).as("sh"))
       .select(col("id"),
@@ -175,8 +172,7 @@ object Dedup {
       threshold: Double = 0.5, maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val base = graft.CacheScope.track(docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    val base = graft.CacheScope.track(Par.ensureWide(docs)
       .select(col(idCol).as("id"),
         shingles(normalized(col(textCol)), shingleK).as("sh"))
       .select(col("id"),
@@ -228,8 +224,7 @@ object Dedup {
   def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, window: Int = 4,
       hashFn: Column => Column = xxhash64(_)): DataFrame =
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    Par.ensureWide(docs)
       .select(col(idCol).as("id"),
         org.apache.spark.sql.graft.ArrayExpressions.winnowedMinHashes(
           transform(shingles(normalized(col(textCol)), shingleK),
@@ -658,8 +653,7 @@ object Dedup {
     * aggregate formulation it replaced — same xxhash64 seed).
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    Par.ensureWide(docs)
       .select(col(idCol).as("id"),
         org.apache.spark.sql.graft.SimHashExpression
           .simhash64(tokenSet(normalized(col(textCol)))).as("sig"))

@@ -137,7 +137,7 @@ object SimilaritySearch {
     // self-join shuffled up to numTables copies of two full embeddings
     // per candidate — at 1024-dim that is shuffling the corpus.
     val base = graft.CacheScope.track(
-      vectors.repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+      Par.ensureWide(vectors)
         .select(col(idCol).as("id"), col(vecCol).as("vec")))
     val keyed = graft.CacheScope.track(
       base.select(col("id"),
@@ -182,63 +182,40 @@ object SimilaritySearch {
   def cosineNearDupPairsPortable(vectors: DataFrame, threshold: Double,
       numPlanes: Int = 8, numTables: Int = 4, maxBucketSize: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+    import org.apache.spark.sql.graft.{RhpExpressions, RhpKernels}
     require(numPlanes <= 30, "bucket is an int of numPlanes sign bits")
-    val spark = vectors.sparkSession
-    // repartition BEFORE the ×(tables·planes) expansion: a one-file
-    // parquet input would otherwise push the whole product stream
-    // through one or two tasks
-    val dims = vectors
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
-    // centered signed plane components, derived from md5 of "t:p:d"
-    // (both engines recompute the same values) — materialized ONCE as
-    // a tables×planes×dims relation (48×64 = 3k rows) and broadcast,
-    // NOT re-hashed per corpus row: inlining the md5 into the product
-    // stream cost 30 s at sf0.1 (60M digest evaluations) vs ~3 s for
-    // the same plan with the 3k-row equi-join
+    // Round-7 rework: the round-5 relational formulation (64×-row
+    // posexplode product stream → broadcast plane join → conditional
+    // DECIMAL plane sums → two (id, dim) sort-merge verify joins)
+    // spent 9.5 s at sf0.1 on plumbing for arithmetic that is
+    // per-row. The fused RhpDecimalBuckets / DecimalScaledDot kernels
+    // compute the IDENTICAL scaled-integer values (same roundings,
+    // same decimal casts, loud on overflow — see RhpKernels) inside
+    // whole-stage codegen, so the q71 oracle SQL is untouched and the
+    // hash gate proves value identity. The corpus never inflates 64×
+    // and nothing vector-shaped shuffles: signatures are a zero-
+    // shuffle projection, verification joins two array columns back
+    // by id (AQE broadcasts the side that fits).
     val vecDim = vectors.select(size(col(vecCol))).head().getInt(0)
-    // one range, div/mod decomposition — no crossJoin (a nested-loop
-    // node, even over 3k driver-local rows, fails the plan audit's
-    // no-undeclared-BNLJ sweep)
-    val planes = broadcast(
-      spark.range(numTables.toLong * numPlanes * vecDim)
-        .select((col("id") / (numPlanes * vecDim)).cast("int").as("t"),
-          ((col("id") / vecDim).cast("long") % numPlanes).cast("int").as("p"),
-          (col("id") % vecDim).cast("int").as("d"))
-        .select(col("t"), col("p"), col("d"),
-          // rescaled by exactly 2⁻⁵⁹ (an exponent shift — bit-exact
-          // in any IEEE engine) into [−1, 1): keeps the rounded
-          // product terms inside DECIMAL(18,12), whose unscaled-long
-          // fast path is ~4× the 128-bit Decimal(38,_) arithmetic
-          // over the 60M-row product stream
-          ((conv(substring(md5(concat_ws(":", col("t"), col("p"), col("d"))),
-            1, 15), 16, 10).cast("long") - lit(1L << 59)).cast("double")
-            / lit(576460752303423488.0)).as("c")))
-    // ONE aggregation: the per-plane decimal sums are `numPlanes`
-    // conditional-sum columns of the same (id, t) group, not a second
-    // shuffle — signs (and therefore buckets) identical to the
-    // two-stage (id, t, p) formulation
-    val planeSums = (0 until numPlanes).map(k =>
-      sum(when(col("p") === k, col("term"))).as(s"s$k"))
-    val buckets = dims.join(planes, "d")
-      .select(col("id"), col("t"), col("p"),
-        round(col("x") * col("c"), 12).cast(DecimalType(18, 12)).as("term"))
-      .groupBy(col("id"), col("t"))
-      .agg(planeSums.head, planeSums.tail: _*)
-      .select(col("id"), col("t"),
-        (0 until numPlanes).map(k =>
-          when(col(s"s$k") >= 0, lit(1 << k)).otherwise(0))
-          .reduce(_ + _).cast("long").as("bucket"))
-    // (id, d, x) is consumed by the bucket stream AND both verify
-    // sides — cached once
-    val dimsC = graft.CacheScope.track(dims)
-    val norms = dimsC
-      .select(col("id"), round(col("x") * col("x"), 12)
-        .cast(DecimalType(18, 12)).as("t2"))
-      .groupBy(col("id")).agg(sum(col("t2")).cast("double").as("n2"))
-    val keyed = graft.CacheScope.track(buckets)
+    // driver-computed centered md5-60 plane matrix (3k digests) —
+    // value-identical to the round-5 range+md5 broadcast relation
+    val planes = RhpKernels.planeMatrix(numTables, numPlanes, vecDim)
+    // (id, vec, n2) is consumed by banding AND both verify sides —
+    // cached once; n2 lives HERE so the exact norm fold runs once per
+    // vector, not once per candidate pair; ensureWide so the folds
+    // use the whole box
+    val base = graft.CacheScope.track(Par.ensureWide(vectors)
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("n2",
+        RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
+    // cached too: the signature fold is the CPU cost of this operator
+    // (numPlanes·numTables·dim exact decimal terms per row) and the
+    // cull + both self-join sides consume it — uncached, it ran three
+    // times and cost MORE than the round-5 relational plan
+    val keyed = graft.CacheScope.track(base.select(col("id"),
+      posexplode(RhpExpressions.rhpDecimalBuckets(col("vec"), planes,
+        numPlanes)).as(Seq("t", "bucket"))))
     val oversized = keyed.groupBy(col("t"), col("bucket"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucketSize)
@@ -249,24 +226,17 @@ object SimilaritySearch {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
-    // verify as EXPLODED codegen'd aggregation, not a per-pair HOF
-    // fold: interpreted lambda evaluation over |cands|·dims elements
-    // was the wall-time hotspot (the round-4 bindArray lesson, again)
-    val dots = cands
-      .join(dimsC.select(col("id").as("a_id"), col("d"), col("x").as("xa")),
-        "a_id")
-      .join(dimsC.select(col("id").as("__bid"), col("d").as("d2"),
-        col("x").as("xb")),
-        col("b_id") === col("__bid") && col("d") === col("d2"))
-      .select(col("a_id"), col("b_id"),
-        round(col("xa") * col("xb"), 12).cast(DecimalType(18, 12)).as("tp"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(sum(col("tp")).cast("double").as("dot"))
-    dots
-      .join(norms.select(col("id").as("a_id"), col("n2").as("a_n2")), "a_id")
-      .join(norms.select(col("id").as("b_id"), col("n2").as("b_n2")), "b_id")
-      .withColumn("score",
-        round(col("dot") / (sqrt(col("a_n2")) * sqrt(col("b_n2"))), 6))
+    // verify: one exact per-pair dot (decimalDot ≡ the decimal
+    // Σ round(xa·xb, 12) the round-5 aggregation produced); norms ride
+    // in from the cache
+    cands
+      .join(base.select(col("id").as("a_id"), col("vec").as("a_vec"),
+        col("n2").as("a_n2")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("vec").as("b_vec"),
+        col("n2").as("b_n2")), "b_id")
+      .withColumn("score", round(
+        RhpExpressions.decimalScaledDot(col("a_vec"), col("b_vec")) /
+          (sqrt(col("a_n2")) * sqrt(col("b_n2"))), 6))
       .filter(col("score") >= threshold)
       .select(col("a_id"), col("b_id"), col("score"))
   }
