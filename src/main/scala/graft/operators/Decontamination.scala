@@ -136,12 +136,14 @@ object Decontamination {
   /** Fuzzy decontamination with ENGINE-PORTABLE hashing — the
     * verification twin of [[fuzzyContaminated]], completing the
     * q69/q70/q71 playbook for the last LSH *application*: every hash
-    * derives from md5 ([[Dedup.md5Hash60]] salted by the hash index,
-    * band buckets md5 of the comma-joined slice), so a SQL engine
-    * re-derives the signatures, the directed banded candidates, the
-    * verified Jaccard AND the per-doc argmax value-for-value (q72
-    * full oracle). Same directed shape as the native path: the bench
-    * side broadcasts, the training corpus never shuffles text.
+    * derives from ONE md5 digest per shingle (double-hashing
+    * signature family `h1 + i·h2`, as in
+    * [[Dedup.minhashLshPairsPortable]]; band buckets md5 of the
+    * comma-joined slice), so a SQL engine re-derives the signatures,
+    * the directed banded candidates, the verified Jaccard AND the
+    * per-doc argmax value-for-value (q72 full oracle). Same directed
+    * shape as the native path: the bench side broadcasts, the
+    * training corpus never shuffles text.
     */
   def fuzzyContaminatedPortable(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, shingleK: Int = 2,
@@ -150,14 +152,16 @@ object Decontamination {
     import graft.functions.TextFunctions.{normalized, shingles}
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // ONE md5 digest per shingle, double-hashing signature family
+    // (h1 + i·h2 — Kirsch & Mitzenmacher; the fused Md5MinHashes
+    // kernel, same derivation as minhashLshPairsPortable);
+    // array_distinct on the sorted hsh preserves order, matching the
+    // previous sort∘distinct
     def base(df: DataFrame) = df.select(col(idCol).as("id"),
-        shingles(normalized(col(textCol)), shingleK).as("sh"))
-      .select(col("id"),
-        transform(sequence(lit(0), lit(numHashes - 1)), i =>
-          array_min(transform(col("sh"), s =>
-            Dedup.md5Hash60(concat(i.cast("string"), lit(":"), s))))).as("sig"),
-        array_sort(array_distinct(
-          transform(col("sh"), s => Dedup.md5Hash60(s)))).as("hsh"))
+        org.apache.spark.sql.graft.SignatureExpressions.md5MinHashes(
+          shingles(normalized(col(textCol)), shingleK), numHashes).as("mh"))
+      .select(col("id"), col("mh.sig").as("sig"),
+        array_distinct(col("mh.hsh")).as("hsh"))
     def banded(df: DataFrame) = df.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         md5(array_join(slice(col("sig"), b * r + 1, lit(r)), ","))))

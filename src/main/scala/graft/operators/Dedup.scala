@@ -154,17 +154,25 @@ object Dedup {
     * twin of [[minhashLshPairs]]. The native path's candidate set
     * depends on xxhash64 + murmur3, which no other engine computes,
     * so q18 can only ever be rows-only. This variant derives every
-    * hash from md5 ([[md5Hash60]] salted by the hash index; band
-    * buckets are md5 of the comma-joined band slice), so a SQL engine
-    * re-derives signatures, banding, the bucket-size cull, candidate
-    * pairs AND the verified Jaccard value-for-value — the LSH
-    * MECHANICS (banding recall, cull, verify) sit under a full oracle
-    * (q69), and that verification transfers to the xxhash64 path,
-    * whose only difference is the hash family. Signatures are still
-    * ONE zero-shuffle array projection (O(numHashes·|shingles|) per
-    * doc, fused codegen); md5's crypto rounds price it at ~1.3× the
-    * native path (1.87 vs 1.43 s at sf0.1) — the verification cost,
-    * not the 100 TB default.
+    * hash from md5, so a SQL engine re-derives signatures, banding,
+    * the bucket-size cull, candidate pairs AND the verified Jaccard
+    * value-for-value — the LSH MECHANICS (banding recall, cull,
+    * verify) sit under a full oracle (q69), and that verification
+    * transfers to the xxhash64 path, whose only difference is the
+    * hash family.
+    *
+    * Hash family: ONE md5 digest per shingle, split into two 56-bit
+    * halves (hex chars 1-14 / 15-28); signature i minimizes
+    * `h1 + i·h2` — the double-hashing derivation (Kirsch &
+    * Mitzenmacher, "Less Hashing, Same Performance", ESA 2006), long
+    * standard for simulating a hash family from two seeds. Values
+    * stay < 2⁵⁶·32 < 2⁶¹, so BIGINT arithmetic is overflow-free and
+    * bit-identical in any SQL engine. The round-5 formulation salted
+    * a FULL md5 per hash index — 33 crypto digests per shingle where
+    * one suffices; the verify set `hsh` reads its 60-bit keys off the
+    * same digest. Band buckets remain md5 of the comma-joined band
+    * slice. Signatures are still ONE zero-shuffle array projection
+    * per doc — the verification-twin cost, not the 100 TB default.
     */
   def minhashLshPairsPortable(
       docs: DataFrame, idCol: String, textCol: String,
@@ -174,12 +182,9 @@ object Dedup {
     val r = numHashes / bands
     val base = graft.CacheScope.track(Par.ensureWide(docs)
       .select(col(idCol).as("id"),
-        shingles(normalized(col(textCol)), shingleK).as("sh"))
-      .select(col("id"),
-        transform(sequence(lit(0), lit(numHashes - 1)), i =>
-          array_min(transform(col("sh"), s =>
-            md5Hash60(concat(i.cast("string"), lit(":"), s))))).as("sig"),
-        array_sort(transform(col("sh"), s => md5Hash60(s))).as("hsh")))
+        org.apache.spark.sql.graft.SignatureExpressions.md5MinHashes(
+          shingles(normalized(col(textCol)), shingleK), numHashes).as("mh"))
+      .select(col("id"), col("mh.sig").as("sig"), col("mh.hsh").as("hsh")))
     val banded = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         md5(array_join(slice(col("sig"), b * r + 1, lit(r)), ","))))

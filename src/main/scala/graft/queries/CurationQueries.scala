@@ -294,8 +294,8 @@ object CurationQueries {
   /** Fuzzy decontamination under a FULL DuckDB oracle (q72) — the
     * md5-portable twin of q67 (same split, same parameters),
     * completing the q69/q70/q71 playbook for the last LSH
-    * *application*: the oracle re-derives shingles, salted-md5
-    * signatures, the directed banded candidate join, the verified
+    * *application*: the oracle re-derives shingles, the double-hashed
+    * md5 signatures, the directed banded candidate join, the verified
     * Jaccard and the per-doc (jaccard, bench_id) argmax
     * value-for-value. q67's xxhash64 path stays the scale default;
     * the hash family is its only unverified ingredient.
@@ -322,14 +322,16 @@ object CurationQueries {
       |    ELSE [array_to_string(toks[i:i+1], ' ')
       |          for i in generate_series(1, length(toks) - 1)] END) AS shs
       |  FROM t),
+      |hx AS (
+      |  SELECT doc_id, [md5(s) for s in shs] AS hexes FROM sh),
       |base AS (
       |  SELECT doc_id,
-      |    [list_min([CAST(('0x' || substring(md5(
-      |        CAST(i AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)
-      |      for s in shs]) for i in generate_series(0, 31)] AS sig,
-      |    list_distinct([CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)
-      |      for s in shs]) AS hsh
-      |  FROM sh),
+      |    [list_min([CAST(('0x' || substring(m, 1, 14)) AS BIGINT)
+      |        + i * CAST(('0x' || substring(m, 15, 14)) AS BIGINT)
+      |      for m in hexes]) for i in generate_series(0, 31)] AS sig,
+      |    list_distinct([CAST(('0x' || substring(m, 1, 15)) AS BIGINT)
+      |      for m in hexes]) AS hsh
+      |  FROM hx),
       |banded AS (
       |  SELECT doc_id, b AS band,
       |    md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket

@@ -458,14 +458,16 @@ object DedupQueries {
       |    ELSE [array_to_string(toks[i:i+1], ' ')
       |          for i in generate_series(1, length(toks) - 1)] END) AS shs
       |  FROM t),
+      |hx AS (
+      |  SELECT doc_id, [md5(s) for s in shs] AS hexes FROM sh),
       |base AS (
       |  SELECT doc_id,
-      |    [list_min([CAST(('0x' || substring(md5(
-      |        CAST(i AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)
-      |      for s in shs]) for i in generate_series(0, 31)] AS sig,
-      |    list_distinct([CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)
-      |      for s in shs]) AS hsh
-      |  FROM sh),
+      |    [list_min([CAST(('0x' || substring(m, 1, 14)) AS BIGINT)
+      |        + i * CAST(('0x' || substring(m, 15, 14)) AS BIGINT)
+      |      for m in hexes]) for i in generate_series(0, 31)] AS sig,
+      |    list_distinct([CAST(('0x' || substring(m, 1, 15)) AS BIGINT)
+      |      for m in hexes]) AS hsh
+      |  FROM hx),
       |banded AS (
       |  SELECT doc_id, b AS band,
       |    md5(array_to_string(sig[b*4+1 : b*4+4], ',')) AS bucket

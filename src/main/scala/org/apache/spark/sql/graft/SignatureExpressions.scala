@@ -3,6 +3,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -174,12 +175,101 @@ case class RandomHyperplaneSignature(child: Expression, numPlanes: Int,
 }
 
 /** Column-level API + SQL registration. */
+/** Kernel for [[Md5MinHashes]] — the md5-PORTABLE signature family.
+  *
+  * Per shingle: ONE md5 digest; `h1`/`h2` are its first two 7-byte
+  * (56-bit) big-endian halves — exactly what parsing hex chars 1-14 /
+  * 15-28 yields (hex char i is nibble i of the digest) — and
+  * signature slot k minimizes `h1 + k·h2`, the double-hashing
+  * simulation of a hash family (Kirsch & Mitzenmacher, "Less Hashing,
+  * Same Performance", ESA 2006). Values stay < 2⁵⁶ + 31·2⁵⁶ < 2⁶²:
+  * signed-64 arithmetic never overflows, so any SQL engine computes
+  * the identical longs from its own md5/substring/CAST (the q69/q72
+  * oracles re-derive and hash-match them). The verify key `hsh` reads
+  * the SAME digest's first 60 bits (hex chars 1-15), sorted for the
+  * linear-merge intersect.
+  *
+  * The round-5 formulation salted a full md5 per hash index (33
+  * digests per shingle); the round-7 Column rewrite got to one digest
+  * but still paid interpreted-HOF `conv`/`substring` per (k, shingle)
+  * — this kernel replaces all of it with primitive loops on the raw
+  * digest bytes (no hex string ever materializes).
+  */
+object Md5MinHashKernel {
+  private def be56(d: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(off + i) & 0xFFL); i += 1 }
+    v
+  }
+
+  /** null on empty input (mirrors [[MinHashSignature]]; unreachable
+    * through TextFunctions.shingles, which never emits an empty
+    * array). */
+  def eval(arr: ArrayData, numHashes: Int): InternalRow = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val hsh = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      val h1 = be56(d, 0)
+      val h2 = be56(d, 7)
+      hsh(i) = (h1 << 4) | ((d(7) >> 4) & 0xFL)
+      var k = 0
+      while (k < numHashes) {
+        val v = h1 + k * h2
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(hsh)
+    new GenericInternalRow(Array[Any](
+      UnsafeArrayData.fromPrimitiveArray(sig),
+      UnsafeArrayData.fromPrimitiveArray(hsh)))
+  }
+}
+
+/** `array<string>` shingles → struct(sig: array<long>, hsh:
+  * array<long>) — the portable twin's whole per-document hash state
+  * in one codegen'd pass (see [[Md5MinHashKernel]]). */
+case class Md5MinHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("sig", ArrayType(LongType, containsNull = false)),
+    StructField("hsh", ArrayType(LongType, containsNull = false))))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    Md5MinHashKernel.eval(v.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+        org.apache.spark.sql.graft.Md5MinHashKernel.eval($arr, $numHashes);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHashes =
+    copy(child = newChild)
+}
+
 object SignatureExpressions {
   import org.apache.spark.sql.classic.ExpressionUtils
 
   def minhashSignature(tokens: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(
       ExpressionUtils.expression(tokens), numHashes))
+
+  def md5MinHashes(shingles: Column, numHashes: Int): Column =
+    ExpressionUtils.column(Md5MinHashes(
+      ExpressionUtils.expression(shingles), numHashes))
 
   def randomHyperplaneSignature(vec: Column, numPlanes: Int, table: Int): Column =
     ExpressionUtils.column(RandomHyperplaneSignature(
