@@ -216,10 +216,14 @@ object PlanAudit {
       mustContain = Seq("hashpartitioning", "InMemoryTableScan"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin")),
-    // q70: the portable-SimHash twin — one keyed 60-column sign
-    // aggregation, pigeonhole band equi-join, no nested loops
+    // q70: the portable-SimHash twin, round-7 fused shape — the
+    // md5simhash60 kernel signs each doc in the scan projection (the
+    // round-5 plan shuffled exploded (id, hash) pairs into a
+    // 60-column aggregate), pigeonhole band equi-join, no nested
+    // loops
     Check("q70_simhash_oracle",
-      mustContain = Seq("hashpartitioning", "InMemoryTableScan"),
+      mustContain = Seq("md5simhash60", "hashpartitioning",
+        "InMemoryTableScan"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // q71: the portable-RHP twin, round-7 fused shape — signatures
     // and exact decimal dots are native kernels in the projection

@@ -604,10 +604,12 @@ object Dedup {
     * is integer arithmetic a SQL engine reproduces exactly, so the
     * SimHash MECHANICS sit under a full value oracle (q70); q19's
     * zero-shuffle native xxhash64 expression stays the scale path,
-    * differing only in hash family and width. Signature construction
-    * here is one 60-column codegen'd aggregation of exploded token
-    * hashes (one keyed shuffle of (id, long) pairs); measured 3.2 s
-    * vs the native path's 1.2 s at sf0.1 — the verification cost.
+    * differing only in hash family and width. Signatures are the
+    * fused [[org.apache.spark.sql.graft.Md5SimHash60]] kernel — a
+    * zero-shuffle projection replicating the exploded 60-column sign
+    * aggregate bit-for-bit (3.2 s → 1.9 s at sf0.1; the round-5
+    * aggregate paid a keyed (id, hash) shuffle for order-free
+    * integer counts a per-row fold computes identically).
     *
     * Returns (a_id, b_id, hamming ≤ maxHamming). maxHamming must be
     * 3 (4 bands × 15 bits pigeonhole the 60-bit space).
@@ -615,20 +617,16 @@ object Dedup {
   def simhashPairsPortable(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming == 3, "portable variant pigeonholes 60 bits as 4x15")
-    val bits = 60
-    val signs = docs
+    // Round-7: fused Md5SimHash60 kernel — same md5-60 token hashes,
+    // same ±1 counts and `>= 0` sign rule as the exploded 60-column
+    // aggregate it replaces (q70 oracle hash-matches), minus the
+    // keyed (id, hash) shuffle; empty token sets yield null and are
+    // dropped exactly like the groupBy dropped them
+    val base = graft.CacheScope.track(Par.ensureWide(docs)
       .select(col(idCol).as("id"),
-        explode(tokenSet(normalized(col(textCol)))).as("t"))
-      .select(col("id"), md5Hash60(col("t")).as("h"))
-    val sums = (0 until bits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"s$j"))
-    val base = graft.CacheScope.track(signs.groupBy(col("id"))
-      .agg(sums.head, sums.tail: _*)
-      .select(col("id"),
-        (0 until bits).map(j =>
-          when(col(s"s$j") >= 0, lit(1L << j)).otherwise(0L))
-          .reduce(_ + _).as("sig")))
+        org.apache.spark.sql.graft.SimHashExpression.md5SimHash60(
+          tokenSet(normalized(col(textCol)))).as("sig"))
+      .filter(col("sig").isNotNull))
     val banded = base.select(col("id"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 15).bitwiseAND(32767)): _*))

@@ -41,6 +41,10 @@ object GraftFunctions {
       SimHash64(exprs.head)),
     "graft_minhash" -> ((exprs: Seq[Expression]) =>
       MinHashSignature(exprs(0), litInt(exprs(1)))),
+    "graft_md5_minhash" -> ((exprs: Seq[Expression]) =>
+      Md5MinHashes(exprs(0), litInt(exprs(1)))),
+    "graft_decimal_dot" -> ((exprs: Seq[Expression]) =>
+      DecimalScaledDot(exprs(0), exprs(1))),
     "graft_rhp_sig" -> ((exprs: Seq[Expression]) =>
       RandomHyperplaneSignature(exprs(0), litInt(exprs(1)), litInt(exprs(2)))),
     "graft_top_k" -> ((exprs: Seq[Expression]) =>

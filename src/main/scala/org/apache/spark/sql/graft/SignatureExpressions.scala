@@ -288,5 +288,8 @@ object SignatureExpressions {
       "graft_rhp_sig",
       exprs => RandomHyperplaneSignature(exprs(0), litInt(exprs(1)),
         litInt(exprs(2))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_md5_minhash",
+      exprs => Md5MinHashes(exprs(0), litInt(exprs(1))), "built-in")
   }
 }

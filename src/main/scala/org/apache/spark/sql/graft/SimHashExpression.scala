@@ -73,11 +73,82 @@ case class SimHash64(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** 60-bit md5-PORTABLE SimHash — the fused twin of the q70 relational
+  * formulation (explode → md5-60 per token → 60 conditional ±1 sums →
+  * sign), whose per-bit rules it replicates EXACTLY: token hash =
+  * first 60 bits of md5 (hex chars 1-15, read straight off the digest
+  * bytes), bit j set iff its ±1 count is ≥ 0 (the relational
+  * `sum >= 0` — note the native [[SimHash64]] uses `> 0`; the tie
+  * case is real for even token counts), and an EMPTY token set yields
+  * null so callers can drop the row exactly like the groupBy the
+  * aggregate formulation dropped it from. Counts are order-free
+  * integers, so the fold is partitioning-independent and any SQL
+  * engine re-derives the signature — q70's oracle hash-matches it.
+  * Replaces one keyed (id, long) shuffle + a 60-column aggregate with
+  * a zero-shuffle projection.
+  */
+case class Md5SimHash60(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    Md5SimHash60.eval(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val r = ctx.freshName("md5simhash")
+      s"""
+        java.lang.Long $r = org.apache.spark.sql.graft.Md5SimHash60.eval($arr);
+        ${ev.isNull} = ($r == null);
+        ${ev.value} = ${ev.isNull} ? 0L : $r.longValue();
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHash60 =
+    copy(child = newChild)
+}
+
+object Md5SimHash60 {
+  /** null on empty (the aggregate formulation emitted no row). */
+  def eval(arr: ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // first 60 bits = hex chars 1-15: bytes 0..6 then byte 7's high
+      // nibble (same derivation as Md5MinHashKernel.hsh)
+      var h = 0L
+      var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+      h = (h << 4) | ((d(7) >> 4) & 0xFL)
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) { if (acc(j) >= 0) sig |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
 object SimHashExpression {
   import org.apache.spark.sql.classic.ExpressionUtils
 
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+
+  def md5SimHash60(tokens: Column): Column =
+    ExpressionUtils.column(Md5SimHash60(ExpressionUtils.expression(tokens)))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

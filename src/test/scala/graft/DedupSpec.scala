@@ -102,6 +102,63 @@ class DedupSpec extends SparkSpec {
     assert(viaNative.toSeq === viaAgg.toSeq)
   }
 
+  test("Md5MinHashes kernel ≡ the hex-parse Column derivation") {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.graft.SignatureExpressions
+    val numHashes = 8
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "一番 短い ドキュメント"), (4L, "x")).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id").as("id"),
+      shingles(normalized(col("text")), 2).as("sh"))
+    // the portable contract, spelled out relationally: one md5 hex per
+    // shingle; sig_i = min(h1 + i·h2) over its 56-bit hex halves; hsh
+    // = sorted 60-bit prefixes — exactly what the q69/q72 DuckDB
+    // oracles compute
+    val viaColumns = sh
+      .select(col("id"), transform(col("sh"), s => md5(s)).as("hex"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(numHashes - 1)), i =>
+          array_min(transform(col("hex"), m =>
+            conv(substring(m, 1, 14), 16, 10).cast("long") +
+              i.cast("long") * conv(substring(m, 15, 14), 16, 10)
+                .cast("long")))).as("sig"),
+        array_sort(transform(col("hex"), m =>
+          conv(substring(m, 1, 15), 16, 10).cast("long"))).as("hsh"))
+      .orderBy("id").as[(Long, Seq[Long], Seq[Long])].collect()
+    val viaKernel = sh
+      .select(col("id"), SignatureExpressions.md5MinHashes(
+        col("sh"), numHashes).as("mh"))
+      .select(col("id"), col("mh.sig"), col("mh.hsh"))
+      .orderBy("id").as[(Long, Seq[Long], Seq[Long])].collect()
+    assert(viaKernel.toSeq === viaColumns.toSeq)
+  }
+
+  test("Md5SimHash60 kernel ≡ the exploded 60-column sign aggregate") {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.graft.SimHashExpression
+    val toks = docs.select(col("doc_id").as("id"),
+      tokenSet(normalized(col("text"))).as("ts"))
+    // the relational contract: md5-60 per token, ±1 vote per bit,
+    // bit set on sum >= 0 — exactly the q70 oracle's arithmetic
+    val sums = (0 until 60).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$j"))
+    val viaAgg = toks
+      .select(col("id"), explode(col("ts")).as("t"))
+      .select(col("id"), Dedup.md5Hash60(col("t")).as("h"))
+      .groupBy(col("id")).agg(sums.head, sums.tail: _*)
+      .select(col("id"), (0 until 60).map(j =>
+        when(col(s"s$j") >= 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _).as("sig"))
+      .orderBy("id").as[(Long, Long)].collect()
+    val viaKernel = toks
+      .select(col("id"), SimHashExpression.md5SimHash60(col("ts")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(viaKernel.toSeq === viaAgg.toSeq)
+  }
+
   test("MinHashSignature: empty token set → null (matches groupBy drop)") {
     import org.apache.spark.sql.graft.SignatureExpressions
     val got = Seq((1L, Seq.empty[String]), (2L, Seq("a", "b")))

@@ -48,12 +48,16 @@ class ExtensionsSpec extends SparkSpec {
             |       graft_sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L)) AS i,
             |       graft_winnow_mins(array(5L, 3L, 4L, 1L, 2L), 2) AS w,
             |       size(graft_minhash(array('a b', 'b c'), 8)) AS m,
-            |       graft_rhp_sig(array(1.0d, 0.0d), 8, 0) AS r
+            |       graft_rhp_sig(array(1.0d, 0.0d), 8, 0) AS r,
+            |       size(graft_md5_minhash(array('a b', 'b c'), 8).sig) AS mm,
+            |       graft_decimal_dot(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS dd
             |""".stripMargin).collect()(0)
         assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
         assert(math.abs(row.getDouble(1) - 11.0) < 1e-12)
         assert(row.getSeq[Long](4) === Seq(3L, 1L))
         assert(row.getInt(5) === 8)
+        assert(row.getInt(7) === 8)
+        assert(math.abs(row.getDouble(8) - 25.0) < 1e-12)
 
         // aggregates, in a newSession() clone (temp functions would be
         // gone here; injected ones must not be)
