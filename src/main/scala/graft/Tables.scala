@@ -66,7 +66,14 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // FLOOR division, not `div` (truncation toward zero): Spark
+      // 4.1+'s native ns→µs read and DuckDB both floor, so a
+      // pre-epoch nanos value like -1500 ns must land on -2 µs on
+      // this path too. pmod(ts, 1000) ≥ 0 makes (ts - pmod) the
+      // largest 1000-multiple ≤ ts — exact floorDiv in pure integer
+      // arithmetic.
+      case LongType => raw.withColumn("ts",
+        expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => raw
       case other => throw new IllegalStateException(

@@ -41,15 +41,23 @@ object RhpKernels {
     * repr). For |x·c| < 1000 the rounded decimal has ≤ 15 significant
     * digits, which round-trip binary64 exactly (the classic 15-digit
     * guarantee), so the trip is the identity and ONE BigDecimal chain
-    * suffices — measured 2× on this operator's hot fold. The guard
-    * throws (never silently diverges) outside the proven range. */
+    * suffices — measured 2× on this operator's hot fold, and the
+    * overwhelmingly common case for embedding components. Larger
+    * magnitudes (legal in DECIMAL(18,12) up to 10⁶) take the slow
+    * path that replays the relational double round-trip literally;
+    * longValueExact throws loudly at genuine DECIMAL(18) overflow
+    * instead of silently diverging. */
   def scaledTerm(x: Double, c: Double): Long = {
     val v = x * c
-    if (!(Math.abs(v) < 999.0))
-      throw new ArithmeticException(
-        s"scaledTerm out of the exact double-roundtrip range: $v")
-    JBigDecimal.valueOf(v)
-      .setScale(12, RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    if (Math.abs(v) < 999.0)
+      JBigDecimal.valueOf(v)
+        .setScale(12, RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    else {
+      val rounded = JBigDecimal.valueOf(v)
+        .setScale(12, RoundingMode.HALF_UP).doubleValue()
+      JBigDecimal.valueOf(rounded)
+        .setScale(12, RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    }
   }
 
   /** DECIMAL(_,12) → double, exactly Spark's `Decimal.toDouble`. */
@@ -70,9 +78,14 @@ object RhpKernels {
       var k = 0
       while (k < numPlanes) {
         val cs = planes(t * numPlanes + k)
+        // bound by the plane length too: the plane matrix is sized
+        // from a sampled row, and a ragged corpus (longer vectors
+        // later) must degrade like the round-5 dims equi-join did —
+        // extra dimensions ignored — not index out of bounds
+        val dims = Math.min(n, cs.length)
         var sum = 0L
         var d = 0
-        while (d < n) {
+        while (d < dims) {
           sum = Math.addExact(sum, scaledTerm(vec.getDouble(d), cs(d)))
           d += 1
         }

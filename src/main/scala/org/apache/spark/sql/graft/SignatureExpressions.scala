@@ -239,6 +239,13 @@ object Md5MinHashKernel {
 case class Md5MinHashes(child: Expression, numHashes: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(numHashes > 0, "numHashes must be positive")
+  // h1 + k·h2 with h1, h2 < 2⁵⁶ stays inside signed-64 only while
+  // k ≤ 127; beyond that Spark would wrap silently where a SQL
+  // engine's BIGINT errors — the exact divergence this portable
+  // family exists to rule out, so refuse loudly at construction
+  require(numHashes <= 128,
+    s"numHashes=$numHashes would overflow the 56-bit double-hashing " +
+      "family (k*h2 exceeds signed 64-bit at k >= 128)")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = StructType(Seq(

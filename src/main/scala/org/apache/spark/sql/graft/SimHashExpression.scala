@@ -95,13 +95,18 @@ case class Md5SimHash60(child: Expression) extends UnaryExpression
   override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any): Any =
-    Md5SimHash60.eval(v.asInstanceOf[ArrayData])
+    Md5SimHashKernel.sign(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, arr => {
       val r = ctx.freshName("md5simhash")
+      // NOTE the kernel lives in a STANDALONE object, not this case
+      // class's companion: a companion method named like an inherited
+      // Expression member loses its static forwarder, and the
+      // generated Java's static call then fails Janino compilation —
+      // silently demoting the whole stage to interpreted execution
       s"""
-        java.lang.Long $r = org.apache.spark.sql.graft.Md5SimHash60.eval($arr);
+        java.lang.Long $r = org.apache.spark.sql.graft.Md5SimHashKernel.sign($arr);
         ${ev.isNull} = ($r == null);
         ${ev.value} = ${ev.isNull} ? 0L : $r.longValue();
       """
@@ -111,9 +116,9 @@ case class Md5SimHash60(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
-object Md5SimHash60 {
+object Md5SimHashKernel {
   /** null on empty (the aggregate formulation emitted no row). */
-  def eval(arr: ArrayData): java.lang.Long = {
+  def sign(arr: ArrayData): java.lang.Long = {
     val n = arr.numElements()
     if (n == 0) return null
     val md = java.security.MessageDigest.getInstance("MD5")

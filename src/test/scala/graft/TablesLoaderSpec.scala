@@ -30,12 +30,17 @@ import org.apache.spark.sql.types.{LongType, StringType, TimestampNTZType, Times
 class TablesLoaderSpec extends SparkSpec {
 
   /** (event_id, ts) rows; ts deliberately not µs-aligned so ns→µs
-    * truncation is actually exercised (…549123 ns → …549 µs). */
+    * truncation is actually exercised (…549123 ns → …549 µs), and
+    * PRE-EPOCH rows so floor-vs-truncate division divergence is too
+    * (-1500 ns must floor to -2 µs, as the native 4.1+ read and
+    * DuckDB do — `div` truncation toward zero would give -1). */
   private val nanosRows: Seq[(Long, Long)] = Seq(
     1L -> 1704067798778549123L,
     2L -> 1704067200000000000L,
     3L -> 1704067200000000999L,
-    4L -> 1735689599999999501L)
+    4L -> 1735689599999999501L,
+    5L -> -1500L,
+    6L -> -1000000001L)
 
   private def eventsMessageType(unit: TimeUnit): MessageType =
     Types.buildMessage()

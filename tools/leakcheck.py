@@ -28,8 +28,11 @@ PATTERNS = {
 def main(out_path=None):
     sha = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
                          text=True).stdout.strip()
-    files = subprocess.run(["git", "ls-files"], capture_output=True,
-                           text=True).stdout.split()
+    # NUL-separated so filenames with spaces scan as one path instead
+    # of silently splitting into nonexistent ones
+    files = [f for f in subprocess.run(["git", "ls-files", "-z"],
+                                       capture_output=True,
+                                       text=True).stdout.split("\0") if f]
     hits = {k: [] for k in PATTERNS}
     scanned = 0
     for f in files:
