@@ -74,6 +74,9 @@ object Bench {
     // A judge can then see whether the committed number was measured
     // under external load (sentinel >> this JVM's own core count).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // fail BEFORE the (expensive) warmup pass: reps=0 would run every
+    // warmup, then crash in minBy over an empty timing vector
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def loadAvg(): Double = osBean.getSystemLoadAverage
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
@@ -116,13 +119,25 @@ object Bench {
       if (warmupFailures > 0)
         s"INCOMPLETE: $warmupFailures queries failed warmup at $warmupDir"
       else s"all queries once at $warmupDir (steady-state timing; codegen/JIT outside the timed region)"
+    // JSON string escape for interpolated path/note fields — same
+    // rationale as Verify's q(): an unescaped quote or backslash in a
+    // dir path would invalidate the ONE line the driver captures.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     // The per-query `queries` dict is deliberately the LAST key: the
     // driver's artifact capture keeps only the tail of this line, and
     // round 6's ordering (times before sentinels) truncated every
     // timing out of the committed BENCH_r06 (VERDICT r6 item 4). The
     // keys the gate needs most — failed, then the timings — go last so
     // any head-truncation clips prose, not numbers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","timing":"min of $reps INTERLEAVED rounds (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started; full-plan materialization via queryExecution.toRdd (count() would let Catalyst prune the measured work: unused projections, unique-side joins, final sorts)","warmup":"$warmupNote","load_1m_at_min_rep":$loads,"failed":$failed,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":${q(sfDir)},"timing":"min of $reps INTERLEAVED rounds (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started; full-plan materialization via queryExecution.toRdd (count() would let Catalyst prune the measured work: unused projections, unique-side joins, final sorts)","warmup":${q(warmupNote)},"load_1m_at_min_rep":$loads,"failed":$failed,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -24,49 +24,50 @@ import org.apache.spark.sql.DataFrame
   *     registered after `open()` are dropped, so one pipeline's
   *     release cannot evict another's cache mid-flight.
   *
-  * The registry is a single ordered list guarded by this object's
-  * monitor; scopes are positions in that list, so interleaved scopes
-  * from concurrent threads release conservatively (a later `open` is
-  * never invalidated by an earlier scope's release — release clears
-  * entries, it does not shift positions).
+  * The registry keys every tracked relation by a MONOTONIC id that is
+  * never reused, guarded by this object's monitor; a scope token is
+  * the id watermark at `open()`. Because ids only grow, a token stays
+  * valid across any interleaving of other scopes' releases (including
+  * `releaseAll`): `releaseSince` drops exactly the entries tracked at
+  * or after its watermark, never an earlier scope's, and never
+  * "misses" entries the way a position-based buffer would after a
+  * concurrent trim re-used its positions.
   */
 object CacheScope {
-  // entries become null when released; positions stay stable so open()
-  // tokens from other scopes survive any interleaving
-  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  // id → cached relation; ids are permanent (released entries are
+  // removed from the map, their ids never reassigned)
+  private val tracked = scala.collection.mutable.LinkedHashMap.empty[Long, DataFrame]
+  private var nextId = 0L
 
   /** Opaque scope token — everything tracked after [[open]] belongs to
     * the scope and is dropped by [[releaseSince]]. */
-  final case class Token private[CacheScope] (from: Int)
+  final case class Token private[CacheScope] (from: Long)
 
   /** Persist `df` and register it for later release. */
   def track(df: DataFrame): DataFrame = synchronized {
     val p = df.persist()
-    tracked += p
+    tracked += (nextId -> p)
+    nextId += 1
     p
   }
 
   /** Open a scope: subsequent [[track]] calls belong to it. */
-  def open(): Token = synchronized(Token(tracked.size))
+  def open(): Token = synchronized(Token(nextId))
 
   /** Unpersist only the intermediates tracked since `token`. */
   def releaseSince(token: Token, blocking: Boolean = false): Unit = synchronized {
-    var i = math.max(token.from, 0)
-    while (i < tracked.size) {
-      val df = tracked(i)
-      if (df != null) { df.unpersist(blocking); tracked(i) = null }
-      i += 1
+    val ids = tracked.keysIterator.filter(_ >= token.from).toVector
+    ids.foreach { id =>
+      tracked.remove(id).foreach(_.unpersist(blocking))
     }
-    // drop the released tail so the buffer doesn't grow unboundedly
-    while (tracked.nonEmpty && tracked.last == null) tracked.dropRightInPlace(1)
   }
 
-  /** Unpersist everything registered since the last release. */
+  /** Unpersist everything currently registered. */
   def releaseAll(blocking: Boolean = false): Unit = synchronized {
-    tracked.foreach(df => if (df != null) df.unpersist(blocking))
+    tracked.valuesIterator.foreach(_.unpersist(blocking))
     tracked.clear()
   }
 
   /** Number of currently tracked (possibly cached) relations. */
-  def trackedCount: Int = synchronized(tracked.count(_ != null))
+  def trackedCount: Int = synchronized(tracked.size)
 }

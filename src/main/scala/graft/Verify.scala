@@ -8,7 +8,8 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // optional third arg: comma-separated query-name filter (local
     // iteration only — the driver always runs the full set)
-    val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
+    val only: Option[Set[String]] = args.lift(2)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

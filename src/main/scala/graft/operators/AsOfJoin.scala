@@ -23,9 +23,18 @@ import org.apache.spark.sql.functions._
   * entity's full history on one task, same as sessionization).
   *
   * Ties: a build row AT the probe timestamp matches (`>=` semantics,
-  * DuckDB-compatible); among equal (key, ts) build rows the one
-  * sorting LAST by payload struct wins — callers wanting a specific
+  * DuckDB-compatible); among equal (key, ts) build rows the survivor
+  * is the LAST row in the traversal order — the MAX payload struct in
+  * backward mode and the MIN in forward mode (the traversal flips
+  * with the direction). Callers wanting a direction-independent
   * survivor dedupe the build side first (q38 does, by max event id).
+  *
+  * Nulls: build rows with a null timestamp never match, and probe
+  * rows with a null timestamp get a null match — DuckDB ASOF
+  * semantics (without the explicit guards, Spark's NULLS FIRST/LAST
+  * ordering would carry a null-ts build row into every early probe
+  * backward, and hand a null-ts probe the whole build history
+  * forward).
   */
 object AsOfJoin {
 
@@ -52,7 +61,8 @@ object AsOfJoin {
     val k = keys.map(col)
     val bStruct = struct((col(buildTs).as("__bts") +:
       buildCols.map(c => col(c).as(c))): _*)
-    val buildTagged = build.select((k :+ col(buildTs).as("__ts") :+
+    val buildTagged = build.filter(col(buildTs).isNotNull)
+      .select((k :+ col(buildTs).as("__ts") :+
       lit(0).as("__side") :+ bStruct.as("__b")) ++
       probeOut.filterNot(keys.contains).map(c =>
         lit(null).cast(probe.schema(c).dataType).as(c)): _*)
@@ -68,12 +78,16 @@ object AsOfJoin {
     val carried = probeTagged.unionByName(buildTagged)
       .withColumn("__match", last(col("__b"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    // __ts.isNotNull: a null-ts probe must not inherit a match from
+    // wherever NULLS FIRST/LAST happened to park it in the traversal
     val inTol = tolerance match {
       case Some(tol) if forward =>
-        col("__match").isNotNull && col("__match.__bts") <= col("__ts") + tol
+        col("__ts").isNotNull && col("__match").isNotNull &&
+          col("__match.__bts") <= col("__ts") + tol
       case Some(tol) =>
-        col("__match").isNotNull && col("__match.__bts") >= col("__ts") - tol
-      case None => col("__match").isNotNull
+        col("__ts").isNotNull && col("__match").isNotNull &&
+          col("__match.__bts") >= col("__ts") - tol
+      case None => col("__ts").isNotNull && col("__match").isNotNull
     }
     val matched = when(inTol, col("__match"))
     carried.select(probeOut.map(col) ++

@@ -23,7 +23,16 @@ object Grouping {
     * Reference: info_scanner_ph2.py:296-326. */
   def majorityVote(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {
-    val counts = df.filter(col(valueCol).isNotNull && col(valueCol) =!= "")
+    // blank-string exclusion only applies to string columns: on a
+    // typed column Spark coerces "" to the column type → null, making
+    // the =!= predicate null for EVERY row and silently emptying the
+    // vote table
+    val nonBlank = df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        col(valueCol).isNotNull && col(valueCol) =!= ""
+      case _ => col(valueCol).isNotNull
+    }
+    val counts = df.filter(nonBlank)
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy(groupCols.map(col): _*)
@@ -39,10 +48,16 @@ object Grouping {
       valueCol: String): DataFrame = {
     val maj = majorityVote(df, groupCols, valueCol)
       .select((groupCols.map(col) :+ col("majority")): _*)
+    // same type-aware blank rule as majorityVote: on a typed column
+    // `=== ""` coerces to null and the when-branch would never fire
+    val blank = df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        col(valueCol).isNull || col(valueCol) === ""
+      case _ => col(valueCol).isNull
+    }
     df.join(maj, groupCols, "left")
       .withColumn(valueCol,
-        when(col(valueCol).isNull || col(valueCol) === "", col("majority"))
-          .otherwise(col(valueCol)))
+        when(blank, col("majority")).otherwise(col(valueCol)))
       .drop("majority")
   }
 
@@ -66,16 +81,21 @@ object Grouping {
       .orderBy(col(orderCol).asc)
     val marked = df.withColumn("__miss",
       when(valid, lit(null).cast("int")).otherwise(row_number().over(wMiss)))
-    // per-group free numbers: 1..(#rows + max(used)) minus used.
-    // ONE aggregation scan: collect_set/max ignore nulls, so the
-    // validity filter folds into the aggregate (round 1 ran separate
-    // used/sizes scans plus their join).
+    // per-group free numbers: 1..#rows minus used. The bound is
+    // sufficient — within 1..n at most validCount values are used,
+    // leaving ≥ (n − validCount) = missing free slots, and the lowest
+    // missing free numbers are what the rank join consumes — and it
+    // must NOT scale with max(used): one corrupt huge track number in
+    // a 10-row group would otherwise materialize a billion-element
+    // sequence on that aggregation row. ONE aggregation scan:
+    // collect_set ignores nulls, so the validity filter folds into
+    // the aggregate (round 1 ran separate used/sizes scans plus their
+    // join).
     val pool = df.groupBy(g: _*)
       .agg(collect_set(when(valid, col(numberCol).cast("int"))).as("__used"),
-        max(when(valid, col(numberCol).cast("int"))).as("__maxv"),
         count(lit(1)).cast("int").as("__n"))
       .withColumn("__cand",
-        filter(sequence(lit(1), col("__n") + coalesce(col("__maxv"), lit(0))),
+        filter(sequence(lit(1), col("__n")),
           c => !array_contains(col("__used"), c)))
       .select((g :+ posexplode(col("__cand")).as(Seq("__pos", "__free"))): _*)
       .withColumn("__rank", col("__pos") + 1).drop("__pos")

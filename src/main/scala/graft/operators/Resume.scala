@@ -34,8 +34,12 @@ object Resume {
 
   /** Union N shard journals / completed lists (hls_runner globs every
     * shard's list — §2.3). */
-  def unionCompleted(shards: Seq[DataFrame], keyCol: String): DataFrame =
+  def unionCompleted(shards: Seq[DataFrame], keyCol: String): DataFrame = {
+    require(shards.nonEmpty,
+      "unionCompleted: no shard journals found — a first run (nothing " +
+        "completed yet) should skip the resume filter, not union zero frames")
     shards.map(_.select(col(keyCol))).reduce(_.unionByName(_)).distinct()
+  }
 
   /** First-writer-wins merge of measurement generations: rows from
     * earlier `sources` win on key collision; ties within a source
@@ -43,6 +47,8 @@ object Resume {
     * artifact merge, loudness_measure.py:146-188. */
   def priorityMerge(sources: Seq[DataFrame], keys: Seq[String],
       tieBreak: Seq[String] = Nil): DataFrame = {
+    require(sources.nonEmpty,
+      "priorityMerge: no source generations to merge")
     val tagged = sources.zipWithIndex
       .map { case (df, i) => df.withColumn("__prio", lit(i)) }
       .reduce(_.unionByName(_))

@@ -83,6 +83,33 @@ class GroupingSpec extends SparkSpec {
     assert(byName(("other", "r")) === 2)
   }
 
+  test("A3 gapFill pool does not scale with a corrupt huge number") {
+    // one absurd track number must not materialize a billion-element
+    // candidate sequence — the pool is bounded by the group SIZE
+    val df = Seq(("al", 1500000000, "x"), ("al", 2, "a"),
+      ("al", -1, "b1"), ("al", -1, "b2")).toDF("album", "no", "name")
+    val got = Grouping.gapFillNumbers(df, Seq("album"), "no", "name")
+      .orderBy("name").select("name", "no").as[(String, Int)].collect().toMap
+    assert(got("b1") === 1)
+    assert(got("b2") === 3)
+    assert(got("a") === 2)
+    assert(got("x") === 1500000000)
+  }
+
+  test("A1/A2 majority on a TYPED column (blank rule must not null out)") {
+    // "" coerced to int is null; the blank filter must not turn into a
+    // null predicate that silently empties the vote table
+    val df = Seq(("g", 7), ("g", 7), ("g", 3)).toDF("grp", "v")
+    val got = Grouping.majorityVote(df, Seq("grp"), "v")
+      .select("majority", "votes").as[(Int, Long)].head()
+    assert(got === ((7, 2L)))
+    val withNulls = Seq(("g", Some(7)), ("g", Some(7)), ("g", None))
+      .toDF("grp", "v")
+    val imputed = Grouping.imputeByMajority(withNulls, Seq("grp"), "v")
+      .select("v").as[Int].collect().sorted
+    assert(imputed === Array(7, 7, 7), "null in a typed column must impute")
+  }
+
   test("A4/A5 canonicalize attaches preferred representative") {
     val df = Seq(("iosys", "new1", 1, 5), ("iosys", "old1", 0, 9),
       ("alice", "n2", 1, 3)).toDF("name", "id", "isNew", "prio")

@@ -96,6 +96,35 @@ class TemporalJoinSpec extends SparkSpec {
     assert(fast === naive)
   }
 
+  test("asOf null semantics: null build ts never matches, null probe ts matches null") {
+    // DuckDB ASOF semantics — without the explicit guards, Spark's
+    // NULLS FIRST ordering would carry the null-ts quote into early
+    // probes backward, and a null-ts probe would see the whole build
+    // history forward
+    val nullTs: java.sql.Timestamp = null
+    val quotesN = Seq(
+      ("A", nullTs, 999.0, 90L),
+      ("A", ts("2024-01-01 10:00:05"), 101.0, 2L))
+      .toDF("sym", "qts", "price", "qid")
+    val tradesN = Seq(
+      ("A", ts("2024-01-01 10:00:01"), 5L),  // before any REAL quote → null
+      ("A", ts("2024-01-01 10:00:06"), 6L),  // after quote 2 → matches it
+      ("A", nullTs, 7L))                     // null probe ts → null match
+      .toDF("sym", "tts", "tid")
+    def run(forward: Boolean) = AsOfJoin.asOf(tradesN, quotesN, Seq("sym"),
+        "tts", "qts", Seq("qid"), forward = forward)
+      .select("tid", "qid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val backward = run(forward = false)
+    assert(backward(5L) === None, "null-ts build must not match backward")
+    assert(backward(6L) === Some(2L))
+    assert(backward(7L) === None, "null-ts probe must match null")
+    val forward = run(forward = true)
+    assert(forward(5L) === Some(2L))
+    assert(forward(6L) === None)
+    assert(forward(7L) === None, "null-ts probe must match null forward too")
+  }
+
   test("asOf plan contains no join operator at all") {
     val plan = AsOfJoin.asOf(trades, quotes, Seq("sym"), "tts", "qts",
       Seq("price")).queryExecution.executedPlan.toString
