@@ -45,6 +45,11 @@ object Dedup {
   /** Exact token-set Jaccard of every document against a (small,
     * broadcast) anchor set — the correctness baseline the approximate
     * variants are validated against. Linear in |docs| × |anchors|.
+    * Symmetry dedup: an anchor–anchor pair is reported once with
+    * a_id < b_id; an anchor–non-anchor pair is reported regardless of
+    * id order (an `a_id < id` join alone would never compare an
+    * anchor to any lower-id non-anchor — for anchorPred id===3 the
+    * near-dup doc 1 would silently vanish from the baseline).
     */
   def jaccardToAnchors(
       docs: DataFrame, idCol: String, textCol: String,
@@ -59,7 +64,10 @@ object Dedup {
         array_sort(tokenSet(normalized(col(textCol)))).as("toks"))
     val anchors = toks.filter(anchorPred)
       .select(col("id").as("a_id"), col("toks").as("a_toks"))
-    toks.join(broadcast(anchors), col("a_id") < col("id"))
+    val anchorIds = anchors.select(col("a_id").as("__b_anchor_id"))
+    toks.join(broadcast(anchors), col("a_id") =!= col("id"))
+      .join(broadcast(anchorIds), col("id") === col("__b_anchor_id"), "left")
+      .filter(col("a_id") < col("id") || col("__b_anchor_id").isNull)
       .withColumn("inter", sortedIntersectCount(col("a_toks"), col("toks")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("a_toks")) + size(col("toks")) - col("inter")).cast("double"))
@@ -390,8 +398,14 @@ object Dedup {
       .select(col("doc_id"),
         size(col("__segs")).cast("long").as("n_segments"),
         size(col("__kept")).cast("long").as("n_kept"),
-        array_join(filter(col("__segs"),
-          (_, i) => array_contains(col("__kept"), i)), sep).as("text_deduped"))
+        // project the kept positions (sorted → original segment
+        // order) instead of filtering every segment through an
+        // array_contains membership scan: that was O(n_segments ×
+        // n_kept) PER DOCUMENT — quadratic in doc length in the
+        // common mostly-unique case — vs O(k log k) here, and
+        // element_at on an array is O(1)
+        array_join(transform(array_sort(col("__kept")),
+          i => element_at(col("__segs"), i + 1)), sep).as("text_deduped"))
   }
 
   /** Frequency-threshold boilerplate removal (the C4 line filter —
@@ -435,8 +449,10 @@ object Dedup {
       .select(col("doc_id"),
         size(col("__segs")).cast("long").as("n_segments"),
         size(col("__kept")).cast("long").as("n_kept"),
-        array_join(filter(col("__segs"),
-          (_, i) => array_contains(col("__kept"), i)), sep).as("text_cleaned"))
+        // sorted-position projection, not per-segment membership
+        // scans — see dedupSegments for the complexity rationale
+        array_join(transform(array_sort(col("__kept")),
+          i => element_at(col("__segs"), i + 1)), sep).as("text_cleaned"))
   }
 
   /** Exact duplicate-SUBSTRING removal (the ExactSubstr pass of Lee

@@ -50,12 +50,22 @@ object Sampling {
     f"${math.floor(rate * 4294967296.0).toLong}%08x"
   }
 
+  /** Every id that feeds an md5 threshold/rank goes through this: a
+    * NULL id otherwise nulls the whole predicate and the row silently
+    * vanishes from the sample — data loss at a declared keep-rate
+    * (rate 1.0 in [[stratifiedSample]] still dropped null-id rows).
+    * Non-null ids hash identically to the bare cast, so oracle SQL
+    * without the coalesce stays value-identical on non-null data.
+    */
+  private def keyHash(id: Column): Column =
+    md5(coalesce(id.cast("string"), lit(NullKeySentinel)))
+
   /** The keep predicate for a deterministic `rate` sample keyed on
     * `id` (cast to string; equals the SQL md5(CAST(id AS VARCHAR))).
     */
   def keep(id: Column, rate: Double): Column =
     if (rate >= 1.0) lit(true)
-    else substring(md5(id.cast("string")), 1, 8) < lit(hexThreshold(rate))
+    else substring(keyHash(id), 1, 8) < lit(hexThreshold(rate))
 
   /** Deterministic uniform sample: zero-shuffle filter. */
   def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
@@ -77,7 +87,7 @@ object Sampling {
     val threshold = rates.toSeq.sortBy(_._1).foldLeft(thresholdOf(defaultRate)) {
       case (acc, (k, r)) => when(col(stratumCol) === lit(k), thresholdOf(r)).otherwise(acc)
     }
-    df.filter(substring(md5(col(idCol).cast("string")), 1, 8) < threshold)
+    df.filter(substring(keyHash(col(idCol)), 1, 8) < threshold)
   }
 
   /** Per-stratum quality filtering: keep the top `keepNum/keepDenom`
@@ -101,7 +111,11 @@ object Sampling {
         .as("__keep"))
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(scoreCol.desc, col(idCol))
-    df.join(broadcast(keeps), col(stratumCol) === col("__s"))
+    // null-SAFE equality: groupBy collects null-stratum rows into a
+    // __s = NULL counts row, but `===` evaluates NULL for NULL===NULL
+    // and the inner join would discard every null-stratum row instead
+    // of keeping their top fraction — they are a stratum like any other
+    df.join(broadcast(keeps), col(stratumCol) <=> col("__s"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= col("__keep"))
       .drop("__s", "__keep", "__rk")
@@ -182,7 +196,7 @@ object Sampling {
     val quotas = counts.join(broadcast(t))
       .select(col("__dom"), expr(s"__n * t div ${denom}L").as("__quota"))
     val w = Window.partitionBy(col(domainCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .orderBy(keyHash(col(idCol)), col(idCol))
     tagged
       .join(broadcast(quotas), col(domainCol) === col("__dom"))
       .withColumn("__rk", row_number().over(w))
@@ -218,7 +232,11 @@ object Sampling {
   def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
       seed: String): DataFrame = {
     require(numShards > 0, "numShards must be positive")
-    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    // concat_ws SKIPS null args, so a null id would hash as md5(seed)
+    // — same h for every null-id row AND indistinguishable from an id
+    // whose string form is empty; coalesce to the sentinel first
+    val h = md5(concat_ws(":", lit(seed),
+      coalesce(col(idCol).cast("string"), lit(NullKeySentinel))))
     val w = Window.partitionBy(col("__shard"))
       .orderBy(col("__h"), col(idCol))
     df.withColumn("__h", h)

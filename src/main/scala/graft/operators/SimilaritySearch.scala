@@ -58,14 +58,25 @@ object SimilaritySearch {
     rankTopK(scored(vectors, anchors, idCol, vecCol), k)
 
   /** All near-duplicate pairs with cosine ≥ threshold, anchors
-    * broadcast. For all-pairs dedup at scale use `lshCosineTopK`
-    * buckets or MinHash on content first.
+    * broadcast. Symmetry dedup: an anchor–anchor pair is reported
+    * once with anchor_id < neighbor_id; an anchor–non-anchor pair is
+    * reported regardless of id order (the non-anchor side never gets
+    * its own anchor row, so ordering would silently LOSE the pair for
+    * any anchor set that is not an id-prefix — e.g. anchorPred
+    * selecting only id 10 must still surface its near-dup id 5). The
+    * anchor-id marker join broadcasts the same small set the scoring
+    * join already broadcasts. For all-pairs dedup at scale use
+    * `lshCosineTopK` buckets or MinHash on content first.
     */
   def cosinePairs(vectors: DataFrame, anchorPred: Column, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val anchors = vectors.filter(anchorPred)
+    val anchorIds = anchors.select(col(idCol).as("__n_anchor_id"))
     scored(vectors, anchors, idCol, vecCol)
-      .filter(col("score") >= threshold && col("anchor_id") < col("neighbor_id"))
+      .join(broadcast(anchorIds),
+        col("neighbor_id") === col("__n_anchor_id"), "left")
+      .filter(col("score") >= threshold &&
+        (col("anchor_id") < col("neighbor_id") || col("__n_anchor_id").isNull))
       .select(col("anchor_id"), col("neighbor_id"), col("score"))
   }
 
@@ -196,7 +207,15 @@ object SimilaritySearch {
     // and nothing vector-shaped shuffles: signatures are a zero-
     // shuffle projection, verification joins two array columns back
     // by id (AQE broadcasts the side that fits).
-    val vecDim = vectors.select(size(col(vecCol))).head().getInt(0)
+    // dimension probe tolerant of empty / all-null inputs: an
+    // upstream filter that matched nothing must yield an empty pair
+    // relation like every sibling operator, not a head() crash
+    val dimRow = vectors.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    if (dimRow.isEmpty)
+      return vectors.select(col(idCol).as("a_id"), col(idCol).as("b_id"),
+        lit(0.0).as("score")).where(lit(false))
+    val vecDim = dimRow(0).getInt(0)
     // driver-computed centered md5-60 plane matrix (3k digests) —
     // value-identical to the round-5 range+md5 broadcast relation
     val planes = RhpKernels.planeMatrix(numTables, numPlanes, vecDim)
@@ -307,7 +326,13 @@ object SimilaritySearch {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val dv = vectors.select(col(vecCol).cast("array<double>").as("v"))
-    val dim = dv.select(size(col("v"))).head().getInt(0)
+      .filter(col("v").isNotNull)
+    // loud, pointed failure on an empty/all-null training set —
+    // KMeans would otherwise die deep inside ML with an opaque error
+    val dimRow = dv.select(size(col("v"))).limit(1).collect()
+    require(dimRow.nonEmpty,
+      "pqCodebooks: cannot train on an empty or all-null vector set")
+    val dim = dimRow(0).getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     val sampled =

@@ -49,6 +49,32 @@ class CurationSpec extends SparkSpec {
     assert(!kept.contains("c"))          // default 0.0 drops all
   }
 
+  test("stratifiedSample/qualityFilter: null ids and null strata are kept, not dropped") {
+    // null id at a keep-everything rate: before the sentinel coalesce,
+    // md5(NULL) nulled the predicate and the row silently vanished
+    val withNullId = Seq((Some(1L), "a"), (None, "a"), (Some(2L), "a"))
+      .toDF("id", "stratum")
+    val kept = Sampling.stratifiedSample(withNullId, "stratum",
+      Map("a" -> 1.0), defaultRate = 0.0, idCol = "id")
+    assert(kept.count() === 3, "rate-1.0 stratum must keep null-id rows")
+    // null-id rows behave as ONE ordinary key: same decision at any
+    // rate regardless of partitioning (pure function of the sentinel)
+    val half = Sampling.stratifiedSample(withNullId, "stratum",
+      Map("a" -> 0.5), defaultRate = 0.0, idCol = "id")
+      .filter(col("id").isNull).count()
+    val halfAgain = Sampling.stratifiedSample(withNullId.repartition(3),
+      "stratum", Map("a" -> 0.5), defaultRate = 0.0, idCol = "id")
+      .filter(col("id").isNull).count()
+    assert(half === halfAgain)
+    // null stratum is a stratum like any other for qualityFilter: the
+    // === join dropped every null-stratum row; <=> keeps their top half
+    val scored = Seq((1L, Some("en"), 0.9), (2L, Some("en"), 0.1),
+      (3L, None, 0.8), (4L, None, 0.2)).toDF("id", "lang", "q")
+    val top = Sampling.qualityFilter(scored, "lang", col("q"), 1, 2, "id")
+      .select("id").as[Long].collect().toSet
+    assert(top === Set(1L, 3L), "top-half per stratum incl. the null stratum")
+  }
+
   test("mixtureRebalance: integer quotas hit the target mixture exactly") {
     // 600 of x, 100 of y, 300 of z; target 2:1:1 → T bounded by y:
     // T = 100*4 div 1 = 400 → quotas x=200, y=100, z=100

@@ -39,6 +39,23 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got(0).getAs[Double]("jaccard") - 13.0 / 15.0) < 1e-12)
   }
 
+  test("jaccardToAnchors: a non-prefix anchor still sees lower-id near-dups") {
+    // anchor=4 alone: its near-dup is doc 3, whose id is SMALLER —
+    // the old a_id < id join silently lost this pair for any anchor
+    // set that is not an id-prefix
+    val got = Dedup.jaccardToAnchors(docs, "doc_id", "text",
+      col("id") === 4, 0.5).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("a_id") === 4L)
+    assert(got(0).getAs[Long]("b_id") === 3L)
+    assert(math.abs(got(0).getAs[Double]("jaccard") - 13.0 / 15.0) < 1e-12)
+    // anchor–anchor pairs are still reported exactly once, a_id < b_id
+    val both = Dedup.jaccardToAnchors(docs, "doc_id", "text",
+      col("id") === 3 || col("id") === 4, 0.5).collect()
+    assert(both.length === 1)
+    assert((both(0).getAs[Long]("a_id"), both(0).getAs[Long]("b_id")) === ((3L, 4L)))
+  }
+
   test("minhashLshPairs recalls planted near-dups and exact dups") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleK = 2, numHashes = 32, bands = 16, threshold = 0.4)

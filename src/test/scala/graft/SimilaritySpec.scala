@@ -215,6 +215,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size >= all.size / 2, s"recall ${got.size}/${all.size}")
   }
 
+  test("cosinePairs: non-prefix anchor surfaces its lower-id near-dup; empty input yields empty") {
+    // anchor set = {101} alone: its near-identical partner is 100,
+    // whose id is SMALLER — the old anchor_id < neighbor_id dedup
+    // silently lost the pair for any non-prefix anchor set
+    val solo = SimilaritySearch.cosinePairs(emb, $"vec_id" === 101, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(solo === Set((101L, 100L)))
+    // both ends anchors: reported exactly once, anchor_id < neighbor_id
+    val both = SimilaritySearch.cosinePairs(emb,
+        $"vec_id" === 100 || $"vec_id" === 101, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(both === Set((100L, 101L)))
+    // empty-corpus guard on the portable variant: no head() crash
+    val none = SimilaritySearch.cosineNearDupPairsPortable(
+      emb.filter($"vec_id" < 0), threshold = 0.35,
+      numPlanes = 4, numTables = 2)
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("a_id", "b_id", "score"))
+  }
+
   test("portable RHP near-dup (q71): planted recall, scores are true cosines") {
     import graft.operators.SimilaritySearch
     val got = SimilaritySearch.cosineNearDupPairsPortable(emb,
