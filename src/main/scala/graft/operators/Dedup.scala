@@ -133,20 +133,9 @@ object Dedup {
     val banded = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * r + 1, lit(r))))).as(Seq("band", "bucket")))
-    // Bucket-size skew guard: oversized buckets are the rare pathology,
-    // so aggregate once and broadcast only the oversized keys into an
-    // anti-join — O(#mega-buckets) driver memory, vs. the full
-    // sort-based window the naive count().over() formulation costs.
-    val oversized = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val sized = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
-    val cands = sized.as("x").join(sized.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
+    // cull + self-join + id-only dedup: the shared skeleton (see Lsh)
+    val cands = Lsh.bandedCandidatePairs(banded, Seq("band", "bucket"),
+      maxBucketSize)
     // Jaccard verification on the persisted hashed shingle sets
     cands
       .join(base.select(col("id").as("a_id"), col("hsh").as("a_sh")), "a_id")
@@ -197,16 +186,8 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         md5(array_join(slice(col("sig"), b * r + 1, lit(r)), ","))))
         .as(Seq("band", "bucket")))
-    val oversized = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val sized = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
-    val cands = sized.as("x").join(sized.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
+    val cands = Lsh.bandedCandidatePairs(banded, Seq("band", "bucket"),
+      maxBucketSize)
     cands
       .join(base.select(col("id").as("a_id"), col("hsh").as("a_sh")), "a_id")
       .join(base.select(col("id").as("b_id"), col("hsh").as("b_sh")), "b_id")
@@ -257,17 +238,25 @@ object Dedup {
     * equi-join on the fingerprint value; fingerprints shared by more
     * than `maxDf` documents are dropped first (the corpus-boilerplate
     * guard — same role as LSH's maxBucketSize, and MOSS's own
-    * high-frequency cull). */
+    * high-frequency cull). The cull removes a fingerprint from the
+    * INDEX — numerator AND denominator: per-doc sizes count surviving
+    * fingerprints, so two identical boilerplate-heavy documents still
+    * score 1.0 (a pre-cull denominator scored them by the fraction of
+    * their content that ISN'T corpus chrome and could miss them
+    * entirely). */
   def winnowedOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 5, window: Int = 4, minContainment: Double = 0.5,
       maxDf: Int = 1000, hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val fps = graft.CacheScope.track(
       winnowedFingerprints(docs, idCol, textCol, shingleK, window, hashFn))
-    val sizes = fps.select(col("id"), size(col("fps")).as("n"))
     val ex = fps.select(col("id"), explode(col("fps")).as("fp"))
     val common = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("fp"))
     val culled = ex.join(broadcast(common), Seq("fp"), "left_anti")
+    // per-doc fps are distinct, so count ≡ surviving-set size; a doc
+    // whose fingerprints are ALL culled has no candidates either, so
+    // its absence from `sizes` cannot drop a pair
+    val sizes = culled.groupBy(col("id")).agg(count(lit(1)).as("n"))
     culled.as("x").join(culled.as("y"),
         col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"))
@@ -647,16 +636,7 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 15).bitwiseAND(32767)): _*))
         .as(Seq("band", "bv")))
-    val oversized = banded.groupBy(col("band"), col("bv"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucketSize)
-      .select(col("band"), col("bv"))
-    val sized = banded.join(broadcast(oversized), Seq("band", "bv"), "left_anti")
-    sized.as("x").join(sized.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
+    Lsh.bandedCandidatePairs(banded, Seq("band", "bv"), maxBucketSize)
       .join(base.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
       .join(base.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .withColumn("hamming",
@@ -703,16 +683,7 @@ object Dedup {
       posexplode(array((0 until 4).map(k =>
         shiftrightunsigned(col("sig"), k * 16).bitwiseAND(lit(0xFFFFL))): _*)
       ).as(Seq("band", "key")))
-    val oversized = banded.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucketSize)
-      .select(col("band"), col("key"))
-    val sized = banded.join(broadcast(oversized), Seq("band", "key"), "left_anti")
-    sized.as("x").join(sized.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
+    Lsh.bandedCandidatePairs(banded, Seq("band", "key"), maxBucketSize)
       .join(sigs.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
       .join(sigs.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))

@@ -97,21 +97,32 @@ object SimilaritySearch {
     * Recall rises with tables, cost with 2^-numPlanes bucket size.
     * This is the scale path: both sides shuffle on (table, bucket) —
     * at 1000 executors the band join stays co-partitioned end-to-end.
+    * ID-ONLY banding (the [[cosineNearDupPairs]] discipline): the
+    * band join and the candidate dedup exchange carry (id, table,
+    * bucket) longs only — numTables full-embedding copies of the
+    * corpus would otherwise cross the shuffle — and vectors join back
+    * from the cached (id, vec) base exactly once per candidate end.
+    * `anchorPred` is evaluated over (id, table, bucket).
     */
   def lshCosineTopK(vectors: DataFrame, anchorPred: Column, k: Int,
       numPlanes: Int = 8, numTables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val keyed = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val base = graft.CacheScope.track(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("vec")))
+    val keyed = base.select(col("id"),
       posexplode(array((0 until numTables).map(t =>
-        lshKey(col(vecCol), t, numPlanes)): _*)).as(Seq("table", "bucket")))
-    val anchors = keyed.filter(anchorPred)
-      .select(col("id").as("anchor_id"), col("vec").as("a_vec"),
-        col("table"), col("bucket"))
-    val cands = keyed.join(anchors,
+        lshKey(col("vec"), t, numPlanes)): _*)).as(Seq("table", "bucket")))
+    val anchorBands = keyed.filter(anchorPred)
+      .select(col("id").as("anchor_id"), col("table"), col("bucket"))
+    val candIds = keyed.join(anchorBands,
         Seq("table", "bucket")).filter(col("anchor_id") =!= col("id"))
-      .select(col("anchor_id"), col("a_vec"), col("id").as("neighbor_id"),
-        col("vec").as("n_vec"))
-      .dropDuplicates("anchor_id", "neighbor_id")
+      .select(col("anchor_id"), col("id").as("neighbor_id"))
+      .distinct()
+    val cands = candIds
+      .join(base.select(col("id").as("anchor_id"), col("vec").as("a_vec")),
+        "anchor_id")
+      .join(base.select(col("id").as("neighbor_id"), col("vec").as("n_vec")),
+        "neighbor_id")
     rankTopK(
       cands.withColumn("score", round(fastCosine(col("a_vec"), col("n_vec")), 4)),
       k)
@@ -154,17 +165,8 @@ object SimilaritySearch {
       base.select(col("id"),
         posexplode(array((0 until numTables).map(t =>
           lshKey(col("vec"), t, numPlanes)): _*)).as(Seq("table", "bucket"))))
-    val oversized = keyed.groupBy(col("table"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucketSize)
-      .select(col("table"), col("bucket"))
-    val sized = keyed.join(broadcast(oversized),
-      Seq("table", "bucket"), "left_anti")
-    sized.as("x").join(sized.as("y"),
-        col("x.table") === col("y.table") &&
-          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
+    graft.operators.Lsh.bandedCandidatePairs(keyed, Seq("table", "bucket"),
+        maxBucketSize)
       .join(base.select(col("id").as("a_id"), col("vec").as("a_vec")), "a_id")
       .join(base.select(col("id").as("b_id"), col("vec").as("b_vec")), "b_id")
       .withColumn("score", round(fastCosine(col("a_vec"), col("b_vec")), 4))
@@ -235,16 +237,8 @@ object SimilaritySearch {
     val keyed = graft.CacheScope.track(base.select(col("id"),
       posexplode(RhpExpressions.rhpDecimalBuckets(col("vec"), planes,
         numPlanes)).as(Seq("t", "bucket"))))
-    val oversized = keyed.groupBy(col("t"), col("bucket"))
-      .agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") > maxBucketSize)
-      .select(col("t"), col("bucket"))
-    val sized = keyed.join(broadcast(oversized), Seq("t", "bucket"), "left_anti")
-    val cands = sized.as("x").join(sized.as("y"),
-        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .distinct()
+    val cands = graft.operators.Lsh.bandedCandidatePairs(keyed,
+      Seq("t", "bucket"), maxBucketSize)
     // verify: one exact per-pair dot (decimalDot ≡ the decimal
     // Σ round(xa·xb, 12) the round-5 aggregation produced); norms ride
     // in from the cache
@@ -734,17 +728,13 @@ object SimilaritySearch {
 
   /** A10 analog: per-group element-wise mean of embeddings
     * (posexplode → grouped avg → re-assemble ordered). Exact decimal
-    * accumulation for cross-engine determinism.
+    * accumulation for cross-engine determinism — the shared
+    * [[VectorAgg.meanVectors]] kernel (value-identical: rounding the
+    * per-component double before vs after reassembly is the same
+    * operation on the same number).
     */
   def centroids(vectors: DataFrame, groupCol: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    vectors
-      .select(col(groupCol).as("grp"),
-        posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy(col("grp"), col("pos"))
-      .agg((sum(col("v").cast("double").cast("decimal(28,9)")).cast("double") /
-        count(lit(1))).as("c"))
-      .groupBy(col("grp"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-        s => round(s.getField("c"), 6)).as("centroid"))
+    VectorAgg.meanVectors(vectors, col(groupCol), col(vecCol))
+      .select(col("grp"), col("mean_vec").as("centroid"))
 }

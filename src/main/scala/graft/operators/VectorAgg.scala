@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -127,13 +127,27 @@ object VectorAgg {
     * streaming-scale pooling variant where bit-parity isn't needed. */
   private def exactMeanVectors(chunks: DataFrame, idCol: String,
       vecCol: String): DataFrame =
-    chunks
-      .select(col(idCol).cast("string").as("vec_id"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
-      .groupBy(col("vec_id"), col("pos"))
+    meanVectors(chunks, col(idCol).cast("string"), col(vecCol))
+      .select(col("grp").as("vec_id"), col("mean_vec"))
+
+  /** The shared exact-mean kernel behind [[exactMeanVectors]] and
+    * [[SimilaritySearch.centroids]] — previously two near-identical
+    * posexplode → decimal-sum → array_sort reassembly pipelines whose
+    * rounding could drift apart under maintenance. Each component is
+    * round(exact DECIMAL sum / count, 6): order-free, so the map-side
+    * partial aggregation cannot change a value, and bit-reproducible
+    * cross-engine (the q21/q30 oracle discipline). Returns
+    * (grp, mean_vec ARRAY<DOUBLE>); the caller names/casts the group
+    * key. */
+  private[operators] def meanVectors(vectors: DataFrame, grp: Column,
+      vecCol: Column): DataFrame =
+    vectors
+      .select(grp.as("grp"),
+        posexplode(vecCol.cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("grp"), col("pos"))
       .agg(round(sum(col("v").cast("decimal(28,9)")).cast("double")
         / count(lit(1)), 6).as("mv"))
-      .groupBy(col("vec_id"))
+      .groupBy(col("grp"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
         s => s.getField("mv")).as("mean_vec"))
 

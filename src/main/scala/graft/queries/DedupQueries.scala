@@ -103,9 +103,9 @@ object DedupQueries {
       |          for i in generate_series(0, length(h) - 4)] END) AS fp
       |  FROM hs),
       |ex AS (SELECT doc_id, unnest(fp) AS f FROM fps),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
       |keep AS (SELECT f FROM ex GROUP BY f HAVING count(*) <= 1000),
       |exk AS (SELECT doc_id, f FROM ex JOIN keep USING (f)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM exk GROUP BY doc_id),
       |pairs AS (
       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS shared
       |  FROM exk x JOIN exk y ON x.f = y.f AND x.doc_id < y.doc_id

@@ -187,6 +187,28 @@ class DedupSpec extends SparkSpec {
     assert(got(1).getSeq[Long](1).length === 8)
   }
 
+  test("winnowing cull removes boilerplate from numerator AND denominator") {
+    // two identical content docs whose text also carries a corpus-wide
+    // boilerplate sentence (df above maxDf): with a pre-cull
+    // denominator their containment was the fraction of their text
+    // that ISN'T chrome (< 1); the culled-index rule scores them 1.0
+    val chrome = "subscribe to our newsletter accept all cookies terms of service apply"
+    val content = "the migratory patterns of arctic terns span both polar regions yearly"
+    val twins = Seq(
+      (1L, content + " " + chrome),
+      (2L, content + " " + chrome))
+    val crowd = (10L until 16L).map(i =>
+      (i, s"filler document number $i mentioning nothing shared " + chrome))
+    val docs3 = (twins ++ crowd).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedOverlapPairs(docs3, "doc_id", "text",
+        shingleK = 3, window = 4, minContainment = 0.5, maxDf = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("containment"))).toMap
+    assert(pairs.contains((1L, 2L)), s"identical twins must pair: $pairs")
+    assert(pairs((1L, 2L)) === 1.0,
+      s"culled-index containment of identical docs is 1.0, got ${pairs((1L, 2L))}")
+  }
+
   test("winnowing detects containment that whole-doc Jaccard misses") {
     val contained = "pack my box with five dozen liquor jugs before the long summer night ends"
     val container = "completely unrelated preamble text goes here first and then " +
