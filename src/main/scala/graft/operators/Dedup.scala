@@ -649,7 +649,10 @@ object Dedup {
     * signature is the sign of Σ_tokens (±1 by bit j of xxhash64(tok)).
     * One zero-shuffle projection via the native SimHash64 expression
     * (identical signatures to the explode + 64-conditional-sums
-    * aggregate formulation it replaced — same xxhash64 seed).
+    * aggregate formulation it replaced — same xxhash64 seed; an empty
+    * token set yields a NULL signature, matching the row the groupBy
+    * formulation never emitted — not the 0L that would band every
+    * empty document together).
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     Par.ensureWide(docs)
@@ -677,8 +680,12 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     require(maxHamming <= 3, "4 x 16-bit bands guarantee recall only to hamming 3")
-    // cached: consumed by the banding and both verify-side joins
-    val sigs = graft.CacheScope.track(simhashSignatures(docs, idCol, textCol))
+    // cached: consumed by the banding and both verify-side joins.
+    // Null signatures (empty token sets — SimHash64 nulls them like
+    // the aggregate formulation dropped them) leave the pair space
+    // here, exactly as in the portable twin.
+    val sigs = graft.CacheScope.track(
+      simhashSignatures(docs, idCol, textCol).filter(col("sig").isNotNull))
     val banded = sigs.select(col("id"),
       posexplode(array((0 until 4).map(k =>
         shiftrightunsigned(col("sig"), k * 16).bitwiseAND(lit(0xFFFFL))): _*)

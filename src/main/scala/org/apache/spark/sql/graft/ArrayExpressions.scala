@@ -31,11 +31,17 @@ case class SortedArrayIntersectCount(left: Expression, right: Expression)
   // The TypeCollection admits each side independently; the merge
   // comparator is chosen from the LEFT element type, so a mixed
   // array<string> vs array<long> call must be rejected here, not read
-  // with the wrong accessor at runtime.
+  // with the wrong accessor at runtime. Compare ELEMENT types only:
+  // full-dataType equality also compared containsNull, spuriously
+  // rejecting e.g. a natively computed containsNull=false signature
+  // against the same signatures read back from parquet (which always
+  // come back containsNull=true) — the persist-and-compare workflow
+  // this expression exists for.
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val base = super.checkInputDataTypes()
+    def elem(e: Expression) = e.dataType.asInstanceOf[ArrayType].elementType
     if (base.isFailure) base
-    else if (left.dataType != right.dataType)
+    else if (elem(left) != elem(right))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"both inputs must share one element type, got " +
           s"${left.dataType.simpleString} vs ${right.dataType.simpleString}")
@@ -182,13 +188,5 @@ object ArrayExpressions {
     ExpressionUtils.column(WinnowedMinHashes(
       ExpressionUtils.expression(hs), window))
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sorted_intersect_count",
-      exprs => SortedArrayIntersectCount(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_winnow_mins",
-      exprs => WinnowedMinHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
-  }
+  // SQL registration: GraftFunctions.all (the single inventory)
 }

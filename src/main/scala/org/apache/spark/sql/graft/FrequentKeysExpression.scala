@@ -47,11 +47,22 @@ case class FrequentKeys(
 
   override def createAggregationBuffer(): Buf = new Buf()
 
+  // Copy unsafe-backed strings out of the reused input row only when
+  // the key is actually INSERTED into the buffer (UTF8String equality
+  // is content-based, so the containsKey lookup and the decrement path
+  // read the original backing safely) — the steady state for a skewed
+  // stream is an increment of an already-tracked key, which now
+  // allocates nothing.
+  private def own(key: Any): Any = key match {
+    case u: UTF8String => u.clone()
+    case other => other
+  }
+
   /** Classic MG step: increment if tracked, insert if room, else
     * decrement every counter (dropping zeros). */
   private def offer(buf: Buf, key: Any, by: Long): Unit = {
     if (buf.containsKey(key)) buf.put(key, buf.get(key) + by)
-    else if (buf.size < k) buf.put(key, by)
+    else if (buf.size < k) buf.put(own(key), by)
     else {
       // decrement all by min(by, smallest counter) batches; simple
       // loop is fine because by is 1 in update and bounded in merge
@@ -69,19 +80,13 @@ case class FrequentKeys(
         }
         remaining -= dec
       }
-      if (remaining > 0) buf.put(key, remaining)
+      if (remaining > 0) buf.put(own(key), remaining)
     }
   }
 
   override def update(buf: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)
-    if (v != null) {
-      val key = v match {
-        case u: UTF8String => u.clone()
-        case other => other
-      }
-      offer(buf, key, 1L)
-    }
+    if (v != null) offer(buf, v, 1L)
     buf
   }
 
@@ -161,10 +166,5 @@ object FrequentKeysExpression {
     ExpressionUtils.column(FrequentKeys(
       ExpressionUtils.expression(key), k).toAggregateExpression())
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_frequent_keys",
-      exprs => FrequentKeys(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(),
-      "built-in")
+  // SQL registration: GraftFunctions.all (the single inventory)
 }

@@ -39,6 +39,8 @@ object GraftFunctions {
       WinnowedMinHashes(exprs(0), litInt(exprs(1)))),
     "graft_simhash64" -> ((exprs: Seq[Expression]) =>
       SimHash64(exprs.head)),
+    "graft_md5_simhash" -> ((exprs: Seq[Expression]) =>
+      Md5SimHash60(exprs.head)),
     "graft_minhash" -> ((exprs: Seq[Expression]) =>
       MinHashSignature(exprs(0), litInt(exprs(1)))),
     "graft_md5_minhash" -> ((exprs: Seq[Expression]) =>

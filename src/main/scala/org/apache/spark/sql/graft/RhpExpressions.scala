@@ -114,19 +114,27 @@ object RhpKernels {
   /** The centered md5-60 plane component for (t, p, d) — exactly the
     * relational `(conv(substring(md5('t:p:d'), 1, 15), 16, 10)::LONG
     * − 2⁵⁹)::DOUBLE / 2⁵⁹` (long→double is the one IEEE rounding both
-    * engines share; the division is an exponent shift, bit-exact). */
+    * engines share; the division is an exponent shift, bit-exact).
+    * The first 15 hex chars are read straight off the digest bytes
+    * (bytes 0..6, then byte 7's high nibble — the Md5SimHashKernel
+    * derivation, value-identical to hex-format + parseLong): the
+    * matrix is numTables·numPlanes·vecDim components, so at 768-dim
+    * the old per-component getInstance + "%02x" string build was
+    * millions of allocations of driver stall before the job started. */
   def planeComponent(t: Int, p: Int, d: Int): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$t:$p:$d".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val md = Md5Digest.get()
+    val dig = md.digest(s"$t:$p:$d".getBytes("UTF-8"))
+    var h = 0L
+    var b = 0
+    while (b < 7) { h = (h << 8) | (dig(b) & 0xFFL); b += 1 }
+    h = (h << 4) | ((dig(7) >> 4) & 0xFL)
     (h - (1L << 59)).toDouble / 576460752303423488.0
   }
 
   /** All (numTables·numPlanes) plane vectors for `vecDim` dims —
-    * driver-computed once (3k md5s) and shipped as a reference
-    * object; the round-5 formulation materialized the same relation
-    * with a range + md5 projection and broadcast it. */
+    * driver-computed once (tables·planes·dim md5s) and shipped as a
+    * reference object; the round-5 formulation materialized the same
+    * relation with a range + md5 projection and broadcast it. */
   def planeMatrix(numTables: Int, numPlanes: Int,
       vecDim: Int): Array[Array[Double]] =
     Array.tabulate(numTables * numPlanes) { tp =>
@@ -144,6 +152,23 @@ case class RhpDecimalBuckets(child: Expression,
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // Case-class equality on an Array field is REFERENCE equality, which
+  // breaks semanticEquals/canonicalization: two expressions built from
+  // separately computed (identical) plane matrices would never compare
+  // equal, defeating common-subexpression reuse. Compare deep contents.
+  override def equals(other: Any): Boolean = other match {
+    case RhpDecimalBuckets(c, p, np) =>
+      c == child && np == numPlanes &&
+        java.util.Arrays.deepEquals(
+          p.asInstanceOf[Array[AnyRef]], planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child,
+      Integer.valueOf(java.util.Arrays.deepHashCode(
+        planes.asInstanceOf[Array[AnyRef]])),
+      Integer.valueOf(numPlanes))
 
   override def nullSafeEval(v: Any): Any =
     RhpKernels.buckets(v.asInstanceOf[ArrayData], planes, numPlanes)

@@ -195,6 +195,19 @@ case class RandomHyperplaneSignature(child: Expression, numPlanes: Int,
   * — this kernel replaces all of it with primitive loops on the raw
   * digest bytes (no hex string ever materializes).
   */
+/** Per-thread reusable MD5 instance for the portable-hash kernels:
+  * `MessageDigest.getInstance` performs a JCA provider lookup plus an
+  * allocation, which the per-row eval loops were paying once per
+  * document/shingle-set. `digest()` resets the instance after each
+  * use, so reuse is safe. */
+private[graft] object Md5Digest {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def get(): java.security.MessageDigest = tl.get()
+}
+
 object Md5MinHashKernel {
   private def be56(d: Array[Byte], off: Int): Long = {
     var v = 0L
@@ -205,31 +218,42 @@ object Md5MinHashKernel {
 
   /** null on empty input (mirrors [[MinHashSignature]]; unreachable
     * through TextFunctions.shingles, which never emits an empty
-    * array). */
+    * array). NULL ELEMENTS are skipped — the faithful reading of the
+    * relational twin, where md5(NULL) is NULL and drops out of every
+    * min()/sum() (the xxhash native family instead hashes null as the
+    * seed, Spark's builtin hash semantics; neither crashes). A
+    * shingle array of only nulls is therefore empty → null. */
   def eval(arr: ArrayData, numHashes: Int): InternalRow = {
     val n = arr.numElements()
     if (n == 0) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Digest.get()
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val hsh = new Array[Long](n)
+    var m = 0
     var i = 0
     while (i < n) {
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      val h1 = be56(d, 0)
-      val h2 = be56(d, 7)
-      hsh(i) = (h1 << 4) | ((d(7) >> 4) & 0xFL)
-      var k = 0
-      while (k < numHashes) {
-        val v = h1 + k * h2
-        if (v < sig(k)) sig(k) = v
-        k += 1
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val d = md.digest(s.getBytes)
+        val h1 = be56(d, 0)
+        val h2 = be56(d, 7)
+        hsh(m) = (h1 << 4) | ((d(7) >> 4) & 0xFL)
+        m += 1
+        var k = 0
+        while (k < numHashes) {
+          val v = h1 + k * h2
+          if (v < sig(k)) sig(k) = v
+          k += 1
+        }
       }
       i += 1
     }
-    java.util.Arrays.sort(hsh)
+    if (m == 0) return null
+    val hs = if (m == n) hsh else java.util.Arrays.copyOf(hsh, m)
+    java.util.Arrays.sort(hs)
     new GenericInternalRow(Array[Any](
       UnsafeArrayData.fromPrimitiveArray(sig),
-      UnsafeArrayData.fromPrimitiveArray(hsh)))
+      UnsafeArrayData.fromPrimitiveArray(hs)))
   }
 }
 
@@ -282,21 +306,9 @@ object SignatureExpressions {
     ExpressionUtils.column(RandomHyperplaneSignature(
       ExpressionUtils.expression(vec), numPlanes, table))
 
-  private def litInt(e: Expression): Int =
-    e.eval().asInstanceOf[Number].intValue()
-
-  /** Register `graft_minhash` / `graft_rhp_sig` for SQL use
-    * (trailing arguments must be integer literals). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash",
-      exprs => MinHashSignature(exprs(0), litInt(exprs(1))), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rhp_sig",
-      exprs => RandomHyperplaneSignature(exprs(0), litInt(exprs(1)),
-        litInt(exprs(2))), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_md5_minhash",
-      exprs => Md5MinHashes(exprs(0), litInt(exprs(1))), "built-in")
-  }
+  // SQL registration lives in GraftFunctions.all — the ONE inventory
+  // both registration paths (GraftSql.registerAll, GraftExtensions)
+  // read. Per-file register() methods re-declared the builders and
+  // had already drifted (this one lacked graft_decimal_dot's family);
+  // they are gone.
 }

@@ -20,15 +20,25 @@ case class SimHash64(child: Expression) extends UnaryExpression
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
+  // empty token set → null, so callers drop the row exactly like the
+  // explode+groupBy aggregate formulation dropped it: every acc is 0
+  // on empty input, and emitting signature 0L instead would band all
+  // empty documents together as hamming-0 "near-dups" of each other
+  // (the [[Md5SimHash60]] / [[MinHashSignature]] siblings already
+  // return null here)
+  override def nullable: Boolean = true
 
   private def hashToken(s: Any): Long =
     XxHash64Function.hash(s, StringType, 42L)
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) return null
     val acc = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
+      // a null token hashes as the seed — Spark's builtin hash
+      // semantics, identical to the xxhash64 aggregate formulation
       val h = hashToken(arr.getUTF8String(i))
       var j = 0
       while (j < 64) {
@@ -53,19 +63,23 @@ case class SimHash64(child: Expression) extends UnaryExpression
       val h = ctx.freshName("h")
       val sig = ctx.freshName("sig")
       s"""
-        int[] $acc = new int[64];
-        for (int $i = 0; $i < $arr.numElements(); $i++) {
-          long $h = org.apache.spark.sql.catalyst.expressions.XxHash64Function$$.MODULE$$
-            .hash($arr.getUTF8String($i), $stringType, 42L);
-          for (int $j = 0; $j < 64; $j++) {
-            if ((($h >>> $j) & 1L) == 1L) $acc[$j]++; else $acc[$j]--;
+        if ($arr.numElements() == 0) {
+          ${ev.isNull} = true;
+        } else {
+          int[] $acc = new int[64];
+          for (int $i = 0; $i < $arr.numElements(); $i++) {
+            long $h = org.apache.spark.sql.catalyst.expressions.XxHash64Function$$.MODULE$$
+              .hash($arr.getUTF8String($i), $stringType, 42L);
+            for (int $j = 0; $j < 64; $j++) {
+              if ((($h >>> $j) & 1L) == 1L) $acc[$j]++; else $acc[$j]--;
+            }
           }
+          long $sig = 0L;
+          for (int $j = 0; $j < 64; $j++) {
+            if ($acc[$j] > 0) $sig |= (1L << $j);
+          }
+          ${ev.value} = $sig;
         }
-        long $sig = 0L;
-        for (int $j = 0; $j < 64; $j++) {
-          if ($acc[$j] > 0) $sig |= (1L << $j);
-        }
-        ${ev.value} = $sig;
       """
     })
 
@@ -117,28 +131,36 @@ case class Md5SimHash60(child: Expression) extends UnaryExpression
 }
 
 object Md5SimHashKernel {
-  /** null on empty (the aggregate formulation emitted no row). */
+  /** null on empty (the aggregate formulation emitted no row). Null
+    * tokens are SKIPPED — md5(NULL) is NULL in the relational twin and
+    * its per-bit ±1 sums ignore nulls; all-null therefore ≡ empty. */
   def sign(arr: ArrayData): java.lang.Long = {
     val n = arr.numElements()
     if (n == 0) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Digest.get()
     val acc = new Array[Int](60)
+    var m = 0
     var i = 0
     while (i < n) {
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      // first 60 bits = hex chars 1-15: bytes 0..6 then byte 7's high
-      // nibble (same derivation as Md5MinHashKernel.hsh)
-      var h = 0L
-      var b = 0
-      while (b < 7) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
-      h = (h << 4) | ((d(7) >> 4) & 0xFL)
-      var j = 0
-      while (j < 60) {
-        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
-        j += 1
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val d = md.digest(s.getBytes)
+        // first 60 bits = hex chars 1-15: bytes 0..6 then byte 7's high
+        // nibble (same derivation as Md5MinHashKernel.hsh)
+        var h = 0L
+        var b = 0
+        while (b < 7) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+        h = (h << 4) | ((d(7) >> 4) & 0xFL)
+        m += 1
+        var j = 0
+        while (j < 60) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }
+    if (m == 0) return null
     var sig = 0L
     var j = 0
     while (j < 60) { if (acc(j) >= 0) sig |= (1L << j); j += 1 }
@@ -155,7 +177,7 @@ object SimHashExpression {
   def md5SimHash60(tokens: Column): Column =
     ExpressionUtils.column(Md5SimHash60(ExpressionUtils.expression(tokens)))
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash64", exprs => SimHash64(exprs.head), "built-in")
+  // SQL registration: GraftFunctions.all (the single inventory; the
+  // per-file register here had already drifted — it omitted
+  // graft_md5_simhash entirely)
 }

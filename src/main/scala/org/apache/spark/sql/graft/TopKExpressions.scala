@@ -60,9 +60,19 @@ case class TopKByScore(
 
   override def createAggregationBuffer(): Buffer = new Buffer(k)
 
+  // Copy unsafe-backed strings out of the reused input row — called
+  // only at the WRITE sites inside insert, so the steady-state row
+  // (buffer full, candidate loses to the current worst — k of
+  // millions per group) allocates nothing; comparisons read the
+  // original backing, which is valid for the duration of the call.
+  private def own(i: Any): Any = i match {
+    case u: UTF8String => u.clone()
+    case other => other
+  }
+
   private def insert(buf: Buffer, s: Double, i: Any): Unit = {
     if (buf.n < k) {
-      buf.scores(buf.n) = s; buf.ids(buf.n) = i; buf.n += 1
+      buf.scores(buf.n) = s; buf.ids(buf.n) = own(i); buf.n += 1
     } else {
       // find current worst; replace if the candidate beats it
       var worst = 0
@@ -73,7 +83,7 @@ case class TopKByScore(
         j += 1
       }
       if (better(s, i, buf.scores(worst), buf.ids(worst))) {
-        buf.scores(worst) = s; buf.ids(worst) = i
+        buf.scores(worst) = s; buf.ids(worst) = own(i)
       }
     }
   }
@@ -81,14 +91,7 @@ case class TopKByScore(
   override def update(buf: Buffer, input: InternalRow): Buffer = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) {
-      // copy unsafe-backed strings out of the reused input row
-      val iv = i match {
-        case u: UTF8String => u.clone()
-        case other => other
-      }
-      insert(buf, s.asInstanceOf[Double], iv)
-    }
+    if (s != null && i != null) insert(buf, s.asInstanceOf[Double], i)
     buf
   }
 
@@ -180,8 +183,18 @@ case class BoundedSortedCollect(
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def nullable: Boolean = false
+  // inner containsNull tracks the CHILD's arrays: ExpectsInputTypes
+  // admits ARRAY<DOUBLE> with null elements, and claiming
+  // containsNull=false for them would both corrupt the serialize path
+  // (getDouble on a null slot) and lie to downstream codegen, which
+  // then skips null checks — collected arrays pass through verbatim,
+  // so the output nullability is exactly the input's
+  private lazy val innerContainsNull: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
   override def dataType: DataType =
-    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+    ArrayType(ArrayType(DoubleType, innerContainsNull), containsNull = false)
 
   // array_sort's exact comparator
   private lazy val ord =
@@ -217,14 +230,29 @@ case class BoundedSortedCollect(
   override def eval(buf: ArrayBuffer[ArrayData]): Any =
     new GenericArrayData(buf.toArray[Any])
 
+  // Null elements ride the shuffle as a flag byte per slot (they must
+  // round-trip: the pinned slice(array_sort(collect_list(v))) keeps
+  // them, sorted first by the array ordering). The all-non-null array
+  // — the overwhelmingly common case — skips the flags entirely and
+  // keeps the compact primitive encoding.
   override def serialize(buf: ArrayBuffer[ArrayData]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.length)
     buf.foreach { a =>
-      out.writeInt(a.numElements())
+      val n = a.numElements()
+      var hasNull = false
       var i = 0
-      while (i < a.numElements()) { out.writeDouble(a.getDouble(i)); i += 1 }
+      while (i < n && !hasNull) { hasNull = a.isNullAt(i); i += 1 }
+      out.writeInt(if (hasNull) -n - 1 else n)
+      i = 0
+      while (i < n) {
+        if (hasNull) {
+          out.writeBoolean(a.isNullAt(i))
+          if (!a.isNullAt(i)) out.writeDouble(a.getDouble(i))
+        } else out.writeDouble(a.getDouble(i))
+        i += 1
+      }
     }
     out.flush(); bos.toByteArray
   }
@@ -235,11 +263,23 @@ case class BoundedSortedCollect(
     val buf = new ArrayBuffer[ArrayData](math.max(n, 1))
     var j = 0
     while (j < n) {
-      val len = in.readInt()
-      val arr = new Array[Double](len)
-      var i = 0
-      while (i < len) { arr(i) = in.readDouble(); i += 1 }
-      buf += UnsafeArrayData.fromPrimitiveArray(arr)
+      val tag = in.readInt()
+      if (tag >= 0) {
+        val arr = new Array[Double](tag)
+        var i = 0
+        while (i < tag) { arr(i) = in.readDouble(); i += 1 }
+        buf += UnsafeArrayData.fromPrimitiveArray(arr)
+      } else {
+        val len = -tag - 1
+        val arr = new Array[Any](len)
+        var i = 0
+        while (i < len) {
+          arr(i) = if (in.readBoolean()) null
+            else java.lang.Double.valueOf(in.readDouble())
+          i += 1
+        }
+        buf += new GenericArrayData(arr)
+      }
       j += 1
     }
     buf
@@ -270,19 +310,5 @@ object TopKExpressions {
     ExpressionUtils.column(BoundedSortedCollect(
       ExpressionUtils.expression(v), max).toAggregateExpression())
 
-  private def litInt(e: Expression): Int =
-    e.eval().asInstanceOf[Number].intValue()
-
-  /** Register `graft_top_k` / `graft_bounded_collect` for SQL use
-    * (the k/max argument must be an integer literal). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_top_k",
-      exprs => TopKByScore(exprs(0), exprs(1), litInt(exprs(2)))
-        .toAggregateExpression(), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bounded_collect",
-      exprs => BoundedSortedCollect(exprs(0), litInt(exprs(1)))
-        .toAggregateExpression(), "built-in")
-  }
+  // SQL registration: GraftFunctions.all (the single inventory)
 }

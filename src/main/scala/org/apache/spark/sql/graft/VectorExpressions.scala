@@ -130,10 +130,5 @@ object VectorExpressions {
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Register `graft_cosine` / `graft_dot` for SQL use. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-  }
+  // SQL registration: GraftFunctions.all (the single inventory)
 }

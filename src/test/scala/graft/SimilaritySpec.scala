@@ -90,7 +90,7 @@ class SimilaritySpec extends SparkSpec {
     val bad = pairs.filter(abs(col("hof") - col("native")) > 1e-12).count()
     assert(bad === 0)
     // SQL registration path
-    VectorExpressions.register(spark)
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
     emb.createOrReplaceTempView("emb_t")
     val viaSql = spark.sql(
       "SELECT max(graft_cosine(a.embedding, b.embedding)) FROM emb_t a JOIN emb_t b ON a.vec_id <> b.vec_id")
