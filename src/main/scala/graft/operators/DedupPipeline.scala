@@ -103,15 +103,28 @@ object DedupPipeline {
     * Returns the admitted subset of `newDocs` (original columns).
     * Equivalence contract (spec-pinned): admitted = the new docs that
     * [[nearDupGroups]] over (corpus ∪ new) elects as survivors of
-    * groups containing no corpus member.
+    * groups containing no corpus member. Ids must be NON-NEGATIVE on
+    * both sides (corpus ids are negated into a disjoint key space);
+    * a negative id raises at runtime rather than corrupting the
+    * component labels silently.
     */
   def admitIncremental(newDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double,
       maxBucketSize: Int = 1000,
       ccCollectThreshold: Long =
         ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
+    // PRECONDITION, enforced per-row at zero happy-path cost: ids
+    // must be non-negative, because corpus ids are negated (-id-1)
+    // into a disjoint key space below. A negative input id would
+    // either collide a corpus doc with a fresh one (poisoning its
+    // component) or make a legitimate new survivor fail the
+    // `component >= 0` admit test and vanish silently.
     val keyedOf = (df: DataFrame) => df.select(
-      col(idCol).cast("long").as("id"),
+      when(col(idCol).cast("long") >= 0, col(idCol).cast("long"))
+        .otherwise(raise_error(concat(
+          lit("admitIncremental requires non-negative ids "),
+          lit("(corpus ids are negated into a disjoint key space); got "),
+          col(idCol).cast("string"))).cast("long")).as("id"),
       bucketKey(col(textCol)).as("bkey"),
       graft.functions.TextFunctions.fingerprint(col(textCol)).as("fp"),
       array_sort(tokenSet(normalized(col(textCol)))).as("toks"))

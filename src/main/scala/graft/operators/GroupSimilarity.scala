@@ -157,14 +157,14 @@ object GroupSimilarity {
     val capped = graft.CacheScope.track(
       cappedMembers(members, groupCol, idCol, vecCol, pad))
     // group centroids: element-wise mean (normalization is irrelevant
-    // to the cosine ranking that consumes them)
-    val cent = capped
-      .select(col("gid"), posexplode(col("vec")).as(Seq("pos", "v")))
-      .groupBy(col("gid"), col("pos"))
-      .agg((sum(col("v")) / count(lit(1))).as("cv"))
-      .groupBy(col("gid"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        s => s.getField("cv")).as("cvec"))
+    // to the cosine ranking that consumes them). The shared
+    // exact-decimal kernel, NOT a float sum(v)/count: an unordered
+    // double sum varies with partition/merge order, and a centroid
+    // bit-difference can flip a rounded cosine at the recallK
+    // boundary — the determinism discipline everything else in this
+    // file already follows.
+    val cent = VectorAgg.meanVectors(capped, col("gid"), col("vec"))
+      .select(col("grp").as("gid"), col("mean_vec").as("cvec"))
     val recall = SimilaritySearch.cosineTopK(
         cent, cent.filter(anchorPred), recallK, idCol = "gid", vecCol = "cvec")
       .select(col("anchor_id").as("a_gid"), col("neighbor_id").as("b_gid"))

@@ -36,7 +36,13 @@ object TextRank {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
-    tf.join(broadcast(df), "term")
+    // NO broadcast hint on df: it has one row per distinct corpus
+    // term, which at web scale is 10⁸⁺ rows — a forced broadcast
+    // collects the whole vocabulary to the driver (8 GB hard limit /
+    // OOM). A plain equi-join on term lets AQE broadcast when the
+    // vocabulary actually is small; bm25's dfreq is the legitimately
+    // tiny (query-bounded) case and keeps its hint.
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("idf", round(log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0, 6))
       .withColumn("weight",

@@ -52,33 +52,67 @@ object EventStreams {
 
   /** Stateful gap-based sessionization (30-min inactivity closes a
     * session) — emits completed sessions; the streaming twin of
-    * q26_sessionize. */
-  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    * q26_sessionize.
+    *
+    * Out-of-order events (possible across micro-batches — the
+    * in-batch sort only orders within one batch): an event inside the
+    * open session's gap-reach extends the span on BOTH ends
+    * (start = min, end = max — a regressing `lastTs = t` would emit
+    * sessions with end < start and split what the batch twin merges);
+    * an event older than start − gap belongs to an already-emitted
+    * window and is emitted as its own late singleton session, the
+    * standard late-data caveat.
+    *
+    * State is BOUNDED: EventTimeTimeout + the input watermark close
+    * and emit an idle session once the watermark passes lastTs + gap,
+    * then free the key's state — with NoTimeout every user ever seen
+    * held state forever and a user who stopped sending never had
+    * their final session emitted. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     val gapMs = 30L * 60 * 1000
     events.selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", watermarkDelay)
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          for (e <- sorted) {
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.lastTs <= gapMs =>
-                cur = Some(s.copy(lastTs = t, n = s.n + 1))
-              case Some(s) =>
-                out += SessionOut(userId, s.sessionStart, s.lastTs, s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.sessionStart, s.lastTs, s.n))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs && s.sessionStart - t <= gapMs =>
+                  cur = Some(SessionState(math.min(s.sessionStart, t),
+                    math.max(s.lastTs, t), s.n + 1))
+                case Some(s) if t - s.lastTs > gapMs =>
+                  out += SessionOut(userId, s.sessionStart, s.lastTs, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case Some(_) =>
+                  // older than the open session's reach: its batch
+                  // session was already emitted — late singleton
+                  out += SessionOut(userId, t, t, 1)
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // fire once the watermark passes the gap after the last
+              // event; never in the watermark's past (the API rejects)
+              state.setTimeoutTimestamp(math.max(s.lastTs + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }.toDF()
   }
 
@@ -97,7 +131,10 @@ object EventStreams {
     * (build-before-probe, max event id survives a ts tie). Cross-batch
     * late build rows are the streaming caveat: a build event arriving
     * after a later probe was already emitted cannot retro-enrich it —
-    * the same contract as any stream-state join. */
+    * the same contract as any stream-state join — and it must not
+    * REGRESS the state either: the stored build only advances on
+    * (ts, id), so a late out-of-order build can never corrupt the
+    * enrichment of FUTURE probes (an unconditional overwrite did). */
   def asOfEnrich(spark: SparkSession, events: DataFrame,
       buildType: String, probeType: String): DataFrame = {
     import spark.implicits._
@@ -113,9 +150,12 @@ object EventStreams {
           var cur = state.getOption
           val out = scala.collection.mutable.ArrayBuffer.empty[Enriched]
           for (e <- sorted) {
-            if (e.event_type == buildType)
-              cur = Some(BuildState(e.ts.getTime, e.event_id, e.value))
-            else out += Enriched(e.event_id, userId, e.ts.getTime,
+            if (e.event_type == buildType) {
+              val t = e.ts.getTime
+              if (cur.forall(c =>
+                  t > c.ts_ms || (t == c.ts_ms && e.event_id >= c.id)))
+                cur = Some(BuildState(t, e.event_id, e.value))
+            } else out += Enriched(e.event_id, userId, e.ts.getTime,
               cur.map(_.ts_ms), cur.map(_.id), cur.map(_.value))
           }
           cur.foreach(state.update)
@@ -135,6 +175,11 @@ object EventStreams {
       .withColumn("fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
+      // the working column stays internal: the batch twin
+      // (Dedup.dropExactDups) returns the original columns, and a
+      // schema-sensitive sink (parquet append, unionByName with batch
+      // output) must see the same shape from either path
+      .drop("fp")
 
   /** Streaming deterministic-sampling twin — [[graft.operators
     * .Sampling.keep]] is a pure per-row predicate (md5 threshold), so
@@ -148,14 +193,32 @@ object EventStreams {
   /** Streaming decontamination twin — the benchmark gram index is
     * STATIC (built once via [[graft.operators.Decontamination
     * .benchIndex]]), so flagging a continuous ingest feed is a
-    * stream-static equi-join + one stateful per-doc count. No
+    * stream-static equi-join + ONE windowed per-doc count, state
+    * bounded by the watermark (the lmScoredStream discipline). No
     * stream-stream join: the doc's total gram count rides alongside
     * the exploded grams instead of re-joining the stream side.
+    * (Delegating to the batch `flagWithIndex` was wrong on a stream:
+    * its non-windowed groupBy(doc_id) is rejected outright in Append
+    * mode and accumulates one state row per contaminated doc forever
+    * in Update mode.)
     */
   def contaminatedStream(docs: DataFrame, benchGrams: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame =
-    graft.operators.Decontamination.flagWithIndex(
-      docs, benchGrams, idCol, textCol, n)
+      idCol: String, textCol: String, tsCol: String, n: Int,
+      watermarkDelay: String = "10 minutes",
+      windowLen: String = "10 minutes"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(tsCol).as("__ts"),
+        graft.operators.Decontamination.gramHashes(col(textCol), n).as("grams"))
+      .select(col("doc_id"), col("__ts"),
+        size(col("grams")).cast("long").as("n_grams"),
+        explode(col("grams")).as("g"))
+      .withWatermark("__ts", watermarkDelay)
+      .join(benchGrams, "g")
+      .groupBy(window(col("__ts"), windowLen), col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"), col("n_grams"),
+        round(col("n_hits").cast("double") / col("n_grams").cast("double"), 6)
+          .as("contamination"))
 
   /** Streaming PII-scrub twin — [[graft.functions.TextFunctions
     * .piiRedact]] is a pure per-row projection, so the SAME
@@ -244,9 +307,15 @@ object EventStreams {
   }
 
   /** Drive a streaming DataFrame synchronously into a memory table
-    * (test/smoke harness — processes everything currently available). */
+    * (test/smoke harness — processes everything currently available).
+    * The mode is REQUIRED, not defaulted: the
+    * flatMapGroupsWithState(Append) operators in this file reject
+    * anything but Append at start(), while the windowed-aggregation
+    * twins need Update to surface windows the watermark has not
+    * closed — a default silently fit only half the module and threw
+    * AnalysisException for the other half. */
   def runToMemory(df: DataFrame, name: String,
-      mode: OutputMode = OutputMode.Update()): StreamingQuery = {
+      mode: OutputMode): StreamingQuery = {
     val q = df.writeStream
       .outputMode(mode)
       .format("memory").queryName(name)

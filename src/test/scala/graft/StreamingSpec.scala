@@ -12,7 +12,8 @@ class StreamingSpec extends SparkSpec {
 
     val stream = EventStreams.readEventStream(spark, dir)
     assert(stream.isStreaming)
-    EventStreams.runToMemory(EventStreams.windowedCounts(stream), "win_out")
+    EventStreams.runToMemory(EventStreams.windowedCounts(stream), "win_out",
+      org.apache.spark.sql.streaming.OutputMode.Update())
 
     val got = spark.table("win_out")
       .select(sum("n_events")).collect()(0).getLong(0)
@@ -30,7 +31,7 @@ class StreamingSpec extends SparkSpec {
     val stream = EventStreams.readEventStream(spark, dir)
     EventStreams.runToMemory(
       EventStreams.windowedCounts(stream, "10 minutes", Some("5 minutes")),
-      "slide_out")
+      "slide_out", org.apache.spark.sql.streaming.OutputMode.Update())
     val batch = QueryCatalog.byName("q35_sliding_window")
       .run(spark, "/root/testdata/sf0.001")
     assert(spark.table("slide_out").count() === batch.count())
@@ -60,7 +61,12 @@ class StreamingSpec extends SparkSpec {
       org.apache.spark.sql.streaming.OutputMode.Append())
     val got = spark.table("dedup_out")
     assert(got.count() === 3) // 4 docs − 1 dup
-    val streamFps = got.select("fp").as[String].collect().toSet
+    // schema parity with the batch twin: the internal fp working
+    // column must NOT leak into the output
+    assert(got.columns.toSeq === docs.columns.toSeq)
+    val streamFps = got
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .as[String].collect().toSet
     val batchFps = graft.operators.Dedup.dropExactDups(docs, "doc_id", "text")
       .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
       .as[String].collect().toSet
@@ -75,14 +81,37 @@ class StreamingSpec extends SparkSpec {
     EventStreams.runToMemory(
       EventStreams.sessionize(spark, stream), "sess_out",
       org.apache.spark.sql.streaming.OutputMode.Append())
-    // completed (non-final) sessions = batch session count − one open
-    // session per user
-    val batch = QueryCatalog.byName("q26_sessionize")
-      .run(spark, "/root/testdata/sf0.001")
-    val totalSessions = batch.groupBy("user_id")
-      .agg(max("session_id").as("n")).agg(sum("n")).collect()(0).getLong(0)
-    val users = batch.select("user_id").distinct().count()
-    assert(spark.table("sess_out").count() === totalSessions - users)
+    // batch truth: per-user sessions as (user, start_ms, end_ms, n)
+    import spark.implicits._
+    val events = graft.Tables(spark, "/root/testdata/sf0.001").events
+      .select(col("user_id"), unix_millis(col("ts")).as("t"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val gapMs = 30L * 60 * 1000
+    val batchSessions = events.flatMap { case (u, rows) =>
+      val ts = rows.map(_._2).sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var start = ts.head; var last = ts.head; var n = 1L
+      for (t <- ts.tail) {
+        if (t - last <= gapMs) { last = t; n += 1 }
+        else { out += ((u, start, last, n)); start = t; last = t; n = 1 }
+      }
+      out += ((u, start, last, n))
+      out
+    }.toSet
+    val users = events.size.toLong
+    val emitted = spark.table("sess_out")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // every emitted session is a true batch session (the gap-closed
+    // ones always; EventTimeTimeout may also close idle final
+    // sessions once the watermark passes), and at most one session
+    // per user (the open one) may be missing
+    assert(emitted.subsetOf(batchSessions),
+      s"phantom sessions: ${emitted -- batchSessions}")
+    assert(emitted.size >= batchSessions.size - users)
+    // gap-closed sessions (all but each user's last) are ALL present
+    val lastPerUser = batchSessions.groupBy(_._1)
+      .map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    assert((batchSessions -- lastPerUser).subsetOf(emitted))
   }
 
   test("streaming as-of enrichment matches the batch AsOfJoin on the same data") {
@@ -134,15 +163,17 @@ class StreamingSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val docs = Seq(
-      (1L, "we saw the quick brown fox jumps high today"),
-      (2L, "nothing in common with anything at all here"),
-      (3L, "the quick brown dog sat still"))
-      .toDF("doc_id", "text")
+      (1L, "we saw the quick brown fox jumps high today", "2024-01-01 00:00:01"),
+      (2L, "nothing in common with anything at all here", "2024-01-01 00:00:02"),
+      (3L, "the quick brown dog sat still", "2024-01-01 00:00:03"))
+      .toDF("doc_id", "text", "ts0")
+      .withColumn("ts", to_timestamp(col("ts0"))).drop("ts0")
     docs.write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema(docs.schema).parquet(dir)
     val benchIdx = graft.operators.Decontamination.benchIndex(bench, "text", 3)
     EventStreams.runToMemory(
-      EventStreams.contaminatedStream(stream, benchIdx, "doc_id", "text", 3),
+      EventStreams.contaminatedStream(stream, benchIdx, "doc_id", "text",
+        "ts", 3),
       "decon_out", org.apache.spark.sql.streaming.OutputMode.Update())
     val got = spark.table("decon_out")
       .select("doc_id", "n_hits", "n_grams", "contamination")
@@ -224,7 +255,7 @@ class StreamingSpec extends SparkSpec {
       spark.read.parquet(dir).schema).parquet(dir)
     EventStreams.runToMemory(
       EventStreams.lmScoredStream(stream, "doc_id", "text", "ts", model),
-      "lm_out")
+      "lm_out", org.apache.spark.sql.streaming.OutputMode.Update())
     val got = spark.table("lm_out")
       .select("doc_id", "n_bigrams", "n_oov", "sum_bits", "avg_bits")
       .as[(Long, Long, Long, Double, Double)].collect()
@@ -254,4 +285,72 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(got === batch)
   }
+  // ---- cross-batch out-of-order regressions (maxFilesPerTrigger=1
+  // turns each json file into its own micro-batch; mtimes pin the
+  // batch order) ----
+
+  private def writeBatchFiles(dir: String, batches: Seq[Seq[String]]): Unit = {
+    batches.zipWithIndex.foreach { case (lines, i) =>
+      val p = java.nio.file.Paths.get(dir, s"batch$i.json")
+      java.nio.file.Files.write(p,
+        lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+  }
+
+  private def ev(id: Long, tMin: Long, user: Long, typ: String,
+      value: Double): String =
+    s"""{"event_id":$id,"ts":"2024-01-01 ${"%02d".format(tMin / 60)}:${"%02d".format(tMin % 60)}:00","user_id":$user,"event_type":"$typ","value":$value,"props":"{}"}"""
+
+  test("asOfEnrich: a cross-batch LATE build event cannot regress state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-late").toString
+    writeBatchFiles(dir, Seq(
+      Seq(ev(10, 100, 1, "purchase", 1.0), ev(11, 200, 1, "click", 0.0)),
+      Seq(ev(12, 50, 1, "purchase", 99.0)),    // late build, older than state
+      Seq(ev(13, 300, 1, "click", 0.0))))      // must still see build 10
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    EventStreams.runToMemory(
+      EventStreams.asOfEnrich(spark, stream, "purchase", "click"),
+      "asof_late_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    import spark.implicits._
+    val got = spark.table("asof_late_out")
+      .select("event_id", "matched_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got(11L) === Some(10L))
+    // with the old unconditional overwrite this was Some(12L) — the
+    // late build corrupted every FUTURE probe, not just past ones
+    assert(got(13L) === Some(10L))
+  }
+
+  test("sessionize: out-of-order events extend, never regress; idle sessions time out") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-late").toString
+    writeBatchFiles(dir, Seq(
+      Seq(ev(1, 0, 1, "click", 0.0), ev(2, 20, 1, "click", 0.0),
+        ev(3, 0, 2, "click", 0.0)),            // u2: single event, then idle
+      Seq(ev(4, 5, 1, "click", 0.0)),          // late, inside the open span
+      Seq(ev(5, 45, 1, "click", 0.0)),         // 45-20=25min < gap: merges
+      Seq(ev(6, 200, 1, "click", 0.0))))       // closes u1's session by gap
+    val stream = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+    EventStreams.runToMemory(
+      EventStreams.sessionize(spark, stream), "sess_late_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    import spark.implicits._
+    val got = spark.table("sess_late_out")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def min2ms(m: Long) = java.sql.Timestamp.valueOf(
+      s"2024-01-01 ${"%02d".format(m / 60)}:${"%02d".format(m % 60)}:00").getTime
+    // u1: one session spanning 0..45 with 4 events. The old
+    // lastTs-regression code emitted (0..5, n=3) and split event 5's
+    // batch twin session in two.
+    assert(got.contains((1L, min2ms(0), min2ms(45), 4L)),
+      s"u1 session wrong: $got")
+    // u2 went idle: EventTimeTimeout must emit the final session once
+    // the watermark passes (NoTimeout never emitted it, state forever)
+    assert(got.contains((2L, min2ms(0), min2ms(0), 1L)),
+      s"u2 idle session not emitted: $got")
+  }
 }
+
