@@ -72,8 +72,11 @@ object Bpe {
   def loadMerges(lines: Iterator[String]): Ranks =
     lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       .zipWithIndex.map { case (l, i) =>
-        val Array(a, b) = l.split(" ", 2)
-        (a, b) -> i
+        l.split(" ", 2) match {
+          case Array(a, b) => (a, b) -> i
+          case _ => throw new IllegalArgumentException(
+            s"malformed merges line ${i + 1}: expected 'left right', got '$l'")
+        }
       }.toMap
 
   def loadMergesFile(path: String): Ranks = {
@@ -112,9 +115,12 @@ object Bpe {
 
   /** Sennrich training loop over an aggregated vocabulary: at each
     * step merge the most frequent adjacent symbol pair (ties broken by
-    * (left, right) lexicographic order so the vocab is deterministic
-    * across runs and engines). Driver-side by design — the vocab is
-    * the AGGREGATED word list, not the corpus. */
+    * (left, right) UTF-8 BINARY order — [[graft.operators.BpeTrain
+    * .ltUtf8]], the comparator Spark itself sorts strings with — so
+    * the vocab really is deterministic across runs AND engines; Java
+    * String order compares UTF-16 code units and disagrees on
+    * supplementary-plane symbols). Driver-side by design — the vocab
+    * is the AGGREGATED word list, not the corpus. */
   def train(vocab: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
     var words: Map[Vector[String], Long] = vocab.groupBy(w => symbols(w._1))
       .map { case (syms, ws) => syms -> ws.map(_._2).sum }
@@ -133,19 +139,19 @@ object Bpe {
       }
       if (pairCounts.isEmpty) exhausted = true
       else {
-        val best = pairCounts.toSeq
-          .minBy { case ((a, b), n) => (-n, a, b) }._1
-        merges += best
-        val merged = best._1 + best._2
+        var best: ((String, String), Long) = null
+        pairCounts.foreach { case (p, n) =>
+          if (best == null || n > best._2 ||
+            (n == best._2 && graft.operators.BpeTrain.ltUtf8(p, best._1)))
+            best = (p, n)
+        }
+        val pair = best._1
+        merges += pair
+        // the one shared greedy-merge kernel (BpeTrain.mergePair) —
+        // two inlined copies had already drifted on the tie-break
         words = words.map { case (syms, n) =>
-          val out = Vector.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
-              out += merged; i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          out.result() -> n
+          graft.operators.BpeTrain.mergePair(syms, pair._1, pair._2)
+            .toVector -> n
         }.groupBy(_._1).map { case (k, vs) => k -> vs.values.sum }
         step += 1
       }
@@ -174,16 +180,25 @@ object Bpe {
 
   /** Per-document BPE token count: (id, bpe_tokens INT). Merges are
     * broadcast; each partition keeps a word→length memo (Zipfian
-    * corpora hit the memo for almost every token). Zero shuffles. */
+    * corpora hit the memo for almost every token). Zero shuffles.
+    * Ids must be NUMERIC: a non-numeric id raises with a pointed
+    * message (the long cast silently nulled it and the primitive
+    * tuple encoder then killed the task with an opaque NPE); a null
+    * id passes through as a null id row. */
   def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ranksB = spark.sparkContext.broadcast(
       merges.zipWithIndex.map { case (p, i) => p -> i }.toMap: Ranks)
-    docs.select(col(idCol).cast("long").as("id"),
+    val idL = col(idCol).cast("long")
+    docs.select(
+        when(col(idCol).isNotNull && idL.isNull,
+          raise_error(concat(lit("encodeCounts requires a numeric id; got "),
+            col(idCol).cast("string"))).cast("long"))
+          .otherwise(idL).as("id"),
         col(textCol).cast("string").as("text"))
-      .as[(Long, String)]
+      .as[(Option[Long], String)]
       .mapPartitions { it =>
         val ranks = ranksB.value
         val memo = scala.collection.mutable.Map.empty[String, Int]

@@ -42,7 +42,7 @@ object BpeTrain {
 
   /** Greedy left-to-right single-pair merge — the textbook BPE inner
     * loop. */
-  private[operators] def mergePair(syms: Seq[String], l: String,
+  private[graft] def mergePair(syms: Seq[String], l: String,
       r: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var i = 0
@@ -79,9 +79,22 @@ object BpeTrain {
       .select(split(col("w"), "").as("syms"), col("freq"))
       .as[(Seq[String], Long)]
       .localCheckpoint(true)
-    if (collectThreshold > 0 && words.count() <= collectThreshold)
-      return learnLocal(spark, words.collect(), numMerges)
+    if (collectThreshold > 0 && words.count() <= collectThreshold) {
+      val vocab = words.collect()
+      words.unpersist()
+      return learnLocal(spark, vocab, numMerges)
+    }
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    // Superseded-checkpoint lifecycle: each lazy localCheckpoint cuts
+    // lineage THROUGH the previous one's blocks, so the old blocks can
+    // only be freed after the next action materializes the new
+    // checkpoint (unpersisting earlier would orphan data no lineage
+    // can rebuild). Without this, numMerges/checkpointEvery full
+    // copies of the word-frequency table pile up in the block manager
+    // for the whole training run — the leak class CacheScope exists
+    // to prevent for persist().
+    var live = words
+    var pending: Option[Dataset[(Seq[String], Long)]] = None
     var rank = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
@@ -96,6 +109,11 @@ object BpeTrain {
         .agg(sum(col("freq")).as("f"))
         .orderBy(col("f").desc, col("l"), col("r"))
         .limit(1).collect()
+      // this action materialized any lazy checkpoint created at the
+      // end of the previous iteration — its predecessor's blocks are
+      // now safely releasable
+      pending.foreach(_.unpersist())
+      pending = None
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1),
@@ -106,11 +124,18 @@ object BpeTrain {
         // lazy checkpoint: the NEXT iteration's pair-count job (or the
         // final action) materializes it; cut lineage before the plan
         // chain deepens enough to re-run every map
-        if ((rank + 1) % checkpointEvery == 0 || rank + 1 == numMerges)
+        if ((rank + 1) % checkpointEvery == 0 || rank + 1 == numMerges) {
           words = words.localCheckpoint(false)
+          pending = Some(live)
+          live = words
+        }
         rank += 1
       }
     }
+    // the merge table lives in the local builder — every word-table
+    // checkpoint is now dead weight
+    pending.foreach(_.unpersist())
+    live.unpersist()
     merges.result()
       .toDF("rank", "left", "right", "freq")
       .orderBy(col("rank"))
@@ -123,7 +148,7 @@ object BpeTrain {
     * order for supplementary-plane symbols vs chars in [U+E000,
     * U+FFFF]; tie-breaking with it would break the result-identical
     * local/distributed guarantee on non-BMP corpora. */
-  private def ltUtf8(a: (String, String), b: (String, String)): Boolean = {
+  private[graft] def ltUtf8(a: (String, String), b: (String, String)): Boolean = {
     def cmp(x: String, y: String): Int = {
       val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)

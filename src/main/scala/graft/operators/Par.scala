@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, BroadcastDistribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan}
 
 /** Parallelism guard for CPU-heavy projections (shingling, hash
   * signatures, PQ encoding). A small corpus arrives as ONE scan
@@ -28,20 +30,57 @@ object Par {
     if (planWidth(df) < target) df.repartition(target) else df
   }
 
-  /** Partition count of the NON-adaptive physical plan. `df.rdd`
-    * would answer the same question, but under AQE it finalizes the
-    * adaptive plan — which EXECUTES every upstream shuffle stage just
+  /** Estimated output width of the DataFrame, computed STRUCTURALLY
+    * from the pre-adaptive physical plan — no jobs run.
+    *
+    * Why not simpler probes: `df.rdd` under AQE finalizes the
+    * adaptive plan, which EXECUTES every upstream shuffle stage just
     * to read a count, and the caller's real action then re-runs them.
-    * The initial sparkPlan builds its RDD DAG lazily (no jobs), and
-    * its pre-coalescing width only ever over-estimates — erring
-    * toward NOT repartitioning, the safe side of this guard. Falls
-    * back to the width the session would default a shuffle to if the
-    * initial plan cannot be materialized as an RDD (never observed;
-    * defensive).
+    * The previous probe, `sparkPlan.execute().getNumPartitions`, ran
+    * no jobs but predates EnsureRequirements — any join-bearing input
+    * THREW (no exchanges inserted yet) and fell back to the shuffle
+    * width, which wrongly reported a 1-partition broadcast-join
+    * stream as wide and disabled the guard for exactly the
+    * CPU-serialized case it exists to catch.
+    *
+    * The walk mirrors what EnsureRequirements will do:
+    *   - a node demanding a real distribution gets exchanges: AllTuples
+    *     → 1 partition, clustered/ordered → the shuffle width;
+    *   - broadcast children contribute nothing (the streamed side
+    *     carries the width — the BroadcastHashJoin case);
+    *   - narrow nodes pass their children's width through (summed:
+    *     exact for union, and a one-child sum is just that child);
+    *   - leaves answer from their own lazily-built RDD (scan splits).
     */
-  private def planWidth(df: DataFrame): Int =
-    try df.queryExecution.sparkPlan.execute().getNumPartitions
-    catch { case _: Exception =>
-      df.sparkSession.sessionState.conf.numShufflePartitions
+  private def planWidth(df: DataFrame): Int = {
+    val shuffleWidth = df.sparkSession.sessionState.conf.numShufflePartitions
+    def widthOf(p: SparkPlan): Int = p match {
+      case leaf: LeafExecNode =>
+        try leaf.execute().getNumPartitions
+        catch { case _: Exception => shuffleWidth }
+      // width-SETTING narrow nodes: their partition count is their
+      // own, not their child's
+      case c: org.apache.spark.sql.execution.CoalesceExec =>
+        math.min(widthOf(c.child), c.numPartitions)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.numPartitions
+      case _ =>
+        val dists = p.requiredChildDistribution
+        val needsExchange = dists.exists {
+          case UnspecifiedDistribution => false
+          case _: BroadcastDistribution => false
+          case _ => true
+        }
+        if (needsExchange) {
+          if (dists.contains(AllTuples)) 1 else shuffleWidth
+        } else {
+          val streamed = p.children.zip(dists).collect {
+            case (c, d) if !d.isInstanceOf[BroadcastDistribution] => c
+          }
+          if (streamed.isEmpty) 1 else streamed.map(widthOf).sum
+        }
     }
+    try widthOf(df.queryExecution.sparkPlan)
+    catch { case _: Exception => shuffleWidth }
+  }
 }

@@ -55,15 +55,22 @@ object Skew {
     val wBkts = Window.partitionBy(keys: _*).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val marked = df.withColumn("__bkt", bucket).withColumn("__v", valueCol)
+    // join back on ONE struct key: struct equality is null-safe on its
+    // FIELDS, so rows with a null key or null bucket (which the
+    // reference single-window formulation keeps — nulls form their own
+    // window partition) survive the stitch instead of silently
+    // vanishing through a plain equi-join's NULL != NULL
+    val jk = struct((keys :+ col("__bkt")): _*)
     val offsets = marked.groupBy((keys :+ col("__bkt")): _*)
       .agg(sum(col("__v")).as("__total"))
       .withColumn("__offset", sum(col("__total")).over(wBkts))
-      .drop("__total")
+      .select(jk.as("__jk"), col("__offset"))
     marked
       .withColumn("__intra", sum(col("__v")).over(wIntra))
-      .join(offsets, keyCols :+ "__bkt")
+      .withColumn("__jk", jk)
+      .join(offsets, Seq("__jk"))
       .withColumn(outCol, coalesce(col("__offset"), lit(0)) + col("__intra"))
-      .drop("__bkt", "__v", "__intra", "__offset")
+      .drop("__jk", "__bkt", "__v", "__intra", "__offset")
   }
 
   /** Gap-based sessionization per key — identical to the
@@ -109,9 +116,12 @@ object Skew {
       .withColumn("__starts_adj", col("__starts") - col("__lead_fix"))
       .withColumn("__offset",
         coalesce(sum(col("__starts_adj")).over(wBkts), lit(0L)))
-      .select((keys :+ col("__bkt") :+ col("__lead_fix") :+ col("__offset")): _*)
+      // struct join key: null-safe on fields (see saltedRunningSum)
+      .select(struct((keys :+ col("__bkt")): _*).as("__jk"),
+        col("__lead_fix"), col("__offset"))
     flagged
-      .join(adjusted, keyCols :+ "__bkt")
+      .withColumn("__jk", struct((keys :+ col("__bkt")): _*))
+      .join(adjusted, Seq("__jk"))
       .withColumn("__flag_adj",
         when(col("__first") === 1 && col("__lead_fix") === 1, 0)
           .otherwise(col("__flag")))
@@ -120,7 +130,7 @@ object Skew {
       // last session, which `offset` already counts
       .withColumn(outCol,
         col("__offset") + sum(col("__flag_adj")).over(wIntraCum))
-      .drop("__bkt", "__ts", "__first", "__flag", "__flag_adj",
+      .drop("__jk", "__bkt", "__ts", "__first", "__flag", "__flag_adj",
         "__lead_fix", "__offset")
   }
 }

@@ -37,9 +37,14 @@ object Corpus {
     val rootPath = java.nio.file.Paths.get(root)
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
     def walk(dir: java.nio.file.Path): Unit = {
+      // Files.list opens a DirectoryStream whose fd is freed only on
+      // close — relying on GC leaks one fd per directory until EMFILE
+      // on a large tree; close eagerly once the entries are drained
       val entries =
-        try java.nio.file.Files.list(dir).iterator.asScala.toSeq
-        catch { case _: Exception =>
+        try {
+          val s = java.nio.file.Files.list(dir)
+          try s.iterator.asScala.toSeq finally s.close()
+        } catch { case _: Exception =>
           rows += ((dir.toString, 0L, false)); return
         }
       entries.sortBy(_.toString).foreach { p =>

@@ -21,6 +21,32 @@ class ParSpec extends SparkSpec {
     assert(wide.as[Int].collect().sorted === (1 to 1000).toArray)
   }
 
+  test("widens a 1-partition stream behind a broadcast join") {
+    import org.apache.spark.sql.functions._
+    // a broadcast join PRESERVES its streamed side's width, so a
+    // 1-partition probe stays 1-partition through the join — the old
+    // execute()-probe threw here (sparkPlan predates
+    // EnsureRequirements) and its shuffle-width fallback wrongly
+    // skipped the widening
+    val narrow = (1 to 1000).toDF("x").coalesce(1)
+    val dim = (1 to 10).toDF("x").withColumn("y", col("x") * 2)
+    val joined = narrow.join(broadcast(dim), Seq("x"))
+    val wide = Par.ensureWide(joined)
+    assert(wide.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+  }
+
+  test("does not collapse a shuffle-joined (already shuffle-width) input") {
+    // a sort-merge/shuffled join runs at the shuffle width; ensureWide
+    // must recognize that WITHOUT executing anything and pass through
+    val a = (1 to 1000).toDF("x").coalesce(1)
+    val b = (1 to 1000).toDF("x").coalesce(1)
+    val joined = a.hint("merge").join(b, Seq("x"))
+    val out = Par.ensureWide(joined)
+    assert(out eq joined,
+      "shuffle-width join input should pass through unchanged")
+  }
+
   test("leaves an already-wide input untouched (no repartition node)") {
     val target = spark.sparkContext.defaultParallelism
     val wide = (1 to 1000).toDF("x").repartition(target + 3)

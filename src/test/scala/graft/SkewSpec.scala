@@ -92,6 +92,37 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("salted operators keep null-key rows (the single window does)") {
+    // a null key forms its own window partition in the reference
+    // formulation; the stitch join must be null-safe or those rows
+    // silently vanish
+    val df = Seq(
+      (Some(1L), "2024-01-01 00:00:01", 1.0),
+      (None, "2024-01-01 00:10:00", 2.0),
+      (None, "2024-01-01 00:20:00", 3.0),
+      (Some(1L), "2024-01-02 00:00:01", 4.0))
+      .toDF("user_id", "ts0", "value")
+      .withColumn("ts", to_timestamp(col("ts0"))).drop("ts0")
+      .withColumn("event_id", monotonically_increasing_id())
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = df
+      .withColumn("rv", sum(dec9(col("value"))).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("rv"))
+    val viaSalted = Skew.saltedRunningSum(df, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), to_date(col("ts")),
+        dec9(col("value")), "rv")
+      .select(col("user_id"), col("event_id"), col("rv").cast("double"))
+    assert(viaSalted.count() === 4, "null-key rows must not be dropped")
+    assert(viaSalted.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaSalted).count() === 0)
+    val sess = Skew.saltedSessionize(df, Seq("user_id"), col("ts"),
+      Seq(col("ts"), col("event_id")), gapSec = 1800, to_date(col("ts")))
+    assert(sess.count() === 4, "null-key rows must survive sessionize")
+    assert(sess.filter(col("user_id").isNull).count() === 2)
+  }
+
   test("hotKeys: MG guarantee — every key above n/(k+1) is found") {
     val rnd = new scala.util.Random(5)
     // hot keys: "h1" 30%, "h2" 15%; 60 cold keys share the rest
