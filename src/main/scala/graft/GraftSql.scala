@@ -7,11 +7,10 @@ import org.apache.spark.sql.SparkSession
   * `spark.sql` (A14's cube/rollup/grouping-sets come free here).
   */
 object GraftSql {
-  val tableNames = Seq("region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings")
-
   def registerAll(spark: SparkSession, dir: String): Unit = {
     val t = Tables(spark, dir)
+    // the ONE table inventory (a parallel name-only list had already
+    // started to drift-risk; derive nothing, list once)
     Seq(
       "region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
       "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,

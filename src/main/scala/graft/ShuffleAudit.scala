@@ -50,9 +50,11 @@ object ShuffleAudit {
       org.apache.spark.sql.graft.ListenerDrain.drain(spark.sparkContext)
       val after = snap()
       val w = after._1 - before._1
-      val r = after._3 - before._3
+      val r = after._2 - before._2
+      val sp = after._3 - before._3
       println(s"""{"query":"$name","shuffle_write_bytes":$w,""" +
-        s""""shuffle_records":${after._4 - before._4},"spill_bytes":$r}""")
+        s""""shuffle_read_bytes":$r,""" +
+        s""""shuffle_records":${after._4 - before._4},"spill_bytes":$sp}""")
       (name, w)
     }
     val total = rows.map(_._2).sum

@@ -118,6 +118,10 @@ object DiscScanner {
     val glued = regexp_extract(low, "(?:^|[\\s\\-_（(【])([a-h])side\\b", 1)
     val word = regexp_extract(low,
       "(?:^|[\\s\\-_（(【:：])(one|two|three|four|five|six|seven|eight|nine|ten|壱|弐|参|一|二|三|四|五)(?:$|[\\s\\-_）)】])", 1)
+    // faithful reference quirk (disc_auto_classify.py `_NUM`): no LEFT
+    // digit guard, so the last 1-2 digits of a longer run match —
+    // "Disc 2019" → 19 in the reference too (verified against the
+    // Python regex); the verbatim-port doctrine keeps it
     val bare = regexp_extract(name, "(\\d{1,2})(?!\\d)", 1)
     val letterVal = (ascii(letterColour) - ascii(lit("a")) + 1)
     val colourVal = when(letterColour === "red", 1)

@@ -187,7 +187,16 @@ object FuzzyMatch {
       prefix_len: Int)
 
   /** J9: greedy longest-common-prefix bipartite pairing of cue files
-    * to audio files within a group (Shared/utils.py:159-189). */
+    * to audio files within a group (Shared/utils.py:159-189 —
+    * max_common_prefix). GREEDY PER CUE in order, not a global
+    * longest-first matching: each cue (sorted — the reference used
+    * the caller's array order; sorting makes the distributed group
+    * iterator deterministic) takes its best still-available audio.
+    * Reference parity details: a cue with NO common prefix to any
+    * remaining audio stays unpaired and consumes nothing
+    * (max_common_prefix only pairs when max_prefix is non-empty),
+    * and prefix-length ties keep the FIRST candidate in order
+    * (strictly-greater comparison). */
   def prefixPairs(spark: SparkSession,
       files: Dataset[PathRow]): Dataset[PrefixPair] = {
     import spark.implicits._
@@ -195,17 +204,19 @@ object FuzzyMatch {
       val rows = it.toArray
       val cues = rows.filter(_.kind == "cue").map(_.path)
       val audios = scala.collection.mutable.ArrayBuffer(
-        rows.filter(_.kind == "audio").map(_.path): _*)
+        rows.filter(_.kind == "audio").map(_.path).sorted: _*)
       def common(a: String, b: String): Int =
         a.zip(b).takeWhile { case (x, y) => x == y }.length
-      // longest prefix first — greedy max matching, deterministic order
       cues.sorted.flatMap { cue =>
         if (audios.isEmpty) None
         else {
-          val best = audios.maxBy(a => (common(cue, a), a))
+          val best = audios.minBy(a => (-common(cue, a), a))
           val len = common(cue, best)
-          audios -= best
-          Some(PrefixPair(key, cue, best, len))
+          if (len == 0) None
+          else {
+            audios -= best
+            Some(PrefixPair(key, cue, best, len))
+          }
         }
       }.iterator
     }

@@ -41,14 +41,14 @@ object MediaPlan {
       .withColumn("gain_missing", col("gain_db").isNull)
       .withColumn("gain_db", coalesce(col("gain_db"), lit(0.0)))
 
-  /** X18: collision-safe HLS base dir. `<parent>/<stem>`, except when
-    * another track claims the same stem (or a file of that name
-    * exists — `occupied`) → `<stem> [<ext>]`
+  /** X18: collision-safe HLS base dir — the full path minus its
+    * extension (which IS `<parent>/<stem>`), except when another
+    * track claims the same stem (or a file of that name exists —
+    * `occupied`) → `<stem> [<ext>]`
     * (hls_assignment.py:213-246). The isfile check becomes a join
     * against the file listing. */
   def hlsBaseDirs(tracks: DataFrame, pathCol: String,
       occupiedPaths: DataFrame): DataFrame = {
-    val parent = regexp_extract(col(pathCol), "^(.*)/[^/]+$", 1)
     val base = regexp_replace(col(pathCol), "\\.[^./]+$", "")
     val ext = lower(regexp_extract(col(pathCol), "\\.([^./]+)$", 1))
     val wStem = Window.partitionBy(col("base"))
@@ -74,11 +74,18 @@ object MediaPlan {
     pmod(xxhash64(id), lit(shardCount.toLong)).cast("int")
 
   /** A9: shard-bucket accounting — per (shard, subshard of 8) counts
-    * and completion sums (shard_math.py:36-77). */
+    * and completion sums (shard_math.py:36-77; the reference nests
+    * them the other way — 8 blake2b buckets with shard = bucket % 2 —
+    * but our API generalizes over shardCount). The subshard hash is
+    * SALTED: deriving both levels from the same unsalted hash makes
+    * subshard ≡ shard (mod gcd(shardCount, 8)) — at shardCount 16
+    * every shard "contained" exactly one non-empty subshard and the
+    * breakdown carried zero information. */
   def shardAccounting(df: DataFrame, idCol: String, shardCount: Int,
       doneCol: String): DataFrame =
     df.groupBy(shardIndex(col(idCol), shardCount).as("shard"),
-        pmod(xxhash64(col(idCol)), lit(8L)).cast("int").as("subshard"))
+        pmod(xxhash64(lit("sub"), col(idCol)), lit(8L)).cast("int")
+          .as("subshard"))
       .agg(count(lit(1)).as("n"), sum(col(doneCol).cast("int")).as("n_done"))
 
   /** X15: HLS byterange `LEN@OFF`, offset optional ⇒ the byte after

@@ -34,7 +34,12 @@ import org.apache.spark.sql.functions._
   * semantics (without the explicit guards, Spark's NULLS FIRST/LAST
   * ordering would carry a null-ts build row into every early probe
   * backward, and hand a null-ts probe the whole build history
-  * forward).
+  * forward). Null EQUI-KEYS never match either: an ASOF join's `ON
+  * p.k = b.k` is NULL for NULL = NULL, so a null-key probe gets a
+  * null match — but `Window.partitionBy` groups null keys into one
+  * partition and would happily enrich them from null-key builds;
+  * null-key build rows are filtered out so the window formulation
+  * keeps join semantics (null-key probes still survive, unmatched).
   */
 object AsOfJoin {
 
@@ -61,7 +66,9 @@ object AsOfJoin {
     val k = keys.map(col)
     val bStruct = struct((col(buildTs).as("__bts") +:
       buildCols.map(c => col(c).as(c))): _*)
-    val buildTagged = build.filter(col(buildTs).isNotNull)
+    val buildTagged = build
+      .filter((col(buildTs).isNotNull +: keys.map(col(_).isNotNull))
+        .reduce(_ && _))
       .select((k :+ col(buildTs).as("__ts") :+
       lit(0).as("__side") :+ bStruct.as("__b")) ++
       probeOut.filterNot(keys.contains).map(c =>

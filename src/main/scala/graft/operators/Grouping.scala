@@ -43,7 +43,12 @@ object Grouping {
   }
 
   /** A2: fill blank/null `valueCol` with the group's majority value
-    * (convention→date imputation). Blank = null or "". */
+    * (convention→date imputation). Blank = null or "". NULL-KEY
+    * GROUPS pass through unimputed: the majority join is a plain
+    * equi-join (NULL never equals NULL), so rows with a null group
+    * key keep their blank value — the defensible reading, since a
+    * "majority of the keyless group" is not a meaningful imputation
+    * source. */
   def imputeByMajority(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {
     val maj = majorityVote(df, groupCols, valueCol)
@@ -69,6 +74,9 @@ object Grouping {
     * Relational formulation: rank the missing rows per group; rank
     * the unused numbers in 1..(maxNeeded); join on rank. Unused =
     * sequence anti-join used. Reference: info_scanner_ph3.py:40-84.
+    * Group keys must be NON-NULL (a null key raises at runtime —
+    * the rank join could never deliver its fill number); valid
+    * numbers beyond Int range raise rather than wrap.
     */
   def gapFillNumbers(df: DataFrame, groupCols: Seq[String],
       numberCol: String, orderCol: String): DataFrame = {
@@ -91,12 +99,16 @@ object Grouping {
     // collect_set ignores nulls, so the validity filter folds into
     // the aggregate (round 1 ran separate used/sizes scans plus their
     // join).
+    // used numbers collect as LONG: an int cast here would WRAP a
+    // corrupt huge value (e.g. 4294967297 → 1) into the candidate
+    // range and mark a genuinely free number as used, shifting every
+    // subsequent fill
     val pool = df.groupBy(g: _*)
-      .agg(collect_set(when(valid, col(numberCol).cast("int"))).as("__used"),
+      .agg(collect_set(when(valid, col(numberCol).cast("long"))).as("__used"),
         count(lit(1)).cast("int").as("__n"))
       .withColumn("__cand",
         filter(sequence(lit(1), col("__n")),
-          c => !array_contains(col("__used"), c)))
+          c => !array_contains(col("__used"), c.cast("long"))))
       .select((g :+ posexplode(col("__cand")).as(Seq("__pos", "__free"))): _*)
       .withColumn("__rank", col("__pos") + 1).drop("__pos")
     // Qualified aliases: both sides derive from `df`, and unaliased
@@ -110,14 +122,30 @@ object Grouping {
       .select((df.columns.map(c => col(s"m.$c")) :+
         col("m.__miss") :+ col("p.__free")): _*)
       .withColumn(numberCol,
-        when(col("__miss").isNull, col(numberCol).cast("int"))
-          .otherwise(col("__free")))
+        when(col("__miss").isNull,
+          // a valid number beyond Int range cannot be represented in
+          // the int output — fail loudly instead of wrapping silently
+          when(col(numberCol) > lit(Int.MaxValue.toLong),
+            raise_error(concat(
+              lit("gapFillNumbers: valid number exceeds Int range: "),
+              col(numberCol).cast("string"))).cast("int"))
+            .otherwise(col(numberCol).cast("int")))
+          // a missing row whose free number did not arrive means the
+          // rank join missed — only possible for a NULL group key
+          // (=== never matches null); erase loudly, not silently
+          .otherwise(coalesce(col("__free"), raise_error(
+            lit("gapFillNumbers: null group key (group keys must be " +
+              "non-null; a null-key row cannot join its fill number)"))
+            .cast("int"))))
       .drop("__miss", "__free")
   }
 
   /** A4/A5: canonical representative per duplicate group — pick by
     * ascending struct of `preferenceCols` (first field wins, etc.),
-    * and attach it to every member. */
+    * and attach it to every member. NULL-KEY GROUPS get null
+    * canonical_* columns (the equi-join never matches them): a null
+    * dedup key asserts no group membership, so there is no
+    * representative to attach. */
   def canonicalize(df: DataFrame, groupCols: Seq[String],
       preference: Seq[Column], payload: Seq[String]): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*)

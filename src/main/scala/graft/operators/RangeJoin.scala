@@ -38,6 +38,13 @@ object RangeJoin {
     def bucketOf(c: Column): Column = floor(unix_micros(c) / b)
     val ivals = intervals.select((keys.map(col) :+ col(startCol) :+ col(endCol)) ++
         intervalCols.map(col): _*)
+      // inverted/null intervals (end < start — a corrupt or zeroed end
+      // timestamp) match no point anyway, but sequence(start, stop)
+      // generates DESCENDING for start > stop: one corrupt row would
+      // materialize a bucket array spanning the whole inverted range
+      // (executor OOM at fine buckets) before the containment filter
+      // discards every produced row — drop them up front
+      .filter(col(startCol) <= col(endCol))
       .withColumn("__bucket",
         explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
     val pts = points.withColumn("__bucket", bucketOf(col(pointTs)))

@@ -96,6 +96,27 @@ class GroupingSpec extends SparkSpec {
     assert(got("x") === 1500000000)
   }
 
+  test("A3 gapFill: a long number beyond Int range raises, never wraps") {
+    // 4294967297L wraps to 1 under an int cast — before the guard it
+    // both corrupted the kept value AND poisoned the free pool
+    // (marking 1 as used, shifting every fill); now it fails loudly
+    val df = Seq(("al", 4294967297L, "x"), ("al", 2L, "a"),
+      ("al", -1L, "b1")).toDF("album", "no", "name")
+    val e = intercept[Exception] {
+      Grouping.gapFillNumbers(df, Seq("album"), "no", "name").collect()
+    }
+    assert(e.getMessage.contains("exceeds Int range"), e.getMessage)
+  }
+
+  test("A3 gapFill: null group key raises instead of erasing the number") {
+    val df = Seq((Some("al"), -1, "a"), (None, -1, "b"))
+      .toDF("album", "no", "name")
+    val e = intercept[Exception] {
+      Grouping.gapFillNumbers(df, Seq("album"), "no", "name").collect()
+    }
+    assert(e.getMessage.contains("null group key"), e.getMessage)
+  }
+
   test("A1/A2 majority on a TYPED column (blank rule must not null out)") {
     // "" coerced to int is null; the blank filter must not turn into a
     // null predicate that silently empties the vote table
@@ -208,6 +229,21 @@ class FuzzyMatchSpec extends SparkSpec {
       .map(p => p.cue_path -> p.audio_path).toMap
     assert(got === Map("album_disc1.cue" -> "album_disc1.flac",
       "album_disc2.cue" -> "album_disc2.flac"))
+  }
+
+  test("J9 prefixPairs: zero-prefix cues stay unpaired and consume nothing") {
+    // reference parity (max_common_prefix): a pair forms only when the
+    // common prefix is non-empty; an unrelated cue must not steal an
+    // audio that a later cue matches
+    val files = Seq(
+      PathRow("al", "cue", "aaa_unrelated.cue"),
+      PathRow("al", "cue", "zzz_album.cue"),
+      PathRow("al", "audio", "zzz_album.flac")).toDS()
+    val got = FuzzyMatch.prefixPairs(spark, files).collect()
+    assert(got.length === 1)
+    assert(got(0).cue_path === "zzz_album.cue")
+    assert(got(0).audio_path === "zzz_album.flac")
+    assert(got(0).prefix_len === 10)
   }
 
   test("J10 mirrorDirs finds format mirrors within tolerance") {

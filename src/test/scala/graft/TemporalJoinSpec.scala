@@ -125,6 +125,41 @@ class TemporalJoinSpec extends SparkSpec {
     assert(forward(7L) === None, "null-ts probe must match null forward too")
   }
 
+  test("asOf null equi-keys never match (join semantics, not window grouping)") {
+    // ON p.k = b.k is NULL for NULL = NULL — a null-key probe survives
+    // with a null match; a null-key build enriches nothing (the window
+    // formulation would otherwise pair them in the null partition)
+    val nullSym: String = null
+    val quotesK = Seq(
+      (nullSym, ts("2024-01-01 10:00:00"), 1.0, 1L),
+      ("A", ts("2024-01-01 10:00:00"), 2.0, 2L))
+      .toDF("sym", "qts", "price", "qid")
+    val tradesK = Seq(
+      (nullSym, ts("2024-01-01 10:00:05"), 5L),
+      ("A", ts("2024-01-01 10:00:05"), 6L))
+      .toDF("sym", "tts", "tid")
+    val got = AsOfJoin.asOf(tradesK, quotesK, Seq("sym"), "tts", "qts",
+        Seq("qid")).select("tid", "qid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(5L) === None, "null-key probe must not enrich from null-key build")
+    assert(got(6L) === Some(2L))
+  }
+
+  test("rangeJoin: inverted intervals are dropped, not exploded") {
+    val pts = Seq(("A", ts("2024-01-01 10:00:00"), 1L))
+      .toDF("k", "pts", "pid")
+    // end BEFORE start by years — sequence() would otherwise build a
+    // descending multi-million-element bucket array for this one row
+    val ivals = Seq(
+      ("A", ts("2026-01-01 00:00:00"), ts("2020-01-01 00:00:00"), "corrupt"),
+      ("A", ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00"), "good"))
+      .toDF("k", "s", "e", "tag")
+    val got = RangeJoin.pointInInterval(pts, ivals, Seq("k"), "pts", "s", "e",
+        Seq("tag"), bucketMicros = 60L * 1000000)
+      .select("tag").collect().map(_.getString(0))
+    assert(got.toSeq === Seq("good"))
+  }
+
   test("asOf plan contains no join operator at all") {
     val plan = AsOfJoin.asOf(trades, quotes, Seq("sym"), "tts", "qts",
       Seq("price")).queryExecution.executedPlan.toString
