@@ -32,8 +32,11 @@ object RunOne {
         (1 to runs).foreach { i =>
           val t0 = System.nanoTime()
           val n = Measure.force(fn(spark, sfDir))
+          // record before releaseAll (the Bench methodology): cache
+          // eviction is bookkeeping, not query cost
+          val elapsed = System.nanoTime() - t0
           CacheScope.releaseAll(blocking = true)
-          println(f"[runone] run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs (ended ${System.currentTimeMillis() / 1000})")
+          println(f"[runone] run $i: $n rows in ${elapsed / 1e9}%.2fs (ended ${System.currentTimeMillis() / 1000})")
         }
       case _ =>
         println(s"[runone] ${Measure.force(fn(spark, sfDir))} rows")

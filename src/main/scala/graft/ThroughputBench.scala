@@ -49,7 +49,11 @@ object ThroughputBench {
         // nothing constant-folds
         repeat(md5(col("id").cast("string")), mib / 32).cast("binary")
           .as("content"))
-      .persist(StorageLevel.MEMORY_ONLY)
+      // MEMORY_AND_DISK, not MEMORY_ONLY: when `rows` MiB exceeds the
+      // storage pool, MEMORY_ONLY silently RECOMPUTES evicted
+      // partitions inside the timed loop — the measured rate becomes
+      // md5+repeat payload synthesis, not the hash under test
+      .persist(StorageLevel.MEMORY_AND_DISK)
     payload.count() // materialize outside the timed region
     val hashSecs = (1 to reps).map { _ =>
       val t0 = System.nanoTime()

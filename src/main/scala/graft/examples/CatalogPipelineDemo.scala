@@ -73,7 +73,7 @@ object CatalogPipelineDemo {
 
     // §2.3: resume anti-join against a completed journal
     val completed = spark.createDataFrame(
-      Seq(Tuple1(filled.select("fileName").limit(1)
+      Seq(Tuple1(filled.select("fileName").orderBy("fileName").limit(1)
         .collect()(0).getString(0)))).toDF("fileName")
     val pending = Resume.pending(filled, completed, Seq("fileName"))
     println(s"== resume: ${filled.count()} total, ${pending.count()} pending")

@@ -99,16 +99,23 @@ object CurationPipelineDemo {
     // (the CCNet keep rule); unscorable docs pass through
     val lm = NgramLm.train(clean.filter(col("doc_id") % 7 === 0), "text")
     val lmScores = NgramLm.score(clean, "doc_id", "text", lm)
-    // the 2/3 boundary is ONE row (GK sketch agg) attached by
-    // broadcast — no global window funnel
-    val bound = lmScores.filter(col("avg_bits").isNotNull)
+    // PER-LANGUAGE 2/3 boundaries (the CCNet discipline — one global
+    // bound over-culls languages with systematically higher
+    // surprisal): a few GK-sketch rows, broadcast back
+    val bounds = lmScores.filter(col("avg_bits").isNotNull)
+      .join(clean.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
       .agg(expr("approx_percentile(avg_bits, 0.67, 10000)").as("b"))
-    val fluent = clean.join(
-      lmScores.filter(col("avg_bits").isNotNull)
-        .crossJoin(broadcast(bound))
-        .filter(col("avg_bits") <= col("b"))
-        .select(col("doc_id").as("__keep2")),
-      col("doc_id") === col("__keep2"), "left_semi")
+    // drop only docs PROVEN above their language's bound; unscorable
+    // docs (<2 tokens → null/absent avg_bits) pass through — the q64
+    // "na keeps" rule (a semi-join on the scored keep set silently
+    // dropped them)
+    val cut = lmScores.filter(col("avg_bits").isNotNull)
+      .join(clean.select(col("doc_id"), col("lang")), "doc_id")
+      .join(broadcast(bounds), Seq("lang"))
+      .filter(col("avg_bits") > col("b"))
+      .select(col("doc_id").as("__cut"))
+    val fluent = clean.join(cut, col("doc_id") === col("__cut"), "left_anti")
     graft.CacheScope.track(fluent)
     println(s"== after LM fluency gate: ${fluent.count()}")
 

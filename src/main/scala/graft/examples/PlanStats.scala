@@ -20,7 +20,11 @@ object PlanStats {
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     def count(s: String) = s.r.findAllIn(plan).size
-    println(s"PLANSTATS $name: exchanges=${count("Exchange ")} " +
+    // shuffle exchanges ONLY: a bare "Exchange " substring also hits
+    // ReusedExchange and BroadcastExchange lines — the count would not
+    // move when a refactor turns a shuffle into a reuse, the exact
+    // signal this tool exists to show
+    println(s"PLANSTATS $name: exchanges=${count("\\(\\d+\\) Exchange ")} " +
       s"reused=${count("ReusedExchange")} scans=${count("Scan parquet")} " +
       s"windows=${count("\\(\\d+\\) Window")} smj=${count("SortMergeJoin")} " +
       s"bhj=${count("BroadcastHashJoin")}")

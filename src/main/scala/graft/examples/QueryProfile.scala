@@ -27,9 +27,14 @@ object QueryProfile {
     finally graft.CacheScope.releaseAll()
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      try graft.Measure.force(fn(spark, sfDir))
-      finally graft.CacheScope.releaseAll(blocking = true)
-      println(f"$name rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // elapsed BEFORE releaseAll — Bench's methodology: synchronous
+      // block eviction is bookkeeping, not query cost, and including
+      // it made cache-heavy queries look slower here than in the
+      // committed bench numbers
+      val elapsed =
+        try { graft.Measure.force(fn(spark, sfDir)); System.nanoTime() - t0 }
+        finally graft.CacheScope.releaseAll(blocking = true)
+      println(f"$name rep $i: ${elapsed / 1e9}%.2f s")
     }
     spark.stop()
   }

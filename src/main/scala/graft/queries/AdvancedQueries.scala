@@ -26,7 +26,7 @@ object AdvancedQueries {
     val base = graft.CacheScope.track(Tables(s, dir).lineitem
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         when(col("l_quantity") < 5, -1).otherwise(col("l_linenumber")).as("no"),
-        ((col("l_partkey") * 1000000L + col("l_suppkey")) * 10L +
+        ((col("l_partkey") * 100000000L + col("l_suppkey")) * 10L +
           col("l_linenumber")).as("ordkey")))
     // `no` in the sort: (l_orderkey, l_partkey, l_suppkey) is NOT
     // unique when an order repeats a (part, supplier) pair, and a
@@ -44,7 +44,7 @@ object AdvancedQueries {
     """WITH base AS (
       |  SELECT l_orderkey, l_partkey, l_suppkey,
       |    CASE WHEN l_quantity < 5 THEN -1 ELSE l_linenumber END AS no,
-      |    (l_partkey * 1000000 + l_suppkey) * 10 + l_linenumber AS ordkey
+      |    (l_partkey * 100000000 + l_suppkey) * 10 + l_linenumber AS ordkey
       |  FROM lineitem),
       |sizes AS (
       |  SELECT l_orderkey, count(*) AS n,

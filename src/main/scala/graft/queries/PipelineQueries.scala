@@ -59,7 +59,13 @@ object PipelineQueries {
   // lesson ((l_orderkey, l_linenumber) alone is NOT); ordkey is the
   // total per-group order the gap fill assigns in, and file names fold
   // the same triple in so they stay unique in their directory
-  private def ordkeyOf = (col("l_partkey") * 1000000L + col("l_suppkey")) * 10L +
+  // suppkey field width 10^8: TPC-H suppkey scales ~10^4 per SF unit,
+  // so a 10^6 field overflowed into the partkey digits at SF >= 100 —
+  // breaking the uniqueness this key exists for AND the final
+  // file-name re-derivation, invisibly to the oracle (both engines
+  // computed the same wrong packing). 10^8 holds to SF ~10^4 and the
+  // packed value stays < 2*10^16, well inside a long.
+  private def ordkeyOf = (col("l_partkey") * 100000000L + col("l_suppkey")) * 10L +
     col("l_linenumber")
   private def fileNameOf(untag: Column, ln: Column, p: Column, sk: Column) =
     when(untag,
@@ -172,8 +178,8 @@ object PipelineQueries {
         catOf(col("album_id")).as("catalog_no"),
         discDirOf(col("d_code")).as("disc_dir"), col("disc_idx"),
         fileNameOf(col("untag"), col("ordkey") % 10,
-          expr("ordkey div 10000000"),
-          expr("(ordkey div 10) % 1000000")).as("file_name"),
+          expr("ordkey div 1000000000"),
+          expr("(ordkey div 10) % 100000000")).as("file_name"),
         col("no").cast("int").as("track_no"),
         col("tdate0").as("release_date"),
         albumOf(col("canonical_album_id")).as("canonical_album"))
@@ -197,7 +203,7 @@ object PipelineQueries {
       |      CASE WHEN l_linenumber <= 3 THEN 1
       |           WHEN l_linenumber = 4 THEN 3 ELSE 2 END
       |      ELSE 0 END AS d_code,
-      |    (l_partkey * 1000000 + l_suppkey) * 10 + l_linenumber AS ordkey,
+      |    (l_partkey * 100000000 + l_suppkey) * 10 + l_linenumber AS ordkey,
       |    l_quantity < 3 AS untag,
       |    CASE WHEN l_quantity < 3 THEN -1 ELSE l_linenumber END AS no,
       |    CASE WHEN l_quantity >= 48 THEN NULL
@@ -256,12 +262,12 @@ object PipelineQueries {
       |      WHEN 3 THEN 'Bonus Disc' ELSE '' END AS disc_dir,
       |    CASE WHEN d_code IN (1, 2) THEN d_code ELSE 0 END AS disc_idx,
       |    CASE WHEN untag THEN 'untagged take ' || CAST(ordkey % 10 AS VARCHAR)
-      |        || ' piece ' || CAST(ordkey // 10000000 AS VARCHAR)
-      |        || '-' || CAST((ordkey // 10) % 1000000 AS VARCHAR) || '.flac'
+      |        || ' piece ' || CAST(ordkey // 1000000000 AS VARCHAR)
+      |        || '-' || CAST((ordkey // 10) % 100000000 AS VARCHAR) || '.flac'
       |      ELSE '(' || lpad(CAST(ordkey % 10 AS VARCHAR), 2, '0')
-      |        || ') [artist ' || CAST(((ordkey // 10) % 1000000) % 13 AS VARCHAR)
-      |        || '] piece ' || CAST(ordkey // 10000000 AS VARCHAR)
-      |        || '-' || CAST((ordkey // 10) % 1000000 AS VARCHAR) || '.flac' END AS file_name,
+      |        || ') [artist ' || CAST(((ordkey // 10) % 100000000) % 13 AS VARCHAR)
+      |        || '] piece ' || CAST(ordkey // 1000000000 AS VARCHAR)
+      |        || '-' || CAST((ordkey // 10) % 100000000 AS VARCHAR) || '.flac' END AS file_name,
       |    CAST(track_no AS INTEGER) AS track_no, release_date,
       |    '2024.' || lpad(CAST((c_id % 9) + 1 AS VARCHAR), 2, '0')
       |      || ' [EV' || CAST(c_id % 30 AS VARCHAR) || '] [CAT-'
@@ -291,14 +297,10 @@ object PipelineQueries {
     import graft.functions.TextFunctions._
     import graft.operators.{Dedup, Decontamination, Sampling}
     val d = Tables(s, dir).documents
-    // 1. plant PII in every 7th doc (q53 convention), then redact
-    val aug = d.withColumn("t1", piiRedact(
-      when(col("doc_id") % 7 === 0,
-        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
-          lit("."), (col("doc_id") % 100).cast("string"),
-          lit(" tel 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-        .otherwise(col("text"))))
+    // 1. plant PII in every 7th doc (the shared q53 fixture
+    // expression — single-sited in TextQueries), then redact
+    val aug = d.withColumn("t1",
+      piiRedact(TextQueries.plantPii(col("doc_id"), col("text"))))
     // 2. segment dedup: docs continue with the deduped text
     val segd = Dedup.dedupSegments(
       aug.select(col("doc_id"), col("t1").as("text")),

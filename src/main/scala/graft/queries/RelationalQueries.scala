@@ -291,7 +291,12 @@ object RelationalQueries {
     val t = Tables(s, dir)
     val a = t.events.filter(col("event_id") % 3 === 0).withColumn("src", lit(1))
     val b = t.events.filter(col("event_id") % 2 === 0).withColumn("src", lit(2))
-    val w = Window.partitionBy(col("event_id")).orderBy(col("src").asc)
+    // ts DESC after src: the documented "then latest ts" tie-break.
+    // Today each slice contributes at most one row per event_id so it
+    // never fires, but leaving it out made the window order
+    // partition-dependent the moment the slice predicates overlap.
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("src").asc, col("ts").desc)
     a.unionByName(b)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -302,11 +307,12 @@ object RelationalQueries {
   private val q11Sql =
     """SELECT event_id, user_id, src FROM (
       |  SELECT event_id, user_id, src,
-      |    row_number() OVER (PARTITION BY event_id ORDER BY src) AS rn
+      |    row_number() OVER (PARTITION BY event_id
+      |      ORDER BY src, ts DESC) AS rn
       |  FROM (
-      |    SELECT event_id, user_id, 1 AS src FROM events WHERE event_id % 3 = 0
+      |    SELECT event_id, user_id, ts, 1 AS src FROM events WHERE event_id % 3 = 0
       |    UNION ALL
-      |    SELECT event_id, user_id, 2 AS src FROM events WHERE event_id % 2 = 0))
+      |    SELECT event_id, user_id, ts, 2 AS src FROM events WHERE event_id % 2 = 0))
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   val all: Seq[Q] = Seq(

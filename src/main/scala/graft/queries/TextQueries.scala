@@ -128,14 +128,22 @@ object TextQueries {
     * synthesized-graph precedent) — the regex tag/redact machinery is
     * what the full DuckDB oracle verifies. Zero-shuffle projection.
     */
+  /** The planted-PII fixture expression shared by q53 and q57's
+    * composed pipeline (one site: a tweak to the planted span shape
+    * must change both gate queries and their SQL oracles together —
+    * the oracles necessarily duplicate the formula in SQL). */
+  private[queries] def plantPii(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(docId % 7 === 0,
+      concat(text, lit(" contact user"), docId.cast("string"),
+        lit("@example.com from 10.0."), (docId % 256).cast("string"),
+        lit("."), (docId % 100).cast("string"),
+        lit(" tel 555-"), lpad((docId % 10000).cast("string"), 4, "0")))
+      .otherwise(text)
+
   private def q53(s: SparkSession, dir: String): DataFrame = {
     val aug = Tables(s, dir).documents.withColumn("text2",
-      when(col("doc_id") % 7 === 0,
-        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
-          lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
-          lit("."), (col("doc_id") % 100).cast("string"),
-          lit(" tel 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-        .otherwise(col("text")))
+      plantPii(col("doc_id"), col("text")))
     aug.select(col("doc_id"),
         emailCount(col("text2")).cast("long").as("n_emails"),
         ipv4Count(col("text2")).cast("long").as("n_ips"),
