@@ -238,6 +238,13 @@ object PlanAudit {
         "hashpartitioning", "InMemoryTableScan", "LeftAnti"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin")),
+    // q74: the anchored (top-k) portable twin — same kernels, same
+    // id-only banding + cull, plus the bounded top-k aggregate
+    Check("q74_lsh_topk_oracle",
+      mustContain = Seq("rhpdecimalbuckets", "decimalscaleddot",
+        "topkbyscore", "InMemoryTableScan", "LeftAnti"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin")),
     // q42: RHP candidate generation — both self-join sides read the
     // cached vector-FREE (id, table, bucket) relation, the candidate
     // distinct exchanges (id, id) pairs only, and vectors join back

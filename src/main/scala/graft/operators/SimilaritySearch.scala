@@ -254,6 +254,62 @@ object SimilaritySearch {
       .select(col("a_id"), col("b_id"), col("score"))
   }
 
+  /** LSH top-k with ENGINE-PORTABLE arithmetic — the anchored
+    * (top-k) sibling of [[cosineNearDupPairsPortable]], closing the
+    * last native-only similarity path: q23's native `lshCosineTopK`
+    * is rows-only forever (xxhash64 planes exist in no other engine),
+    * while this variant's md5-60 plane matrix, decimal bucket sums,
+    * and decimal verify cosines are all re-derivable in SQL, so the
+    * ENTIRE candidate set AND the ranked scores hash-match a DuckDB
+    * oracle (gate q74). Same shape as the native path: id-only
+    * banding, oversized-bucket cull, vectors join back from the
+    * cached base, bounded TopKByScore rank (row-identical to the
+    * window formulation — the tie rule is (score DESC, id ASC) in
+    * both engines). `anchorPred` sees (id, t, bucket).
+    */
+  def lshCosineTopKPortable(vectors: DataFrame, anchorPred: Column, k: Int,
+      numPlanes: Int = 8, numTables: Int = 4, maxBucketSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.{RhpExpressions, RhpKernels}
+    require(numPlanes <= 30, "bucket is an int of numPlanes sign bits")
+    val dimRow = vectors.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    if (dimRow.isEmpty)
+      return vectors.select(col(idCol).as("anchor_id"),
+        lit(1).as("rank"), col(idCol).as("neighbor_id"),
+        lit(0.0).as("score")).where(lit(false))
+    val planes = RhpKernels.planeMatrix(numTables, numPlanes,
+      dimRow(0).getInt(0))
+    val base = graft.CacheScope.track(Par.ensureWide(vectors)
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("n2",
+        RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
+    val keyed = graft.CacheScope.track(base.select(col("id"),
+      posexplode(RhpExpressions.rhpDecimalBuckets(col("vec"), planes,
+        numPlanes)).as(Seq("t", "bucket"))))
+    val oversized = keyed.groupBy(col("t"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
+      .select(col("t"), col("bucket"))
+    val sized = keyed.join(broadcast(oversized), Seq("t", "bucket"), "left_anti")
+    val anchorBands = sized.filter(anchorPred)
+      .select(col("id").as("anchor_id"), col("t"), col("bucket"))
+    val candIds = sized.join(anchorBands, Seq("t", "bucket"))
+      .filter(col("anchor_id") =!= col("id"))
+      .select(col("anchor_id"), col("id").as("neighbor_id"))
+      .distinct()
+    val scored = candIds
+      .join(base.select(col("id").as("anchor_id"), col("vec").as("a_vec"),
+        col("n2").as("a_n2")), "anchor_id")
+      .join(base.select(col("id").as("neighbor_id"), col("vec").as("n_vec"),
+        col("n2").as("b_n2")), "neighbor_id")
+      .withColumn("score", round(
+        RhpExpressions.decimalScaledDot(col("a_vec"), col("n_vec")) /
+          (sqrt(col("a_n2")) * sqrt(col("b_n2"))), 6))
+    rankTopK(scored, k)
+  }
+
   /** IVF-flat approximate top-k — the second scale path beside LSH:
     * a coarse k-means quantizer (Spark ML, fixed seed) partitions the
     * corpus into `nlist` cells; each anchor probes its `nprobe`

@@ -289,11 +289,83 @@ object SimilarityQueries {
       |WHERE round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Portable LSH top-k under a FULL DuckDB oracle (q74) — the
+    * anchored sibling of q71 and the oracle twin of q23: the native
+    * xxhash64-plane top-k can only ever be rows-only, so this md5-60
+    * variant re-derives candidate generation, the bucket cull, AND
+    * the ranked decimal cosines value-for-value in SQL. With it,
+    * every similarity path (pairs AND top-k, exact AND banded) has a
+    * hash-verified twin; the unverified ingredient in the native path
+    * is the hash family alone.
+    */
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.lshCosineTopKPortable(Tables(s, dir).embeddings,
+        col("id") < 20, k = 10, numPlanes = 8, numTables = 4)
+      .orderBy(col("anchor_id"), col("rank"))
+
+  private val q74Sql =
+    """WITH v AS (
+      |  SELECT vec_id AS id, [CAST(x AS DOUBLE) for x in embedding] AS xs
+      |  FROM embeddings),
+      |dims AS (
+      |  SELECT id, generate_subscripts(xs, 1) - 1 AS d, unnest(xs) AS x
+      |  FROM v),
+      |pl AS (SELECT t, p FROM generate_series(0, 3) AS gt(t),
+      |  generate_series(0, 7) AS gp(p)),
+      |terms AS (
+      |  SELECT m.id, pl.t, pl.p,
+      |    CAST(round(m.x * (CAST(
+      |      CAST(('0x' || substring(md5(pl.t || ':' || pl.p || ':' || m.d),
+      |        1, 15)) AS BIGINT) - (CAST(1 AS BIGINT) << 59) AS DOUBLE)
+      |      / 576460752303423488.0), 12)
+      |      AS DECIMAL(18,12)) AS term
+      |  FROM dims m, pl),
+      |sums AS (
+      |  SELECT id, t, p, sum(term) AS s FROM terms GROUP BY 1, 2, 3),
+      |buckets AS (
+      |  SELECT id, t,
+      |    CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+      |      AS bucket
+      |  FROM sums GROUP BY 1, 2),
+      |sized AS (
+      |  SELECT id, t, bucket FROM buckets
+      |  QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 10000),
+      |cands AS (
+      |  SELECT DISTINCT a.id AS anchor_id, y.id AS neighbor_id
+      |  FROM sized a JOIN sized y
+      |    ON a.t = y.t AND a.bucket = y.bucket AND a.id <> y.id
+      |  WHERE a.id < 20),
+      |norms AS (
+      |  SELECT id, CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+      |    AS DOUBLE) AS n2
+      |  FROM dims GROUP BY id),
+      |dots AS (
+      |  SELECT c.anchor_id, c.neighbor_id,
+      |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
+      |      AS DOUBLE) AS dot
+      |  FROM cands c
+      |  JOIN dims da ON da.id = c.anchor_id
+      |  JOIN dims db ON db.id = c.neighbor_id AND db.d = da.d
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d.anchor_id, d.neighbor_id,
+      |    round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS score
+      |  FROM dots d
+      |  JOIN norms na ON na.id = d.anchor_id
+      |  JOIN norms nb ON nb.id = d.neighbor_id)
+      |SELECT anchor_id, rank, neighbor_id, score FROM (
+      |  SELECT anchor_id, neighbor_id, score,
+      |    CAST(row_number() OVER (PARTITION BY anchor_id
+      |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10 ORDER BY anchor_id, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q20_cosine_topk", q20, Some(q20Sql), headline = true),
     Q("q21_label_centroids", q21, Some(q21Sql)),
     Q("q22_knn_classify", q22, Some(q22Sql)),
     Q("q23_lsh_cosine_topk", q23, None, headline = true),
+    Q("q74_lsh_topk_oracle", q74, Some(q74Sql)),
     Q("q31_group_scores", q31, Some(q31Sql), headline = true),
     Q("q32_cosine_pairs", q32, Some(q32Sql)),
     Q("q42_cosine_near_dup", q42, None),

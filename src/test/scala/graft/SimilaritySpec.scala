@@ -235,6 +235,36 @@ class SimilaritySpec extends SparkSpec {
     assert(none.columns.toSeq === Seq("a_id", "b_id", "score"))
   }
 
+  test("portable LSH top-k (q74): planted recall, true-cosine scores, ranked ties") {
+    import graft.operators.SimilaritySearch
+    // anchor 100's near-identical partner 101 shares every bucket
+    // under any plane family — guaranteed candidate, rank 1
+    val got = SimilaritySearch.lshCosineTopKPortable(emb,
+        col("id") === 100, k = 3, numPlanes = 4, numTables = 8)
+      .orderBy(col("rank")).collect()
+    assert(got.nonEmpty)
+    assert(got(0).getAs[Long]("neighbor_id") === 101L)
+    assert(got(0).getAs[Double]("score") > 0.999)
+    // every emitted score is the true cosine within the decimal
+    // discipline's rounding
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    got.foreach { r =>
+      val (va, vb) = (vecs(100L), vecs(r.getAs[Long]("neighbor_id")))
+      val cos = va.zip(vb).map { case (x, y) => x * y }.sum /
+        (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      assert(math.abs(cos - r.getAs[Double]("score")) < 1e-6)
+    }
+    // ranks are dense from 1 in score order
+    assert(got.map(_.getAs[Int]("rank")).toSeq === (1 to got.length))
+    // empty input → empty result, correct shape
+    val none = SimilaritySearch.lshCosineTopKPortable(
+      emb.filter($"vec_id" < 0), col("id") === 0, k = 3,
+      numPlanes = 4, numTables = 2)
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("anchor_id", "rank", "neighbor_id", "score"))
+  }
+
   test("portable RHP near-dup (q71): planted recall, scores are true cosines") {
     import graft.operators.SimilaritySearch
     val got = SimilaritySearch.cosineNearDupPairsPortable(emb,
