@@ -238,6 +238,13 @@ object PlanAudit {
         "hashpartitioning", "InMemoryTableScan", "LeftAnti"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin")),
+    // q75: the portable HLL — a pure two-level aggregation chain
+    // (registers → merge → estimate); ANY join appearing here means
+    // the rollup shape broke
+    Check("q75_portable_hll_oracle",
+      mustContain = Seq("hashpartitioning"),
+      mustNotContain = Seq("SortMergeJoin", "BroadcastHashJoin",
+        "CartesianProduct", "BroadcastNestedLoopJoin")),
     // q74: the anchored (top-k) portable twin — same kernels, same
     // id-only banding + cull, plus the bounded top-k aggregate
     Check("q74_lsh_topk_oracle",

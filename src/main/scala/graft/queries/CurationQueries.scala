@@ -105,6 +105,63 @@ object CurationQueries {
       .orderBy(col("lang"))
   }
 
+  /** q75: the PORTABLE HyperLogLog twin of q48 — per-language
+    * distinct-token estimates whose ENTIRE derivation (md5-60 token
+    * hashes, 1024 bucket addresses, leading-zero ranks via binary
+    * string length, max-merged registers, the integer-scaled harmonic
+    * sum, and the linear-counting branch) re-derives in DuckDB, so
+    * the estimates hash-match value-for-value. The Spark side
+    * deliberately runs TWO-LEVEL ((lang, source) partials max-merged
+    * to lang — the 100 TB rollup path) while the oracle computes
+    * single-level: max-associativity makes them identical, which is
+    * exactly the mergeability claim q48's engine-specific sketch
+    * bytes could never let an oracle verify.
+    */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    val toks = d.select(col("lang"), col("source"),
+      explode(tokens(col("text"))).as("tok"))
+    val partials = graft.operators.PortableHll.registers(
+      toks, Seq("lang", "source"), col("tok"))
+    graft.operators.PortableHll.estimate(partials, Seq("lang"))
+      .orderBy(col("lang"))
+  }
+
+  // the one estimate constant, embedded verbatim (shortest-repr
+  // double literals round-trip identically in both engines)
+  private val q75Sql = {
+    val c = graft.operators.PortableHll.EstimateConstant
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(list_filter(
+       |    regexp_split_to_array(trim(text), '\\s+'),
+       |    x -> length(x) > 0)) AS tok
+       |  FROM documents),
+       |hs AS (
+       |  SELECT lang,
+       |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM toks),
+       |regs AS (
+       |  SELECT lang, h % 1024 AS bucket,
+       |    max(CASE WHEN h // 1024 = 0 THEN 51
+       |      ELSE 51 - length(bin(h // 1024)) END) AS rho_max
+       |  FROM hs GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT lang, count(*) AS occupied,
+       |    CAST(sum(1::BIGINT << (51 - rho_max)) AS BIGINT) AS s_occ
+       |  FROM regs GROUP BY lang),
+       |est AS (
+       |  SELECT lang, occupied,
+       |    $c / CAST(s_occ + (1024 - occupied) * (1::BIGINT << 51)
+       |      AS DOUBLE) AS e_raw,
+       |    1024 - occupied AS v
+       |  FROM agg)
+       |SELECT lang, occupied,
+       |  round(CASE WHEN e_raw <= 2560.0 AND v > 0
+       |    THEN 1024.0 * ln(1024.0 / CAST(v AS DOUBLE))
+       |    ELSE e_raw END, 3) AS est_distinct
+       |FROM est ORDER BY lang""".stripMargin
+  }
+
   /** q49: benchmark decontamination — flag training docs sharing
     * 3-gram windows with the "benchmark suite" (stand-in: every 97th
     * doc). Real corpora use n = 8..13; the synthetic vocabulary is
@@ -384,6 +441,7 @@ object CurationQueries {
     Q("q46_mixture_rebalance", q46, Some(q46Sql), headline = true),
     Q("q47_sequence_packing", q47, None, headline = true),
     Q("q48_hll_rollup", q48, None),
+    Q("q75_portable_hll_oracle", q75, Some(q75Sql)),
     Q("q49_decontamination", q49, Some(q49Sql), headline = true),
     Q("q50_repetition", q50, Some(q50Sql)),
     Q("q51_quality_filter", q51, Some(q51Sql)),

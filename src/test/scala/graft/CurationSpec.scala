@@ -292,6 +292,43 @@ class CurationSpec extends SparkSpec {
 
   // ---------- HLL sketch rollup ----------
 
+  test("portable HLL (q75 twin): accuracy within 4σ; merge path BIT-identical") {
+    import graft.operators.PortableHll
+    val df = (0L until 6000L)
+      .map(i => (s"g${i % 2}", s"part${i % 8}", s"tok${i % (900 + 100 * (i % 2).toInt)}"))
+      .toDF("grp", "part", "tok")
+    // accuracy: m=1024 → rse ≈ 3.25%; exact distinct per grp computed
+    // directly
+    val exact = df.groupBy("grp")
+      .agg(countDistinct(col("tok")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val est = PortableHll.estimate(
+        PortableHll.registers(df, Seq("grp"), col("tok")), Seq("grp"))
+      .select(col("grp"), col("est_distinct")).as[(String, Double)]
+      .collect().toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) <= 4 * 0.0325 * n + 10,
+        s"$g: est ${est(g)} vs exact $n")
+    }
+    // mergeability is EXACT here (max-associativity), not
+    // within-error-band like the builtin sketch: fine partials merged
+    // up equal the direct coarse registers value-for-value
+    val direct = PortableHll.estimate(
+        PortableHll.registers(df, Seq("grp"), col("tok")), Seq("grp"))
+      .collect().map(_.toSeq).toSet
+    val merged = PortableHll.estimate(
+        PortableHll.registers(df, Seq("grp", "part"), col("tok")), Seq("grp"))
+      .collect().map(_.toSeq).toSet
+    assert(merged === direct)
+    // small-range: a tiny group takes the linear-counting branch and
+    // lands essentially exact
+    val tiny = (0 until 30).map(i => ("t", s"w$i")).toDF("grp", "tok")
+    val tinyEst = PortableHll.estimate(
+        PortableHll.registers(tiny, Seq("grp"), col("tok")), Seq("grp"))
+      .select("est_distinct").as[Double].head()
+    assert(math.abs(tinyEst - 30.0) < 2.0, s"linear-counting est $tinyEst")
+  }
+
   test("hll union of partial sketches tracks exact distinct counts") {
     val df = (0L until 5000L)
       .map(i => (s"part${i % 8}", s"tok${i % 700}"))
