@@ -238,6 +238,14 @@ object PlanAudit {
         "hashpartitioning", "InMemoryTableScan", "LeftAnti"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin")),
+    // q76: portable SemDeDup. The decimal kernels and the LeftAnti
+    // cell cull live in the EDGES subplan, which the bounded local
+    // closure executes (and lineage-cuts) before the final frame
+    // exists — the final plan shows only the survivor join, so pin
+    // what it can show: no cross/nested-loop joins anywhere.
+    Check("q76_semdedup_oracle",
+      mustContain = Seq(),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // q75: the portable HLL — a pure two-level aggregation chain
     // (registers → merge → estimate); ANY join appearing here means
     // the rollup shape broke

@@ -335,6 +335,72 @@ object Dedup {
       .withColumn("keep", col("id") === col("group_id"))
   }
 
+  /** SemDeDup with ENGINE-PORTABLE arithmetic — the oracle twin of
+    * [[semanticDedup]] (q54, rows-only forever: Spark ML k-means
+    * cells are engine-specific). The coarse quantizer comes in as a
+    * FIXED centroid matrix (the committed q73 IVF fixture — training
+    * stays an offline artifact, exactly the deployment split the
+    * reference's pgvector index uses), so the ENTIRE application is
+    * re-derivable in SQL: cell assignment = argmin of
+    * n2(v) − 2·dot(v,c) + n2(c) with every dot/norm an exact-decimal
+    * sum (the q71 kernels — sign- and value-stable across engines and
+    * partitionings) and ties to the lowest centroid index; within-cell
+    * pairs verified by the decimal cosine; transitive closure by
+    * min-label; survivor = min group member. What stays unverified in
+    * the native path is k-means TRAINING alone — the same
+    * only-the-hash-family-is-assumed structure as the LSH trilogy.
+    */
+  def semanticDedupPortable(vectors: DataFrame,
+      centroids: Array[Array[Double]], threshold: Double,
+      maxCellSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      ccCollectThreshold: Long =
+        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
+    import org.apache.spark.sql.graft.{RhpExpressions, RhpKernels}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    require(centroids.nonEmpty)
+    // centroid self-norms via the SAME decimal kernel the per-row
+    // side uses — embedded as literals, identical in the oracle
+    val nc2 = centroids.map(c =>
+      RhpKernels.decimalDot(new GenericArrayData(c), new GenericArrayData(c)))
+    val base = graft.CacheScope.track(Par.ensureWide(vectors)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("n2",
+        RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
+    // argmin over (distance, index) via struct ordering: double ops in
+    // a fixed order over decimal-derived terms — bit-stable, ties to
+    // the lowest index (the Spark ML assignment rule)
+    val distStructs = centroids.indices.map { j =>
+      struct(
+        (col("n2") - lit(2.0) * RhpExpressions.decimalScaledDot(col("vec"),
+          typedLit(centroids(j).toSeq)) + lit(nc2(j))).as("d"),
+        lit(j).as("j"))
+    }
+    val assigned = graft.CacheScope.track(base.withColumn("cell",
+      array_min(array(distStructs: _*)).getField("j")))
+    val oversized = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > maxCellSize)
+      .select(col("cell"))
+    val sized = assigned.join(broadcast(oversized), Seq("cell"), "left_anti")
+    val edges = sized.as("x").join(sized.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id"))
+      .withColumn("score", round(
+        RhpExpressions.decimalScaledDot(col("x.vec"), col("y.vec")) /
+          (sqrt(col("x.n2")) * sqrt(col("y.n2"))), 6))
+      .filter(col("score") >= threshold)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val comps = ConnectedComponents.components(edges, "a", "b",
+      collectThreshold = ccCollectThreshold)
+      .withColumnRenamed("node", "id")
+    vectors.select(col(idCol).cast("long").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("group_id"))
+      .withColumn("keep", col("id") === col("group_id"))
+  }
+
   /** Segment-level (line/paragraph) exact dedup — the CCNet-style
     * boilerplate scrub (Wenzek et al., "CCNet", LREC 2020 dedupe
     * paragraphs corpus-wide; Gopher/Dolma run the same pass at line

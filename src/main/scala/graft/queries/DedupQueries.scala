@@ -551,6 +551,88 @@ object DedupQueries {
         threshold = 0.35, nlist = 16)
       .orderBy(col("id"))
 
+  /** Portable SemDeDup under a FULL DuckDB oracle (q76) — the q54
+    * twin on the COMMITTED q73 fixture centroids (training is an
+    * offline artifact; the applied pipeline — exact-decimal argmin
+    * cell assignment, within-cell decimal-cosine pairs, min-label
+    * closure, min-member survivor — re-derives value-for-value in
+    * SQL, closure included via a recursive CTE). With q69/q70/q71/
+    * q72/q74/q75, every approximate-dedup APPLICATION in the engine
+    * now has a hash-verified twin; the only assumed ingredients left
+    * anywhere are hash families and offline trainers.
+    */
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedupPortable(Tables(s, dir).embeddings,
+        graft.operators.SimilaritySearch.loadFixtureArtifacts()
+          .coarseCentroids, threshold = 0.35)
+      .orderBy(col("id"))
+
+  private val q76Sql = {
+    val cents = graft.operators.SimilaritySearch.loadFixtureArtifacts()
+      .coarseCentroids
+    // shortest-repr double literals round-trip bit-exactly in both
+    // engines; the centroid matrix IS the fixture, embedded verbatim
+    val rows = cents.zipWithIndex.map { case (c, j) =>
+      s"($j, [${c.map(java.lang.Double.toString).mkString(", ")}])"
+    }.mkString(", ")
+    s"""WITH RECURSIVE v AS (
+       |  SELECT vec_id AS id, [CAST(x AS DOUBLE) for x in embedding] AS xs
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT id, generate_subscripts(xs, 1) - 1 AS d, unnest(xs) AS x
+       |  FROM v),
+       |norms AS (
+       |  SELECT id, CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+       |    AS DOUBLE) AS n2
+       |  FROM dims GROUP BY id),
+       |cents AS (SELECT * FROM (VALUES $rows) AS t(j, cs)),
+       |cdims AS (
+       |  SELECT j, generate_subscripts(cs, 1) - 1 AS d, unnest(cs) AS c
+       |  FROM cents),
+       |cn2 AS (
+       |  SELECT j, CAST(sum(CAST(round(c * c, 12) AS DECIMAL(38,12)))
+       |    AS DOUBLE) AS nc2
+       |  FROM cdims GROUP BY j),
+       |cdots AS (
+       |  SELECT m.id, cd.j,
+       |    CAST(sum(CAST(round(m.x * cd.c, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS dot
+       |  FROM dims m JOIN cdims cd ON cd.d = m.d GROUP BY 1, 2),
+       |assign AS (
+       |  SELECT id, j AS cell FROM (
+       |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
+       |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
+       |    FROM cdots d
+       |    JOIN norms n ON n.id = d.id
+       |    JOIN cn2 c ON c.j = d.j) WHERE rn = 1),
+       |sized AS (
+       |  SELECT id, cell FROM assign
+       |  QUALIFY count(*) OVER (PARTITION BY cell) <= 10000),
+       |pdots AS (
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS dot
+       |  FROM sized a JOIN sized b ON a.cell = b.cell AND a.id < b.id
+       |  JOIN dims da ON da.id = a.id
+       |  JOIN dims db ON db.id = b.id AND db.d = da.d
+       |  GROUP BY 1, 2),
+       |e0 AS (
+       |  SELECT p.a_id AS a, p.b_id AS b FROM pdots p
+       |  JOIN norms na ON na.id = p.a_id
+       |  JOIN norms nb ON nb.id = p.b_id
+       |  WHERE round(p.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35),
+       |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |walk(node, label) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+       |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+       |SELECT v.id, CAST(coalesce(c.component, v.id) AS BIGINT) AS group_id,
+       |  v.id = coalesce(c.component, v.id) AS keep
+       |FROM v LEFT JOIN comp c ON c.node = v.id
+       |ORDER BY v.id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q16_exact_dup_groups", q16, Some(q16Sql)),
     Q("q17_jaccard_pairs", q17, Some(q17Sql), headline = true),
@@ -560,6 +642,7 @@ object DedupQueries {
     Q("q44_dedup_pipeline", q44, Some(q44Sql), headline = true),
     Q("q52_segment_dedup", q52, Some(q52Sql), headline = true),
     Q("q54_semantic_dedup", q54, None),
+    Q("q76_semdedup_oracle", q76, Some(q76Sql)),
     Q("q58_substring_dedup", q58, Some(q58Sql), headline = true),
     Q("q59_bloom_admission", q59, Some(q59Sql), headline = true),
     Q("q61_boilerplate_removal", q61, Some(q61Sql), headline = true),

@@ -265,6 +265,26 @@ class SimilaritySpec extends SparkSpec {
     assert(none.columns.toSeq === Seq("anchor_id", "rank", "neighbor_id", "score"))
   }
 
+  test("portable SemDeDup (q76): planted pair groups, survivor is min member") {
+    import graft.operators.{Dedup, SimilaritySearch}
+    // fixed tiny quantizer — two orthogonal-ish centroids; the planted
+    // near-identical pair (100, 101) lands in ONE cell and groups
+    val cents = Array(
+      Array.tabulate(8)(i => if (i < 4) 1.0 else 0.0),
+      Array.tabulate(8)(i => if (i >= 4) 1.0 else 0.0))
+    val got = Dedup.semanticDedupPortable(emb, cents, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got.size === emb.count(), "every vector appears exactly once")
+    assert(got(100L) === ((100L, true)), "min member keeps")
+    assert(got(101L) === ((100L, false)), "near-dup joins 100's group")
+    // non-dups are their own singletons
+    assert(got(0L) === ((0L, true)))
+    // the committed fixture centroids drive the gate — shape sanity
+    val fx = SimilaritySearch.loadFixtureArtifacts().coarseCentroids
+    assert(fx.length === 16 && fx(0).length === 64)
+  }
+
   test("portable RHP near-dup (q71): planted recall, scores are true cosines") {
     import graft.operators.SimilaritySearch
     val got = SimilaritySearch.cosineNearDupPairsPortable(emb,
