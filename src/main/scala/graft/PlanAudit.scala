@@ -246,6 +246,13 @@ object PlanAudit {
     Check("q76_semdedup_oracle",
       mustContain = Seq(),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // q77: portable LR scoring — the 256-row weight relation must
+    // BROADCAST (a shuffle for a kilobyte dim table would be wrong at
+    // any scale); the doc-keyed margin join-back may legitimately
+    // sort-merge, so only cross/nested-loop shapes are banned
+    Check("q77_portable_lr_oracle",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // q75: the portable HLL — a pure two-level aggregation chain
     // (registers → merge → estimate); ANY join appearing here means
     // the rollup shape broke

@@ -59,4 +59,87 @@ object QualityClassifier {
         round(element_at(vector_to_array(col("probability")), 2), 6)
           .as("p_quality"))
   }
+
+  // ---------------------------------------------------------------
+  // engine-portable scoring path (the q77 oracle twin)
+  // ---------------------------------------------------------------
+
+  /** md5-bucket feature counts: (groupCols…=id, bucket, n) — the
+    * portable stand-in for HashingTF's murmur3 buckets (identical
+    * hashing-trick semantics, re-derivable in any engine with md5). */
+  def portableFeatureCounts(docs: DataFrame, idCol: String,
+      textCol: String, numFeatures: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"),
+        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
+          lit(numFeatures.toLong)).cast("int").as("bucket"))
+      .groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Portable LR scoring against FIXED weights (a committed
+    * artifact — training stays offline, the q73/q76 deployment
+    * split): margin = intercept + Σ_b w_b·n_b with each term rounded
+    * to 12 and summed in exact DECIMAL (order-free — a raw double
+    * sum varies with partitioning), p = σ(margin) rounded to 6 (the
+    * one exp() call's sub-ulp cross-engine variation is absorbed, the
+    * q75 ln() discipline). Docs with NO tokens score at the intercept
+    * alone, like an all-zero feature vector. Returns (id, p_quality).
+    */
+  def scorePortable(docs: DataFrame, idCol: String, textCol: String,
+      weights: Array[Double], intercept: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDf = broadcast(weights.zipWithIndex
+      .map { case (w, b) => (b, w) }.toSeq.toDF("bucket", "w"))
+    val margins = portableFeatureCounts(docs, idCol, textCol, weights.length)
+      .join(wDf, Seq("bucket"))
+      .groupBy(col("id"))
+      .agg((sum(round(col("w") * col("n"), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .cast("double") + lit(intercept)).as("__margin"))
+    docs.select(col(idCol).as("id")).distinct()
+      .join(margins, Seq("id"), "left")
+      .select(col("id"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-coalesce(col("__margin"), lit(intercept)))), 6)
+          .as("p_quality"))
+  }
+
+  /** Plain-text weight artifact: `meta numFeatures intercept`, then
+    * `w b value` per bucket (shortest-repr doubles — round-trip
+    * exact, diffable). */
+  def saveWeights(weights: Array[Double], intercept: Double,
+      out: java.io.Writer): Unit = {
+    out.write(s"meta ${weights.length} " +
+      java.lang.Double.toString(intercept) + "\n")
+    weights.zipWithIndex.foreach { case (w, b) =>
+      out.write(s"w $b " + java.lang.Double.toString(w) + "\n")
+    }
+  }
+
+  def loadWeights(in: java.io.InputStream): (Array[Double], Double) = {
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+    val meta = lines.head.split(" ")
+    require(meta(0) == "meta" && meta.length == 3,
+      s"bad weights header: ${lines.head}")
+    val n = meta(1).toInt
+    val intercept = meta(2).toDouble
+    val w = new Array[Double](n)
+    lines.tail.foreach { ln =>
+      val p = ln.split(" ")
+      require(p(0) == "w", s"bad weights line: $ln")
+      w(p(1).toInt) = p(2).toDouble
+    }
+    (w, intercept)
+  }
+
+  /** The committed fixture weights (tools.TrainQualityLrFixture —
+    * trained once on the sf0.01 documents with the PORTABLE md5
+    * featurization, labels from the q13 heuristic). */
+  def loadFixtureWeights(): (Array[Double], Double) = {
+    val in = getClass.getResourceAsStream("/graft/fixtures/quality_lr.txt")
+    require(in != null, "fixture /graft/fixtures/quality_lr.txt missing")
+    try loadWeights(in) finally in.close()
+  }
 }

@@ -436,6 +436,52 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Portable classifier SCORING under a FULL oracle (q77) — the q68
+    * twin on the committed weight fixture (tools.TrainQualityLrFixture
+    * — the q73/q76 offline-training split): md5-bucket feature counts,
+    * exact-decimal weighted sums, sigmoid rounded to 6. DuckDB
+    * re-derives every score value-for-value (the weights ride into
+    * the oracle as shortest-repr double literals), so the only
+    * assumed ingredient in the trained-classifier path is L-BFGS
+    * training itself.
+    */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val (w, b0) = graft.operators.QualityClassifier.loadFixtureWeights()
+    graft.operators.QualityClassifier.scorePortable(
+        Tables(s, dir).documents, "doc_id", "text", w, b0)
+      .orderBy(col("id"))
+  }
+
+  private val q77Sql = {
+    val (w, b0) = graft.operators.QualityClassifier.loadFixtureWeights()
+    val rows = w.zipWithIndex.map { case (x, b) =>
+      s"($b, ${java.lang.Double.toString(x)})"
+    }.mkString(", ")
+    val icpt = java.lang.Double.toString(b0)
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    regexp_split_to_array(trim(text), '\\s+'),
+       |    x -> length(x) > 0)) AS tok
+       |  FROM documents),
+       |counts AS (
+       |  SELECT doc_id,
+       |    CAST(CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 256
+       |      AS INT) AS bucket,
+       |    count(*) AS n
+       |  FROM toks GROUP BY 1, 2),
+       |wts AS (SELECT * FROM (VALUES $rows) AS t(bucket, w)),
+       |margins AS (
+       |  SELECT c.doc_id,
+       |    CAST(sum(CAST(round(w.w * c.n, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) + $icpt AS margin
+       |  FROM counts c JOIN wts w USING (bucket) GROUP BY c.doc_id)
+       |SELECT d.doc_id AS id,
+       |  round(1.0 / (1.0 + exp(-coalesce(m.margin, $icpt))), 6) AS p_quality
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN margins m USING (doc_id)
+       |ORDER BY id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q45_stratified_sample", q45, Some(q45Sql)),
     Q("q46_mixture_rebalance", q46, Some(q46Sql), headline = true),
@@ -449,5 +495,6 @@ object CurationQueries {
     Q("q65_shuffle_shards", q65, Some(q65Sql)),
     Q("q67_fuzzy_decontamination", q67, None),
     Q("q68_quality_classifier", q68, None),
+    Q("q77_portable_lr_oracle", q77, Some(q77Sql)),
     Q("q72_fuzzy_decon_oracle", q72, Some(q72Sql)))
 }

@@ -329,6 +329,47 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(tinyEst - 30.0) < 2.0, s"linear-counting est $tinyEst")
   }
 
+  test("portable LR scoring (q77 twin): plain-Scala parity; fixture separates") {
+    import graft.operators.QualityClassifier
+    // hand-checkable parity: 4 buckets, known weights — the operator's
+    // decimal-summed sigmoid must equal the plain-Scala computation
+    val w = Array(0.5, -1.0, 0.0, 2.0)
+    val docs = Seq((1L, "a a b"), (2L, "c"), (3L, "")).toDF("doc_id", "text")
+    def bucketOf(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(tok.getBytes("UTF-8"))
+      var h = 0L
+      for (i <- 0 until 7) h = (h << 8) | (d(i) & 0xFFL)
+      h = (h << 4) | ((d(7) >> 4) & 0xFL)
+      (h % 4).toInt
+    }
+    val got = QualityClassifier.scorePortable(docs, "doc_id", "text", w, 0.25)
+      .as[(Long, Double)].collect().toMap
+    def ref(toks: Seq[String]): Double = {
+      val margin = 0.25 + toks.groupBy(bucketOf).map {
+        case (b, ts) => BigDecimal(w(b) * ts.size)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      BigDecimal(1.0 / (1.0 + math.exp(-margin)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(1L) === ref(Seq("a", "a", "b")))
+    assert(got(2L) === ref(Seq("c")))
+    assert(got(3L) === ref(Seq.empty), "token-free doc scores at the intercept")
+    // the committed fixture genuinely separates its median-split
+    // training labels on the sf0.01 corpus
+    import graft.functions.TextFunctions.qualityScore
+    val (fw, fi) = QualityClassifier.loadFixtureWeights()
+    val d = Tables(spark, "/root/testdata/sf0.01").documents
+      .filter(col("doc_id") % 2 === 0)
+    val joined = QualityClassifier.scorePortable(d, "doc_id", "text", fw, fi)
+      .join(d.select(col("doc_id").as("id"),
+        (qualityScore(col("text")) >= 0.97).as("lbl")), "id")
+    val acc = joined.filter((col("p_quality") >= 0.5) === col("lbl")).count()
+      .toDouble / joined.count()
+    assert(acc >= 0.9, s"fixture training accuracy $acc")
+  }
+
   test("hll union of partial sketches tracks exact distinct counts") {
     val df = (0L until 5000L)
       .map(i => (s"part${i % 8}", s"tok${i % 700}"))
