@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{RhpExpressions, RhpKernels}
+import org.apache.spark.sql.types.DecimalType
+
+/** ENGINE-PORTABLE Lloyd k-means — the oracle twin of the coarse
+  * quantizer training that [[Dedup.semanticDedup]] (q54) and the IVF
+  * index (q73, `reference Experimental/vector_search/
+  * precompute_similar_tracks.py:116-126` — the coarse-quantizer role)
+  * delegate to Spark ML `KMeans`. Spark ML's k-means|| init and
+  * float-order-dependent distance sums are engine-specific; this
+  * trainer replaces BOTH with committed deterministic arithmetic so
+  * the ENTIRE training loop re-derives value-for-value in SQL:
+  *
+  *   - init: the k lowest-id vectors, in id order (a committed,
+  *     data-derived seeding — no RNG, no engine state);
+  *   - assignment: argmin_j of n2(v) − 2·dot(v,c_j) + n2(c_j), every
+  *     dot/norm an exact-decimal sum (the q71/q76 kernels — sign- and
+  *     value-stable across engines and partitionings), ties to the
+  *     lowest centroid index (the Spark ML rule, the q76 rule);
+  *   - update: per-dimension mean = Σ round(x, 12)::DECIMAL(38,12)
+  *     (exact integer arithmetic, partitioning-proof) cast to double,
+  *     divided by the member count (one shared IEEE division);
+  *   - empty cells keep their previous centroid (deterministic — no
+  *     re-seeding);
+  *   - a FIXED iteration count (no convergence test — a float
+  *     tolerance would re-introduce engine-specific behavior).
+  *
+  * Scale shape — exactly Spark ML's own Lloyd loop: the (k × dim)
+  * centroid matrix broadcasts to executors as literals; assignment is
+  * a zero-shuffle projection; the update is one map-side-combining
+  * aggregation per iteration whose result (≤ k·dim rows) is collected
+  * to the driver to become the next broadcast. Nothing vector-shaped
+  * shuffles; the per-iteration driver exchange is k·dim scalars — the
+  * irreducible state of Lloyd's algorithm, identical at 100 TB.
+  *
+  * Output: one row per (cell, dimension) of the FINAL centroid
+  * matrix — (cell, d, c, n_members), n_members from the last
+  * assignment (0 for a cell that ended empty).
+  */
+object KMeansPortable {
+
+  final case class Model(centroids: Array[Array[Double]],
+      counts: Array[Long])
+
+  /** Run `iters` Lloyd iterations from the first-k-ids init and
+    * return the final centroid matrix + last-assignment member
+    * counts. Driver-side state is the k×dim matrix only.
+    */
+  def trainModel(vectors: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+    require(k > 0 && iters >= 1, s"need k>0, iters>=1; got k=$k iters=$iters")
+    val base = graft.CacheScope.track(Par.ensureWide(vectors)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("n2",
+        RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
+    // committed init: the k lowest-id vectors in id order. A bounded
+    // k-row collect (the seed matrix IS driver state under Lloyd).
+    val seeds = base.orderBy(col("id")).select(col("vec")).limit(k)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == k,
+      s"k=$k seeds requested but input has only ${seeds.length} vectors")
+    var cents = seeds
+    var counts = Array.fill[Long](k)(0L)
+    var it = 0
+    while (it < iters) {
+      val assigned = assignCells(base, cents)
+      // per-(cell, dim) decimal mean; ≤ k·dim rows — the broadcast
+      // state for the next iteration, collected as Lloyd requires
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg((sum(round(col("x"), 12).cast(DecimalType(38, 12)))
+            .cast("double") / count(lit(1))).as("c"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      val nextCounts = Array.fill[Long](k)(0L)
+      means.foreach { r =>
+        val cell = r.getInt(0)
+        next(cell)(r.getInt(1)) = r.getDouble(2)
+        nextCounts(cell) = r.getLong(3)
+      }
+      cents = next
+      counts = nextCounts
+      it += 1
+    }
+    Model(cents, counts)
+  }
+
+  /** [[trainModel]] rendered relationally: one row per (cell, d) of
+    * the final centroid matrix. The result is driver-assembled —
+    * legitimately: the centroid matrix is Lloyd's algorithmic state
+    * and is k·dim scalars regardless of corpus size.
+    */
+  def train(vectors: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = trainModel(vectors, k, iters, idCol, vecCol)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val rows = for {
+      j <- m.centroids.indices
+      d <- m.centroids(j).indices
+    } yield (j, d, m.centroids(j)(d), m.counts(j))
+    rows.toDF("cell", "d", "c", "n_members")
+  }
+
+  /** Exact-decimal argmin cell assignment against a fixed centroid
+    * matrix — the [[Dedup.semanticDedupPortable]] assignment rule,
+    * shared so trained centroids plug straight into the SemDeDup
+    * application. Input must carry (vec array<double>, n2 double from
+    * the decimal self-dot); adds an integer `cell` column.
+    */
+  private[operators] def assignCells(base: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val nc2 = centroids.map(c =>
+      RhpKernels.decimalDot(new GenericArrayData(c), new GenericArrayData(c)))
+    val distStructs = centroids.indices.map { j =>
+      struct(
+        (col("n2") - lit(2.0) * RhpExpressions.decimalScaledDot(col("vec"),
+          typedLit(centroids(j).toSeq)) + lit(nc2(j))).as("d"),
+        lit(j).as("j"))
+    }
+    base.withColumn("cell", array_min(array(distStructs: _*)).getField("j"))
+  }
+
+  /** The DuckDB re-derivation of [[train]] — `iters` unrolled Lloyd
+    * iterations over the same decimal arithmetic. Generated, not
+    * hand-written, so the iteration count stays a single source of
+    * truth with the Spark side.
+    */
+  def oracleSql(table: String, idCol: String, vecCol: String,
+      k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH v AS (
+         |  SELECT $idCol AS id, [CAST(x AS DOUBLE) for x in $vecCol] AS xs
+         |  FROM $table),
+         |dims AS (
+         |  SELECT id, generate_subscripts(xs, 1) - 1 AS d, unnest(xs) AS x
+         |  FROM v),
+         |norms AS (
+         |  SELECT id, CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+         |    AS DOUBLE) AS n2
+         |  FROM dims GROUP BY id),
+         |seeds AS (
+         |  SELECT row_number() OVER (ORDER BY id) - 1 AS j, id
+         |  FROM (SELECT id FROM v ORDER BY id LIMIT $k)),
+         |cd0 AS (
+         |  SELECT s.j, m.d, m.x AS c FROM seeds s JOIN dims m ON m.id = s.id),
+         |""".stripMargin
+    for (i <- 1 to iters) {
+      val prev = s"cd${i - 1}"
+      sb ++=
+        s"""cn$i AS (
+           |  SELECT j, CAST(sum(CAST(round(c * c, 12) AS DECIMAL(38,12)))
+           |    AS DOUBLE) AS nc2
+           |  FROM $prev GROUP BY j),
+           |dot$i AS (
+           |  SELECT m.id, cd.j,
+           |    CAST(sum(CAST(round(m.x * cd.c, 12) AS DECIMAL(38,12)))
+           |      AS DOUBLE) AS dot
+           |  FROM dims m JOIN $prev cd ON cd.d = m.d GROUP BY 1, 2),
+           |as$i AS (
+           |  SELECT id, j AS cell FROM (
+           |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
+           |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
+           |    FROM dot$i d
+           |    JOIN norms n ON n.id = d.id
+           |    JOIN cn$i c ON c.j = d.j) WHERE rn = 1),
+           |mm$i AS (
+           |  SELECT a.cell AS j, m.d,
+           |    CAST(sum(CAST(round(m.x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           |      / count(*) AS c,
+           |    count(*) AS n
+           |  FROM as$i a JOIN dims m ON m.id = a.id GROUP BY 1, 2),
+           |cd$i AS (
+           |  SELECT p.j, p.d, coalesce(m.c, p.c) AS c
+           |  FROM $prev p LEFT JOIN mm$i m ON m.j = p.j AND m.d = p.d),
+           |""".stripMargin
+    }
+    sb ++=
+      s"""cnt AS (SELECT j, any_value(n) AS n FROM mm$iters GROUP BY j)
+         |SELECT CAST(p.j AS INTEGER) AS cell, CAST(p.d AS INTEGER) AS d,
+         |  p.c, CAST(coalesce(c.n, 0) AS BIGINT) AS n_members
+         |FROM cd$iters p LEFT JOIN cnt c ON c.j = p.j
+         |ORDER BY cell, d""".stripMargin
+    sb.toString
+  }
+}

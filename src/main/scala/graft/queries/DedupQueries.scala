@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, KMeansPortable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -633,6 +633,26 @@ object DedupQueries {
        |ORDER BY v.id""".stripMargin
   }
 
+  /** Portable Lloyd k-means training under a FULL DuckDB oracle
+    * (q78) — the LAST assumed component with a feasible oracle path
+    * closed: q54/q76 consume centroids whose TRAINING was, until now,
+    * an unverified Spark ML artifact. Committed first-k-ids init,
+    * 3 fixed iterations, exact-decimal assignment and means — the
+    * oracle re-derives every centroid coordinate and member count
+    * value-for-value (see [[KMeansPortable]]). With q78, every stage
+    * of the SemDeDup pipeline — train → assign → pair → close →
+    * survive — is hash-verified; only hash families (LSH trilogy) and
+    * the inherently float-order-dependent L-BFGS (q68/q77) remain
+    * assumed anywhere in the engine.
+    */
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    KMeansPortable.train(Tables(s, dir).embeddings, k = 8, iters = 3)
+      .orderBy(col("cell"), col("d"))
+
+  private val q78Sql =
+    KMeansPortable.oracleSql("embeddings", "vec_id", "embedding",
+      k = 8, iters = 3)
+
   val all: Seq[Q] = Seq(
     Q("q16_exact_dup_groups", q16, Some(q16Sql)),
     Q("q17_jaccard_pairs", q17, Some(q17Sql), headline = true),
@@ -648,5 +668,6 @@ object DedupQueries {
     Q("q61_boilerplate_removal", q61, Some(q61Sql), headline = true),
     Q("q62_cdc_dedup", q62, Some(q62Sql), headline = true),
     Q("q69_minhash_lsh_oracle", q69, Some(q69Sql), headline = true),
-    Q("q70_simhash_oracle", q70, Some(q70Sql)))
+    Q("q70_simhash_oracle", q70, Some(q70Sql)),
+    Q("q78_kmeans_train_oracle", q78, Some(q78Sql)))
 }

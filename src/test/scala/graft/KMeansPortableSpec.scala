@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Dedup, KMeansPortable}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Portable Lloyd k-means (q78's operator): invariants a SQL oracle
+  * alone can't state, plus the integration the VERDICT asked for —
+  * trained centroids feeding the SemDeDup application.
+  */
+class KMeansPortableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // three tight planted clusters around (0,0), (10,0), (0,10) plus
+  // one straggler; ids chosen so the first-k seeds straddle clusters
+  private def planted = Seq(
+    (0L, Array(0.1, 0.0)), (1L, Array(9.9, 0.1)), (2L, Array(0.0, 10.1)),
+    (3L, Array(0.0, 0.2)), (4L, Array(10.1, -0.1)), (5L, Array(0.2, 9.9)),
+    (6L, Array(0.2, 0.1)), (7L, Array(9.8, 0.2)), (8L, Array(-0.1, 10.0)),
+    (9L, Array(0.0, 0.0))
+  ).toDF("vec_id", "embedding")
+
+  test("member counts cover every input exactly once") {
+    val m = KMeansPortable.trainModel(planted, k = 3, iters = 4)
+    assert(m.counts.sum === 10L)
+    assert(m.centroids.length === 3 && m.centroids.forall(_.length === 2))
+  }
+
+  test("planted clusters recover their centers") {
+    val m = KMeansPortable.trainModel(planted, k = 3, iters = 4)
+    // each planted center must be within 0.3 of some trained centroid
+    val centers = Seq(Array(0.0, 0.0), Array(10.0, 0.0), Array(0.0, 10.0))
+    centers.foreach { c =>
+      val best = m.centroids.map(t =>
+        math.hypot(t(0) - c(0), t(1) - c(1))).min
+      assert(best < 0.3, s"no centroid near (${c(0)}, ${c(1)})")
+    }
+  }
+
+  test("empty cell keeps its previous centroid, count 0") {
+    // two coincident far points + seeds that collapse: k=3 over a
+    // 3-point set where two points are identical — one cell must end
+    // empty (both identical points assign to the lower seed index)
+    val df = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.0, 0.0)), (2L, Array(5.0, 5.0))
+    ).toDF("vec_id", "embedding")
+    val m = KMeansPortable.trainModel(df, k = 3, iters = 2)
+    assert(m.counts.sum === 3L)
+    val empty = m.counts.indexOf(0L)
+    assert(empty >= 0)
+    // the empty cell's centroid is its (unchanged) seed vector
+    assert(m.centroids(empty).sameElements(Array(0.0, 0.0)))
+  }
+
+  test("train output matches trainModel row-for-row") {
+    val rows = KMeansPortable.train(planted, k = 3, iters = 4)
+      .orderBy(col("cell"), col("d")).collect()
+    val m = KMeansPortable.trainModel(planted, k = 3, iters = 4)
+    assert(rows.length === 3 * 2)
+    rows.foreach { r =>
+      val (j, d) = (r.getInt(0), r.getInt(1))
+      assert(r.getDouble(2) === m.centroids(j)(d))
+      assert(r.getLong(3) === m.counts(j))
+    }
+  }
+
+  test("trained centroids plug into the SemDeDup application") {
+    // near-dup pair (0, 3) within the (0,0) cluster; trained (not
+    // fixture) centroids drive the portable SemDeDup end-to-end
+    val df = Seq(
+      (0L, Array(1.0, 0.0)), (3L, Array(0.999, 0.01)),
+      (1L, Array(9.9, 0.1)), (2L, Array(0.0, 10.1)),
+      (4L, Array(-1.0, 0.2))
+    ).toDF("vec_id", "embedding")
+    val m = KMeansPortable.trainModel(df, k = 3, iters = 3)
+    val out = Dedup.semanticDedupPortable(df, m.centroids, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(3L) === ((0L, false)), "3 groups under representative 0")
+    assert(out(0L) === ((0L, true)))
+    assert(Seq(1L, 2L, 4L).forall(i => out(i) === ((i, true))))
+  }
+
+  test("iteration count is the only knob: 1 iter != 3 iters under bad init") {
+    // both first-k seeds start inside cluster A, so the first mean
+    // update drags seed 1 toward cluster B and later iterations
+    // re-assign — guards against an implementation that ignores
+    // `iters` (the well-seeded `planted` set converges in one step)
+    val badInit = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.4, 0.0)),
+      (2L, Array(10.0, 10.0)), (3L, Array(10.2, 9.8)),
+      (4L, Array(9.8, 10.2)), (5L, Array(0.1, 0.1))
+    ).toDF("vec_id", "embedding")
+    val m1 = KMeansPortable.trainModel(badInit, k = 2, iters = 1)
+    val m3 = KMeansPortable.trainModel(badInit, k = 2, iters = 3)
+    assert(m1.centroids.flatten[Double].toSeq !=
+      m3.centroids.flatten[Double].toSeq)
+  }
+}
