@@ -39,12 +39,40 @@ object Packing {
   def packSequences(docs: DataFrame, idCol: String,
       weight: org.apache.spark.sql.Column, maxTokens: Int,
       numShards: Int = 256): Dataset[Packed] = {
+    require(numShards > 0)
+    pack(docs, idCol, weight, maxTokens,
+      pmod(xxhash64(col(idCol).cast("long")), lit(numShards)))
+  }
+
+  /** [[packSequences]] with an ENGINE-PORTABLE shard hash — the q79
+    * oracle twin. xxhash64 is Spark-specific, so the only assumed
+    * ingredient in q47 was the shard assignment; md5-prefix sharding
+    * (`('0x' || substring(md5(id), 1, 8))::BIGINT % numShards`, the
+    * q45/q69 idiom) lets a SQL engine re-derive shard, FFD bin walk,
+    * fills and oversize flags value-for-value (first-fit-decreasing
+    * is sequential but bounded per shard, so a recursive CTE replays
+    * it doc-by-doc — see q79's oracle). Same FFD kernel, same
+    * guarantees; the hash costs one md5 per doc instead of one
+    * xxhash64 — noise next to the text scan either side.
+    */
+  def packSequencesPortable(docs: DataFrame, idCol: String,
+      weight: org.apache.spark.sql.Column, maxTokens: Int,
+      numShards: Int = 256): Dataset[Packed] = {
+    require(numShards > 0)
+    pack(docs, idCol, weight, maxTokens,
+      conv(substring(md5(col(idCol).cast("long").cast("string")), 1, 8),
+        16, 10).cast("long") % numShards)
+  }
+
+  private def pack(docs: DataFrame, idCol: String,
+      weight: org.apache.spark.sql.Column, maxTokens: Int,
+      shardExpr: org.apache.spark.sql.Column): Dataset[Packed] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    require(maxTokens > 0 && numShards > 0)
+    require(maxTokens > 0)
     val keyed = docs.select(
       col(idCol).cast("long").as("doc_id"),
-      pmod(xxhash64(col(idCol).cast("long")), lit(numShards)).cast("int").as("shard"),
+      shardExpr.cast("int").as("shard"),
       weight.cast("int").as("weight"))
       .as[(Long, Int, Int)]
     keyed.groupByKey(_._2).flatMapGroups { (shard, it) =>

@@ -83,6 +83,58 @@ object CurationQueries {
       .toDF()
       .orderBy(col("doc_id"))
 
+  /** q79: the PORTABLE packing twin of q47 — identical FFD kernel,
+    * md5-prefix shard hash instead of xxhash64 (the one q47
+    * ingredient a SQL engine could not re-derive). The oracle replays
+    * first-fit-decreasing doc-by-doc with a recursive CTE carrying
+    * each shard's bin-fill list — feasible because packing is
+    * BOUNDED PER SHARD by construction (the same property that makes
+    * the operator scale: the recursion depth is docs-per-shard, never
+    * corpus size). Closes the last rows-only query without a
+    * portable twin (VERDICT r7 item 2).
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequencesPortable(Tables(s, dir).documents, "doc_id",
+        tokenCount(col("text")), maxTokens = 512, numShards = 16)
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  private val q79Sql =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id,
+      |    CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 16 AS INTEGER) AS shard,
+      |    CAST(length(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> length(x) > 0)) AS INTEGER) AS weight
+      |  FROM documents),
+      |ordered AS (
+      |  SELECT doc_id, shard, weight, row_number() OVER (
+      |    PARTITION BY shard ORDER BY weight DESC, doc_id) AS rn
+      |  FROM docs),
+      |walk(shard, rn, doc_id, weight, bin, fills) AS (
+      |  SELECT shard, rn, doc_id, weight, 1, [weight]
+      |  FROM ordered WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.shard, t.rn, t.doc_id, t.weight,
+      |    coalesce(t.fit, len(t.fills) + 1),
+      |    CASE WHEN t.fit IS NULL THEN list_append(t.fills, t.weight)
+      |         ELSE list_transform(range(1, len(t.fills) + 1),
+      |           i -> CASE WHEN i = t.fit THEN t.fills[i] + t.weight
+      |                     ELSE t.fills[i] END) END
+      |  FROM (
+      |    SELECT w.fills, d.shard, d.rn, d.doc_id, d.weight,
+      |      CASE WHEN d.weight > 512 THEN NULL
+      |           ELSE list_filter(range(1, len(w.fills) + 1),
+      |             i -> w.fills[i] + d.weight <= 512)[1] END AS fit
+      |    FROM walk w JOIN ordered d ON d.shard = w.shard
+      |      AND d.rn = w.rn + 1) t)
+      |SELECT doc_id, shard, CAST(bin - 1 AS INTEGER) AS bin, weight,
+      |  CAST(sum(weight) OVER (PARTITION BY shard, bin) AS INTEGER)
+      |    AS bin_fill,
+      |  weight > 512 AS oversize
+      |FROM walk
+      |ORDER BY doc_id""".stripMargin
+
   /** q48: per-language distinct-token cardinality via MERGEABLE HLL
     * sketches — per-(lang, source) partial sketches union'd up to
     * language level, the two-level rollup a 100 TB corpus profile
@@ -486,6 +538,7 @@ object CurationQueries {
     Q("q45_stratified_sample", q45, Some(q45Sql)),
     Q("q46_mixture_rebalance", q46, Some(q46Sql), headline = true),
     Q("q47_sequence_packing", q47, None, headline = true),
+    Q("q79_packing_oracle", q79, Some(q79Sql)),
     Q("q48_hll_rollup", q48, None),
     Q("q75_portable_hll_oracle", q75, Some(q75Sql)),
     Q("q49_decontamination", q49, Some(q49Sql), headline = true),

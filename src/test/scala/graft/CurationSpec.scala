@@ -242,6 +242,28 @@ class CurationSpec extends SparkSpec {
     checkPackingInvariants(docs, maxTokens = 512, numShards = 4)
   }
 
+  test("packSequencesPortable: same FFD kernel, md5 shard hash") {
+    val docs = ((1L to 60L).map(i => (i, 50 + ((i * 31) % 300).toInt)) ++
+      Seq((98L, 700))).toDF("doc_id", "w")
+    val out = Packing.packSequencesPortable(docs, "doc_id", col("w"),
+      512, 8).collect()
+    // identical invariants as the native variant
+    assert(out.map(_.doc_id).sorted.toSeq ===
+      docs.select(col("doc_id")).as[Long].collect().sorted.toSeq)
+    out.groupBy(p => (p.shard, p.bin)).foreach { case (_, members) =>
+      val fill = members.map(_.weight).sum
+      assert(members.forall(_.bin_fill === fill))
+      if (fill > 512) assert(members.length === 1 && members.head.oversize)
+    }
+    // the md5-prefix shard matches a hand computation (the oracle's rule)
+    out.foreach { p =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(p.doc_id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      assert(p.shard === (java.lang.Long.parseLong(hex, 16) % 8).toInt)
+    }
+  }
+
   test("packSequences: deterministic under repartitioning") {
     val docs = (1L to 200L).map(i => (i, 1 + ((i * 37) % 400).toInt))
       .toDF("doc_id", "w")
