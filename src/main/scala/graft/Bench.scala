@@ -108,11 +108,24 @@ object Bench {
       val (t, s) = times(name).minBy(_._1)
       (name, t, s, okFlags(name))
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    // qNN short keys + 3-decimal times: the driver's artifact capture
+    // keeps only the ~2 KB TAIL of this line, and round 7's full-name
+    // keys at 9-decimal precision pushed ~2.5 KB of timings past the
+    // window, clipping q01–q18 out of BENCH_r07 (VERDICT r7 item 1).
+    // Every query name is qNN_<slug> with a unique qNN prefix, so the
+    // short key is lossless against the catalog; 79 entries at
+    // "qNN":N.NNN is ~1.1 KB — timings + failed fit with room.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
+      "qNN short keys must stay unique against the catalog")
+    val qs = results.map { case (k, v, _, _) =>
+      "\"" + shortKey(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val loads = results.map { case (k, _, s, _) => "\"" + k + "\":" + s }
+    val loads = results.map { case (k, _, s, _) =>
+      "\"" + shortKey(k) + "\":" + f"$s%.1f" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, _, false) =>
+      "\"" + shortKey(k) + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val warmupNote =
@@ -131,13 +144,13 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // The per-query `queries` dict is deliberately the LAST key: the
-    // driver's artifact capture keeps only the tail of this line, and
-    // round 6's ordering (times before sentinels) truncated every
-    // timing out of the committed BENCH_r06 (VERDICT r6 item 4). The
-    // keys the gate needs most — failed, then the timings — go last so
-    // any head-truncation clips prose, not numbers.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":${q(sfDir)},"timing":"min of $reps INTERLEAVED rounds (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started; full-plan materialization via queryExecution.toRdd (count() would let Catalyst prune the measured work: unused projections, unique-side joins, final sorts)","warmup":${q(warmupNote)},"load_1m_at_min_rep":$loads,"failed":$failed,"queries":$qs}""")
+    // Key order is truncation-aware: the driver's artifact capture
+    // keeps only the ~2 KB TAIL of this line, so the keys the gate
+    // needs most go LAST — load sentinels, then failed, then the
+    // timings — and any head-truncation clips prose, not numbers
+    // (round 6 lost timings to sentinel-last ordering, round 7 to
+    // full-name 9-decimal keys; see shortKey above).
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":${q(sfDir)},"timing":"min of $reps INTERLEAVED rounds (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started; full-plan materialization via queryExecution.toRdd (count() would let Catalyst prune the measured work: unused projections, unique-side joins, final sorts); keys are the unique qNN prefixes of the catalog names","warmup":${q(warmupNote)},"load_1m_at_min_rep":$loads,"failed":$failed,"queries":$qs}""")
     spark.stop()
   }
 }
