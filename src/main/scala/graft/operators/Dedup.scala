@@ -249,7 +249,14 @@ object Dedup {
       maxDf: Int = 1000, hashFn: Column => Column = xxhash64(_)): DataFrame = {
     val fps = graft.CacheScope.track(
       winnowedFingerprints(docs, idCol, textCol, shingleK, window, hashFn))
-    val ex = fps.select(col("id"), explode(col("fps")).as("fp"))
+    // array_distinct is the per-doc SET contract made local: today's
+    // WinnowUtil already emits distinct fingerprints (so this is an
+    // O(n)-per-row no-op), but the containment denominator below
+    // counts rows — a future hashFn/winnow variant emitting
+    // duplicates would silently inflate sizes and drift containment
+    // from the oracle (ADVICE r7)
+    val ex = fps.select(col("id"),
+      explode(array_distinct(col("fps"))).as("fp"))
     val common = ex.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("fp"))
     val culled = ex.join(broadcast(common), Seq("fp"), "left_anti")

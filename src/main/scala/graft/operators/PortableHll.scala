@@ -58,7 +58,12 @@ object PortableHll {
     val w = shiftrightunsigned(h, B)
     val rho = when(w === 0, lit(RhoBase))
       .otherwise(lit(RhoBase) - length(bin(w)))
-    df.select((groupCols.map(col) :+ bucket.as("bucket") :+
+    // a NULL token hashes to a (NULL, NULL) register row which
+    // estimate() would count in `occupied` while contributing nothing
+    // to the harmonic sum — drop it here, matching the oracle's
+    // md5(NULL)-drops-out semantics (ADVICE r7)
+    df.filter(tokenCol.isNotNull)
+      .select((groupCols.map(col) :+ bucket.as("bucket") :+
         rho.cast("int").as("rho")): _*)
       .groupBy((groupCols.map(col) :+ col("bucket")): _*)
       .agg(max(col("rho")).as("rho_max"))

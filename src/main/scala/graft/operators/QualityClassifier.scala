@@ -126,11 +126,21 @@ object QualityClassifier {
     val n = meta(1).toInt
     val intercept = meta(2).toDouble
     val w = new Array[Double](n)
+    val seen = new Array[Boolean](n)
+    var assigned = 0
     lines.tail.foreach { ln =>
       val p = ln.split(" ")
       require(p(0) == "w", s"bad weights line: $ln")
-      w(p(1).toInt) = p(2).toDouble
+      val i = p(1).toInt
+      require(i >= 0 && i < n,
+        s"weight bucket $i out of range [0, $n) — header/body mismatch")
+      if (!seen(i)) { seen(i) = true; assigned += 1 }
+      w(i) = p(2).toDouble
     }
+    // a truncated or partially corrupt file must fail loudly, not
+    // silently zero-fill the missing buckets (ADVICE r7)
+    require(assigned == n,
+      s"weights file assigns $assigned of $n buckets — truncated?")
     (w, intercept)
   }
 

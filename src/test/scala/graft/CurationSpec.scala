@@ -351,6 +351,35 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(tinyEst - 30.0) < 2.0, s"linear-counting est $tinyEst")
   }
 
+  test("portable HLL: null tokens drop out (no phantom register)") {
+    import graft.operators.PortableHll
+    val withNulls = Seq(("g", Option("a")), ("g", None), ("g", Option("b")),
+      ("g", None)).toDF("grp", "tok")
+    val clean = Seq(("g", "a"), ("g", "b")).toDF("grp", "tok")
+    def run(df: org.apache.spark.sql.DataFrame) = PortableHll.estimate(
+        PortableHll.registers(df, Seq("grp"), col("tok")), Seq("grp"))
+      .collect().map(_.toSeq).toSet
+    // ADVICE r7: a null token used to yield a (NULL, NULL) register
+    // counted in `occupied` — estimates must be identical with and
+    // without the nulls
+    assert(run(withNulls) === run(clean))
+  }
+
+  test("loadWeights: truncated / out-of-range weight files fail loudly") {
+    import graft.operators.QualityClassifier
+    def load(s: String) = QualityClassifier.loadWeights(
+      new java.io.ByteArrayInputStream(s.getBytes("UTF-8")))
+    // complete file loads
+    val (w, icpt) = load("meta 2 0.5\nw 0 1.0\nw 1 -2.0")
+    assert(w.toSeq === Seq(1.0, -2.0) && icpt === 0.5)
+    // truncated: bucket 1 missing
+    assertThrows[IllegalArgumentException](load("meta 2 0.5\nw 0 1.0"))
+    // out-of-range bucket index: pointed error, not AIOOBE
+    val e = intercept[IllegalArgumentException](
+      load("meta 2 0.5\nw 0 1.0\nw 5 2.0"))
+    assert(e.getMessage.contains("out of range"))
+  }
+
   test("portable LR scoring (q77 twin): plain-Scala parity; fixture separates") {
     import graft.operators.QualityClassifier
     // hand-checkable parity: 4 buckets, known weights — the operator's
