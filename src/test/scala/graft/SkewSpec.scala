@@ -149,6 +149,51 @@ class SkewSpec extends SparkSpec {
     assert(first.getString(0) === "h1")
   }
 
+  test("AQE splits a planted hot-key join partition (OptimizeSkewedJoin fires)") {
+    // SCALE.md leans on "AQE's skew handling splits hot-gram
+    // partitions" for the q58-family joins; this pins that claim as
+    // evidence (VERDICT r7 item 7): a 90%-hot key through a shuffle
+    // join under bench-scale thresholds must come out of AQE with the
+    // skew=true join marker AND the right rows.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // bench-scale thresholds: production defaults (256 MB) scaled to
+      // the test fixture; factor 2 over a ~40-partition shuffle where
+      // one partition carries ~90% of the bytes
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val pad = "x" * 200
+      val left = (1 to 30000).map { i =>
+        (if (i % 10 != 0) 0L else (i % 97).toLong, s"$pad$i")
+      }.toDF("k", "payload").repartition(8)
+      val right = (0L until 97L).map(k => (k, s"dim$k")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      // collect() (not count()) so the SAME QueryExecution finalizes —
+      // count() plans a separate aggregate query and the inspected
+      // adaptive plan would never execute
+      val n = joined.collect().length
+      assert(n === 30000, "every left row matches exactly one dim row")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire; final adaptive plan:\n$finalPlan")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("saltedSessionize stitches sessions across bucket boundaries") {
     // one user, hourly buckets; session spans the 10:59→11:10 boundary
     // (gap 11 min < 30 min), then a real new session at 13:00
