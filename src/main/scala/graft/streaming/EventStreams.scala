@@ -306,6 +306,55 @@ object EventStreams {
         col("sum_bits"), (col("sum_bits") / col("n_bigrams")).as("avg_bits"))
   }
 
+  /** Streaming incremental-admission twin — [[graft.operators.Dedup
+    * .admitNewExact]]'s ingest-time sibling, completing the
+    * streaming-curation family: admit only feed rows whose content
+    * fingerprint is new against BOTH the corpus and the stream's own
+    * recent past.
+    *
+    *   1. in-stream election — first arrival per fingerprint within
+    *      bounded watermark state (`dropDuplicatesWithinWatermark`,
+    *      the [[dedupByFingerprint]] contract) replaces the batch
+    *      min-id election;
+    *   2. bloom probe — the corpus [[graft.operators.Dedup
+    *      .fingerprintBloom]] artifact rides as a LITERAL (built
+    *      offline and broadcast with the task binary, the
+    *      lmScoredStream static-artifact discipline): `false` means
+    *      DEFINITELY new — admitted with zero join work, the
+    *      overwhelmingly common case at FPR ~1%;
+    *   3. verify — only FPR-rare suspects pay a stream-static
+    *      LEFT ANTI join against `corpusFps`, the compact
+    *      fingerprint-only artifact (16-byte hashes — a relation
+    *      ~4000× smaller than the corpus it summarizes). False
+    *      positives are cleared here, so admission is EXACT: the
+    *      bloom routes work, it never decides membership.
+    *
+    * Batch-parity caveat (spec-pinned): the batch twin elects the
+    * MIN-ID doc per duplicate fingerprint; the stream keeps the FIRST
+    * ARRIVAL — identical when the feed is id-ordered, and the honest
+    * streaming contract otherwise. Duplicates farther apart than the
+    * watermark delay re-emit (bounded-state trade, as in
+    * [[dedupByFingerprint]]) — the batch compaction is the backstop.
+    *
+    * Returns admitted rows: original columns + `fp` (the batch
+    * twin's output shape).
+    */
+  def bloomAdmittedStream(docs: DataFrame, textCol: String, tsCol: String,
+      bloom: Array[Byte], corpusFps: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.graft.BloomExpressions._
+    val fresh = docs
+      .withColumn("__fp",
+        graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+    val mightHave = bloomMightContain(lit(bloom), col("__fp"))
+    val definite = fresh.filter(!mightHave)
+    val survivors = fresh.filter(mightHave)
+      .join(corpusFps, col("__fp") === corpusFps("fp"), "left_anti")
+    definite.unionByName(survivors).withColumnRenamed("__fp", "fp")
+  }
+
   /** Drive a streaming DataFrame synchronously into a memory table
     * (test/smoke harness — processes everything currently available).
     * The mode is REQUIRED, not defaulted: the

@@ -239,6 +239,53 @@ class StreamingSpec extends SparkSpec {
     assert(reassembled === batch.filter(_._2.nonEmpty))
   }
 
+  test("streaming bloom admission admits exactly the batch admitNewExact set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomadm").toString
+    val corpus = Seq(
+      (1L, "already in the corpus"),
+      (2L, "another corpus document"),
+      (3L, "a third corpus text")).toDF("doc_id", "text")
+    // feed: one exact corpus dup (13), one in-feed dup pair (11, 14),
+    // three uniques — id-ordered single partition so first-arrival ≡
+    // the batch min-id election
+    val feed = Seq(
+      (10L, "2026-01-01 10:00:00", "a genuinely new document"),
+      (11L, "2026-01-01 10:00:01", "repeated within the feed"),
+      (12L, "2026-01-01 10:00:02", "second new unique text"),
+      (13L, "2026-01-01 10:00:03", "Already  IN the corpus"), // corpus dup
+      (14L, "2026-01-01 10:00:04", "Repeated   within the FEED"),
+      (15L, "2026-01-01 10:00:05", "third new unique text"))
+      .toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    feed.coalesce(1).write.mode("overwrite").parquet(dir)
+    // the offline artifacts: bloom bytes + compact fingerprint relation
+    val bloom = graft.operators.Dedup
+      .fingerprintBloom(corpus, "text", numBits = 1L << 10)
+      .collect()(0).getAs[Array[Byte]]("bloom")
+    val corpusFps = corpus.select(
+      graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val stream = spark.readStream.schema(feed.schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.bloomAdmittedStream(stream, "text", "ts", bloom, corpusFps),
+      "bloomadm_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("bloomadm_out")
+    val gotIds = got.select("doc_id").as[Long].collect().toSet
+    val batch = graft.operators.Dedup
+      .admitNewExact(feed.drop("ts"), corpus, "doc_id", "text")
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    assert(gotIds === batchIds)
+    assert(gotIds === Set(10L, 11L, 12L, 15L))
+    // output shape parity with the batch twin: original columns + fp
+    assert(got.columns.sorted.toSeq ===
+      (feed.columns :+ "fp").sorted.toSeq)
+    // fp values match the batch twin's for the same docs
+    val gotFps = got.select("doc_id", "fp").as[(Long, String)].collect().toMap
+    val batchFps = batch.select("doc_id", "fp").as[(Long, String)]
+      .collect().toMap
+    assert(gotFps === batchFps)
+  }
+
   test("streaming LM scoring emits the batch scores bit-for-bit") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
