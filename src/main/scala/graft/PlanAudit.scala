@@ -259,6 +259,12 @@ object PlanAudit {
     Check("q76_semdedup_oracle",
       mustContain = Seq(),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // q80: the end-to-end trained SemDeDup — same final-frame caveat
+    // as q76 (the kernel-bearing edges subplan executes inside the
+    // bounded local closure): pin no cross/nested-loop joins anywhere
+    Check("q80_semdedup_e2e_oracle",
+      mustContain = Seq(),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
     // q77: portable LR scoring — the 256-row weight relation must
     // BROADCAST (a shuffle for a kilobyte dim table would be wrong at
     // any scale); the doc-keyed margin join-back may legitimately

@@ -134,10 +134,27 @@ object KMeansPortable {
     * truth with the Spark side.
     */
   def oracleSql(table: String, idCol: String, vecCol: String,
+      k: Int, iters: Int): String =
+    s"""WITH ${lloydCtes(table, idCol, vecCol, k, iters)}
+       |cnt AS (SELECT j, any_value(n) AS n FROM mm$iters GROUP BY j)
+       |SELECT CAST(p.j AS INTEGER) AS cell, CAST(p.d AS INTEGER) AS d,
+       |  p.c, CAST(coalesce(c.n, 0) AS BIGINT) AS n_members
+       |FROM cd$iters p LEFT JOIN cnt c ON c.j = p.j
+       |ORDER BY cell, d""".stripMargin
+
+  /** The shared CTE chain: `v` (vectors), `dims`, `norms`, seeds and
+    * `iters` Lloyd rounds ending in `cd<iters>` (j, d, c — the final
+    * centroid matrix) and `mm<iters>` (the last mean update), with a
+    * TRAILING comma so callers append their own CTEs. Consumed by
+    * [[oracleSql]] (q78) and composed with the SemDeDup application
+    * CTEs by the q80 end-to-end oracle. No WITH keyword — the caller
+    * owns it (q80 needs WITH RECURSIVE for its closure).
+    */
+  def lloydCtes(table: String, idCol: String, vecCol: String,
       k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb ++=
-      s"""WITH v AS (
+      s"""v AS (
          |  SELECT $idCol AS id, [CAST(x AS DOUBLE) for x in $vecCol] AS xs
          |  FROM $table),
          |dims AS (
@@ -183,12 +200,6 @@ object KMeansPortable {
            |  FROM $prev p LEFT JOIN mm$i m ON m.j = p.j AND m.d = p.d),
            |""".stripMargin
     }
-    sb ++=
-      s"""cnt AS (SELECT j, any_value(n) AS n FROM mm$iters GROUP BY j)
-         |SELECT CAST(p.j AS INTEGER) AS cell, CAST(p.d AS INTEGER) AS d,
-         |  p.c, CAST(coalesce(c.n, 0) AS BIGINT) AS n_members
-         |FROM cd$iters p LEFT JOIN cnt c ON c.j = p.j
-         |ORDER BY cell, d""".stripMargin
     sb.toString
   }
 }

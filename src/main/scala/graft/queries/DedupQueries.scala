@@ -653,6 +653,75 @@ object DedupQueries {
     KMeansPortable.oracleSql("embeddings", "vec_id", "embedding",
       k = 8, iters = 3)
 
+  /** END-TO-END portable SemDeDup under ONE oracle (q80): TRAIN the
+    * coarse quantizer with [[KMeansPortable]] (the q78 Lloyd loop),
+    * then run the full SemDeDup application (the q76 pipeline —
+    * exact-decimal argmin assignment, within-cell decimal cosines,
+    * recursive-CTE closure, min-member survivor) on the centroids it
+    * just trained. Nothing is a fixture: the oracle re-derives the
+    * ENTIRE train→assign→pair→close→survive chain from the parquet
+    * bytes alone — the strongest verification statement in the
+    * engine, and the deployment shape (train on today's corpus,
+    * dedup today's corpus) rather than the artifact-split one.
+    */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val m = KMeansPortable.trainModel(Tables(s, dir).embeddings,
+      k = 8, iters = 3)
+    Dedup.semanticDedupPortable(Tables(s, dir).embeddings, m.centroids,
+        threshold = 0.35)
+      .orderBy(col("id"))
+  }
+
+  private val q80Sql = {
+    val lloyd = KMeansPortable.lloydCtes("embeddings", "vec_id",
+      "embedding", k = 8, iters = 3)
+    // the application CTEs are q76's with the literal centroid VALUES
+    // replaced by cd3, the trained matrix the Lloyd chain ends in
+    s"""WITH RECURSIVE $lloyd
+       |acn2 AS (
+       |  SELECT j, CAST(sum(CAST(round(c * c, 12) AS DECIMAL(38,12)))
+       |    AS DOUBLE) AS nc2
+       |  FROM cd3 GROUP BY j),
+       |acdots AS (
+       |  SELECT m.id, cd.j,
+       |    CAST(sum(CAST(round(m.x * cd.c, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS dot
+       |  FROM dims m JOIN cd3 cd ON cd.d = m.d GROUP BY 1, 2),
+       |aassign AS (
+       |  SELECT id, j AS cell FROM (
+       |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
+       |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
+       |    FROM acdots d
+       |    JOIN norms n ON n.id = d.id
+       |    JOIN acn2 c ON c.j = d.j) WHERE rn = 1),
+       |sized AS (
+       |  SELECT id, cell FROM aassign
+       |  QUALIFY count(*) OVER (PARTITION BY cell) <= 10000),
+       |pdots AS (
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS dot
+       |  FROM sized a JOIN sized b ON a.cell = b.cell AND a.id < b.id
+       |  JOIN dims da ON da.id = a.id
+       |  JOIN dims db ON db.id = b.id AND db.d = da.d
+       |  GROUP BY 1, 2),
+       |e0 AS (
+       |  SELECT p.a_id AS a, p.b_id AS b FROM pdots p
+       |  JOIN norms na ON na.id = p.a_id
+       |  JOIN norms nb ON nb.id = p.b_id
+       |  WHERE round(p.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35),
+       |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |walk(node, label) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+       |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+       |SELECT v.id, CAST(coalesce(c.component, v.id) AS BIGINT) AS group_id,
+       |  v.id = coalesce(c.component, v.id) AS keep
+       |FROM v LEFT JOIN comp c ON c.node = v.id
+       |ORDER BY v.id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q16_exact_dup_groups", q16, Some(q16Sql)),
     Q("q17_jaccard_pairs", q17, Some(q17Sql), headline = true),
@@ -669,5 +738,6 @@ object DedupQueries {
     Q("q62_cdc_dedup", q62, Some(q62Sql), headline = true),
     Q("q69_minhash_lsh_oracle", q69, Some(q69Sql), headline = true),
     Q("q70_simhash_oracle", q70, Some(q70Sql)),
-    Q("q78_kmeans_train_oracle", q78, Some(q78Sql)))
+    Q("q78_kmeans_train_oracle", q78, Some(q78Sql)),
+    Q("q80_semdedup_e2e_oracle", q80, Some(q80Sql)))
 }
