@@ -44,9 +44,23 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def included(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
+    // qNN short keys (see the emitter below): uniqueness must fail
+    // HERE, before the expensive warmup + timed passes — a colliding
+    // catalog name discovered after tens of minutes of measurement
+    // would discard every number (the reps>=1 precedent)
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+      .filter(included)
+    require(names.map(shortKey).distinct.size == names.size,
+      "qNN short keys must stay unique against the catalog")
+    // same early-failure rule: reps=0 would run every warmup, then
+    // crash in minBy over an empty timing vector
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     var warmupFailures = 0
-    SparkEntry.queries.toSeq.sortBy(_._1).filter(q => included(q._1)).foreach { case (name, fn) =>
-      try Measure.force(fn(spark, warmupDir))
+    val fns = SparkEntry.queries
+    names.foreach { name =>
+      try Measure.force(fns(name)(spark, warmupDir))
       catch { case e: Throwable =>
         warmupFailures += 1
         System.err.println(s"bench: warmup $name failed: $e")
@@ -73,15 +87,8 @@ object Bench {
     // emit, per query, the sentinel of the rep whose time won the min.
     // A judge can then see whether the committed number was measured
     // under external load (sentinel >> this JVM's own core count).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    // fail BEFORE the (expensive) warmup pass: reps=0 would run every
-    // warmup, then crash in minBy over an empty timing vector
-    require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def loadAvg(): Double = osBean.getSystemLoadAverage
-    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
-      .filter(included)
-    val fns = SparkEntry.queries
     val times = scala.collection.mutable.Map[String, Vector[(Double, Double)]]()
       .withDefaultValue(Vector.empty)
     val okFlags = scala.collection.mutable.Map[String, Boolean]()
@@ -112,17 +119,20 @@ object Bench {
     // keeps only the ~2 KB TAIL of this line, and round 7's full-name
     // keys at 9-decimal precision pushed ~2.5 KB of timings past the
     // window, clipping q01–q18 out of BENCH_r07 (VERDICT r7 item 1).
-    // Every query name is qNN_<slug> with a unique qNN prefix, so the
-    // short key is lossless against the catalog; 79 entries at
-    // "qNN":N.NNN is ~1.1 KB — timings + failed fit with room.
-    def shortKey(name: String): String = name.takeWhile(_ != '_')
-    require(results.map(r => shortKey(r._1)).distinct.size == results.size,
-      "qNN short keys must stay unique against the catalog")
+    // Every query name is qNN_<slug> with a unique qNN prefix (the
+    // early require above), so the short key is lossless against the
+    // catalog; 80 entries at "qNN":N.NNN is ~1.1 KB — timings +
+    // failed fit with room. Locale.ROOT: the f-interpolator uses the
+    // JVM default locale, and a comma-decimal locale would emit
+    // "q44":3,490 — invalid JSON for the whole round's timings.
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+        java.lang.Double.valueOf(v))
     val qs = results.map { case (k, v, _, _) =>
-      "\"" + shortKey(k) + "\":" + f"$v%.3f" }
+      "\"" + shortKey(k) + "\":" + num(v, 3) }
       .mkString("{", ",", "}")
     val loads = results.map { case (k, _, s, _) =>
-      "\"" + shortKey(k) + "\":" + f"$s%.1f" }
+      "\"" + shortKey(k) + "\":" + num(s, 1) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, _, false) =>
       "\"" + shortKey(k) + "\"" }
@@ -150,7 +160,7 @@ object Bench {
     // timings — and any head-truncation clips prose, not numbers
     // (round 6 lost timings to sentinel-last ordering, round 7 to
     // full-name 9-decimal keys; see shortKey above).
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":${q(sfDir)},"timing":"min of $reps INTERLEAVED rounds (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started; full-plan materialization via queryExecution.toRdd (count() would let Catalyst prune the measured work: unused projections, unique-side joins, final sorts); keys are the unique qNN prefixes of the catalog names","warmup":${q(warmupNote)},"load_1m_at_min_rep":$loads,"failed":$failed,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":${q(sfDir)},"timing":"min of $reps INTERLEAVED rounds (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started; full-plan materialization via queryExecution.toRdd (count() would let Catalyst prune the measured work: unused projections, unique-side joins, final sorts); keys are the unique qNN prefixes of the catalog names","warmup":${q(warmupNote)},"load_1m_at_min_rep":$loads,"failed":$failed,"queries":$qs}""")
     spark.stop()
   }
 }

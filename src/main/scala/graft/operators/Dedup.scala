@@ -363,29 +363,19 @@ object Dedup {
       idCol: String = "vec_id", vecCol: String = "embedding",
       ccCollectThreshold: Long =
         ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
-    import org.apache.spark.sql.graft.{RhpExpressions, RhpKernels}
-    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.graft.RhpExpressions
     require(centroids.nonEmpty)
-    // centroid self-norms via the SAME decimal kernel the per-row
-    // side uses — embedded as literals, identical in the oracle
-    val nc2 = centroids.map(c =>
-      RhpKernels.decimalDot(new GenericArrayData(c), new GenericArrayData(c)))
     val base = graft.CacheScope.track(Par.ensureWide(vectors)
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
       .withColumn("n2",
         RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
-    // argmin over (distance, index) via struct ordering: double ops in
-    // a fixed order over decimal-derived terms — bit-stable, ties to
-    // the lowest index (the Spark ML assignment rule)
-    val distStructs = centroids.indices.map { j =>
-      struct(
-        (col("n2") - lit(2.0) * RhpExpressions.decimalScaledDot(col("vec"),
-          typedLit(centroids(j).toSeq)) + lit(nc2(j))).as("d"),
-        lit(j).as("j"))
-    }
-    val assigned = graft.CacheScope.track(base.withColumn("cell",
-      array_min(array(distStructs: _*)).getField("j")))
+    // the assignment IS KMeansPortable's — one implementation of the
+    // exact-decimal argmin serves training (q78), the fixture
+    // application (q76) and the end-to-end chain (q80), so the
+    // train/apply arithmetic cannot drift (review r8)
+    val assigned = graft.CacheScope.track(
+      KMeansPortable.assignCells(base, centroids))
     val oversized = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("csz"))
       .filter(col("csz") > maxCellSize)

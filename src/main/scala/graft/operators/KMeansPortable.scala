@@ -142,6 +142,35 @@ object KMeansPortable {
        |FROM cd$iters p LEFT JOIN cnt c ON c.j = p.j
        |ORDER BY cell, d""".stripMargin
 
+  /** The exact-decimal argmin assignment as SQL, parameterized on the
+    * centroid relation (j, d, c): emits `cn<sfx>` (centroid norms),
+    * `dot<sfx>` (vector·centroid decimal dots) and `as<sfx>`
+    * (id → cell), trailing comma. The ONE source of the assignment
+    * arithmetic for every oracle that assigns cells — q78's Lloyd
+    * iterations, q76's fixture application and q80's end-to-end
+    * chain all compose this, so an arithmetic change reaches every
+    * oracle or none. Requires `dims` (id, d, x) and `norms` (id, n2)
+    * in scope.
+    */
+  def assignmentCtes(sfx: String, centroidRel: String): String =
+    s"""cn$sfx AS (
+       |  SELECT j, CAST(sum(CAST(round(c * c, 12) AS DECIMAL(38,12)))
+       |    AS DOUBLE) AS nc2
+       |  FROM $centroidRel GROUP BY j),
+       |dot$sfx AS (
+       |  SELECT m.id, cd.j,
+       |    CAST(sum(CAST(round(m.x * cd.c, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS dot
+       |  FROM dims m JOIN $centroidRel cd ON cd.d = m.d GROUP BY 1, 2),
+       |as$sfx AS (
+       |  SELECT id, j AS cell FROM (
+       |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
+       |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
+       |    FROM dot$sfx d
+       |    JOIN norms n ON n.id = d.id
+       |    JOIN cn$sfx c ON c.j = d.j) WHERE rn = 1),
+       |""".stripMargin
+
   /** The shared CTE chain: `v` (vectors), `dims`, `norms`, seeds and
     * `iters` Lloyd rounds ending in `cd<iters>` (j, d, c — the final
     * centroid matrix) and `mm<iters>` (the last mean update), with a
@@ -172,24 +201,9 @@ object KMeansPortable {
          |""".stripMargin
     for (i <- 1 to iters) {
       val prev = s"cd${i - 1}"
+      sb ++= assignmentCtes(i.toString, prev)
       sb ++=
-        s"""cn$i AS (
-           |  SELECT j, CAST(sum(CAST(round(c * c, 12) AS DECIMAL(38,12)))
-           |    AS DOUBLE) AS nc2
-           |  FROM $prev GROUP BY j),
-           |dot$i AS (
-           |  SELECT m.id, cd.j,
-           |    CAST(sum(CAST(round(m.x * cd.c, 12) AS DECIMAL(38,12)))
-           |      AS DOUBLE) AS dot
-           |  FROM dims m JOIN $prev cd ON cd.d = m.d GROUP BY 1, 2),
-           |as$i AS (
-           |  SELECT id, j AS cell FROM (
-           |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
-           |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
-           |    FROM dot$i d
-           |    JOIN norms n ON n.id = d.id
-           |    JOIN cn$i c ON c.j = d.j) WHERE rn = 1),
-           |mm$i AS (
+        s"""mm$i AS (
            |  SELECT a.cell AS j, m.d,
            |    CAST(sum(CAST(round(m.x, 12) AS DECIMAL(38,12))) AS DOUBLE)
            |      / count(*) AS c,

@@ -134,7 +134,11 @@ object QualityClassifier {
       val i = p(1).toInt
       require(i >= 0 && i < n,
         s"weight bucket $i out of range [0, $n) — header/body mismatch")
-      if (!seen(i)) { seen(i) = true; assigned += 1 }
+      // concatenated/partially-rewritten artifacts assign buckets
+      // twice with possibly conflicting values — reject, don't let
+      // the last line silently win (review r8)
+      require(!seen(i), s"duplicate weight line for bucket $i")
+      seen(i) = true; assigned += 1
       w(i) = p(2).toDouble
     }
     // a truncated or partially corrupt file must fail loudly, not

@@ -589,24 +589,9 @@ object DedupQueries {
        |cdims AS (
        |  SELECT j, generate_subscripts(cs, 1) - 1 AS d, unnest(cs) AS c
        |  FROM cents),
-       |cn2 AS (
-       |  SELECT j, CAST(sum(CAST(round(c * c, 12) AS DECIMAL(38,12)))
-       |    AS DOUBLE) AS nc2
-       |  FROM cdims GROUP BY j),
-       |cdots AS (
-       |  SELECT m.id, cd.j,
-       |    CAST(sum(CAST(round(m.x * cd.c, 12) AS DECIMAL(38,12)))
-       |      AS DOUBLE) AS dot
-       |  FROM dims m JOIN cdims cd ON cd.d = m.d GROUP BY 1, 2),
-       |assign AS (
-       |  SELECT id, j AS cell FROM (
-       |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
-       |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
-       |    FROM cdots d
-       |    JOIN norms n ON n.id = d.id
-       |    JOIN cn2 c ON c.j = d.j) WHERE rn = 1),
+       |${KMeansPortable.assignmentCtes("p", "cdims")}
        |sized AS (
-       |  SELECT id, cell FROM assign
+       |  SELECT id, cell FROM asp
        |  QUALIFY count(*) OVER (PARTITION BY cell) <= 10000),
        |pdots AS (
        |  SELECT a.id AS a_id, b.id AS b_id,
@@ -675,27 +660,14 @@ object DedupQueries {
   private val q80Sql = {
     val lloyd = KMeansPortable.lloydCtes("embeddings", "vec_id",
       "embedding", k = 8, iters = 3)
-    // the application CTEs are q76's with the literal centroid VALUES
-    // replaced by cd3, the trained matrix the Lloyd chain ends in
+    // the application's assignment comes from the SAME generator the
+    // Lloyd iterations use, against cd3 — the trained matrix the
+    // chain ends in — so the train and apply arithmetic cannot drift
+    val assign = KMeansPortable.assignmentCtes("f", "cd3")
     s"""WITH RECURSIVE $lloyd
-       |acn2 AS (
-       |  SELECT j, CAST(sum(CAST(round(c * c, 12) AS DECIMAL(38,12)))
-       |    AS DOUBLE) AS nc2
-       |  FROM cd3 GROUP BY j),
-       |acdots AS (
-       |  SELECT m.id, cd.j,
-       |    CAST(sum(CAST(round(m.x * cd.c, 12) AS DECIMAL(38,12)))
-       |      AS DOUBLE) AS dot
-       |  FROM dims m JOIN cd3 cd ON cd.d = m.d GROUP BY 1, 2),
-       |aassign AS (
-       |  SELECT id, j AS cell FROM (
-       |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
-       |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
-       |    FROM acdots d
-       |    JOIN norms n ON n.id = d.id
-       |    JOIN acn2 c ON c.j = d.j) WHERE rn = 1),
+       |$assign
        |sized AS (
-       |  SELECT id, cell FROM aassign
+       |  SELECT id, cell FROM asf
        |  QUALIFY count(*) OVER (PARTITION BY cell) <= 10000),
        |pdots AS (
        |  SELECT a.id AS a_id, b.id AS b_id,

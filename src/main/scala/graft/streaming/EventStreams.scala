@@ -319,11 +319,14 @@ object EventStreams {
     *   2. bloom probe — the corpus [[graft.operators.Dedup
     *      .fingerprintBloom]] artifact rides as a LITERAL (built
     *      offline and broadcast with the task binary, the
-    *      lmScoredStream static-artifact discipline): `false` means
-    *      DEFINITELY new — admitted with zero join work, the
-    *      overwhelmingly common case at FPR ~1%;
-    *   3. verify — only FPR-rare suspects pay a stream-static
-    *      LEFT ANTI join against `corpusFps`, the compact
+    *      lmScoredStream static-artifact discipline) INSIDE the
+    *      anti-join condition: `false` means DEFINITELY new — the
+    *      conjunction fails for every corpus row and the doc
+    *      survives on the probe alone, the overwhelmingly common
+    *      case at FPR ~1% (one subtree, one dedup state store — a
+    *      filter-split union would double both);
+    *   3. verify — only FPR-rare suspects match the stream-static
+    *      LEFT ANTI join's equi-key against `corpusFps`, the compact
     *      fingerprint-only artifact (16-byte hashes — a relation
     *      ~4000× smaller than the corpus it summarizes). False
     *      positives are cleared here, so admission is EXACT: the
@@ -348,11 +351,18 @@ object EventStreams {
         graft.functions.TextFunctions.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__fp")
-    val mightHave = bloomMightContain(lit(bloom), col("__fp"))
-    val definite = fresh.filter(!mightHave)
-    val survivors = fresh.filter(mightHave)
-      .join(corpusFps, col("__fp") === corpusFps("fp"), "left_anti")
-    definite.unionByName(survivors).withColumnRenamed("__fp", "fp")
+    // ONE subtree, not a filter-split union: branching the deduped
+    // stream would instantiate TWO dropDuplicates state stores and
+    // scan/fingerprint the feed twice per micro-batch (review r8).
+    // The bloom probe rides INSIDE the anti-join condition instead: a
+    // definitely-new row satisfies the conjunction for no corpus row
+    // (cheap probe, no state), while a suspect is dropped exactly
+    // when its fingerprint truly exists — the same admitted set.
+    fresh
+      .join(corpusFps,
+        bloomMightContain(lit(bloom), col("__fp")) &&
+          col("__fp") === corpusFps("fp"), "left_anti")
+      .withColumnRenamed("__fp", "fp")
   }
 
   /** Drive a streaming DataFrame synchronously into a memory table
