@@ -82,6 +82,18 @@ class KMeansPortableSpec extends SparkSpec {
     assert(Seq(1L, 2L, 4L).forall(i => out(i) === ((i, true))))
   }
 
+  test("training is partitioning-proof: repartition(13) gives identical centroids") {
+    // the decimal-mean claim made falsifiable: every sum is exact
+    // integer arithmetic, so shard boundaries cannot move a single
+    // bit of any centroid coordinate
+    val m1 = KMeansPortable.trainModel(planted, k = 3, iters = 4)
+    val m2 = KMeansPortable.trainModel(planted.repartition(13), k = 3,
+      iters = 4)
+    assert(m1.centroids.flatten[Double].toSeq ===
+      m2.centroids.flatten[Double].toSeq)
+    assert(m1.counts.toSeq === m2.counts.toSeq)
+  }
+
   test("iteration count is the only knob: 1 iter != 3 iters under bad init") {
     // both first-k seeds start inside cluster A, so the first mean
     // update drags seed 1 toward cluster B and later iterations
