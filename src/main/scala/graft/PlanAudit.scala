@@ -322,6 +322,12 @@ object PlanAudit {
       mustContain = Seq("hashpartitioning(__shard"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin",
         "BroadcastNestedLoopJoin")),
+    // q81: the temperature mixture keeps q46's plan family — tiny
+    // per-domain relations broadcast back onto the corpus, the rank
+    // the only corpus-wide window; no sort-merge anywhere
+    Check("q81_temperature_mixture",
+      mustContain = Seq("BroadcastHashJoin", "Window"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
     // q79: the portable packing twin keeps q47's two-level shape —
     // ONE keyed shuffle of (doc_id, shard, weight) triples (never the
     // text) into the per-shard FFD MapGroups, plus the presentation
@@ -351,7 +357,9 @@ object PlanAudit {
     "q32_cosine_pairs", "q40_bm25", "q46_mixture_rebalance",
     "q59_bloom_admission", "q60_ngram_lm_score", "q64_perplexity_buckets",
     // q73: anchors × 16-centroid broadcast probe (the IVF cell pick)
-    "q73_ivfpq_fixture")
+    "q73_ivfpq_fixture",
+    // q81: the 1-row S and T scalar attaches (the q46 shape, twice)
+    "q81_temperature_mixture")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -171,6 +171,65 @@ object Sampling {
     * bounded-state alternative is the TopKByScore aggregate (see
     * SCALE.md); the window keeps the gate query planar.
     */
+  /** Temperature-smoothed mixture rebalance — the multilingual /
+    * multi-source α-smoothing of mBERT, XLM-R and mT5 (Devlin 2019
+    * §"exponentially smoothed weighting"; Conneau & Lample 2019 §3.1;
+    * Xue 2021 §3.2: sample domain d with p_d ∝ n_d^α): downsample
+    * abundant domains so KEPT shares follow n_d^(1/2) instead of
+    * n_d, keeping as much data as possible. Where [[mixtureRebalance]]
+    * takes explicit rational targets, the temperature mixture derives
+    * them from the data — the standard curation move when hand-tuned
+    * ratios don't exist.
+    *
+    * α = 1/2 (temperature τ = 2) is THE engine-portable exponent:
+    * IEEE-754 sqrt is correctly rounded in every engine, so the
+    * integer-scaled weights W_d = round(sqrt(n_d)·10⁶) reproduce
+    * bit-for-bit cross-engine and everything downstream is exact
+    * integer arithmetic (the [[mixtureRebalance]] discipline —
+    * `div`, never float `/`). General α would need pow(), which is
+    * NOT correctly rounded and differs across libm builds — an
+    * oracle non-starter, and why this operator fixes the exponent.
+    *
+    * T = max total = min_d ⌊n_d·S / W_d⌋ (S = Σ W_d);
+    * quota_d = W_d·T div S (provably ≤ n_d); each domain keeps its
+    * quota by md5-rank order (stable under reruns, nested under
+    * count drift). Products ride in DECIMAL(38,0) — n_d·S overflows
+    * a LONG at petascale domain counts — and floor-division uses the
+    * exact (a − a mod b) / b identity (decimal `/` alone rounds
+    * HALF_UP at scale 6, which can cross an integer boundary).
+    *
+    * Shape: one per-domain count (map-side partial agg), three
+    * broadcast-attached scalar relations, one per-domain rank window
+    * — the q46 plan family, nothing corpus-wide but the rank.
+    */
+  def temperatureRebalance(df: DataFrame, domainCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast(dec)
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__cnt"))
+    val weighted = counts.withColumn("__w",
+      round(sqrt(col("__cnt").cast("double")) * lit(1e6)).cast(dec))
+    val s = weighted.agg(sum(col("__w")).cast(dec).as("__s"))
+    // declared 1-row scalar attaches (the q40/q46 crossJoin shape)
+    val t = weighted.crossJoin(broadcast(s))
+      .agg(min(floorDiv(col("__cnt").cast(dec) * col("__s"), col("__w")))
+        .as("__t"))
+    val quotas = weighted.crossJoin(broadcast(s)).crossJoin(broadcast(t))
+      .select(col("__dom"),
+        floorDiv(col("__w") * col("__t"), col("__s")).as("__quota"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(keyHash(col(idCol)), col(idCol))
+    // null-safe join: a null domain is a stratum like any other (the
+    // qualityFilter precedent)
+    df.join(broadcast(quotas), col(domainCol) <=> col("__dom"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk").cast(dec) <= col("__quota"))
+      .drop("__dom", "__quota", "__rk")
+  }
+
   def mixtureRebalance(df: DataFrame, domainCol: String,
       targets: Map[String, Int], idCol: String): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ > 0))

@@ -72,6 +72,39 @@ object CurationQueries {
       |WHERE r.rk <= q.quota
       |ORDER BY r.doc_id""".stripMargin
 
+  /** q81: temperature-smoothed mixture (α = 1/2) over languages —
+    * kept shares follow sqrt(n_lang), the mBERT/XLM-R/mT5 smoothing.
+    * FULL oracle: sqrt is the one correctly-rounded power, so the
+    * integer-scaled weights and every quota re-derive exactly
+    * (see [[graft.operators.Sampling.temperatureRebalance]]).
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureRebalance(Tables(s, dir).documents, "lang",
+        idCol = "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  private val q81Sql =
+    """WITH counts AS (
+      |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |wts AS (
+      |  SELECT lang, n,
+      |    CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      |  FROM counts),
+      |s AS (SELECT CAST(sum(w) AS BIGINT) AS s FROM wts),
+      |t AS (SELECT min(n * s.s // w) AS t FROM wts, s),
+      |quotas AS (
+      |  SELECT lang, (w * t.t) // s.s AS quota FROM wts, s, t),
+      |ranked AS (
+      |  SELECT doc_id, lang, source, row_number() OVER (
+      |    PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.doc_id, r.lang, r.source
+      |FROM ranked r JOIN quotas q USING (lang)
+      |WHERE r.rk <= q.quota
+      |ORDER BY r.doc_id""".stripMargin
+
   /** q47: pack documents into 512-token training sequences (16
     * deterministic shards, FFD within shard). Rows-only: the packing
     * invariants (every doc exactly once, no bin over capacity unless
@@ -537,6 +570,7 @@ object CurationQueries {
   val all: Seq[Q] = Seq(
     Q("q45_stratified_sample", q45, Some(q45Sql)),
     Q("q46_mixture_rebalance", q46, Some(q46Sql), headline = true),
+    Q("q81_temperature_mixture", q81, Some(q81Sql)),
     Q("q47_sequence_packing", q47, None, headline = true),
     Q("q79_packing_oracle", q79, Some(q79Sql)),
     Q("q48_hll_rollup", q48, None),

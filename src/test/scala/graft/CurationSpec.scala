@@ -201,6 +201,37 @@ class CurationSpec extends SparkSpec {
     assert(admitted === expected)
   }
 
+  test("temperatureRebalance: sqrt-proportional quotas, hand-checked") {
+    // A:100, B:400 → W_A=10e6, W_B=20e6, S=30e6; T=min(300,600)=300;
+    // quota_A=100 (all of A — the binding domain), quota_B=200 —
+    // kept shares 1:2, the sqrt of the raw 1:4
+    val docs = ((1L to 100L).map(i => (i, "A")) ++
+      (101L to 500L).map(i => (i, "B"))).toDF("doc_id", "dom")
+    val out = Sampling.temperatureRebalance(docs, "dom", "doc_id")
+    val byDom = out.groupBy("dom").count().as[(String, Long)]
+      .collect().toMap
+    assert(byDom === Map("A" -> 100L, "B" -> 200L))
+    // deterministic under repartitioning
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = Sampling.temperatureRebalance(docs.repartition(13), "dom",
+      "doc_id").select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    // nested under count drift: quotas never exceed domain counts
+    assert(byDom.forall { case (d, k) =>
+      k <= docs.filter(col("dom") === d).count() })
+  }
+
+  test("temperatureRebalance: flattens skew toward sqrt shares") {
+    // raw 9:1 → kept 3:1 (sqrt); the smoothing property itself
+    val docs = ((1L to 900L).map(i => (i, "hot")) ++
+      (901L to 1000L).map(i => (i, "cold"))).toDF("doc_id", "dom")
+    val byDom = Sampling.temperatureRebalance(docs, "dom", "doc_id")
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    // W_hot=30e6, W_cold=10e6, S=40e6; T=min(900*4/3=1200, 100*4)=400
+    // quota_hot=300, quota_cold=100
+    assert(byDom === Map("hot" -> 300L, "cold" -> 100L))
+  }
+
   // ---------- sequence packing ----------
 
   private def checkPackingInvariants(
