@@ -232,6 +232,32 @@ class CurationSpec extends SparkSpec {
     assert(byDom === Map("hot" -> 300L, "cold" -> 100L))
   }
 
+  test("temperatureRebalance: random domain mixes match an independent BigInt derivation (10 rounds)") {
+    // dual-implementation pin beyond the oracle: the quota formula
+    // re-derived with plain BigInt arithmetic (no Spark, no decimal
+    // types) must predict every kept count exactly
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 10) {
+      val nDoms = 2 + rnd.nextInt(4)
+      val domCounts = (0 until nDoms)
+        .map(d => s"d$d" -> (1 + rnd.nextInt(300))).toMap
+      var id = 0L
+      val rows = domCounts.toSeq.flatMap { case (d, n) =>
+        (1 to n).map { _ => id += 1; (id, d) }
+      }
+      val got = Sampling.temperatureRebalance(
+          rows.toDF("doc_id", "dom"), "dom", "doc_id")
+        .groupBy("dom").count().as[(String, Long)].collect().toMap
+      val w = domCounts.view.mapValues(n =>
+        BigInt(math.round(math.sqrt(n.toDouble) * 1e6))).toMap
+      val s = w.values.sum
+      val t = domCounts.map { case (d, n) => (BigInt(n) * s) / w(d) }.min
+      val expect = domCounts.keys.map { d =>
+        d -> (w(d) * t / s).toLong }.filter(_._2 > 0).toMap
+      assert(got === expect, s"round $round: counts $domCounts")
+    }
+  }
+
   // ---------- sequence packing ----------
 
   private def checkPackingInvariants(
