@@ -328,6 +328,13 @@ object PlanAudit {
     Check("q81_temperature_mixture",
       mustContain = Seq("BroadcastHashJoin", "Window"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+    // q82: UniMax — the quota relation is driver-walked scalar state
+    // broadcast back (the Lloyd discipline); the rank window is the
+    // only corpus-wide operation
+    Check("q82_unimax_allocation",
+      mustContain = Seq("BroadcastHashJoin", "Window"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin",
+        "BroadcastNestedLoopJoin")),
     // q79: the portable packing twin keeps q47's two-level shape —
     // ONE keyed shuffle of (doc_id, shard, weight) triples (never the
     // text) into the per-shard FFD MapGroups, plus the presentation

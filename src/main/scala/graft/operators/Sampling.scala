@@ -230,6 +230,56 @@ object Sampling {
       .drop("__dom", "__quota", "__rk")
   }
 
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023) in the down-sample regime: distribute a
+    * total row budget UNIFORMLY across domains by water-filling —
+    * walk domains ASCENDING by count; a domain smaller than the fair
+    * share `remaining_budget div remaining_domains` keeps everything
+    * and the surplus redistributes to the rest. The result is the
+    * fairest mixture that spends the budget without repeating data
+    * (the paper's epoch cap, fixed at 1 here — upsampling is the
+    * trainer's loop, not the curator's), and the published
+    * alternative to [[temperatureRebalance]]'s power smoothing.
+    *
+    * All allocation is integer arithmetic over the tiny per-domain
+    * count vector — the walk is inherently sequential but its state
+    * is L scalars (the Lloyd-centroid discipline: counts collect to
+    * the driver, quotas broadcast back; at 100 TB, L is languages or
+    * sources — dozens — while the corpus never moves). Selection per
+    * domain is md5-rank (stable, nested); ties in the ascending walk
+    * break by domain string so the allocation is a pure function of
+    * the count multiset. A SQL engine replays the walk with a
+    * recursive CTE — q82 gates it value-for-value.
+    */
+  def unimaxRebalance(df: DataFrame, domainCol: String, idCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val counts = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (Option(r.get(0)).map(_.toString), r.getLong(1)))
+    // ascending water-filling walk — L scalar steps, driver-side
+    val ordered = counts.sortBy { case (d, n) => (n, d.getOrElse("")) }
+    var brem = budget
+    var lrem = ordered.length
+    val quotas = ordered.map { case (d, n) =>
+      val q = math.min(n, if (lrem > 0) brem / lrem else 0L)
+      brem -= q
+      lrem -= 1
+      (d, q)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val quotaDf = quotas.toSeq
+      .map { case (d, q) => (d.orNull, q) }.toDF("__dom", "__quota")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(keyHash(col(idCol)), col(idCol))
+    df.join(broadcast(quotaDf), col(domainCol) <=> col("__dom"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__quota"))
+      .drop("__dom", "__quota", "__rk")
+  }
+
   def mixtureRebalance(df: DataFrame, domainCol: String,
       targets: Map[String, Int], idCol: String): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ > 0))

@@ -105,6 +105,51 @@ object CurationQueries {
       |WHERE r.rk <= q.quota
       |ORDER BY r.doc_id""".stripMargin
 
+  /** q82: UniMax budget allocation over languages (Chung et al.,
+    * ICLR 2023) at a 4/5-corpus budget — the fair water-filling
+    * alternative to q81's power smoothing: small languages keep
+    * everything, the surplus redistributes, the dominant language
+    * absorbs the remainder. The budget straddles the per-language
+    * counts at every SF so BOTH walk branches (keep-all vs truncate)
+    * are exercised. FULL oracle: the ascending walk is integer
+    * arithmetic over L scalar states, replayed by a recursive CTE.
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir).documents
+    Sampling.unimaxRebalance(d, "lang", idCol = "doc_id",
+        budget = d.count() * 4 / 5)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q82Sql =
+    """WITH RECURSIVE b AS (
+      |  SELECT count(*) * 4 // 5 AS b FROM documents),
+      |counts AS (
+      |  SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |ordered AS (
+      |  SELECT lang, n, row_number() OVER (ORDER BY n, lang) AS i,
+      |    count(*) OVER () AS l
+      |  FROM counts),
+      |walk(i, lang, q, brem, lrem) AS (
+      |  SELECT o.i, o.lang, least(o.n, b.b // o.l),
+      |    b.b - least(o.n, b.b // o.l), o.l - 1
+      |  FROM ordered o, b WHERE o.i = 1
+      |  UNION ALL
+      |  SELECT o.i, o.lang, least(o.n, w.brem // w.lrem),
+      |    w.brem - least(o.n, w.brem // w.lrem), w.lrem - 1
+      |  FROM walk w JOIN ordered o ON o.i = w.i + 1
+      |  WHERE w.lrem > 0),
+      |ranked AS (
+      |  SELECT doc_id, lang, source, row_number() OVER (
+      |    PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT r.doc_id, r.lang, r.source
+      |FROM ranked r JOIN walk w USING (lang)
+      |WHERE r.rk <= w.q
+      |ORDER BY r.doc_id""".stripMargin
+
   /** q47: pack documents into 512-token training sequences (16
     * deterministic shards, FFD within shard). Rows-only: the packing
     * invariants (every doc exactly once, no bin over capacity unless
@@ -571,6 +616,7 @@ object CurationQueries {
     Q("q45_stratified_sample", q45, Some(q45Sql)),
     Q("q46_mixture_rebalance", q46, Some(q46Sql), headline = true),
     Q("q81_temperature_mixture", q81, Some(q81Sql)),
+    Q("q82_unimax_allocation", q82, Some(q82Sql)),
     Q("q47_sequence_packing", q47, None, headline = true),
     Q("q79_packing_oracle", q79, Some(q79Sql)),
     Q("q48_hll_rollup", q48, None),

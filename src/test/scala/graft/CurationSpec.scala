@@ -258,6 +258,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("unimaxRebalance: water-filling hand-checked; budget conserved") {
+    // A:10, B:40, C:100, budget 90 → fair 30: A keeps 10 (surplus
+    // redistributes), B vs (80//2)=40 keeps 40, C min(100, 40)=40
+    val docs = ((1L to 10L).map(i => (i, "A")) ++
+      (11L to 50L).map(i => (i, "B")) ++
+      (51L to 150L).map(i => (i, "C"))).toDF("doc_id", "dom")
+    val byDom = Sampling.unimaxRebalance(docs, "dom", "doc_id", budget = 90L)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom === Map("A" -> 10L, "B" -> 40L, "C" -> 40L))
+    assert(byDom.values.sum === 90L)
+    // budget >= corpus: everything kept
+    val all = Sampling.unimaxRebalance(docs, "dom", "doc_id", budget = 500L)
+      .count()
+    assert(all === 150L)
+    // zero budget: nothing kept
+    assert(Sampling.unimaxRebalance(docs, "dom", "doc_id", 0L).count() === 0L)
+    // determinism under repartitioning
+    val a = Sampling.unimaxRebalance(docs, "dom", "doc_id", 90L)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.unimaxRebalance(docs.repartition(13), "dom",
+      "doc_id", 90L).select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    // nested: raising the budget only ADDS docs (md5-rank prefixes)
+    val small = Sampling.unimaxRebalance(docs, "dom", "doc_id", 60L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(a))
+  }
+
   // ---------- sequence packing ----------
 
   private def checkPackingInvariants(
