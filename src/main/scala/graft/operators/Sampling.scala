@@ -258,8 +258,14 @@ object Sampling {
     val counts = df.groupBy(col(domainCol).as("__dom"))
       .agg(count(lit(1)).as("__cnt"))
       .collect().map(r => (Option(r.get(0)).map(_.toString), r.getLong(1)))
-    // ascending water-filling walk — L scalar steps, driver-side
-    val ordered = counts.sortBy { case (d, n) => (n, d.getOrElse("")) }
+    // ascending water-filling walk — L scalar steps, driver-side.
+    // Tie-break matches the oracle's ORDER BY n, lang with DuckDB's
+    // NULLS-LAST default: a null domain walks AFTER every real
+    // domain of the same count (and never collides with a real ""
+    // domain — the isEmpty component keeps the sort key unique, so
+    // the walk stays a pure function of the count multiset)
+    val ordered = counts.sortBy { case (d, n) =>
+      (n, d.isEmpty, d.getOrElse("")) }
     var brem = budget
     var lrem = ordered.length
     val quotas = ordered.map { case (d, n) =>

@@ -91,7 +91,7 @@ object CurationQueries {
       |  SELECT lang, n,
       |    CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
       |  FROM counts),
-      |s AS (SELECT CAST(sum(w) AS BIGINT) AS s FROM wts),
+      |s AS (SELECT CAST(sum(w) AS HUGEINT) AS s FROM wts),
       |t AS (SELECT min(n * s.s // w) AS t FROM wts, s),
       |quotas AS (
       |  SELECT lang, (w * t.t) // s.s AS quota FROM wts, s, t),
@@ -101,7 +101,8 @@ object CurationQueries {
       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
       |  FROM documents)
       |SELECT r.doc_id, r.lang, r.source
-      |FROM ranked r JOIN quotas q USING (lang)
+      |FROM ranked r JOIN quotas q
+      |  ON r.lang IS NOT DISTINCT FROM q.lang
       |WHERE r.rk <= q.quota
       |ORDER BY r.doc_id""".stripMargin
 
@@ -146,7 +147,8 @@ object CurationQueries {
       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
       |  FROM documents)
       |SELECT r.doc_id, r.lang, r.source
-      |FROM ranked r JOIN walk w USING (lang)
+      |FROM ranked r JOIN walk w
+      |  ON r.lang IS NOT DISTINCT FROM w.lang
       |WHERE r.rk <= w.q
       |ORDER BY r.doc_id""".stripMargin
 

@@ -286,6 +286,26 @@ class CurationSpec extends SparkSpec {
     assert(small.subsetOf(a))
   }
 
+  test("temperature/unimax: null domain is a stratum, walks NULLS-LAST on ties") {
+    // null-domain rows must be kept as their own stratum (the
+    // qualityFilter discipline) and, in the UniMax walk, a null
+    // domain TIED in count with a real domain walks LAST — the
+    // oracle's ORDER BY ... NULLS LAST (review r8)
+    val docs = ((1L to 4L).map(i => (i, Some("A"))) ++
+      (5L to 8L).map(i => (i, Option.empty[String]))).toDF("doc_id", "dom")
+    // budget 5 over tied counts (4, 4): first walker gets 5//2=2,
+    // second gets 3 — NULLS LAST means A takes 2, null takes 3
+    val uni = Sampling.unimaxRebalance(docs, "dom", "doc_id", budget = 5L)
+      .groupBy("dom").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(uni === Map(Some("A") -> 2L, None -> 3L))
+    // temperature: the null stratum participates with its sqrt weight
+    val temp = Sampling.temperatureRebalance(docs, "dom", "doc_id")
+      .groupBy("dom").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(temp === Map(Some("A") -> 4L, None -> 4L))
+  }
+
   // ---------- sequence packing ----------
 
   private def checkPackingInvariants(
