@@ -102,7 +102,11 @@ object SimilaritySearch {
     * bucket) longs only — numTables full-embedding copies of the
     * corpus would otherwise cross the shuffle — and vectors join back
     * from the cached (id, vec) base exactly once per candidate end.
-    * `anchorPred` is evaluated over (id, table, bucket).
+    * `anchorPred` is evaluated over the cached (id, vec) base — id
+    * AND vector predicates both work (the round-7 id-only banding
+    * had narrowed this to band columns; restored per ADVICE r7 via a
+    * broadcast semi-join of the anchor ids, which the top-k use case
+    * sizes small by contract).
     */
   def lshCosineTopK(vectors: DataFrame, anchorPred: Column, k: Int,
       numPlanes: Int = 8, numTables: Int = 4,
@@ -112,8 +116,10 @@ object SimilaritySearch {
     val keyed = base.select(col("id"),
       posexplode(array((0 until numTables).map(t =>
         lshKey(col("vec"), t, numPlanes)): _*)).as(Seq("table", "bucket")))
-    val anchorBands = keyed.filter(anchorPred)
-      .select(col("id").as("anchor_id"), col("table"), col("bucket"))
+    val anchorIds = base.filter(anchorPred).select(col("id").as("anchor_id"))
+    val anchorBands = keyed
+      .join(broadcast(anchorIds), col("id") === col("anchor_id"))
+      .select(col("anchor_id"), col("table"), col("bucket"))
     val candIds = keyed.join(anchorBands,
         Seq("table", "bucket")).filter(col("anchor_id") =!= col("id"))
       .select(col("anchor_id"), col("id").as("neighbor_id"))
@@ -265,7 +271,10 @@ object SimilaritySearch {
     * banding, oversized-bucket cull, vectors join back from the
     * cached base, bounded TopKByScore rank (row-identical to the
     * window formulation — the tie rule is (score DESC, id ASC) in
-    * both engines). `anchorPred` sees (id, t, bucket).
+    * both engines). `anchorPred` sees the cached (id, vec) base —
+    * the [[lshCosineTopK]] contract; anchor bands still come from
+    * the CULLED relation, so an anchor's oversized buckets stay
+    * excluded exactly as before.
     */
   def lshCosineTopKPortable(vectors: DataFrame, anchorPred: Column, k: Int,
       numPlanes: Int = 8, numTables: Int = 4, maxBucketSize: Int = 10000,
@@ -293,8 +302,10 @@ object SimilaritySearch {
       .filter(col("bsz") > maxBucketSize)
       .select(col("t"), col("bucket"))
     val sized = keyed.join(broadcast(oversized), Seq("t", "bucket"), "left_anti")
-    val anchorBands = sized.filter(anchorPred)
-      .select(col("id").as("anchor_id"), col("t"), col("bucket"))
+    val anchorIds = base.filter(anchorPred).select(col("id").as("anchor_id"))
+    val anchorBands = sized
+      .join(broadcast(anchorIds), col("id") === col("anchor_id"))
+      .select(col("anchor_id"), col("t"), col("bucket"))
     val candIds = sized.join(anchorBands, Seq("t", "bucket"))
       .filter(col("anchor_id") =!= col("id"))
       .select(col("anchor_id"), col("id").as("neighbor_id"))

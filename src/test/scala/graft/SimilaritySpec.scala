@@ -68,6 +68,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0).getAs[Long]("neighbor_id") === 101L)
   }
 
+  test("lshCosineTopK: VECTOR-referencing anchor predicates work (ADVICE r7 restored)") {
+    // anchor selected by a property of the embedding itself, not the
+    // id — the pre-id-only-banding contract, restored via the
+    // broadcast anchor-id semi-join; id 100's planted dup must
+    // surface exactly as with the id predicate
+    val idPred = SimilaritySearch.lshCosineTopK(emb, col("id") === 100, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val vec100 = data.find(_._1 == 100L).get._2
+    val vecPred = SimilaritySearch.lshCosineTopK(emb,
+        abs(element_at(col("vec"), 1) - vec100(0)) < 1e-12 &&
+          col("id") =!= 101L, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // the vector predicate selects id 100 (its first component is
+    // unique among non-dups); same anchor → same ranked neighbors
+    assert(vecPred === idPred)
+  }
+
   test("knnClassify labels an anchor by neighbor majority") {
     val anchorVec = data.find(_._1 == 100L).get._2
     val top3 = data.filter(_._1 != 100L)
