@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic sampling for training-data pipelines: reproducible
   * subsampling, per-stratum rates, and rebalancing a corpus to a
@@ -60,6 +61,48 @@ object Sampling {
   private def keyHash(id: Column): Column =
     md5(coalesce(id.cast("string"), lit(NullKeySentinel)))
 
+  private val dec38 = DecimalType(38, 0)
+
+  /** The default within-domain selection order: md5-rank then id —
+    * stable under reruns, nested under quota drift, oracle-replayable.
+    */
+  private def md5RankOrder(idCol: String): Seq[Column] =
+    Seq(keyHash(col(idCol)), col(idCol))
+
+  /** The shared quota-selection kernel every rebalancer funnels
+    * through ([[qualityFilter]], [[mixtureRebalance]],
+    * [[temperatureRebalance]], [[unimaxRebalance]] — four former
+    * copies of the same subtlety, extracted per review r8): broadcast
+    * the tiny `(__dom, __quota)` relation, rank rows within their
+    * domain by `order`, keep rank ≤ quota. The join is null-SAFE
+    * (`<=>`): a null domain is a stratum like any other — plain `===`
+    * would silently discard every null-domain row, which is exactly
+    * the bug this single-siting exists to keep fixed. Ranks and
+    * quotas compare in DECIMAL(38,0) so LONG and DECIMAL(38,0) quota
+    * relations are both exact (a long rank always fits).
+    */
+  private[graft] def keepByQuota(df: DataFrame, domainCol: Column,
+      quotas: DataFrame, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(domainCol).orderBy(order: _*)
+    df.join(broadcast(quotas), domainCol <=> col("__dom"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk").cast(dec38) <= col("__quota").cast(dec38))
+      .drop("__dom", "__quota", "__rk")
+  }
+
+  /** Unsigned-lexicographic UTF-8 byte ordering — the binary string
+    * collation DuckDB (and most SQL engines) applies to ORDER BY.
+    * Scala's default String ordering compares UTF-16 code units,
+    * which ranks supplementary-plane characters (surrogate pairs,
+    * 0xD800–0xDFFF code units) BELOW U+E000–U+FFFF while their UTF-8
+    * bytes (0xF0–0xF4 lead) rank ABOVE — so a driver-side walk
+    * tie-broken by the raw String could diverge from its SQL oracle
+    * for such domain names (ADVICE r8). */
+  private val utf8Ordering: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** The keep predicate for a deterministic `rate` sample keyed on
     * `id` (cast to string; equals the SQL md5(CAST(id AS VARCHAR))).
     */
@@ -106,19 +149,10 @@ object Sampling {
     val counts = df.groupBy(col(stratumCol).as("__s"))
       .agg(count(lit(1)).as("__cnt"))
     // keep_d = ceil(cnt * num / denom), integer-only
-    val keeps = counts.select(col("__s"),
+    val keeps = counts.select(col("__s").as("__dom"),
       expr(s"(__cnt * ${keepNum}L + ${keepDenom - 1}L) div ${keepDenom}L")
-        .as("__keep"))
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(scoreCol.desc, col(idCol))
-    // null-SAFE equality: groupBy collects null-stratum rows into a
-    // __s = NULL counts row, but `===` evaluates NULL for NULL===NULL
-    // and the inner join would discard every null-stratum row instead
-    // of keeping their top fraction — they are a stratum like any other
-    df.join(broadcast(keeps), col(stratumCol) <=> col("__s"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= col("__keep"))
-      .drop("__s", "__keep", "__rk")
+        .as("__quota"))
+    keepByQuota(df, col(stratumCol), keeps, Seq(scoreCol.desc, col(idCol)))
   }
 
   /** Leakage-free train/val/test split assignment: a pure function of
@@ -204,30 +238,21 @@ object Sampling {
     */
   def temperatureRebalance(df: DataFrame, domainCol: String,
       idCol: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(38, 0)
     def floorDiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast(dec)
+      ((a - pmod(a, b)) / b).cast(dec38)
     val counts = df.groupBy(col(domainCol).as("__dom"))
       .agg(count(lit(1)).as("__cnt"))
     val weighted = counts.withColumn("__w",
-      round(sqrt(col("__cnt").cast("double")) * lit(1e6)).cast(dec))
-    val s = weighted.agg(sum(col("__w")).cast(dec).as("__s"))
+      round(sqrt(col("__cnt").cast("double")) * lit(1e6)).cast(dec38))
+    val s = weighted.agg(sum(col("__w")).cast(dec38).as("__s"))
     // declared 1-row scalar attaches (the q40/q46 crossJoin shape)
     val t = weighted.crossJoin(broadcast(s))
-      .agg(min(floorDiv(col("__cnt").cast(dec) * col("__s"), col("__w")))
+      .agg(min(floorDiv(col("__cnt").cast(dec38) * col("__s"), col("__w")))
         .as("__t"))
     val quotas = weighted.crossJoin(broadcast(s)).crossJoin(broadcast(t))
       .select(col("__dom"),
         floorDiv(col("__w") * col("__t"), col("__s")).as("__quota"))
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(keyHash(col(idCol)), col(idCol))
-    // null-safe join: a null domain is a stratum like any other (the
-    // qualityFilter precedent)
-    df.join(broadcast(quotas), col(domainCol) <=> col("__dom"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk").cast(dec) <= col("__quota"))
-      .drop("__dom", "__quota", "__rk")
+    keepByQuota(df, col(domainCol), quotas, md5RankOrder(idCol))
   }
 
   /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
@@ -255,17 +280,47 @@ object Sampling {
   def unimaxRebalance(df: DataFrame, domainCol: String, idCol: String,
       budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
-    val counts = df.groupBy(col(domainCol).as("__dom"))
+    unimaxSelect(df, domainCol, idCol, domainCounts(df, domainCol), budget)
+  }
+
+  /** [[unimaxRebalance]] with the budget expressed as the rational
+    * fraction `budgetNum/budgetDenom` of the corpus size. The total
+    * comes from the SAME per-domain count aggregation the walk needs
+    * anyway — no separate corpus-wide `count()` job (review r8: the
+    * q82 gate ran one extra scan per invocation to derive its 4/5
+    * budget).
+    */
+  def unimaxRebalanceFraction(df: DataFrame, domainCol: String,
+      idCol: String, budgetNum: Long, budgetDenom: Long): DataFrame = {
+    require(budgetNum >= 0 && budgetDenom > 0,
+      "budget fraction must be non-negative with a positive denominator")
+    val counts = domainCounts(df, domainCol)
+    val budget = counts.map(_._2).sum * budgetNum / budgetDenom
+    unimaxSelect(df, domainCol, idCol, counts, budget)
+  }
+
+  /** One tiny per-domain count aggregation collected to the driver —
+    * L scalars (languages/sources: dozens), never corpus rows. */
+  private def domainCounts(df: DataFrame,
+      domainCol: String): Array[(Option[String], Long)] =
+    df.groupBy(col(domainCol).as("__dom"))
       .agg(count(lit(1)).as("__cnt"))
       .collect().map(r => (Option(r.get(0)).map(_.toString), r.getLong(1)))
+
+  private def unimaxSelect(df: DataFrame, domainCol: String, idCol: String,
+      counts: Array[(Option[String], Long)], budget: Long): DataFrame = {
     // ascending water-filling walk — L scalar steps, driver-side.
     // Tie-break matches the oracle's ORDER BY n, lang with DuckDB's
     // NULLS-LAST default: a null domain walks AFTER every real
     // domain of the same count (and never collides with a real ""
     // domain — the isEmpty component keeps the sort key unique, so
-    // the walk stays a pure function of the count multiset)
+    // the walk stays a pure function of the count multiset). Count
+    // ties between real domains break by the name's UTF-8 bytes
+    // (utf8Ordering), the oracle's binary collation — NOT Scala's
+    // UTF-16 String order (ADVICE r8).
     val ordered = counts.sortBy { case (d, n) =>
-      (n, d.isEmpty, d.getOrElse("")) }
+      (n, d.isEmpty, d.getOrElse("")) }(
+      Ordering.Tuple3(Ordering.Long, Ordering.Boolean, utf8Ordering))
     var brem = budget
     var lrem = ordered.length
     val quotas = ordered.map { case (d, n) =>
@@ -278,12 +333,7 @@ object Sampling {
     import spark.implicits._
     val quotaDf = quotas.toSeq
       .map { case (d, q) => (d.orNull, q) }.toDF("__dom", "__quota")
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(keyHash(col(idCol)), col(idCol))
-    df.join(broadcast(quotaDf), col(domainCol) <=> col("__dom"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= col("__quota"))
-      .drop("__dom", "__quota", "__rk")
+    keepByQuota(df, col(domainCol), quotaDf, md5RankOrder(idCol))
   }
 
   def mixtureRebalance(df: DataFrame, domainCol: String,
@@ -310,13 +360,10 @@ object Sampling {
     // mixture contains. Broadcast: one row.
     val quotas = counts.join(broadcast(t))
       .select(col("__dom"), expr(s"__n * t div ${denom}L").as("__quota"))
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(keyHash(col(idCol)), col(idCol))
-    tagged
-      .join(broadcast(quotas), col(domainCol) === col("__dom"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= col("__quota"))
-      .drop("__num", "__dom", "__quota", "__rk")
+    // tagged rows all have non-null domains (the __num filter), so the
+    // kernel's null-safe join degenerates to plain equality here
+    keepByQuota(tagged, col(domainCol), quotas, md5RankOrder(idCol))
+      .drop("__num")
   }
 
   /** Deterministic global training-order shuffle + sharding — the

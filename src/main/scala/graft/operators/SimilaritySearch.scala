@@ -24,6 +24,35 @@ object SimilaritySearch {
   private def fastCosine(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.cosine(a, b)
 
+  /** Anchor sets are small by contract on the top-k paths, but an
+    * `anchorPred` that unexpectedly matches a large corpus fraction
+    * must not build an unbounded driver broadcast (ADVICE r8 — the
+    * id-only banding era never materialized anchors separately, so
+    * the restored vector-predicate support reintroduced the risk).
+    * The guard counts anchor ids with a pushed LIMIT — the scan stops
+    * at cap+1 rows — and above the cap falls back to a plain
+    * hash-partitioned join: same rows, a shuffled exchange instead of
+    * a driver-resident relation.
+    *
+    * The count runs against `probe`, a semantically identical anchor
+    * filter rebuilt from the RAW input with a dodge column appended —
+    * NOT against the cached (id, vec) base. Counting through the
+    * cached base would MATERIALIZE it during plan construction, and a
+    * sibling query built later in the same session (sharing the
+    * cached relation by logical-plan equality) would then plan its
+    * joins from known in-memory stats instead of estimates — flipping
+    * broadcast↔shuffled joins session-order-dependently (observed:
+    * q71's pinned 5-exchange plan gained a 6th when q74's guard ran
+    * first). The dodge column keeps the probe's Project from
+    * semantically matching any cached plan root, so the count scans
+    * the source directly and leaves cache state untouched.
+    */
+  private val MaxBroadcastAnchors = 100000
+  private def boundedBroadcast(anchors: DataFrame, probe: DataFrame): DataFrame =
+    if (probe.limit(MaxBroadcastAnchors + 1).count() > MaxBroadcastAnchors)
+      anchors
+    else broadcast(anchors)
+
   private def scored(vectors: DataFrame, anchors: DataFrame,
       idCol: String, vecCol: String): DataFrame =
     vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
@@ -117,8 +146,13 @@ object SimilaritySearch {
       posexplode(array((0 until numTables).map(t =>
         lshKey(col("vec"), t, numPlanes)): _*)).as(Seq("table", "bucket")))
     val anchorIds = base.filter(anchorPred).select(col("id").as("anchor_id"))
+    val anchorProbe = vectors
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        lit(1).as("__cache_dodge"))
+      .filter(anchorPred)
     val anchorBands = keyed
-      .join(broadcast(anchorIds), col("id") === col("anchor_id"))
+      .join(boundedBroadcast(anchorIds, anchorProbe),
+        col("id") === col("anchor_id"))
       .select(col("anchor_id"), col("table"), col("bucket"))
     val candIds = keyed.join(anchorBands,
         Seq("table", "bucket")).filter(col("anchor_id") =!= col("id"))
@@ -303,8 +337,14 @@ object SimilaritySearch {
       .select(col("t"), col("bucket"))
     val sized = keyed.join(broadcast(oversized), Seq("t", "bucket"), "left_anti")
     val anchorIds = base.filter(anchorPred).select(col("id").as("anchor_id"))
+    val anchorProbe = vectors
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"),
+        lit(1).as("__cache_dodge"))
+      .filter(anchorPred)
     val anchorBands = sized
-      .join(broadcast(anchorIds), col("id") === col("anchor_id"))
+      .join(boundedBroadcast(anchorIds, anchorProbe),
+        col("id") === col("anchor_id"))
       .select(col("anchor_id"), col("t"), col("bucket"))
     val candIds = sized.join(anchorBands, Seq("t", "bucket"))
       .filter(col("anchor_id") =!= col("id"))

@@ -117,8 +117,10 @@ object CurationQueries {
     */
   private def q82(s: SparkSession, dir: String): DataFrame = {
     val d = Tables(s, dir).documents
-    Sampling.unimaxRebalance(d, "lang", idCol = "doc_id",
-        budget = d.count() * 4 / 5)
+    // budget = 4/5 of the corpus, derived from the walk's own
+    // per-domain counts — no separate count() scan (review r8)
+    Sampling.unimaxRebalanceFraction(d, "lang", idCol = "doc_id",
+        budgetNum = 4, budgetDenom = 5)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
   }

@@ -330,7 +330,11 @@ object EventStreams {
     *      fingerprint-only artifact (16-byte hashes — a relation
     *      ~4000× smaller than the corpus it summarizes). False
     *      positives are cleared here, so admission is EXACT: the
-    *      bloom routes work, it never decides membership.
+    *      bloom routes work, it never decides membership — PROVIDED
+    *      the bloom covers `corpusFps` (a corpus fingerprint missing
+    *      from the bloom would skip the verify and be wrongly
+    *      admitted). That cross-artifact invariant is a hard
+    *      contract, checked fail-fast at stream setup (ADVICE r8).
     *
     * Batch-parity caveat (spec-pinned): the batch twin elects the
     * MIN-ID doc per duplicate fingerprint; the stream keeps the FIRST
@@ -346,6 +350,22 @@ object EventStreams {
       bloom: Array[Byte], corpusFps: DataFrame,
       watermarkDelay: String = "10 minutes"): DataFrame = {
     import org.apache.spark.sql.graft.BloomExpressions._
+    // HARD CONTRACT (ADVICE r8): the bloom must COVER corpusFps — a
+    // fingerprint present in the corpus but absent from the bloom
+    // would pass the probe-inside-anti-join below without ever
+    // reaching the exact verify, and "admission is EXACT" would
+    // silently fail for a stale or independently built artifact.
+    // Blooms have no false negatives over what they were fed, so a
+    // single miss proves the artifacts diverged. Checked ONCE at
+    // stream setup: corpusFps is a static batch relation (~16 bytes/
+    // doc), and the pushed LIMIT stops the scan at the first miss.
+    val miss = corpusFps
+      .filter(!bloomMightContain(lit(bloom), col("fp")))
+      .limit(1).count()
+    require(miss == 0L,
+      "bloomAdmittedStream: corpusFps contains fingerprints the bloom " +
+        "artifact does not cover — stale or mismatched artifacts would " +
+        "break exact admission; rebuild the bloom from this corpusFps")
     val fresh = docs
       .withColumn("__fp",
         graft.functions.TextFunctions.fingerprint(col(textCol)))
