@@ -264,7 +264,10 @@ object PlanAudit {
     // bounded local closure): pin no cross/nested-loop joins anywhere
     Check("q80_semdedup_e2e_oracle",
       mustContain = Seq(),
-      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      // measured 1 at sf0.01 (round 9): the survivor-frame anti-join
+      // — training and the pair scan ran inside the bounded closure
+      maxShuffleExchanges = Some(1)),
     // q77: portable LR scoring — the 256-row weight relation must
     // BROADCAST (a shuffle for a kilobyte dim table would be wrong at
     // any scale); the doc-keyed margin join-back may legitimately
@@ -327,14 +330,21 @@ object PlanAudit {
     // the only corpus-wide window; no sort-merge anywhere
     Check("q81_temperature_mixture",
       mustContain = Seq("BroadcastHashJoin", "Window"),
-      mustNotContain = Seq("CartesianProduct", "SortMergeJoin")),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
+      // measured 9 at sf0.01 (round 9): the corpus-wide rank window
+      // plus the TINY per-domain chain (counts agg, weight/S/T scalar
+      // attaches) — every exchange but the rank carries ≤ L rows
+      maxShuffleExchanges = Some(9)),
     // q82: UniMax — the quota relation is driver-walked scalar state
     // broadcast back (the Lloyd discipline); the rank window is the
     // only corpus-wide operation
     Check("q82_unimax_allocation",
       mustContain = Seq("BroadcastHashJoin", "Window"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin",
-        "BroadcastNestedLoopJoin")),
+        "BroadcastNestedLoopJoin"),
+      // measured 2 at sf0.01 (round 9): the per-domain count agg (the
+      // driver walk's input) + the corpus-wide rank window
+      maxShuffleExchanges = Some(2)),
     // q79: the portable packing twin keeps q47's two-level shape —
     // ONE keyed shuffle of (doc_id, shard, weight) triples (never the
     // text) into the per-shard FFD MapGroups, plus the presentation
@@ -343,7 +353,31 @@ object PlanAudit {
       mustContain = Seq("MapGroups", "hashpartitioning"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin", "BroadcastHashJoin"),
-      maxShuffleExchanges = Some(2)))
+      maxShuffleExchanges = Some(2)),
+    // q78: Lloyd training — each iteration's assignment is a
+    // zero-shuffle projection (centroids ride as literals) and the
+    // (cell, dim) aggregation collects k·dim rows to the driver, so
+    // the FINAL frame only re-derives the last assignment + means
+    Check("q78_kmeans_train_oracle",
+      mustContain = Seq(),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // measured 1 at sf0.01 (round 9): the final (cell, dim) means
+      // aggregation — per-iteration assignments are zero-shuffle
+      maxShuffleExchanges = Some(1)),
+    // q83: perceptual image dHash near-dup — frames reduce to one
+    // long per media in the map (nothing pixel-shaped shuffles), the
+    // cached (id, sig) base feeds banding and both verify joins, the
+    // bucket cull is the broadcast anti-join, candidates are id-only
+    Check("q83_image_near_dup",
+      mustContain = Seq("hashpartitioning", "InMemoryTableScan",
+        "LeftAnti"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // measured 4 at sf0.01 (round 9): bucket-size agg, band
+      // self-join, candidate distinct, presentation sort — all over
+      // (id, band, value) longs, never pixels
+      maxShuffleExchanges = Some(4)))
 
   // Queries whose broadcast nested-loop join is the documented design:
   // brute-force baselines with a fixed-size anchor side, and q31's

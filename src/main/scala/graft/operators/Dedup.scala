@@ -695,17 +695,10 @@ object Dedup {
         org.apache.spark.sql.graft.SimHashExpression.md5SimHash60(
           tokenSet(normalized(col(textCol)))).as("sig"))
       .filter(col("sig").isNotNull))
-    val banded = base.select(col("id"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 15).bitwiseAND(32767)): _*))
-        .as(Seq("band", "bv")))
-    Lsh.bandedCandidatePairs(banded, Seq("band", "bv"), maxBucketSize)
-      .join(base.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
-      .join(base.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
-      .withColumn("hamming",
-        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+    // shared 60-bit pigeonhole back half (round-9 single-siting with
+    // the perceptual-hash families) — expression-identical to the
+    // inline banding it replaced; q70's oracle pins value identity
+    Lsh.hamming60Pairs(base, maxHamming, maxBucketSize)
   }
 
   /** 64-bit SimHash over the distinct-token set: bit j of the

@@ -43,4 +43,32 @@ object Lsh {
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
       .distinct()
   }
+
+  /** Banded near-dup pairing over 60-bit signatures — the shared
+    * back half of every 60-bit hamming family (portable SimHash q70,
+    * perceptual image dHash q83, audio envelope signatures): 4 ×
+    * 15-bit pigeonhole bands (any pair within hamming 3 shares at
+    * least one band exactly — guaranteed recall to 3), oversized-
+    * bucket cull, id-only candidate exchange, popcount verify. Every
+    * step is integer arithmetic a SQL engine reproduces, so callers
+    * whose signatures are themselves engine-portable sit under full
+    * value oracles. `base` must carry (`id`, `sig`) and should be
+    * cached by the caller — the banding and both verify joins read it.
+    * Returns (a_id, b_id, hamming ≤ maxHamming), a_id < b_id.
+    */
+  private[graft] def hamming60Pairs(base: DataFrame, maxHamming: Int,
+      maxBucketSize: Int): DataFrame = {
+    require(maxHamming == 3, "4 x 15-bit bands pigeonhole 60 bits at hamming 3")
+    val banded = base.select(col("id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 15).bitwiseAND(32767)): _*))
+        .as(Seq("band", "bv")))
+    bandedCandidatePairs(banded, Seq("band", "bv"), maxBucketSize)
+      .join(base.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"),
+        col("hamming").cast("int").as("hamming"))
+  }
 }

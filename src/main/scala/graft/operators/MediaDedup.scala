@@ -1,0 +1,249 @@
+package graft.operators
+
+import graft.domain.Multimodal
+import graft.domain.Multimodal.{DecodedFrame, Decoder}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multimodal NEAR-DUPLICATE detection — the missing sibling of the
+  * text/embedding dedup families (VERDICT r8 item 2): perceptual
+  * hashing over decoded media frames, paired by the same 60-bit
+  * pigeonhole banding the portable SimHash path runs
+  * ([[Lsh.hamming60Pairs]]).
+  *
+  * Image signature: a 60-bit DIFFERENCE HASH (dHash — the standard
+  * perceptual-hash family's gradient variant: Krawetz, "Kind of Like
+  * That", hackerfactor 2013): downscale to an 11×6 tile grid of
+  * integer block means, bit k = "right tile brighter than left".
+  * Every step is INTEGER arithmetic — block sums, floor-division
+  * means, comparisons — so signatures re-derive bit-for-bit in any
+  * engine (the q70 discipline), and the hash is invariant to uniform
+  * brightness/contrast scaling (comparisons are order statistics).
+  *
+  * Audio signature: a gain-invariant 60-bit RMS-ENVELOPE gradient
+  * over [[Multimodal.audioRms]] windows — bit k = "window k+1 louder
+  * than window k". Gain scaling multiplies every RMS by the same
+  * factor, so comparisons (hence the signature) are unchanged; a
+  * time shift much smaller than the window moves each window's RMS
+  * only marginally, so shifted re-encodes land within small hamming
+  * (spec-pinned with planted shifted/gained duplicates).
+  *
+  * Scale shape: signatures are a narrow map over decoded frames
+  * (decode amortized per partition, the [[Multimodal.decodeFrames]]
+  * contract); pairing is the banded equi-join family — candidates
+  * are hash-partitioned on (band, value), oversized buckets culled,
+  * id-only exchanges, popcount verify. Nothing pixel-shaped ever
+  * shuffles: frames reduce to one long before the first exchange.
+  *
+  * Reference anchor: the artwork pipeline stops at palette extraction
+  * (Postprocessor/DbCommit/generate_artwork_variants.py:50-95); this
+  * extends it to the dedup capability a 100 TB multimodal corpus
+  * needs.
+  */
+object MediaDedup {
+
+  /** dHash tile grid: 6 rows × 11 columns of tiles → 6 × 10
+    * horizontal-gradient bits = 60 (the 4 × 15-band space). */
+  val TileRows = 6
+  val TileCols = 11
+  val SigBits: Int = TileRows * (TileCols - 1)
+
+  /** ITU-R BT.601 integer luma (the JPEG convention), exact: no
+    * floats anywhere in the signature path. */
+  def luma(r: Int, g: Int, b: Int): Int = (r * 299 + g * 587 + b * 114) / 1000
+
+  /** 60-bit difference hash of one frame. Accepts grayscale
+    * (`pixels.length == w*h`) or interleaved RGB (`3*w*h`); tile
+    * boundaries are integer (`c*w/11 .. (c+1)*w/11`), the tile value
+    * is the floor mean of its pixels, and bit k (row r = k/10,
+    * col c = k%10) is 1 iff tile (r, c+1)'s mean > tile (r, c)'s.
+    * Returns -1 for unusable frames — null pixels, dimensions too
+    * small for the grid, or a pixel buffer that matches neither
+    * layout (the corrupt-blob SKIP contract, shared with
+    * [[Multimodal.ImageIODecoder]]).
+    */
+  def dHash60(pixels: Array[Byte], w: Int, h: Int): Long = {
+    if (pixels == null || w < TileCols || h < TileRows) return -1L
+    val channels =
+      if (pixels.length == w * h) 1
+      else if (pixels.length == 3 * w * h) 3
+      else return -1L
+    val means = new Array[Int](TileRows * TileCols)
+    var r = 0
+    while (r < TileRows) {
+      val y0 = r * h / TileRows
+      val y1 = (r + 1) * h / TileRows
+      var c = 0
+      while (c < TileCols) {
+        val x0 = c * w / TileCols
+        val x1 = (c + 1) * w / TileCols
+        var sum = 0L
+        var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val i = y * w + x
+            sum += (if (channels == 1) pixels(i) & 0xFF
+                    else luma(pixels(3 * i) & 0xFF, pixels(3 * i + 1) & 0xFF,
+                      pixels(3 * i + 2) & 0xFF))
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        means(r * TileCols + c) = (sum / n).toInt
+        c += 1
+      }
+      r += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < SigBits) {
+      val row = k / (TileCols - 1)
+      val colIdx = k % (TileCols - 1)
+      if (means(row * TileCols + colIdx + 1) > means(row * TileCols + colIdx))
+        sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+
+  /** Frames → (media_id, frameIdx, sig). Unusable frames are SKIPPED
+    * (no signature row), so corrupt blobs fall out of the pair space
+    * instead of banding together on a sentinel — the null-signature
+    * discipline of [[Dedup.simhashSignatures]]. Narrow map: one long
+    * out per frame, pixels never leave the task.
+    */
+  def imageDHash(frames: Dataset[DecodedFrame]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map(f => (f.media_id, f.frameIdx, dHash60(f.pixels, f.width, f.height)))
+      .toDF("media_id", "frameIdx", "sig")
+      .filter(col("sig") >= 0L)
+  }
+
+  /** Near-dup pairs over a 60-bit signature relation: the shared
+    * pigeonhole kernel ([[Lsh.hamming60Pairs]] — guaranteed recall to
+    * hamming 3, bucket-culled, id-only exchanges). Returns
+    * (a_id, b_id, hamming), a_id < b_id.
+    */
+  def hammingPairs(sigs: DataFrame, idCol: String = "media_id",
+      sigCol: String = "sig", maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val base = graft.CacheScope.track(
+      sigs.select(col(idCol).as("id"), col(sigCol).as("sig")))
+    Lsh.hamming60Pairs(base, maxHamming, maxBucketSize)
+  }
+
+  /** End-to-end image near-dup: decode → dHash (frame 0 — still
+    * images are single-frame; video pairs per sampled frame via
+    * [[imageDHash]] + [[hammingPairs]] on (media, frame) keys) →
+    * banded pairing.
+    */
+  def imageNearDupPairs(media: DataFrame, decoder: Decoder,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
+    hammingPairs(
+      imageDHash(Multimodal.decodeFrames(media, decoder))
+        .filter(col("frameIdx") === 0),
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+
+  /** Gain-invariant 60-bit envelope signature per audio media over
+    * [[Multimodal.audioRms]] rows: bit k = rms(window k+1) >
+    * rms(window k), k < 60. Media shorter than 2 windows yield no
+    * signature (nothing to compare — the skip contract). One
+    * media-keyed window + partial-agg sum; the per-media state is one
+    * long.
+    */
+  def audioEnvelopeSig(rms: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frameIdx"))
+    rms.withColumn("__nxt", lead(col("rms"), 1).over(w))
+      .filter(col("frameIdx") < SigBits && col("__nxt").isNotNull)
+      .groupBy(col("media_id"))
+      .agg(sum(when(col("__nxt") > col("rms"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(frameIdx AS INT))"))
+        .otherwise(0L)).as("sig"))
+  }
+
+  /** End-to-end audio near-dup: decode PCM → RMS envelope →
+    * signature → banded pairing. */
+  def audioNearDupPairs(media: DataFrame, samplesPerFrame: Int = 1024,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
+    hammingPairs(
+      audioEnvelopeSig(Multimodal.audioRms(Multimodal.decodeFrames(
+        media, new Multimodal.WavDecoder(samplesPerFrame)))),
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+
+  // ---------------------------------------------------------------
+  // Deterministic synthetic frame corpus — the q83 gate's input and
+  // the planted-dup fixture generator (the q53 planted-span
+  // precedent: generation is part of the verified surface). Pixels
+  // are md5 DIGEST BYTES of "<id>:px:<block>" (16 bytes per digest,
+  // 66 digests = one 44×24 grayscale frame), so a SQL engine
+  // re-derives every pixel, every tile mean, and every signature —
+  // q83 carries a FULL oracle. Variants exist for ids whose
+  // md5("<id>:var") leading byte < 48 (~19%) and perturb pixels
+  // whose md5("<vid>:pt:<block>") digest byte < PerturbRate by
+  // +PerturbDelta (clamped) — brightness spots, the near-dup model.
+  // ---------------------------------------------------------------
+
+  /** 44×24: an 11×6 grid of exact 4×4 tiles, 1056 px = 66 digests. */
+  val FrameW = 44
+  val FrameH = 24
+  val PerturbDelta = 80
+  val PerturbRate = 3
+
+  private def md5Bytes(s: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Deterministic grayscale frame for `seedId`. */
+  def syntheticPixels(seedId: String): Array[Byte] = {
+    val px = new Array[Byte](FrameW * FrameH)
+    var b = 0
+    while (b < px.length / 16) {
+      System.arraycopy(md5Bytes(s"$seedId:px:$b"), 0, px, b * 16, 16)
+      b += 1
+    }
+    px
+  }
+
+  /** `parentId`'s frame with deterministic brightness perturbation
+    * keyed on `variantId` — most land within hamming ≤ 3 of the
+    * parent, a few honestly beyond (the threshold is a real cut,
+    * not a tautology). */
+  def perturbedPixels(parentId: String, variantId: String): Array[Byte] = {
+    val px = syntheticPixels(parentId)
+    var b = 0
+    while (b < px.length / 16) {
+      val d = md5Bytes(s"$variantId:pt:$b")
+      var j = 0
+      while (j < 16) {
+        if ((d(j) & 0xFF) < PerturbRate)
+          px(b * 16 + j) =
+            math.min(255, (px(b * 16 + j) & 0xFF) + PerturbDelta).toByte
+        j += 1
+      }
+      b += 1
+    }
+    px
+  }
+
+  /** Does `id` get a planted near-dup variant? (~19%.) */
+  def hasVariant(id: String): Boolean = (md5Bytes(id + ":var")(0) & 0xFF) < 48
+
+  /** One frame per id, plus a perturbed "<id>~v" variant frame for
+    * the planted subset. A narrow flatMap — rows never co-depend. */
+  def syntheticFrameCorpus(ids: Dataset[String]): Dataset[DecodedFrame] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.flatMap { id =>
+      val parent = DecodedFrame(id, 0, FrameW, FrameH, syntheticPixels(id))
+      if (hasVariant(id))
+        Seq(parent, DecodedFrame(s"$id~v", 0, FrameW, FrameH,
+          perturbedPixels(id, s"$id~v")))
+      else Seq(parent)
+    }
+  }
+}

@@ -1,0 +1,171 @@
+package graft
+
+import graft.domain.Multimodal
+import graft.domain.Multimodal.DecodedFrame
+import graft.operators.MediaDedup
+import org.apache.spark.sql.functions._
+
+/** Multimodal near-dup: perceptual dHash + banded hamming pairing
+  * (q83's operator surface) and the audio envelope twin — including
+  * the REAL codec paths (PNG via ImageIO, WAV via the JDK sound
+  * stack) the SQL oracle cannot exercise.
+  */
+class MediaDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- signature properties -----------------------------------------
+
+  test("dHash60 is exactly invariant to uniform brightness shift") {
+    val w = 44; val h = 24
+    val base = Array.tabulate[Byte](w * h)(i => ((i * 7 + i / w * 13) % 200).toByte)
+    val brighter = base.map(b => ((b & 0xFF) + 20).toByte)
+    val s1 = MediaDedup.dHash60(base, w, h)
+    assert(s1 >= 0L && s1 < (1L << 60))
+    assert(MediaDedup.dHash60(brighter, w, h) === s1)
+  }
+
+  test("dHash60 handles RGB via integer luma and skips unusable frames") {
+    val w = 22; val h = 12
+    val gray = Array.tabulate[Byte](w * h)(i => ((i * 31) % 256).toByte)
+    // RGB frame whose luma equals the gray frame exactly (r=g=b)
+    val rgb = new Array[Byte](w * h * 3)
+    gray.zipWithIndex.foreach { case (g, i) =>
+      rgb(3 * i) = g; rgb(3 * i + 1) = g; rgb(3 * i + 2) = g
+    }
+    assert(MediaDedup.dHash60(rgb, w, h) === MediaDedup.dHash60(gray, w, h))
+    // unusable: null, too small for the grid, misshapen buffer
+    assert(MediaDedup.dHash60(null, w, h) === -1L)
+    assert(MediaDedup.dHash60(gray, 10, 5) === -1L)
+    assert(MediaDedup.dHash60(new Array[Byte](17), w, h) === -1L)
+    // imageDHash drops them (no sentinel banding)
+    val frames = Seq(
+      DecodedFrame("ok", 0, w, h, gray),
+      DecodedFrame("bad", 0, w, h, new Array[Byte](17))).toDS()
+    assert(MediaDedup.imageDHash(frames).select("media_id")
+      .as[String].collect().toSeq === Seq("ok"))
+  }
+
+  // --- planted-dup recall on the q83 synthetic corpus ---------------
+
+  test("q83 corpus: pigeonhole recall is total within hamming 3; no cross-parent pairs") {
+    val ids = (0 until 200).map(_.toString)
+    val frames = MediaDedup.syntheticFrameCorpus(ids.toDS())
+    val pairs = MediaDedup.hammingPairs(MediaDedup.imageDHash(frames))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    // ground truth from the signature definition itself
+    val variants = ids.filter(MediaDedup.hasVariant)
+    assert(variants.size > 20, "planted rate should be ~19%")
+    val within3 = variants.filter { id =>
+      val a = MediaDedup.dHash60(MediaDedup.syntheticPixels(id),
+        MediaDedup.FrameW, MediaDedup.FrameH)
+      val b = MediaDedup.dHash60(
+        MediaDedup.perturbedPixels(id, s"$id~v"),
+        MediaDedup.FrameW, MediaDedup.FrameH)
+      java.lang.Long.bitCount(a ^ b) <= 3
+    }
+    // 4×15 pigeonhole: every true ≤3 pair MUST appear (recall 1.0)
+    within3.foreach(id => assert(found.contains((id, s"$id~v")),
+      s"planted pair $id missing"))
+    // the perturbation is a real cut: most variants land within 3
+    assert(within3.size >= (variants.size * 8) / 10)
+    // unrelated frames sit near hamming 30 — no cross-parent pairs
+    assert(pairs.forall { case (a, b, _) => b == s"$a~v" })
+  }
+
+  // --- real PNG end-to-end (decode → dHash → pairs) ------------------
+
+  private def encodePng(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
+    bos.toByteArray
+  }
+
+  test("imageNearDupPairs finds a brightened PNG re-encode; skips corrupt payloads") {
+    def tex(seed: Int)(x: Int, y: Int): Int = {
+      val v = (x * 7 + y * 13 + seed * 101) % 200
+      (v << 16) | (v << 8) | v
+    }
+    val base = encodePng(64, 48)(tex(1))
+    // +2 on every channel: luma shifts uniformly, dHash is identical
+    val bright = encodePng(64, 48)((x, y) => tex(1)(x, y) + 0x020202)
+    val other = encodePng(64, 48)(tex(2))
+    val media = Multimodal.asMediaTable(
+      Seq(("img_a", base), ("img_a2", bright), ("img_b", other),
+        ("img_corrupt", Array[Byte](9, 9, 9))).toDF("id", "bytes"),
+      "id", "bytes", "image/png")
+    val pairs = MediaDedup
+      .imageNearDupPairs(media, new Multimodal.ImageIODecoder)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq(("img_a", "img_a2", 0)))
+  }
+
+  // --- audio envelope near-dup ---------------------------------------
+
+  /** Canonical 16-bit mono PCM WAV with an amplitude-modulated sine:
+    * amp(window) = 3000 + 2500·sin(0.9·window) — adjacent windows
+    * differ by far more than gain/shift noise. */
+  private def wavBytes(nWindows: Int, gain: Double, shiftSamples: Int,
+      phase: Double = 0.9): Array[Byte] = {
+    val spw = 1024; val sampleRate = 8000
+    val n = nWindows * spw
+    val pcm = new Array[Byte](n * 2)
+    (0 until n).foreach { i =>
+      val src = i - shiftSamples
+      val s =
+        if (src < 0) 0
+        else {
+          val w = src / spw
+          val amp = 3000.0 + 2500.0 * math.sin(phase * w)
+          (gain * amp * math.sin(2 * math.Pi * src * 440.0 / sampleRate)).toInt
+        }
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + pcm.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(pcm.length); bb.put(pcm)
+    bb.array()
+  }
+
+  test("audioNearDupPairs pairs a gained+shifted re-encode; envelope sig is gain-invariant") {
+    val orig = wavBytes(62, 1.0, 0)
+    // half gain + 100-sample shift: the planted near-dup
+    val dup = wavBytes(62, 0.5, 100)
+    // different modulation: unrelated
+    val other = wavBytes(62, 1.0, 0, phase = 2.3)
+    val media = Multimodal.asMediaTable(
+      Seq(("au_a", orig), ("au_a2", dup), ("au_b", other),
+        ("au_corrupt", Array[Byte](1, 2, 3))).toDF("id", "bytes"),
+      "id", "bytes", "audio/wav")
+    val pairs = MediaDedup.audioNearDupPairs(media)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq(("au_a", "au_a2")))
+    assert(pairs.head._3 <= 3)
+    // pure gain (no shift) leaves the signature IDENTICAL
+    val sigs = MediaDedup.audioEnvelopeSig(Multimodal.audioRms(
+      Multimodal.decodeFrames(Multimodal.asMediaTable(
+        Seq(("g1", orig), ("g2", wavBytes(62, 0.25, 0))).toDF("id", "bytes"),
+        "id", "bytes", "audio/wav"), new Multimodal.WavDecoder(1024))))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sigs("g1") === sigs("g2"))
+  }
+
+  test("audioEnvelopeSig skips media shorter than two windows") {
+    val short = wavBytes(1, 1.0, 0)
+    val sigs = MediaDedup.audioEnvelopeSig(Multimodal.audioRms(
+      Multimodal.decodeFrames(Multimodal.asMediaTable(
+        Seq(("s1", short)).toDF("id", "bytes"), "id", "bytes", "audio/wav"),
+        new Multimodal.WavDecoder(1024))))
+    assert(sigs.count() === 0L)
+  }
+}
