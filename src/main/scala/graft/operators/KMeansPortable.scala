@@ -115,7 +115,7 @@ object KMeansPortable {
     * application. Input must carry (vec array<double>, n2 double from
     * the decimal self-dot); adds an integer `cell` column.
     */
-  private[operators] def assignCells(base: DataFrame,
+  private[graft] def assignCells(base: DataFrame,
       centroids: Array[Array[Double]]): DataFrame = {
     val nc2 = centroids.map(c =>
       RhpKernels.decimalDot(new GenericArrayData(c), new GenericArrayData(c)))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -383,6 +383,131 @@ object EventStreams {
         bloomMightContain(lit(bloom), col("__fp")) &&
           col("__fp") === corpusFps("fp"), "left_anti")
       .withColumnRenamed("__fp", "fp")
+  }
+
+  case class VecArrival(id: Long, ts: java.sql.Timestamp, cell: Int,
+      vec: Seq[Double], n2: Double)
+  case class CellEntry(ts_ms: Long, id: Long, vec: Seq[Double], n2: Double)
+  case class CellState(admitted: List[CellEntry])
+  case class VecAdmitted(id: Long, cell: Int, ts: java.sql.Timestamp)
+
+  /** Streaming SemDeDup admission — the EMBEDDING sibling of
+    * [[bloomAdmittedStream]] / `DedupPipeline.admitIncremental`,
+    * completing the streaming-curation family (VERDICT r8 item 5):
+    * admit only incoming vectors that are not semantic near-dups of
+    * the committed corpus OR of earlier stream arrivals.
+    *
+    *   1. cell assignment — the exact-decimal argmin against the
+    *      TRAINED centroid matrix ([[graft.operators.KMeansPortable
+    *      .assignCells]], the single-sited q76/q78/q80 arithmetic)
+    *      rides as broadcast literals: a zero-shuffle projection,
+    *      identical at any corpus size;
+    *   2. corpus check — a stream-static LEFT ANTI join against the
+    *      batch survivor set, equi-keyed on the cell with the rounded
+    *      decimal cosine ≥ threshold as the join predicate: only
+    *      same-cell survivors are ever scored (the SemDeDup
+    *      within-cell approximation, shared with the batch operator);
+    *   3. in-stream check — per-CELL watermark-bounded state
+    *      (`flatMapGroupsWithState`, EventTimeTimeout): a micro-batch
+    *      group processes in (ts, id) order, each arrival compares
+    *      against the cell's recently-admitted vectors and joins the
+    *      state iff admitted; entries older than the watermark are
+    *      evicted (the bounded-state trade every sibling makes —
+    *      near-dups farther apart than the delay re-emit, the batch
+    *      compaction is the backstop).
+    *
+    * Batch-parity caveat (spec-pinned): the batch twin
+    * ([[graft.operators.Dedup.semanticDedupPortable]] over
+    * corpus ∪ batch) elects the MIN-ID member of each near-dup group;
+    * the stream admits the FIRST ARRIVAL greedily — identical when
+    * the feed is id-ordered and the batch's own near-dup graph is
+    * chain-free (each arrival near at most one existing group), the
+    * honest online-dedup contract otherwise (a greedy admitter
+    * cannot see future arrivals that would have merged two groups).
+    *
+    * `corpusSurvivors` must be the (id, vec) SURVIVOR set of a batch
+    * SemDeDup run over the corpus — the [[bloomAdmittedStream]]
+    * artifact discipline: built offline, compact, broadcast-joined.
+    * Returns admitted (id, cell, ts).
+    */
+  def semanticAdmittedStream(vectors: DataFrame,
+      centroids: Array[Array[Double]], corpusSurvivors: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.graft.RhpExpressions
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(centroids.nonEmpty, "need a trained centroid matrix")
+    def withCells(df: DataFrame, id: Column, ts: Option[Column]): DataFrame = {
+      val base = df.select(
+        (Seq(id.cast("long").as("id"),
+          col(vecCol).cast("array<double>").as("vec")) ++ ts.toSeq): _*)
+        .withColumn("n2",
+          RhpExpressions.decimalScaledDot(col("vec"), col("vec")))
+      graft.operators.KMeansPortable.assignCells(base, centroids)
+    }
+    val assigned = withCells(vectors, col(idCol), Some(col(tsCol).as("ts")))
+      .withWatermark("ts", watermarkDelay)
+    // static side: survivors assigned with the SAME centroids (the
+    // cross-artifact invariant is arithmetic, not a side file — the
+    // assignment is single-sited, so it cannot drift)
+    val corpus = withCells(corpusSurvivors, col(idCol), None)
+      .select(col("cell").as("c_cell"), col("vec").as("c_vec"),
+        col("n2").as("c_n2"))
+    val cosine = round(
+      RhpExpressions.decimalScaledDot(col("vec"), col("c_vec")) /
+        (sqrt(col("n2")) * sqrt(col("c_n2"))), 6)
+    val fresh = assigned.join(corpus,
+      col("cell") === col("c_cell") && cosine >= lit(threshold), "left_anti")
+    val wmDelayMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types
+        .UTF8String.fromString(watermarkDelay))
+    val delayMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .getDuration(wmDelayMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    fresh.select(col("id"), col("ts"), col("cell"), col("vec"), col("n2"))
+      .as[VecArrival]
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[CellState, VecAdmitted](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (cell: Int, it: Iterator[VecArrival], state: GroupState[CellState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // (ts, id) order: deterministic within a micro-batch and
+            // equal to the batch min-id election on id-ordered feeds
+            val sorted = it.toSeq.sortBy(a => (a.ts.getTime, a.id))
+            val wm = state.getCurrentWatermarkMs()
+            var admitted = state.getOption.map(_.admitted).getOrElse(Nil)
+              .filter(_.ts_ms >= wm - delayMs)
+            // the SAME arithmetic as the join predicate above: exact
+            // decimal dot (RhpKernels.decimalDot ≡ the decimalScaledDot
+            // expression), HALF_UP 6-decimal round (Spark's round rule)
+            def near(a: VecArrival): Boolean = admitted.exists { e =>
+              val dot = org.apache.spark.sql.graft.RhpKernels.decimalDot(
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                  a.vec.toArray),
+                new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                  e.vec.toArray))
+              val cos = BigDecimal(dot / (math.sqrt(a.n2) * math.sqrt(e.n2)))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              cos >= threshold
+            }
+            val out = scala.collection.mutable.ArrayBuffer.empty[VecAdmitted]
+            sorted.foreach { a =>
+              if (!near(a)) {
+                admitted = CellEntry(a.ts.getTime, a.id, a.vec, a.n2) :: admitted
+                out += VecAdmitted(a.id, cell, a.ts)
+              }
+            }
+            if (admitted.nonEmpty) {
+              state.update(CellState(admitted))
+              state.setTimeoutTimestamp(math.max(
+                admitted.map(_.ts_ms).max + delayMs,
+                state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            out.iterator
+          }
+      }.toDF()
   }
 
   /** Drive a streaming DataFrame synchronously into a memory table

@@ -399,5 +399,57 @@ class StreamingSpec extends SparkSpec {
     assert(got.contains((2L, min2ms(0), min2ms(0), 1L)),
       s"u2 idle session not emitted: $got")
   }
+
+  test("streaming SemDeDup admission admits exactly the batch semanticDedupPortable set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-semadm").toString
+    // two well-separated clusters; the corpus is already deduplicated
+    // (no within-corpus near pairs at thr=0.95)
+    def v(a: Double, b: Double, c: Double, d: Double) = Seq(a, b, c, d)
+    val corpus = Seq(
+      (1L, v(1.0, 0.05, 0.0, 0.0)),
+      (2L, v(0.0, 1.0, 0.05, 0.0)),
+      (3L, v(0.6, 0.6, 0.0, 0.1)))
+      .toDF("vec_id", "embedding")
+    val model = graft.operators.KMeansPortable
+      .trainModel(corpus, k = 2, iters = 2)
+    // batch: survivors of the committed corpus (all of it here)
+    val corpusKeep = graft.operators.Dedup
+      .semanticDedupPortable(corpus, model.centroids, 0.95)
+      .filter(col("keep")).select(col("id"))
+    val corpusSurvivors = corpus.join(corpusKeep,
+      corpus("vec_id") === corpusKeep("id")).select("vec_id", "embedding")
+    assert(corpusSurvivors.count() === 3L)
+    // feed (ids above corpus ids, id-ordered): 10 = near-dup of corpus
+    // vec 1 (reject), 11 = novel (admit), 12 = near-dup of 11 within
+    // the feed (reject), 13 = novel in the other cluster (admit)
+    val feed = Seq(
+      (10L, "2026-01-01 10:00:00", v(1.0, 0.055, 0.0, 0.0)),
+      (11L, "2026-01-01 10:00:01", v(0.0, 0.05, 1.0, 0.3)),
+      (12L, "2026-01-01 10:00:02", v(0.0, 0.05, 1.0, 0.31)),
+      (13L, "2026-01-01 10:00:03", v(0.0, 1.0, 0.5, 0.0)))
+      .toDF("vec_id", "ts_s", "embedding")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    feed.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(feed.schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.semanticAdmittedStream(stream, model.centroids,
+        corpusSurvivors, 0.95),
+      "semadm_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val gotIds = spark.table("semadm_out")
+      .select("id").as[Long].collect().toSet
+    // batch twin over corpus ∪ feed: admitted = new ids that survive
+    // AND whose group contains no corpus member
+    val union = corpus.unionByName(feed.select("vec_id", "embedding"))
+    val groups = graft.operators.Dedup
+      .semanticDedupPortable(union, model.centroids, 0.95)
+    val corpusGroups = groups.filter(col("id") <= 3L)
+      .select(col("group_id")).distinct()
+    val batchIds = groups.filter(col("id") > 3L && col("keep"))
+      .join(corpusGroups, Seq("group_id"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    assert(gotIds === batchIds)
+    assert(gotIds === Set(11L, 13L))
+  }
 }
 
