@@ -377,7 +377,18 @@ object PlanAudit {
       // measured 4 at sf0.01 (round 9): bucket-size agg, band
       // self-join, candidate distinct, presentation sort — all over
       // (id, band, value) longs, never pixels
-      maxShuffleExchanges = Some(4)))
+      maxShuffleExchanges = Some(4)),
+    // q84: audio-envelope near-dup — the envelope lead/sum collapses
+    // each media to one long under ONE media-keyed window before any
+    // banding; the pairing is the shared q83 machinery
+    Check("q84_audio_near_dup",
+      mustContain = Seq("Window", "hashpartitioning", "InMemoryTableScan",
+        "LeftAnti"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // measured 5 at sf0.01 (round 9): the media-keyed envelope
+      // window + the four q83-family pairing exchanges
+      maxShuffleExchanges = Some(5)))
 
   // Queries whose broadcast nested-loop join is the documented design:
   // brute-force baselines with a fixed-size anchor side, and q31's
