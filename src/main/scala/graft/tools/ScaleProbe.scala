@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Parameterized scaling probe for the SemDeDup pipeline — the
+  * SCALE.md evidence runner for the one knob the fixed-parameter q80
+  * gate cannot turn: the quantizer resolution `nlist`.
+  *
+  * At fixed nlist, the within-cell pair scan is O(N²/nlist): every
+  * same-cell pair is a candidate whether or not it is similar, so a
+  * 10× corpus in the same 8 cells pays ~100× pair work. The scale
+  * discipline (SemDeDup's own: cells of BOUNDED size) is nlist ∝ N —
+  * this probe measures the q80 chain at any (dir, nlist) so the 10×
+  * corpus can be run at 10× nlist and the restored ~linearity is a
+  * measured number, not prose.
+  *
+  * Run: sbt "runMain graft.tools.ScaleProbe <sfDir> <nlist> [runs]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleProbe <sfDir> <nlist> [runs]")
+    val dir = args(0)
+    val nlist = args(1).toInt
+    val runs = if (args.length > 2) args(2).toInt else 3
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    (1 to runs).foreach { i =>
+      val t0 = System.nanoTime()
+      val m = graft.operators.KMeansPortable.trainModel(
+        graft.Tables(spark, dir).embeddings, k = nlist, iters = 3)
+      val n = graft.Measure.force(
+        graft.operators.Dedup.semanticDedupPortable(
+          graft.Tables(spark, dir).embeddings, m.centroids,
+          threshold = 0.35).orderBy(col("id")))
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      graft.CacheScope.releaseAll(blocking = true)
+      println(f"[probe] semdedup nlist=$nlist run $i: $n rows in $elapsed%.2fs")
+    }
+    spark.stop()
+  }
+}
