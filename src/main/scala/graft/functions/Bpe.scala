@@ -98,6 +98,64 @@ object Bpe {
     loadMergesResource("/graft/bpe/merges.txt").toSeq
       .sortBy(_._2).map(_._1)
 
+  /** DuckDB oracle replaying [[encodeCounts]] exactly. [[encodeWord]]
+    * is a data-dependent fixpoint (merge the lowest-RANKED adjacent
+    * pair, first occurrence, until none applies), so unlike
+    * `BpeTrain.oracleSql`'s fixed-depth unroll this generates a
+    * RECURSIVE CTE over the distinct-word table: each step looks the
+    * per-position ranks up with `list_position` against the inlined
+    * merges list (rank = 1-based list index — the same total order as
+    * the broadcast Ranks map), takes `list_min`, and splices the
+    * first occurrence (`list_position(ranks, best)` — first match,
+    * the bestIdx scan's strict `<`). Rows exit the recursion by
+    * emitting themselves once with done = true; `final` keeps exactly
+    * those. Working on DISTINCT words is the memo-cache trick in
+    * relational form — the corpus joins back by word at the end.
+    * Pre-tokenization parity: Java `[\p{L}\p{N}]+` on toLowerCase ==
+    * RE2 `[\p{L}\p{N}]+` on DuckDB lower() for the Unicode property
+    * classes both engines implement.
+    */
+  def encodeCountsOracleSql(table: String, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): String = {
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val ml = merges.map { case (l, r) => lit(l + " " + r) }
+      .mkString("[", ", ", "]")
+    s"""WITH RECURSIVE
+       |toks AS MATERIALIZED (
+       |  SELECT $idCol AS doc_id,
+       |    unnest(regexp_extract_all(lower($textCol), '[\\p{L}\\p{N}]+')) AS w
+       |  FROM $table),
+       |words AS MATERIALIZED (SELECT DISTINCT w FROM toks),
+       |w0 AS MATERIALIZED (
+       |  SELECT w, list_append(list_transform(range(1, length(w) + 1),
+       |    i -> w[i:i]), '</w>') AS syms
+       |  FROM words),
+       |enc AS (
+       |  SELECT w, syms, false AS done FROM w0
+       |  UNION ALL
+       |  SELECT w,
+       |    CASE WHEN best IS NULL THEN syms
+       |      ELSE syms[1:idx-1] || [syms[idx] || syms[idx+1]] || syms[idx+2:] END AS syms,
+       |    best IS NULL AS done
+       |  FROM (
+       |    SELECT w, syms, best, list_position(ranks, best) AS idx FROM (
+       |      SELECT w, syms, ranks, nullif(list_min(ranks), 2147483647) AS best
+       |      FROM (
+       |        SELECT w, syms,
+       |          list_transform(range(1, length(syms)),
+       |            i -> coalesce(list_position($ml, syms[i] || ' ' || syms[i+1]),
+       |              2147483647)) AS ranks
+       |        FROM enc WHERE NOT done)))),
+       |fin AS (SELECT w, length(syms) AS n FROM enc WHERE done),
+       |counts AS (
+       |  SELECT t.doc_id, CAST(sum(f.n) AS INTEGER) AS bpe_tokens
+       |  FROM toks t JOIN fin f USING (w) GROUP BY 1)
+       |SELECT d.$idCol AS doc_id,
+       |  CAST(coalesce(c.bpe_tokens, 0) AS INTEGER) AS bpe_tokens
+       |FROM $table d LEFT JOIN counts c ON c.doc_id = d.$idCol
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------------------
   // training
   // ------------------------------------------------------------------

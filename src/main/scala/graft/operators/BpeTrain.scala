@@ -141,6 +141,79 @@ object BpeTrain {
       .orderBy(col("rank"))
   }
 
+  /** DuckDB oracle replaying [[learnMerges]] exactly — the merge loop
+    * IS SQL-expressible after all (the q78 Lloyd precedent: unroll the
+    * fixed iteration count as a generated CTE chain). Per iteration k:
+    * `p(k)` re-derives the weighted adjacent-pair counts, `b(k)` takes
+    * the argmax under (freq DESC, l, r) — DuckDB's default string
+    * ordering is binary UTF-8, the same comparator as Spark's
+    * UTF8String sort and [[ltUtf8]] — and `w(k+1)` replays the greedy
+    * leftmost merge. The one non-obvious step is greedy-leftmost in
+    * set-oriented SQL: a merge at position i consumes i and i+1, so a
+    * match at i is taken iff the run of consecutive matches ending
+    * just before i has even length; consecutive match positions can
+    * only occur when left == right (pair (x,y) matching at both i and
+    * i+1 forces y = x), so islands-by-parity — group consecutive
+    * match positions (gaps-and-islands), keep even offsets — is
+    * EXACTLY the sequential left-to-right walk. Iteration relations
+    * are `AS MATERIALIZED`: each w(k) is referenced twice (pair counts
+    * + merge), and DuckDB 1.x inlines CTEs by default, which would
+    * re-evaluate the chain exponentially at depth 30.
+    *
+    * Word symbols: DuckDB `w[i:i]` slices by code point, matching
+    * Spark's `split(w, "")` (Java regex splits between code points,
+    * never inside a surrogate pair).
+    */
+  def oracleSql(table: String, textCol: String, numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT unnest(list_filter(regexp_split_to_array(trim($textCol), '\\s+'),
+         |    x -> length(x) > 0)) AS w
+         |  FROM $table),
+         |w0 AS MATERIALIZED (
+         |  SELECT w, list_transform(range(1, length(w) + 1), i -> w[i:i]) AS syms,
+         |    CAST(count(*) AS BIGINT) AS freq
+         |  FROM toks GROUP BY w),
+         |""".stripMargin
+    for (k <- 0 until numMerges) {
+      sb ++=
+        s"""p$k AS (
+           |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS f
+           |  FROM w$k, unnest(range(1, length(syms))) AS t(i)
+           |  GROUP BY 1, 2),
+           |b$k AS MATERIALIZED (SELECT l, r, f FROM p$k ORDER BY f DESC, l, r LIMIT 1),
+           |w${k + 1} AS MATERIALIZED (
+           |  SELECT w, freq, list(CASE WHEN st THEN l || r ELSE sym END ORDER BY i) AS syms
+           |  FROM (
+           |    SELECT w, freq, i, sym, st, l, r,
+           |      coalesce(lag(st) OVER (PARTITION BY w ORDER BY i), false) AS cons
+           |    FROM (
+           |      SELECT w, freq, i, sym, l, r, m, grp,
+           |        CASE WHEN m THEN (row_number() OVER (PARTITION BY w, grp ORDER BY i) - 1) % 2 = 0
+           |          ELSE false END AS st
+           |      FROM (
+           |        SELECT w, freq, i, syms[i] AS sym, b.l, b.r,
+           |          (i < length(syms) AND syms[i] = b.l AND syms[i+1] = b.r) AS m,
+           |          CASE WHEN (i < length(syms) AND syms[i] = b.l AND syms[i+1] = b.r)
+           |            THEN i - row_number() OVER (PARTITION BY w,
+           |              (i < length(syms) AND syms[i] = b.l AND syms[i+1] = b.r) ORDER BY i)
+           |            END AS grp
+           |        FROM w$k, b$k b, unnest(range(1, length(syms) + 1)) AS t(i))))
+           |  WHERE NOT cons
+           |  GROUP BY w, freq),
+           |""".stripMargin
+    }
+    val finals = (0 until numMerges)
+      .map(k => s"""SELECT $k AS rank, l AS "left", r AS "right", f AS freq FROM b$k""")
+      .mkString(" UNION ALL ")
+    // drop the trailing ",\n" of the last CTE
+    sb.setLength(sb.length - 2)
+    sb.toString + "\n" +
+      s"""SELECT CAST(rank AS INTEGER) AS rank, "left", "right", freq
+         |FROM ($finals) ORDER BY rank""".stripMargin
+  }
+
   /** UTF-8 byte-wise (= code-point) lexicographic less-than on (l, r)
     * pairs — matches Spark's UTF8String binary ordering used by the
     * distributed argmax's `orderBy(l, r)`. Java String ordering

@@ -70,9 +70,12 @@ object TextQueries {
   /** Real-vocab BPE token counts (token budgeting for training
     * pipelines): merges from the committed fixture vocab (trained by
     * BpeTrainDemo, deterministic), broadcast to a zero-shuffle
-    * per-partition encoder. No DuckDB oracle — BPE is not
-    * SQL-expressible; BpeSpec pins counts against an independent
-    * Python reference implementation on the same merges file. */
+    * per-partition encoder. FULL oracle since round 9: the
+    * lowest-rank-first encode fixpoint is a DuckDB RECURSIVE CTE over
+    * distinct words ([[graft.functions.Bpe.encodeCountsOracleSql]]) —
+    * every merge decision, splice and per-doc count re-derives in SQL.
+    * BpeSpec additionally pins counts against an independent Python
+    * reference implementation on the same merges file. */
   private def q37(s: SparkSession, dir: String): DataFrame =
     graft.functions.Bpe.encodeCounts(Tables(s, dir).documents,
       "doc_id", "text",
@@ -331,10 +334,13 @@ object TextQueries {
       |FROM scored s LEFT JOIN bounds b USING (lang)
       |ORDER BY s.doc_id""".stripMargin
 
-  /** Distributed BPE merge learning (q63) — rows-only: the merge loop
-    * is iterative argmax (not SQL-expressible); BpeTrainSpec pins the
-    * full merge table against an independent Python BPE reference,
-    * and the row count gates determinism (merge ranks are dense).
+  /** Distributed BPE merge learning (q63) — FULL oracle since round
+    * 9: the iterative argmax + greedy-merge loop unrolls as a
+    * generated 30-iteration CTE chain ([[graft.operators.BpeTrain
+    * .oracleSql]] — the q78 Lloyd precedent), so every pair count,
+    * every argmax tie-break and every leftmost merge re-derives in
+    * DuckDB. BpeTrainSpec additionally pins the merge table against
+    * an independent Python BPE reference.
     */
   private def q63(s: SparkSession, dir: String): DataFrame =
     graft.operators.BpeTrain.learnMerges(Tables(s, dir).documents,
@@ -345,10 +351,14 @@ object TextQueries {
     Q("q13_text_quality", q13, Some(q13Sql), headline = true),
     Q("q14_lang_id", q14, Some(q14Sql)),
     Q("q15_fingerprint", q15, Some(q15Sql)),
-    Q("q37_bpe_tokens", q37, None),
+    Q("q37_bpe_tokens", q37,
+      Some(graft.functions.Bpe.encodeCountsOracleSql(
+        "documents", "doc_id", "text", graft.functions.Bpe.mergesFixture))),
     Q("q40_bm25", q40, Some(q40Sql)),
     Q("q53_pii_redact", q53, Some(q53Sql)),
     Q("q60_ngram_lm_score", q60, Some(q60Sql), headline = true),
-    Q("q63_bpe_train", q63, None, headline = true),
+    Q("q63_bpe_train", q63,
+      Some(graft.operators.BpeTrain.oracleSql("documents", "text", 30)),
+      headline = true),
     Q("q64_perplexity_buckets", q64, Some(q64Sql), headline = true))
 }
