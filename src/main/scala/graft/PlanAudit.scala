@@ -378,6 +378,20 @@ object PlanAudit {
       // self-join, candidate distinct, presentation sort — all over
       // (id, band, value) longs, never pixels
       maxShuffleExchanges = Some(4)),
+    // q85: portable IVF-PQ end-to-end — both trainers are driver-side
+    // Lloyd state (outside the final frame); the frame re-derives
+    // encode+reconstruct as a zero-shuffle projection over the cached
+    // residual base, routes candidates through a broadcast of the
+    // 20-anchor × nprobe probe relation, and shuffles only the two
+    // bounded top-k aggregations (shortlist + final) plus the
+    // presentation sort — nothing vector-shaped shuffles
+    Check("q85_ivfpq_e2e_oracle",
+      mustContain = Seq("BroadcastHashJoin", "InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // measured 4 at sf0.01 (round 9): shortlist top-rerank agg,
+      // final top-k agg, rescore keying, presentation sort
+      maxShuffleExchanges = Some(4)),
     // q84: audio-envelope near-dup — the envelope lead/sum collapses
     // each media to one long under ONE media-keyed window before any
     // banding; the pairing is the shared q83 machinery

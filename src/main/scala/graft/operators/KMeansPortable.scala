@@ -116,17 +116,35 @@ object KMeansPortable {
     * the decimal self-dot); adds an integer `cell` column.
     */
   private[graft] def assignCells(base: DataFrame,
-      centroids: Array[Array[Double]]): DataFrame = {
+      centroids: Array[Array[Double]]): DataFrame =
+    base.withColumn("cell", cellExpr(col("vec"), col("n2"), centroids))
+
+  /** (dist, j) structs for one vector column against a fixed centroid
+    * matrix — dist = n2 − 2·decimalDot(vec, c_j) + decimalSelfDot(c_j),
+    * the [[assignmentCtes]] arithmetic as a Spark expression. Struct
+    * comparison orders by (d, j), so `array_min` IS argmin-with-
+    * lowest-index-ties and a full `array_sort` IS the nprobe ranking
+    * (the q85 IVF probe) — both provably the same total order as the
+    * oracle's `ORDER BY dist, j` window. */
+  private[graft] def distStructs(vec: Column, n2: Column,
+      centroids: Array[Array[Double]]): Seq[Column] = {
     val nc2 = centroids.map(c =>
       RhpKernels.decimalDot(new GenericArrayData(c), new GenericArrayData(c)))
-    val distStructs = centroids.indices.map { j =>
+    centroids.indices.map { j =>
       struct(
-        (col("n2") - lit(2.0) * RhpExpressions.decimalScaledDot(col("vec"),
+        (n2 - lit(2.0) * RhpExpressions.decimalScaledDot(vec,
           typedLit(centroids(j).toSeq)) + lit(nc2(j))).as("d"),
         lit(j).as("j"))
     }
-    base.withColumn("cell", array_min(array(distStructs: _*)).getField("j"))
   }
+
+  /** Argmin cell id for one vector column — [[distStructs]] composed
+    * with the lowest-index tie rule. The single Spark-side site of
+    * the assignment arithmetic (coarse assignment, q85 per-subspace
+    * PQ encoding). */
+  private[graft] def cellExpr(vec: Column, n2: Column,
+      centroids: Array[Array[Double]]): Column =
+    array_min(array(distStructs(vec, n2, centroids): _*)).getField("j")
 
   /** The DuckDB re-derivation of [[train]] — `iters` unrolled Lloyd
     * iterations over the same decimal arithmetic. Generated, not
@@ -147,27 +165,32 @@ object KMeansPortable {
     * `dot<sfx>` (vector·centroid decimal dots) and `as<sfx>`
     * (id → cell), trailing comma. The ONE source of the assignment
     * arithmetic for every oracle that assigns cells — q78's Lloyd
-    * iterations, q76's fixture application and q80's end-to-end
-    * chain all compose this, so an arithmetic change reaches every
-    * oracle or none. Requires `dims` (id, d, x) and `norms` (id, n2)
-    * in scope.
+    * iterations, q76's fixture application, q80's end-to-end chain
+    * and q85's IVF-PQ coarse/subspace assignments all compose this,
+    * so an arithmetic change reaches every oracle or none. Reads
+    * `dimsRel` (id, d, x) and `normsRel` (id, n2) — overridable so
+    * multiple composed Lloyd chains (the q85 coarse + m subspace
+    * trainings) can coexist in one statement without CTE-name
+    * collisions; the defaults keep the q78/q80 oracle text
+    * byte-identical.
     */
-  def assignmentCtes(sfx: String, centroidRel: String): String =
-    s"""cn$sfx AS (
+  def assignmentCtes(sfx: String, centroidRel: String,
+      dimsRel: String = "dims", normsRel: String = "norms"): String =
+    s"""cn$sfx AS MATERIALIZED (
        |  SELECT j, CAST(sum(CAST(round(c * c, 12) AS DECIMAL(38,12)))
        |    AS DOUBLE) AS nc2
        |  FROM $centroidRel GROUP BY j),
-       |dot$sfx AS (
+       |dot$sfx AS MATERIALIZED (
        |  SELECT m.id, cd.j,
        |    CAST(sum(CAST(round(m.x * cd.c, 12) AS DECIMAL(38,12)))
        |      AS DOUBLE) AS dot
-       |  FROM dims m JOIN $centroidRel cd ON cd.d = m.d GROUP BY 1, 2),
-       |as$sfx AS (
+       |  FROM $dimsRel m JOIN $centroidRel cd ON cd.d = m.d GROUP BY 1, 2),
+       |as$sfx AS MATERIALIZED (
        |  SELECT id, j AS cell FROM (
        |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
        |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
        |    FROM dot$sfx d
-       |    JOIN norms n ON n.id = d.id
+       |    JOIN $normsRel n ON n.id = d.id
        |    JOIN cn$sfx c ON c.j = d.j) WHERE rn = 1),
        |""".stripMargin
 
@@ -180,38 +203,39 @@ object KMeansPortable {
     * owns it (q80 needs WITH RECURSIVE for its closure).
     */
   def lloydCtes(table: String, idCol: String, vecCol: String,
-      k: Int, iters: Int): String = {
+      k: Int, iters: Int, prefix: String = ""): String = {
+    val p = prefix
     val sb = new StringBuilder
     sb ++=
-      s"""v AS (
+      s"""${p}v AS MATERIALIZED (
          |  SELECT $idCol AS id, [CAST(x AS DOUBLE) for x in $vecCol] AS xs
          |  FROM $table),
-         |dims AS (
+         |${p}dims AS MATERIALIZED (
          |  SELECT id, generate_subscripts(xs, 1) - 1 AS d, unnest(xs) AS x
-         |  FROM v),
-         |norms AS (
+         |  FROM ${p}v),
+         |${p}norms AS MATERIALIZED (
          |  SELECT id, CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
          |    AS DOUBLE) AS n2
-         |  FROM dims GROUP BY id),
-         |seeds AS (
+         |  FROM ${p}dims GROUP BY id),
+         |${p}seeds AS (
          |  SELECT row_number() OVER (ORDER BY id) - 1 AS j, id
-         |  FROM (SELECT id FROM v ORDER BY id LIMIT $k)),
-         |cd0 AS (
-         |  SELECT s.j, m.d, m.x AS c FROM seeds s JOIN dims m ON m.id = s.id),
+         |  FROM (SELECT id FROM ${p}v ORDER BY id LIMIT $k)),
+         |${p}cd0 AS MATERIALIZED (
+         |  SELECT s.j, m.d, m.x AS c FROM ${p}seeds s JOIN ${p}dims m ON m.id = s.id),
          |""".stripMargin
     for (i <- 1 to iters) {
-      val prev = s"cd${i - 1}"
-      sb ++= assignmentCtes(i.toString, prev)
+      val prev = s"${p}cd${i - 1}"
+      sb ++= assignmentCtes(s"$p$i", prev, s"${p}dims", s"${p}norms")
       sb ++=
-        s"""mm$i AS (
+        s"""${p}mm$i AS MATERIALIZED (
            |  SELECT a.cell AS j, m.d,
            |    CAST(sum(CAST(round(m.x, 12) AS DECIMAL(38,12))) AS DOUBLE)
            |      / count(*) AS c,
            |    count(*) AS n
-           |  FROM as$i a JOIN dims m ON m.id = a.id GROUP BY 1, 2),
-           |cd$i AS (
+           |  FROM as$p$i a JOIN ${p}dims m ON m.id = a.id GROUP BY 1, 2),
+           |${p}cd$i AS MATERIALIZED (
            |  SELECT p.j, p.d, coalesce(m.c, p.c) AS c
-           |  FROM $prev p LEFT JOIN mm$i m ON m.j = p.j AND m.d = p.d),
+           |  FROM $prev p LEFT JOIN ${p}mm$i m ON m.j = p.j AND m.d = p.d),
            |""".stripMargin
     }
     sb.toString

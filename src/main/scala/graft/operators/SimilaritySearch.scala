@@ -68,7 +68,7 @@ object SimilaritySearch {
     * window-rank formulation this replaced shuffled and fully sorted
     * anchors × N (row-identical output, pinned by the q20/q22
     * oracles). */
-  private def rankTopK(scoredRel: DataFrame, k: Int): DataFrame =
+  private[graft] def rankTopK(scoredRel: DataFrame, k: Int): DataFrame =
     scoredRel
       .groupBy(col("anchor_id"))
       .agg(org.apache.spark.sql.graft.TopKExpressions

@@ -360,12 +360,33 @@ object SimilarityQueries {
       |  FROM scored)
       |WHERE rank <= 10 ORDER BY anchor_id, rank""".stripMargin
 
+  /** End-to-end PORTABLE IVF-PQ under a FULL oracle (q85) — the q73
+    * sibling with zero fixtures: coarse Lloyd training, residual
+    * per-subspace codebook training, PQ encoding, nprobe routing,
+    * reconstruction-ADC, rerank and exact top-k all re-derive in one
+    * generated DuckDB statement (graft.operators.IvfPqPortable).
+    * With it every ANN tier (exact q20, LSH q23/q74, IVF-PQ q73/q85)
+    * has an oracle-verified path; the unverified ingredients of the
+    * native q73 are Spark ML's k-means|| trainer and float ADC sums
+    * alone. */
+  private def q85(s: SparkSession, dir: String): DataFrame =
+    graft.operators.IvfPqPortable.topK(Tables(s, dir).embeddings,
+        col("id") < 20, k = 5, nlist = 8, coarseIters = 2, m = 4,
+        ksub = 8, subIters = 2, nprobe = 2, rerank = 16)
+      .orderBy(col("anchor_id"), col("rank"))
+
+  private val q85Sql = graft.operators.IvfPqPortable.oracleSql(
+    "embeddings", "vec_id", "embedding", k = 5, nlist = 8,
+    coarseIters = 2, m = 4, ksub = 8, subIters = 2, nprobe = 2,
+    rerank = 16, dim = 64, anchorPredSql = "id < 20")
+
   val all: Seq[Q] = Seq(
     Q("q20_cosine_topk", q20, Some(q20Sql), headline = true),
     Q("q21_label_centroids", q21, Some(q21Sql)),
     Q("q22_knn_classify", q22, Some(q22Sql)),
     Q("q23_lsh_cosine_topk", q23, None, headline = true),
     Q("q74_lsh_topk_oracle", q74, Some(q74Sql)),
+    Q("q85_ivfpq_e2e_oracle", q85, Some(q85Sql), headline = true),
     Q("q31_group_scores", q31, Some(q31Sql), headline = true),
     Q("q32_cosine_pairs", q32, Some(q32Sql)),
     Q("q42_cosine_near_dup", q42, None),

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.IvfPqPortable
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Portable end-to-end IVF-PQ (q85's operator): the invariants its SQL
+  * oracle can't state — degeneration to exact search, partitioning
+  * determinism, planted-duplicate recall, and the loud dim/m guard.
+  */
+class IvfPqPortableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dim = 8
+
+  /** 30 deterministic vectors in 3 well-separated direction clusters
+    * (axis bundles 0-1, 2-3, 4-5), each member a slightly rotated copy
+    * — cosine structure is unambiguous and no rounded score sits near
+    * a tie boundary. */
+  private def corpus = (0 until 30).map { i =>
+    val c = i % 3
+    val v = Array.tabulate(dim) { d =>
+      val base = if (d == 2 * c) 10.0 else if (d == 2 * c + 1) 3.0 else 0.0
+      base + 0.01 * ((i * 7 + d * 3) % 11)
+    }
+    (i.toLong, v)
+  }.toDF("vec_id", "embedding")
+
+  private def localTopK(rows: Seq[(Long, Array[Double])], anchors: Seq[Long],
+      k: Int): Map[Long, Seq[(Long, Double)]] = {
+    def score(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = rows.toMap
+    anchors.map { a =>
+      a -> rows.filter(_._1 != a)
+        .map { case (id, v) => (id, score(byId(a), v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+    }.toMap
+  }
+
+  test("nprobe=nlist + rerank>=corpus degenerates to exact top-k") {
+    val out = IvfPqPortable.topK(corpus, col("id") < 3, k = 5,
+        nlist = 3, coarseIters = 2, m = 4, ksub = 4, subIters = 2,
+        nprobe = 3, rerank = 30)
+      .orderBy(col("anchor_id"), col("rank")).collect()
+    val expect = localTopK(
+      corpus.as[(Long, Array[Double])].collect().toSeq, Seq(0L, 1L, 2L), 5)
+    assert(out.length === 15)
+    out.foreach { r =>
+      val (a, rk) = (r.getLong(0), r.getInt(1))
+      val (eid, es) = expect(a)(rk - 1)
+      assert(r.getLong(2) === eid, s"anchor $a rank $rk neighbor")
+      assert(math.abs(r.getDouble(3) - es) < 2e-6, s"anchor $a rank $rk score")
+    }
+  }
+
+  test("partitioning-proof: repartition(13) gives identical rows") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      IvfPqPortable.topK(df, col("id") < 3, k = 4, nlist = 3,
+          coarseIters = 2, m = 2, ksub = 4, subIters = 2, nprobe = 2,
+          rerank = 8)
+        .orderBy(col("anchor_id"), col("rank")).collect().toSeq
+    assert(run(corpus) === run(corpus.repartition(13)))
+  }
+
+  test("planted near-duplicate surfaces at rank 1 even at nprobe=1") {
+    // id 100 is a tiny perturbation of id 0: same cell by
+    // construction, so the narrowest probe still finds it first
+    val planted = corpus.union(Seq(
+      (100L, Array.tabulate(dim)(d =>
+        (if (d == 0) 10.0 else if (d == 1) 3.0 else 0.0) + 0.001 * d))
+    ).toDF("vec_id", "embedding"))
+    val out = IvfPqPortable.topK(planted, col("id") === 100L, k = 3,
+        nlist = 3, coarseIters = 3, m = 4, ksub = 4, subIters = 2,
+        nprobe = 1, rerank = 16)
+      .orderBy(col("rank")).collect()
+    assert(out.nonEmpty)
+    assert(out(0).getLong(2) % 3 === 0L,
+      "rank-1 neighbor must come from the planted axis-0 cluster")
+    assert(out(0).getDouble(3) > 0.999, "near-dup cosine")
+  }
+
+  test("m must divide dim, loudly") {
+    val e = intercept[IllegalArgumentException] {
+      IvfPqPortable.topK(corpus, col("id") < 3, k = 2, nlist = 2,
+        coarseIters = 1, m = 3, ksub = 2, subIters = 1, nprobe = 1,
+        rerank = 4)
+    }
+    assert(e.getMessage.contains("must divide dim"))
+  }
+
+  test("ranks are dense 1..k per anchor") {
+    val out = IvfPqPortable.topK(corpus, col("id") < 4, k = 6,
+        nlist = 2, coarseIters = 2, m = 2, ksub = 4, subIters = 2,
+        nprobe = 2, rerank = 12)
+      .collect().groupBy(_.getLong(0))
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    out.values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to 6))
+    }
+  }
+}
