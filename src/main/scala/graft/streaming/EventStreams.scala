@@ -510,6 +510,65 @@ object EventStreams {
       }.toDF()
   }
 
+  /** Streaming perceptual-signature admission — the MEDIA sibling of
+    * [[bloomAdmittedStream]] (exact text) and [[semanticAdmittedStream]]
+    * (embeddings), completing the ingest-admission family across the
+    * three modalities: admit only incoming media whose 60-bit
+    * perceptual signature ([[graft.operators.MediaDedup]] — dHash for
+    * frames, envelope gradients for audio; both stateless maps that
+    * run unchanged on a streaming frame feed) is NOT a near-duplicate
+    * of the committed corpus.
+    *
+    * Corpus check — EXACT to `maxHamming`, and every join an EQUI
+    * join: a pair within hamming 3 shares at least one of the 4 ×
+    * 15-bit pigeonhole bands (the [[graft.operators.Lsh
+    * .hamming60Pairs]] guarantee), so FOUR chained stream-static LEFT
+    * ANTI joins — band-k equality plus the popcount verify as the
+    * residual condition — drop exactly the rows within `maxHamming`
+    * of some corpus signature. No nested-loop scan of the corpus per
+    * micro-batch: each join keys the compact (band value → sig)
+    * corpus relation (16 bytes a signature) like any other
+    * stream-static equi-join, and all four are stateless.
+    *
+    * In-stream self-check: signature-EXACT within the watermark
+    * window (`dropDuplicatesWithinWatermark` — first arrival wins,
+    * the [[dedupByFingerprint]] trade). dHash/envelope signatures are
+    * invariant to uniform brightness/gain by construction, so
+    * ingest-time re-encodes overwhelmingly collide at hamming 0;
+    * same-window arrivals at hamming 1–3 of each other both admit and
+    * fall to the next batch compaction ([[graft.operators.MediaDedup
+    * .hammingPairs]]) — the backstop every admission stream in this
+    * file leans on.
+    *
+    * `sigs` must carry (idCol, tsCol, sigCol); `corpusSigs` carries
+    * sigCol (other columns ignored). Emits the admitted (id, ts, sig).
+    */
+  def mediaAdmittedStream(sigs: DataFrame, corpusSigs: DataFrame,
+      maxHamming: Int = 3, idCol: String = "media_id",
+      sigCol: String = "sig", tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(maxHamming == 3,
+      "4 x 15-bit bands pigeonhole 60 bits at hamming 3")
+    def band(c: Column, b: Int): Column =
+      shiftright(c, b * 15).bitwiseAND(32767)
+    val fresh = sigs
+      .select(col(idCol).as("id"), col(tsCol).as("ts"),
+        col(sigCol).as("sig"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("sig")
+    (0 until 4).foldLeft(fresh) { (s, b) =>
+      // static side renamed per band: no column of the stream side is
+      // shadowed, so the mixed equi + popcount condition is unambiguous
+      val cb = corpusSigs.select(col(sigCol).as(s"__c_sig$b"),
+        band(col(sigCol), b).as(s"__c_bv$b"))
+      s.join(cb,
+        band(col("sig"), b) === col(s"__c_bv$b") &&
+          bit_count(col("sig").bitwiseXOR(col(s"__c_sig$b")))
+            <= lit(maxHamming),
+        "left_anti")
+    }
+  }
+
   /** Drive a streaming DataFrame synchronously into a memory table
     * (test/smoke harness — processes everything currently available).
     * The mode is REQUIRED, not defaulted: the

@@ -451,5 +451,53 @@ class StreamingSpec extends SparkSpec {
     assert(gotIds === batchIds)
     assert(gotIds === Set(11L, 13L))
   }
+
+  test("streaming media admission: banded corpus check exact to hamming 3, popcount residual, exact-sig window dedup") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediaadm").toString
+    // corpus signatures: A = all-zero, B = band-1 all-ones
+    val A = 0L
+    val B = 0x7FFFL << 15
+    val corpus = Seq(("cA", A), ("cB", B)).toDF("media_id", "sig")
+    // feed, each row one admission path:
+    //  f1 = exact corpus sig            -> rejected (hamming 0)
+    //  f2 = hamming 3 of A              -> rejected (pigeonhole recall)
+    //  f3 = hamming 4 of A, all four
+    //       flipped bits inside band 0  -> bands 1-3 still match A, but
+    //       the popcount residual keeps it: ADMITTED (the band join
+    //       alone would wrongly drop it)
+    //  f4 = f3's sig again, later ts    -> dropped (exact-sig window dedup)
+    //  f5 = hamming 2 of B (flips in
+    //       bands 1 and 2)              -> rejected via bands 0/3
+    //  f6 = far from both               -> admitted
+    val feed = Seq(
+      ("f1", "2026-01-01 10:00:00", A),
+      ("f2", "2026-01-01 10:00:01", 7L),
+      ("f3", "2026-01-01 10:00:02", 15L),
+      ("f4", "2026-01-01 10:00:03", 15L),
+      ("f5", "2026-01-01 10:00:04", B ^ (1L << 16) ^ (1L << 31)),
+      ("f6", "2026-01-01 10:00:05", 0x0AAAAAAAAAAAAAAL))
+      .toDF("media_id", "ts_s", "sig")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    // spec-side ground truth by brute-force popcount (independent of
+    // the banded implementation): admitted = first-per-sig feed rows
+    // farther than hamming 3 from every corpus signature
+    val corpusSigs = Seq(A, B)
+    val expected = feed.select("media_id", "sig").as[(String, Long)]
+      .collect().toSeq
+      .groupBy(_._2).map { case (_, rs) => rs.minBy(_._1) }.toSeq
+      .filter { case (_, s) =>
+        corpusSigs.forall(c => java.lang.Long.bitCount(s ^ c) > 3) }
+      .map(_._1).toSet
+    assert(expected === Set("f3", "f6"), "fixture sanity")
+    feed.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(feed.schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.mediaAdmittedStream(stream, corpus),
+      "mediaadm_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("mediaadm_out").select("id").as[String]
+      .collect().toSet
+    assert(got === expected)
+  }
 }
 
