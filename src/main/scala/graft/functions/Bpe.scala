@@ -38,9 +38,24 @@ object Bpe {
     if (text == null) Seq.empty
     else "[\\p{L}\\p{N}]+".r.findAllIn(text.toLowerCase).toSeq
 
-  /** A word as its initial symbol sequence. */
-  private def symbols(word: String): Vector[String] =
-    word.map(_.toString).toVector :+ EndOfWord
+  /** A word as its initial symbol sequence — split by CODE POINT, not
+    * UTF-16 code unit: a supplementary-plane letter is one symbol.
+    * This is the convention of every sibling surface (the Python
+    * reference BpeSpec pins against iterates code points, BpeTrain's
+    * `split(w, "")` never splits a surrogate pair, and the q37 DuckDB
+    * oracle's `w[i:i]` slices characters); code-unit splitting would
+    * silently hand the merge loop lone surrogate halves on non-BMP
+    * corpora (review r9). */
+  private def symbols(word: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    (out += EndOfWord).result()
+  }
 
   /** Greedy BPE encode of one word: repeatedly merge the
     * lowest-ranked adjacent pair until none applies. */

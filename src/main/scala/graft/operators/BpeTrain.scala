@@ -165,6 +165,10 @@ object BpeTrain {
     * never inside a surrogate pair).
     */
   def oracleSql(table: String, textCol: String, numMerges: Int): String = {
+    require(numMerges >= 1,
+      s"numMerges must be >= 1 (got $numMerges): zero iterations would " +
+        "generate an empty UNION body — invalid SQL (learnMerges returns " +
+        "an empty table for 0; there is nothing to verify)")
     val sb = new StringBuilder
     sb ++=
       s"""WITH toks AS MATERIALIZED (

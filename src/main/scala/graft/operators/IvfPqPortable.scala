@@ -55,6 +55,14 @@ object IvfPqPortable {
       nlist: Int, coarseIters: Int, m: Int, ksub: Int, subIters: Int,
       nprobe: Int, rerank: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // fail the (m, dim) contract BEFORE paying a full coarse training
+    // job (review r9): one head row answers it in milliseconds
+    val dimRow = vectors.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+    require(dimRow.nonEmpty, "topK: empty or all-null vector set")
+    val dim = dimRow(0).getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
     val base = graft.CacheScope.track(Par.ensureWide(vectors)
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
@@ -64,9 +72,6 @@ object IvfPqPortable {
     // ---- training (driver state: nlist·dim + m·ksub·dsub scalars)
     val coarse = KMeansPortable.trainModel(vectors, nlist, coarseIters,
       idCol, vecCol).centroids
-    val dim = coarse(0).length
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val dsub = dim / m
     val centsLit = typedLit(coarse.map(_.toSeq).toSeq)
     // residuals once, shared by all m subspace trainings + encoding
     val withRes = graft.CacheScope.track(

@@ -58,7 +58,11 @@ object Lsh {
     */
   private[graft] def hamming60Pairs(base: DataFrame, maxHamming: Int,
       maxBucketSize: Int): DataFrame = {
-    require(maxHamming == 3, "4 x 15-bit bands pigeonhole 60 bits at hamming 3")
+    // the 4 x 15 pigeonhole guarantees recall UP TO hamming 3, so any
+    // stricter cut is sound too (the Dedup.simhashPairs convention —
+    // review r9 relaxed the former == 3)
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 x 15-bit bands pigeonhole 60 bits at hamming <= 3 (got $maxHamming)")
     val banded = base.select(col("id"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 15).bitwiseAND(32767)): _*))

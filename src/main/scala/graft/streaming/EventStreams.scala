@@ -411,10 +411,15 @@ object EventStreams {
     *      (`flatMapGroupsWithState`, EventTimeTimeout): a micro-batch
     *      group processes in (ts, id) order, each arrival compares
     *      against the cell's recently-admitted vectors and joins the
-    *      state iff admitted; entries older than the watermark are
-    *      evicted (the bounded-state trade every sibling makes —
-    *      near-dups farther apart than the delay re-emit, the batch
-    *      compaction is the backstop).
+    *      state iff admitted; entries are retained down to watermark
+    *      MINUS the delay — the 2×-delay bound, deliberately wider
+    *      than the watermark itself so an arrival stamped just under
+    *      the watermark still dedups against admissions up to one
+    *      full delay before it (eviction at the bare watermark would
+    *      silently re-admit those) — and evicted below that line (the
+    *      bounded-state trade every sibling makes — near-dups farther
+    *      apart than the retention re-emit, the batch compaction is
+    *      the backstop).
     *
     * Batch-parity caveat (spec-pinned): the batch twin
     * ([[graft.operators.Dedup.semanticDedupPortable]] over
@@ -547,8 +552,8 @@ object EventStreams {
       maxHamming: Int = 3, idCol: String = "media_id",
       sigCol: String = "sig", tsCol: String = "ts",
       watermarkDelay: String = "10 minutes"): DataFrame = {
-    require(maxHamming == 3,
-      "4 x 15-bit bands pigeonhole 60 bits at hamming 3")
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 x 15-bit bands pigeonhole 60 bits at hamming <= 3 (got $maxHamming)")
     def band(c: Column, b: Int): Column =
       shiftright(c, b * 15).bitwiseAND(32767)
     val fresh = sigs

@@ -73,6 +73,22 @@ class MediaDedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, _) => b == s"$a~v" })
   }
 
+  test("stricter maxHamming cuts are accepted and nest (review r9 relaxation)") {
+    val ids = (0 until 120).map(_.toString)
+    val sigs = MediaDedup.imageDHash(
+      MediaDedup.syntheticFrameCorpus(ids.toDS()))
+    def pairsAt(h: Int) = MediaDedup.hammingPairs(sigs, maxHamming = h)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val p3 = pairsAt(3)
+    val p1 = pairsAt(1)
+    // nested: the hamming-1 set is exactly the <=1 slice of hamming-3
+    assert(p1 === p3.filter(_._3 <= 1))
+    assert(p1.size < p3.size, "the stricter cut must actually cut")
+    // out of range still fails loudly
+    val e = intercept[IllegalArgumentException](pairsAt(4))
+    assert(e.getMessage.contains("hamming <= 3"))
+  }
+
   // --- real PNG end-to-end (decode → dHash → pairs) ------------------
 
   private def encodePng(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
