@@ -392,6 +392,22 @@ object PlanAudit {
       // measured 4 at sf0.01 (round 9): shortlist top-rerank agg,
       // final top-k agg, rescore keying, presentation sort
       maxShuffleExchanges = Some(4)),
+    // q86: semantic decontamination — training is driver-side Lloyd
+    // state; the frame cell-assigns both sides as zero-shuffle
+    // projections (centroid literals), broadcasts the small BENCH side
+    // onto the cell equi-join, and shuffles only the per-corpus-id hit
+    // aggregation, the result join and the presentation sort
+    Check("q86_semantic_decon_oracle",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // measured 5 at sf0.01 (round 9): per-corpus-id conditional hit
+      // aggregation + presentation sort + three Par.ensureWide scan
+      // widenings (two ride inside the cached training base's lineage,
+      // one on the bench side) — the LEFT-join-then-aggregate shape
+      // keeps clean rows in the same single real shuffle; the former
+      // aggregate-then-rejoin shape cost 6 WITH an SMJ
+      maxShuffleExchanges = Some(5)),
     // q84: audio-envelope near-dup — the envelope lead/sum collapses
     // each media to one long under ONE media-keyed window before any
     // banding; the pairing is the shared q83 machinery

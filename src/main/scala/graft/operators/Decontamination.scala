@@ -195,6 +195,70 @@ object Decontamination {
         col("f.jaccard").as("jaccard"))
   }
 
+  /** SEMANTIC decontamination — the embedding sibling of the exact
+    * n-gram (q49) and fuzzy MinHash (q67/q72) scrubs, closing the
+    * modality triangle the dedup family already has: flag every
+    * corpus item whose EMBEDDING is a semantic near-dup of a
+    * held-out benchmark item, so paraphrased or translated test
+    * leakage that no token-level scrub can see still surfaces
+    * (the motivation of SemDeDup §5 and the decontamination
+    * discussions in Gopher/Llama appendices: token overlap misses
+    * reworded contamination).
+    *
+    * Mechanics are SemDeDup's, composed from the single-sited
+    * portable pieces, so the whole pipeline sits under one oracle
+    * (q86): both sides cell-assign against the SAME trained centroid
+    * matrix ([[KMeansPortable.assignCells]] — the q76/q78/q80
+    * arithmetic), candidates are corpus × bench WITHIN a cell only,
+    * scored by the rounded decimal cosine. Unlike the dedup path
+    * there is deliberately NO oversized-cell cull: dropping a hot
+    * cell would silently skip contamination checks, and the join
+    * fan-out is bounded by the BENCH side (a benchmark suite is
+    * small by nature — it broadcasts), not by the corpus.
+    *
+    * The within-cell restriction is the SemDeDup approximation: a
+    * contaminated pair whose members quantize to different cells is
+    * missed (recall, like SemDeDup's, is governed by nlist and the
+    * training fit — spec-pinned with planted cross-subset near-dups;
+    * nlist = 1 degenerates to the exhaustive scan).
+    *
+    * Output: one row per CORPUS item — (id, n_hits, max_score,
+    * flagged); max_score is null when nothing matched.
+    */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+      centroids: Array[Array[Double]], threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.RhpExpressions
+    require(centroids.nonEmpty)
+    def assigned(df: DataFrame): DataFrame =
+      KMeansPortable.assignCells(
+        Par.ensureWide(df)
+          .select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<double>").as("vec"))
+          .withColumn("n2",
+            RhpExpressions.decimalScaledDot(col("vec"), col("vec"))),
+        centroids)
+    val c = assigned(corpus)
+    val b = assigned(bench)
+      .select(col("cell"), col("id").as("bench_id"),
+        col("vec").as("b_vec"), col("n2").as("b_n2"))
+    // LEFT join + conditional aggregation, not aggregate-then-rejoin:
+    // clean corpus rows ride through the same single shuffle as hits
+    // (a second corpus-keyed join for the zero rows would be an SMJ
+    // the static planner cannot avoid — and a broadcast of the hit
+    // relation would be unbounded in the all-contaminated worst case)
+    c.join(broadcast(b), Seq("cell"), "left")
+      .withColumn("score", when(col("bench_id").isNotNull, round(
+        RhpExpressions.decimalScaledDot(col("vec"), col("b_vec")) /
+          (sqrt(col("n2")) * sqrt(col("b_n2"))), 6)))
+      .withColumn("hit", col("score") >= threshold)
+      .groupBy(col("id"))
+      .agg(count(when(col("hit"), lit(1))).as("n_hits"),
+        max(when(col("hit"), col("score"))).as("max_score"))
+      .select(col("id"), col("n_hits"), col("max_score"),
+        (col("n_hits") > 0L).as("flagged"))
+  }
+
   def flagContaminated(docs: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),

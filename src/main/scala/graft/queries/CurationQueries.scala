@@ -616,6 +616,74 @@ object CurationQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** SEMANTIC decontamination under a FULL oracle (q86) — the
+    * embedding sibling of q49 (exact n-grams) and q67/q72 (fuzzy
+    * MinHash), end-to-end TRAINED (the q80/q85 discipline, zero
+    * fixtures): the corpus is the embeddings table minus a held-out
+    * 1/97 "benchmark" slice, the coarse quantizer is portable Lloyd
+    * trained on the corpus, both sides cell-assign with the
+    * single-sited argmin, and every within-cell corpus×bench decimal
+    * cosine, hit count and max score re-derives in one generated
+    * DuckDB statement. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val corpus = emb.filter(col("vec_id") % 97 =!= 0)
+    val bench = emb.filter(col("vec_id") % 97 === 0)
+    val m = graft.operators.KMeansPortable.trainModel(corpus, k = 8,
+      iters = 2)
+    graft.operators.Decontamination.semanticDecontaminate(
+        corpus, bench, m.centroids, threshold = 0.35)
+      .orderBy(col("id"))
+  }
+
+  private val q86Sql = {
+    val iters = 2
+    val lloyd = graft.operators.KMeansPortable.lloydCtes(
+      "(SELECT * FROM embeddings WHERE vec_id % 97 <> 0)",
+      "vec_id", "embedding", k = 8, iters = iters)
+    val assignCorpus = graft.operators.KMeansPortable.assignmentCtes(
+      "ca", s"cd$iters")
+    val assignBench = graft.operators.KMeansPortable.assignmentCtes(
+      "cb", s"cd$iters", "bdims", "bnorms")
+    s"""WITH $lloyd$assignCorpus
+       |bv AS MATERIALIZED (
+       |  SELECT vec_id AS id, [CAST(x AS DOUBLE) for x in embedding] AS xs
+       |  FROM embeddings WHERE vec_id % 97 = 0),
+       |bdims AS MATERIALIZED (
+       |  SELECT id, generate_subscripts(xs, 1) - 1 AS d, unnest(xs) AS x
+       |  FROM bv),
+       |bnorms AS MATERIALIZED (
+       |  SELECT id, CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+       |    AS DOUBLE) AS n2
+       |  FROM bdims GROUP BY id),
+       |$assignBench
+       |cand AS (
+       |  SELECT a.id AS cid, b.id AS bid
+       |  FROM asca a JOIN ascb b ON a.cell = b.cell),
+       |cdots AS (
+       |  SELECT c.cid, c.bid,
+       |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS dot
+       |  FROM cand c
+       |  JOIN dims da ON da.id = c.cid
+       |  JOIN bdims db ON db.id = c.bid AND db.d = da.d
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.cid, round(d.dot / (sqrt(cn.n2) * sqrt(bn.n2)), 6) AS score
+       |  FROM cdots d
+       |  JOIN norms cn ON cn.id = d.cid
+       |  JOIN bnorms bn ON bn.id = d.bid),
+       |hits AS (
+       |  SELECT cid AS id, CAST(count(*) AS BIGINT) AS n_hits,
+       |    max(score) AS max_score
+       |  FROM scored WHERE score >= 0.35 GROUP BY cid)
+       |SELECT v.id, coalesce(h.n_hits, 0) AS n_hits, h.max_score,
+       |  coalesce(h.n_hits, 0) > 0 AS flagged
+       |FROM (SELECT id FROM v) v
+       |LEFT JOIN hits h USING (id)
+       |ORDER BY id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q45_stratified_sample", q45, Some(q45Sql)),
     Q("q46_mixture_rebalance", q46, Some(q46Sql), headline = true),
@@ -633,5 +701,6 @@ object CurationQueries {
     Q("q67_fuzzy_decontamination", q67, None),
     Q("q68_quality_classifier", q68, None),
     Q("q77_portable_lr_oracle", q77, Some(q77Sql)),
-    Q("q72_fuzzy_decon_oracle", q72, Some(q72Sql)))
+    Q("q72_fuzzy_decon_oracle", q72, Some(q72Sql)),
+    Q("q86_semantic_decon_oracle", q86, Some(q86Sql), headline = true))
 }

@@ -706,4 +706,46 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(epoch1.sortBy(_._1).toSeq != rows.sortBy(_._1).toSeq)
   }
+
+  test("semanticDecontaminate: planted paraphrase flagged, clean corpus not; nlist=1 is exhaustive") {
+    import graft.operators.{Decontamination, KMeansPortable}
+    def v(a: Double, b: Double, c: Double, d: Double) = Seq(a, b, c, d)
+    // bench: two held-out "test set" vectors in different clusters
+    val bench = Seq(
+      (100L, v(1.0, 0.02, 0.0, 0.0)),
+      (101L, v(0.0, 0.0, 1.0, 0.05)))
+      .toDF("vec_id", "embedding")
+    // corpus: 10 = semantic paraphrase of bench 100 (flag), 11/12 =
+    // same cluster but genuinely different (clean), 13 = paraphrase
+    // of bench 101 (flag), 14 = far from everything (clean)
+    val corpus = Seq(
+      (10L, v(0.99, 0.03, 0.0, 0.01)),
+      (11L, v(0.6, 0.75, 0.0, 0.0)),
+      (12L, v(0.7, -0.6, 0.0, 0.0)),
+      (13L, v(0.0, 0.01, 0.98, 0.06)),
+      (14L, v(0.0, -0.9, 0.0, 0.4)))
+      .toDF("vec_id", "embedding")
+    val m = KMeansPortable.trainModel(corpus, k = 2, iters = 2)
+    val out = Decontamination
+      .semanticDecontaminate(corpus, bench, m.centroids, threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L, 13L, 14L),
+      "one row per corpus item, bench never in the output")
+    assert(out(10L)._2 && out(13L)._2, "planted paraphrases flagged")
+    assert(!out(11L)._2 && !out(12L)._2 && !out(14L)._2,
+      "same-cluster-but-different and far corpus items stay clean")
+    // nlist = 1: every pair shares the single cell — the exhaustive
+    // scan; the planted flags and hit counts must be unchanged
+    val one = Decontamination.semanticDecontaminate(corpus, bench,
+        Array(Array(0.0, 0.0, 0.0, 0.0)), threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(one === out.map { case (k, (_, f)) => k -> f })
+    // partitioning-proof
+    val rep = Decontamination.semanticDecontaminate(corpus.repartition(7),
+        bench, m.centroids, threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(rep === out)
+  }
 }
