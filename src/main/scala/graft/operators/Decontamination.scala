@@ -224,10 +224,23 @@ object Decontamination {
     *
     * Output: one row per CORPUS item — (id, n_hits, max_score,
     * flagged); max_score is null when nothing matched.
+    *
+    * The bench side broadcasts — but behind the same bounded-broadcast
+    * guard as the anchor paths (ADVICE r8 discipline): a "benchmark"
+    * argument that unexpectedly carries a corpus-sized relation must
+    * not build an unbounded driver broadcast. The guard counts bench
+    * rows through a pushed LIMIT over a dodge-column probe (the scan
+    * stops at cap+1 rows and cannot semantically match a cached plan
+    * root — the SimilaritySearch.boundedBroadcast rationale), and
+    * above the cap falls back to a plain hash-partitioned cell join:
+    * same rows, a shuffled exchange instead of a driver-resident
+    * relation. `maxBroadcastBench` is parameterized so the fallback
+    * path is spec-exercisable (cap = 0).
     */
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
       centroids: Array[Array[Double]], threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBroadcastBench: Int = 100000): DataFrame = {
     import org.apache.spark.sql.graft.RhpExpressions
     require(centroids.nonEmpty)
     def assigned(df: DataFrame): DataFrame =
@@ -242,12 +255,16 @@ object Decontamination {
     val b = assigned(bench)
       .select(col("cell"), col("id").as("bench_id"),
         col("vec").as("b_vec"), col("n2").as("b_n2"))
+    val benchProbe = bench.select(lit(1).as("__bench_probe"))
+    val benchSide =
+      if (benchProbe.limit(maxBroadcastBench + 1).count() > maxBroadcastBench) b
+      else broadcast(b)
     // LEFT join + conditional aggregation, not aggregate-then-rejoin:
     // clean corpus rows ride through the same single shuffle as hits
     // (a second corpus-keyed join for the zero rows would be an SMJ
     // the static planner cannot avoid — and a broadcast of the hit
     // relation would be unbounded in the all-contaminated worst case)
-    c.join(broadcast(b), Seq("cell"), "left")
+    c.join(benchSide, Seq("cell"), "left")
       .withColumn("score", when(col("bench_id").isNotNull, round(
         RhpExpressions.decimalScaledDot(col("vec"), col("b_vec")) /
           (sqrt(col("n2")) * sqrt(col("b_n2"))), 6)))

@@ -747,5 +747,14 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getBoolean(3)))).toMap
     assert(rep === out)
+    // bounded-broadcast guard: cap = 0 trips the guard, dropping the
+    // broadcast HINT (an oversized "bench" must not be FORCED into a
+    // driver broadcast; the planner may still elect one for a small
+    // side, which is fine) — same rows either way
+    val fbRows = Decontamination.semanticDecontaminate(corpus, bench,
+        m.centroids, threshold = 0.95, maxBroadcastBench = 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(fbRows === out)
   }
 }
