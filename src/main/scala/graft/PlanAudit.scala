@@ -408,6 +408,21 @@ object PlanAudit {
       // keeps clean rows in the same single real shuffle; the former
       // aggregate-then-rejoin shape cost 6 WITH an SMJ
       maxShuffleExchanges = Some(5)),
+    // q87: DSIR importance resampling — ONE corpus shuffle
+    // (repartition by id) feeds per-doc bucket counts whose
+    // partitioning every downstream stage reuses (the (id,bucket)
+    // agg, the broadcast weight attach, the per-doc score agg); the
+    // training branch map-side-combines to ≤buckets rows; selection
+    // shuffles on the domain key only
+    Check("q87_dsir_selection",
+      mustContain = Seq("BroadcastHashJoin", "InMemoryTableScan",
+        "hashpartitioning"),
+      mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
+      // measured 9 at sf0.01 (round 9): the corpus id repartition,
+      // the bucket-totals + scalar aggregations (small), the
+      // domain-count + rank-window + presentation-sort trio, and the
+      // Par.ensureWide scan widenings in the cached fc lineage
+      maxShuffleExchanges = Some(9)),
     // q84: audio-envelope near-dup — the envelope lead/sum collapses
     // each media to one long under ONE media-keyed window before any
     // banding; the pairing is the shared q83 machinery
@@ -441,7 +456,10 @@ object PlanAudit {
     // q73: anchors × 16-centroid broadcast probe (the IVF cell pick)
     "q73_ivfpq_fixture",
     // q81: the 1-row S and T scalar attaches (the q46 shape, twice)
-    "q81_temperature_mixture")
+    "q81_temperature_mixture",
+    // q87: the 1-row (np, nq) feature-total scalar attach onto the
+    // ≤buckets-row weight relation (the q46 shape)
+    "q87_dsir_selection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -684,6 +684,82 @@ object CurationQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** DSIR importance resampling under a FULL oracle (q87) — the
+    * data-SELECTION capability (Xie et al. 2023): pick the most
+    * target-like quarter of every source's candidates, where
+    * "target-like" is learned IN-QUERY from a designated target
+    * sample (here source src1 — the trusted-domain reference; its
+    * docs are the training signal and never candidates). End-to-end
+    * trained, zero fixtures: hashed unigram∪bigram bucket counts,
+    * add-1-smoothed ln-ratio weights rounded to 6 (the q75/q77
+    * transcendental discipline), exact-decimal score dot, rank-based
+    * per-domain keep — every stage re-derived by the DuckDB oracle
+    * from the same documents table. */
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataSelection.importanceResample(
+        Tables(s, dir).documents, col("source") === "src1",
+        "doc_id", "text", "source",
+        buckets = 256, keepNum = 1, keepDenom = 4)
+      .orderBy(col("id"))
+
+  private val q87Sql =
+    """WITH base AS (
+      |  SELECT doc_id, source, (source = 'src1') AS tgt,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, source, tgt, generate_subscripts(toks, 1) AS pos,
+      |    unnest(toks) AS tok
+      |  FROM base),
+      |feats AS (
+      |  SELECT doc_id, source, tgt, tok AS f FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, source, tgt, f FROM (
+      |    SELECT doc_id, source, tgt,
+      |      tok || ' ' || lead(tok) OVER (
+      |        PARTITION BY doc_id ORDER BY pos) AS f
+      |    FROM toks) WHERE f IS NOT NULL),
+      |counts AS (
+      |  SELECT doc_id, source, tgt,
+      |    CAST(CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 256
+      |      AS INT) AS bucket,
+      |    count(*) AS n
+      |  FROM feats GROUP BY 1, 2, 3, 4),
+      |totals AS (
+      |  SELECT bucket,
+      |    sum(CASE WHEN tgt THEN n ELSE 0 END) AS tp,
+      |    sum(CASE WHEN NOT tgt THEN n ELSE 0 END) AS rq
+      |  FROM counts GROUP BY bucket),
+      |scalars AS (SELECT sum(tp) AS np, sum(rq) AS nq FROM totals),
+      |weights AS (
+      |  SELECT bucket,
+      |    round(ln((tp + 1) / CAST(np + 256 AS DOUBLE)) -
+      |          ln((rq + 1) / CAST(nq + 256 AS DOUBLE)), 6) AS w
+      |  FROM totals, scalars),
+      |scores AS (
+      |  SELECT c.doc_id, c.source,
+      |    sum(CAST(round(w.w * c.n, 12) AS DECIMAL(38,12))) AS s
+      |  FROM counts c JOIN weights w USING (bucket)
+      |  WHERE NOT c.tgt
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT b.doc_id AS id, b.source AS domain,
+      |    coalesce(s.s, CAST(0 AS DECIMAL(38,12))) AS score
+      |  FROM (SELECT doc_id, source FROM base WHERE NOT tgt) b
+      |  LEFT JOIN scores s USING (doc_id)),
+      |quotas AS (
+      |  SELECT domain, (count(*) * 1 + 3) // 4 AS quota
+      |  FROM scored GROUP BY domain),
+      |ranked AS (
+      |  SELECT id, domain, score, row_number() OVER (
+      |    PARTITION BY domain ORDER BY score DESC, id) AS rk
+      |  FROM scored)
+      |SELECT r.id, r.domain, CAST(r.score AS DOUBLE) AS score
+      |FROM ranked r JOIN quotas q USING (domain)
+      |WHERE r.rk <= q.quota
+      |ORDER BY r.id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q45_stratified_sample", q45, Some(q45Sql)),
     Q("q46_mixture_rebalance", q46, Some(q46Sql), headline = true),
@@ -702,5 +778,6 @@ object CurationQueries {
     Q("q68_quality_classifier", q68, None),
     Q("q77_portable_lr_oracle", q77, Some(q77Sql)),
     Q("q72_fuzzy_decon_oracle", q72, Some(q72Sql)),
-    Q("q86_semantic_decon_oracle", q86, Some(q86Sql), headline = true))
+    Q("q86_semantic_decon_oracle", q86, Some(q86Sql), headline = true),
+    Q("q87_dsir_selection", q87, Some(q87Sql), headline = true))
 }

@@ -757,4 +757,59 @@ class CurationSpec extends SparkSpec {
         ((r.getLong(1), r.getBoolean(3)))).toMap
     assert(fbRows === out)
   }
+
+  test("importanceResample: target-like candidates win, target never a candidate, empty docs survive") {
+    import graft.operators.DataSelection
+    // target sample (domain "tgt"): feline corpus. Candidates in two
+    // domains: per domain, 2 docs target-like and 2 off-distribution
+    // — keep 1/2 per domain must pick exactly the target-like tails.
+    val docs = Seq(
+      (1L, "tgt", "cat purr cat whisker purr"),
+      (2L, "tgt", "whisker cat purr feline cat"),
+      (10L, "web", "cat purr whisker feline cat purr"),
+      (11L, "web", "purr cat cat whisker"),
+      (12L, "web", "stock market futures swap spread"),
+      (13L, "web", "bond yield curve inversion risk"),
+      (20L, "forum", "my cat s whisker purr story"),
+      (21L, "forum", "feline purr whisker cat cat"),
+      (22L, "forum", "gpu shader pipeline raster batch"),
+      (23L, "forum", "kernel driver interrupt vector"))
+      .toDF("doc_id", "dom", "text")
+    val kept = DataSelection.importanceResample(docs,
+        col("dom") === "tgt", "doc_id", "text", "dom",
+        buckets = 64, keepNum = 1, keepDenom = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(kept.map(_._1).sorted.toSeq === Seq(10L, 11L, 20L, 21L),
+      s"the target-like half per domain: $kept")
+    assert(kept.forall(_._2 != "tgt"), "target docs are never candidates")
+    // absolute scores are smoothing-shifted; what selection rests on
+    // is the ORDERING — every kept candidate outscores every dropped
+    // one within its domain
+    val dropped = Map("web" -> Seq(12L, 13L), "forum" -> Seq(22L, 23L))
+    val allScores = DataSelection.importanceResample(docs,
+        col("dom") === "tgt", "doc_id", "text", "dom",
+        buckets = 64, keepNum = 1, keepDenom = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    kept.foreach { case (id, dom, s) =>
+      assert(dropped(dom).forall(d => s > allScores(d)),
+        s"kept $id ($s) must outscore dropped ${dropped(dom)} in $dom")
+    }
+    // empty doc: survives the chain with score 0 (explode_outer), and
+    // a keep-everything fraction returns it
+    val withEmpty = docs.union(Seq((30L, "web", "   ")).toDF("d", "m", "t"))
+    val all = DataSelection.importanceResample(withEmpty,
+        col("dom") === "tgt", "doc_id", "text", "dom",
+        buckets = 64, keepNum = 1, keepDenom = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(all.contains(30L) && all(30L) === 0.0,
+      "a token-free doc rides through with score 0")
+    assert(all.keySet === Set(10L, 11L, 12L, 13L, 20L, 21L, 22L, 23L, 30L))
+    // partitioning-proof: decimal score sums and rank selection are
+    // order-free
+    val rep = DataSelection.importanceResample(docs.repartition(7),
+        col("dom") === "tgt", "doc_id", "text", "dom",
+        buckets = 64, keepNum = 1, keepDenom = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rep.sortBy(_._1).toSeq === kept.sortBy(_._1).toSeq)
+  }
 }
