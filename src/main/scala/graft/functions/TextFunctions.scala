@@ -48,6 +48,19 @@ object TextFunctions {
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** The portable md5 bucket: low-60-bit value of an md5 HEX column
+    * mod `n` — the q68 recipe, re-derivable in any engine with md5
+    * (`CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT) % n`).
+    * Single-sited (review r9): the feature maps (QualityClassifier,
+    * DataSelection) pass `md5(feature)`, the shard hash
+    * (Sampling.shuffleShards) a seeded digest — a drift in this
+    * cross-engine-sensitive expression breaks oracle parity at every
+    * consumer at once, which is exactly why there is one of it.
+    */
+  def md5Bucket(md5Hex: Column, n: Long): Column =
+    pmod(conv(substring(md5Hex, 1, 15), 16, 10).cast("long"),
+      lit(n)).cast("int")
+
   /** Deterministic 128-bit document fingerprint over the normalized
     * text — the exact-dedup key. (md5 is stable across engines, unlike
     * xxhash64 seeds in other systems.)

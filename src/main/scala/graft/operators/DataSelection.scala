@@ -61,10 +61,10 @@ object DataSelection {
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
       (t, i) => concat(t, lit(" "), element_at(toks, i + 2))))
 
-  /** The q68-recipe md5 bucket of a feature string. */
+  /** The q68-recipe md5 bucket of a feature string (single-sited in
+    * [[graft.functions.TextFunctions.md5Bucket]]). */
   private def bucketOf(f: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(f), 1, 15), 16, 10).cast("long"),
-      lit(buckets.toLong)).cast("int")
+    graft.functions.TextFunctions.md5Bucket(md5(f), buckets.toLong)
 
   /** Select the most target-like `keepNum/keepDenom` fraction of
     * each domain's candidates. `targetPred` marks the target sample
@@ -86,16 +86,23 @@ object DataSelection {
     // empty document keeps through explode_outer carries f = NULL →
     // bucket = NULL, n = count(f) = 0 — it rides to the score
     // aggregation (score 0) but contributes nothing to training.
+    // the feature STRING is hashed to its int bucket and projected
+    // away INSIDE this select, before the repartition — `n` counts
+    // the (null iff f was null) bucket column, so nothing forces `f`
+    // to survive above the exchange and the corpus-wide shuffle
+    // payload is (id, domain, tgt, bucket) (review r9: counting `f`
+    // itself kept the strings alive through the shuffle)
     val fc = graft.CacheScope.track(
       Par.ensureWide(corpus)
         .select(col(idCol).as("id"), col(domainCol).as("domain"),
           targetPred.as("tgt"), tokens(col(textCol)).as("__toks"))
         .select(col("id"), col("domain"), col("tgt"),
           explode_outer(featuresOf(col("__toks"))).as("f"))
-        .withColumn("bucket", bucketOf(col("f"), buckets))
+        .select(col("id"), col("domain"), col("tgt"),
+          bucketOf(col("f"), buckets).as("bucket"))
         .repartition(col("id"))
         .groupBy(col("id"), col("domain"), col("tgt"), col("bucket"))
-        .agg(count(col("f")).as("n")))
+        .agg(count(col("bucket")).as("n")))
     // training: add-1-smoothed per-bucket log-likelihood ratios from
     // the target/raw totals — ≤ `buckets` rows after map-side combine
     val totals = fc.groupBy(col("bucket"))

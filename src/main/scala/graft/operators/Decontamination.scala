@@ -228,13 +228,11 @@ object Decontamination {
     * The bench side broadcasts — but behind the same bounded-broadcast
     * guard as the anchor paths (ADVICE r8 discipline): a "benchmark"
     * argument that unexpectedly carries a corpus-sized relation must
-    * not build an unbounded driver broadcast. The guard counts bench
-    * rows through a pushed LIMIT over a dodge-column probe (the scan
-    * stops at cap+1 rows and cannot semantically match a cached plan
-    * root — the SimilaritySearch.boundedBroadcast rationale), and
-    * above the cap falls back to a plain hash-partitioned cell join:
-    * same rows, a shuffled exchange instead of a driver-resident
-    * relation. `maxBroadcastBench` is parameterized so the fallback
+    * not build an unbounded driver broadcast. Mechanics and the
+    * probe-not-cached-base subtlety are single-sited in
+    * [[Par.boundedBroadcast]] (a dodge-column probe counted through
+    * a pushed LIMIT; above the cap, a plain hash-partitioned cell
+    * join). `maxBroadcastBench` is parameterized so the fallback
     * path is spec-exercisable (cap = 0).
     */
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
@@ -255,10 +253,8 @@ object Decontamination {
     val b = assigned(bench)
       .select(col("cell"), col("id").as("bench_id"),
         col("vec").as("b_vec"), col("n2").as("b_n2"))
-    val benchProbe = bench.select(lit(1).as("__bench_probe"))
-    val benchSide =
-      if (benchProbe.limit(maxBroadcastBench + 1).count() > maxBroadcastBench) b
-      else broadcast(b)
+    val benchSide = Par.boundedBroadcast(b,
+      bench.select(lit(1).as("__bench_probe")), maxBroadcastBench)
     // LEFT join + conditional aggregation, not aggregate-then-rejoin:
     // clean corpus rows ride through the same single shuffle as hits
     // (a second corpus-keyed join for the zero rows would be an SMJ

@@ -30,6 +30,30 @@ object Par {
     if (planWidth(df) < target) df.repartition(target) else df
   }
 
+  /** Broadcast `df` only while it is provably small: count `probe` —
+    * a semantically identical relation rebuilt from the RAW input
+    * with a dodge column appended — through a pushed LIMIT (the scan
+    * stops at cap+1 rows), and above the cap return the relation
+    * UNHINTED (a plain hash-partitioned join: same rows, a shuffled
+    * exchange instead of a driver-resident build side). The probe
+    * must NOT be the (possibly cached) relation itself: counting
+    * through a cached plan MATERIALIZES it during plan construction,
+    * and a sibling query sharing the cached relation then plans from
+    * known in-memory stats instead of estimates — flipping
+    * broadcast↔shuffled joins session-order-dependently (observed:
+    * q71's pinned 5-exchange plan gained a 6th when q74's guard ran
+    * first). The dodge column keeps the probe's Project from
+    * semantically matching any cached plan root. Single-sited
+    * (review r9): the anchor paths and the q86 bench side formerly
+    * carried two copies of this subtlety.
+    */
+  def boundedBroadcast(df: DataFrame, probe: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 0 && cap < Int.MaxValue,
+      s"broadcast cap must be in [0, Int.MaxValue): $cap")
+    if (probe.limit(cap + 1).count() > cap) df
+    else org.apache.spark.sql.functions.broadcast(df)
+  }
+
   /** Estimated output width of the DataFrame, computed STRUCTURALLY
     * from the pre-adaptive physical plan — no jobs run.
     *

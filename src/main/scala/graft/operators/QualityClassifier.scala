@@ -72,8 +72,8 @@ object QualityClassifier {
     docs.select(col(idCol).as("id"),
         explode(tokens(col(textCol))).as("tok"))
       .select(col("id"),
-        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
-          lit(numFeatures.toLong)).cast("int").as("bucket"))
+        graft.functions.TextFunctions.md5Bucket(md5(col("tok")),
+          numFeatures.toLong).as("bucket"))
       .groupBy(col("id"), col("bucket"))
       .agg(count(lit(1)).as("n"))
 

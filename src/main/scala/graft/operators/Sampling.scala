@@ -402,8 +402,8 @@ object Sampling {
     val w = Window.partitionBy(col("__shard"))
       .orderBy(col("__h"), col(idCol))
     df.withColumn("__h", h)
-      .withColumn("__shard", pmod(conv(substring(col("__h"), 1, 15), 16, 10)
-        .cast("long"), lit(numShards.toLong)).cast("int"))
+      .withColumn("__shard", graft.functions.TextFunctions
+        .md5Bucket(col("__h"), numShards.toLong))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .withColumnRenamed("__shard", "shard")
       .drop("__h")

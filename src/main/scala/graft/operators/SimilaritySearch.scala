@@ -29,29 +29,13 @@ object SimilaritySearch {
     * must not build an unbounded driver broadcast (ADVICE r8 — the
     * id-only banding era never materialized anchors separately, so
     * the restored vector-predicate support reintroduced the risk).
-    * The guard counts anchor ids with a pushed LIMIT — the scan stops
-    * at cap+1 rows — and above the cap falls back to a plain
-    * hash-partitioned join: same rows, a shuffled exchange instead of
-    * a driver-resident relation.
-    *
-    * The count runs against `probe`, a semantically identical anchor
-    * filter rebuilt from the RAW input with a dodge column appended —
-    * NOT against the cached (id, vec) base. Counting through the
-    * cached base would MATERIALIZE it during plan construction, and a
-    * sibling query built later in the same session (sharing the
-    * cached relation by logical-plan equality) would then plan its
-    * joins from known in-memory stats instead of estimates — flipping
-    * broadcast↔shuffled joins session-order-dependently (observed:
-    * q71's pinned 5-exchange plan gained a 6th when q74's guard ran
-    * first). The dodge column keeps the probe's Project from
-    * semantically matching any cached plan root, so the count scans
-    * the source directly and leaves cache state untouched.
+    * Mechanics and the probe-not-cached-base subtlety are
+    * single-sited in [[Par.boundedBroadcast]]; the probe here is the
+    * anchor filter rebuilt from the RAW input with a dodge column.
     */
   private val MaxBroadcastAnchors = 100000
   private def boundedBroadcast(anchors: DataFrame, probe: DataFrame): DataFrame =
-    if (probe.limit(MaxBroadcastAnchors + 1).count() > MaxBroadcastAnchors)
-      anchors
-    else broadcast(anchors)
+    Par.boundedBroadcast(anchors, probe, MaxBroadcastAnchors)
 
   private def scored(vectors: DataFrame, anchors: DataFrame,
       idCol: String, vecCol: String): DataFrame =

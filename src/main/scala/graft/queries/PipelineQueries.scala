@@ -86,10 +86,22 @@ object PipelineQueries {
     // to annotate album arity
     val nl = t.lineitem.groupBy(col("l_orderkey").as("nl_orderkey"))
       .agg(count(lit(1)).as("nlines"))
+    // albums ≪ tracks (the J1 FK shape), but albums GROW WITH THE
+    // CORPUS — unlike the fixed dims, these broadcasts are only
+    // small-by-contract at gate scale, so they ride behind the
+    // bounded-broadcast guard (the measured 100× run OOMed the driver
+    // building a 15M-album broadcast; above the cap both joins fall
+    // back to plain orderkey-keyed shuffles, which is the
+    // co-partitioned deployment shape)
+    val albumCap = 1000000
     val lines = t.lineitem
-      .join(broadcast(t.orders.select(col("o_orderkey"), col("o_custkey"))),
+      .join(graft.operators.Par.boundedBroadcast(
+          t.orders.select(col("o_orderkey"), col("o_custkey")),
+          t.orders.select(lit(1).as("__q36_probe")), albumCap),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(nl), col("l_orderkey") === col("nl_orderkey"))
+      .join(graft.operators.Par.boundedBroadcast(nl,
+          t.orders.select(lit(2).as("__q36_probe2")), albumCap),
+        col("l_orderkey") === col("nl_orderkey"))
     val dCode = when(col("nlines") > 4,
       when(col("l_linenumber") <= 3, 1)
         .when(col("l_linenumber") === 4, 3)
