@@ -731,6 +731,14 @@ object Dedup {
     * de-duplicated on IDS ONLY, then signatures join back from the
     * cached base — a (long, long) exchange, never (long, long, sig,
     * sig) × 4 bands.
+    *
+    * CONTRACT (hardened round 9, noted for external callers): every
+    * banded hamming family in this package — this 64-bit path and the
+    * 60-bit [[Lsh.hamming60Pairs]] kernel behind the portable/media
+    * variants — now REJECTS `maxHamming` > 3 at runtime instead of
+    * returning the silently-partial recall the pigeonhole cannot
+    * guarantee past 3. A caller that wants a wider radius needs more
+    * bands, not a larger threshold.
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,

@@ -63,9 +63,22 @@ object IvfPqPortable {
     val dim = dimRow(0).getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
+    // dim was probed from ONE row; a ragged corpus (mixed widths) or
+    // null vectors would otherwise slice residuals silently wrong
+    // downstream (ADVICE r9). Enforce uniformity per-row at zero
+    // happy-path cost — the admitIncremental raise_error discipline —
+    // so the first deviant row fails the job loudly instead.
+    val checkedVec = when(col(vecCol).isNotNull &&
+        size(col(vecCol)) === lit(dim), col(vecCol).cast("array<double>"))
+      .otherwise(raise_error(concat(
+        lit(s"IvfPqPortable.topK: non-uniform vector set — probed dim=$dim, "),
+        lit("but id "), col(idCol).cast("string"), lit(" has "),
+        when(col(vecCol).isNull, lit("NULL"))
+          .otherwise(size(col(vecCol)).cast("string"))))
+        .cast("array<double>"))
     val base = graft.CacheScope.track(Par.ensureWide(vectors)
       .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("vec"))
+        checkedVec.as("vec"))
       .withColumn("n2",
         RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
 

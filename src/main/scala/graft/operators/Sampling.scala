@@ -295,7 +295,13 @@ object Sampling {
     require(budgetNum >= 0 && budgetDenom > 0,
       "budget fraction must be non-negative with a positive denominator")
     val counts = domainCounts(df, domainCol)
-    val budget = counts.map(_._2).sum * budgetNum / budgetDenom
+    // divide in BigInt: corpus_total × budgetNum overflows Long
+    // silently at ~10^19 row-units (ADVICE r9) — the single scalar
+    // is driver-side, so exact arithmetic is free. longValueExact
+    // still fails LOUDLY if the budget itself (num > denom) exceeds
+    // Long range rather than wrapping into a bogus quota walk.
+    val budget = (BigInt(counts.map(_._2).sum) * budgetNum / budgetDenom)
+      .bigInteger.longValueExact()
     unimaxSelect(df, domainCol, idCol, counts, budget)
   }
 

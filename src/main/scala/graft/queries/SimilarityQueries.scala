@@ -369,16 +369,33 @@ object SimilarityQueries {
     * has an oracle-verified path; the unverified ingredients of the
     * native q73 are Spark ML's k-means|| trainer and float ADC sums
     * alone. */
-  private def q85(s: SparkSession, dir: String): DataFrame =
-    graft.operators.IvfPqPortable.topK(Tables(s, dir).embeddings,
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    // the oracle below inlines dim = 64 (DuckDB unrolls the subspace
+    // slices at text-generation time, before seeing data); the Spark
+    // side infers dim, so a dataset with another width would silently
+    // gate against a mismatched oracle — fail HERE instead (ADVICE
+    // r9). One-row probe, the topK dim-probe cost class.
+    val probed = emb.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
+    require(probed.nonEmpty && probed(0).getInt(0) == Q85Dim,
+      s"q85 oracle is generated for dim=$Q85Dim; data has " +
+        probed.headOption.map(_.getInt(0)).getOrElse(-1))
+    graft.operators.IvfPqPortable.topK(emb,
         col("id") < 20, k = 5, nlist = 8, coarseIters = 2, m = 4,
         ksub = 8, subIters = 2, nprobe = 2, rerank = 16)
       .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  /** The embedding width the q85 oracle text is unrolled for — the
+    * single shared constant between the Spark-side guard and the
+    * generated SQL. */
+  private val Q85Dim = 64
 
   private val q85Sql = graft.operators.IvfPqPortable.oracleSql(
     "embeddings", "vec_id", "embedding", k = 5, nlist = 8,
     coarseIters = 2, m = 4, ksub = 8, subIters = 2, nprobe = 2,
-    rerank = 16, dim = 64, anchorPredSql = "id < 20")
+    rerank = 16, dim = Q85Dim, anchorPredSql = "id < 20")
 
   val all: Seq[Q] = Seq(
     Q("q20_cosine_topk", q20, Some(q20Sql), headline = true),

@@ -419,7 +419,11 @@ object EventStreams {
     *      silently re-admit those) — and evicted below that line (the
     *      bounded-state trade every sibling makes — near-dups farther
     *      apart than the retention re-emit, the batch compaction is
-    *      the backstop).
+    *      the backstop). State is additionally CAPPED at
+    *      `maxRetainedPerCell` entries per cell (newest kept), so a
+    *      hot cell under a high admission rate cannot grow executor
+    *      state past cap × dim within the window (ADVICE r9) — same
+    *      trade, same backstop.
     *
     * Batch-parity caveat (spec-pinned): the batch twin
     * ([[graft.operators.Dedup.semanticDedupPortable]] over
@@ -439,7 +443,8 @@ object EventStreams {
       centroids: Array[Array[Double]], corpusSurvivors: DataFrame,
       threshold: Double, idCol: String = "vec_id",
       vecCol: String = "embedding", tsCol: String = "ts",
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      maxRetainedPerCell: Int = 10000): DataFrame = {
     import org.apache.spark.sql.graft.RhpExpressions
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -504,6 +509,18 @@ object EventStreams {
                 out += VecAdmitted(a.id, cell, a.ts)
               }
             }
+            // PER-CELL STATE CAP (ADVICE r9): a hot cell under a high
+            // admission rate would otherwise grow O(admissions × dim)
+            // state inside the retention window. Keep only the NEWEST
+            // `maxRetainedPerCell` admitted entries — the same bounded-
+            // state trade as the retention filter above: a near-dup of
+            // an evicted entry re-admits and falls to the batch
+            // compaction backstop, while executor state stays bounded
+            // by cap × dim per cell. Newest-first, id ascending on ts
+            // ties — eviction is deterministic.
+            if (admitted.length > maxRetainedPerCell)
+              admitted = admitted.sortBy(e => (-e.ts_ms, e.id))
+                .take(maxRetainedPerCell)
             if (admitted.nonEmpty) {
               state.update(CellState(admitted))
               state.setTimeoutTimestamp(math.max(

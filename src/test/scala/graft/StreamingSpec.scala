@@ -452,6 +452,41 @@ class StreamingSpec extends SparkSpec {
     assert(gotIds === Set(11L, 13L))
   }
 
+  test("semanticAdmittedStream: per-cell state cap keeps the newest entries (bounded-state trade — a near-dup of an evicted entry re-admits)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-semcap").toString
+    def line(id: Long, sec: Int, v: Seq[Double]) =
+      s"""{"vec_id":$id,"ts":"2026-01-01 10:00:0$sec","embedding":[${v.mkString(",")}]}"""
+    // all four land in cell 0; 21 is NOT near 20 (cos 0.8 < 0.99),
+    // 22 IS near 20 (cos ~0.9999), 23 IS near 21 (cos ~1.0)
+    writeBatchFiles(dir, Seq(
+      Seq(line(20, 0, Seq(1.0, 0.0, 0.0, 0.0)),
+        line(21, 1, Seq(0.8, 0.6, 0.0, 0.0))),
+      Seq(line(22, 2, Seq(0.999, 0.001, 0.0, 0.0)),
+        line(23, 3, Seq(0.801, 0.6, 0.0, 0.0)))))
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("vec_id BIGINT, ts TIMESTAMP, embedding ARRAY<DOUBLE>")
+    val centroids = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val noCorpus = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    def run(cap: Int, table: String): Set[Long] = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir)
+      EventStreams.runToMemory(
+        EventStreams.semanticAdmittedStream(stream, centroids, noCorpus,
+          0.99, maxRetainedPerCell = cap),
+        table, org.apache.spark.sql.streaming.OutputMode.Append())
+      spark.table(table).select("id").as[Long].collect().toSet
+    }
+    // uncapped (default-class cap): 22 rejects against retained 20,
+    // 23 against 21
+    assert(run(10, "semcap_off") === Set(20L, 21L))
+    // cap = 1: after batch 1 only the NEWEST entry (21) is retained,
+    // so 22 (near evicted 20) re-admits — the documented trade whose
+    // backstop is batch compaction — while 23 still rejects against
+    // the retained 21
+    assert(run(1, "semcap_on") === Set(20L, 21L, 22L))
+  }
+
   test("streaming media admission: banded corpus check exact to hamming 3, popcount residual, exact-sig window dedup") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-mediaadm").toString
