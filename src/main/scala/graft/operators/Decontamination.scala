@@ -238,9 +238,22 @@ object Decontamination {
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
       centroids: Array[Array[Double]], threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBroadcastBench: Int = 100000): DataFrame = {
+      maxBroadcastBench: Int = 100000,
+      maxExpectedCellSize: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.graft.RhpExpressions
     require(centroids.nonEmpty)
+    // Scale contract (VERDICT r9 item 1): this path deliberately has
+    // NO oversized-cell cull (a culled cell would skip contamination
+    // checks), so a quantizer too coarse for the corpus is the
+    // uncullable O(|corpus|·|bench|/nlist) blow-up — the q86 sibling
+    // of the measured α 1.92 fixed-nlist quadratic (SCALE.md). Fail
+    // loudly instead; train with KMeansPortable.nlistFor-many
+    // centroids to be in-contract by construction. Cost: one
+    // count-only scan of the corpus relation (column-pruned to the
+    // id), a separate job that leaves the result plan untouched.
+    KMeansPortable.requireBoundedCells("semanticDecontaminate",
+      corpus.select(col(idCol)).count(), centroids.length,
+      maxExpectedCellSize)
     def assigned(df: DataFrame): DataFrame =
       KMeansPortable.assignCells(
         Par.ensureWide(df)

@@ -46,6 +46,71 @@ object KMeansPortable {
   final case class Model(centroids: Array[Array[Double]],
       counts: Array[Long])
 
+  /** Default expected-cell-population target for [[nlistFor]]. 256
+    * keeps the within-cell pair scan at ≤ ~256 decimal cosines per
+    * item while leaving cells statistically meaningful, and — not by
+    * accident — reproduces the hand-tuned operating points of the
+    * round-9 scaling study: nlistFor(2 000) = 8 (the 1× gate value)
+    * and nlistFor(20 000) = 79 ≈ the measured-linear nlist=80 at 10×
+    * (SCALE.md, α 0.86 vs α 1.92 at fixed nlist).
+    */
+  val DefaultTargetCellSize: Int = 256
+
+  /** Hard clamp for [[nlistFor]]: the coarse-assignment argmin is a
+    * single expression over nlist centroid literals and the Lloyd
+    * driver state is nlist·dim scalars — both stop being "small"
+    * past ~10⁴ cells. Beyond the clamp (n > ~4M at the default
+    * target) cell population grows past the target again; the right
+    * structure at that scale is a two-level (hierarchical) coarse
+    * quantizer — route to √nlist super-cells, then √nlist cells
+    * within — which is an index-layout change, not a knob. The clamp
+    * makes the auto path degrade loudly-documentedly rather than
+    * emit a megabyte-scale codegen expression.
+    */
+  val MaxAutoNlist: Int = 16384
+
+  /** Quantizer resolution sized to the corpus — the SemDeDup-family
+    * SCALE contract (VERDICT r9 item 1). At fixed nlist the
+    * within-cell pair scan is O(N²/nlist) — measured α 1.92
+    * quadratic at 10× (SCALE.md); holding the EXPECTED cell
+    * population at `targetCellSize` (nlist = ⌈n / target⌉) keeps
+    * per-item pair work constant and restores measured ~linearity
+    * (α 0.86). This mirrors the reference sizing its IVF index to
+    * the corpus (`Docs/SIMILARITY-PLAN.md:55-75`,
+    * `Experimental/vector_search/precompute_similar_tracks.py:116-126`).
+    * Clamped to [1, [[MaxAutoNlist]]]; see the clamp note above.
+    */
+  def nlistFor(n: Long,
+      targetCellSize: Int = DefaultTargetCellSize): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be positive; " +
+      s"got $targetCellSize")
+    require(n >= 0, s"corpus size must be non-negative; got $n")
+    val raw = (n + targetCellSize - 1) / targetCellSize
+    math.min(math.max(raw, 1L), MaxAutoNlist.toLong).toInt
+  }
+
+  /** The loud half of the scale contract: fail fast when a caller
+    * hands a corpus to a quantizer too coarse for it. `bound` is the
+    * caller's cell-population ceiling (for the dedup paths, their
+    * `maxCellSize` cull threshold: an EXPECTED population above the
+    * cull bound means the TYPICAL cell is culled wholesale — recall
+    * collapses silently; for the decontamination path, the bound the
+    * uncullable corpus×bench scan must stay under). One integer
+    * division — callers supply `n` from a count they already pay for.
+    */
+  def requireBoundedCells(site: String, n: Long, nlist: Int,
+      bound: Long): Unit = {
+    require(nlist > 0, s"$site: nlist must be positive; got $nlist")
+    val expected = n / nlist
+    require(expected <= bound,
+      s"$site: expected cell population n/nlist = $n/$nlist = " +
+        s"$expected exceeds the bound $bound — the fixed-nlist " +
+        s"quadratic regime (SCALE.md: measured α 1.92 at 10×). Size " +
+        s"the quantizer to the corpus: nlist >= nlistFor(n) = " +
+        s"${nlistFor(n)}, or raise the bound explicitly if the " +
+        "pair-work cost is intended.")
+  }
+
   /** Run `iters` Lloyd iterations from the first-k-ids init and
     * return the final centroid matrix + last-assignment member
     * counts. Driver-side state is the k×dim matrix only.

@@ -15,13 +15,17 @@ import org.apache.spark.sql.functions.col
   * corpus can be run at 10× nlist and the restored ~linearity is a
   * measured number, not prose.
   *
-  * Run: sbt "runMain graft.tools.ScaleProbe <sfDir> <nlist> [runs]"
+  * Run: sbt "runMain graft.tools.ScaleProbe <sfDir> <nlist|auto> [runs]"
+  *
+  * `auto` sizes the quantizer with [[graft.operators.KMeansPortable
+  * .nlistFor]] — the round-10 default-contract check: the auto
+  * operating point must land within ~1.2× of the hand-tuned
+  * measured-linear nlist at the same scale.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleProbe <sfDir> <nlist> [runs]")
+    require(args.length >= 2, "usage: ScaleProbe <sfDir> <nlist|auto> [runs]")
     val dir = args(0)
-    val nlist = args(1).toInt
     val runs = if (args.length > 2) args(2).toInt else 3
     val cpus = Runtime.getRuntime.availableProcessors()
     val spark = SparkSession.builder()
@@ -32,6 +36,12 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val nlist =
+      if (args(1) == "auto")
+        graft.operators.KMeansPortable.nlistFor(
+          graft.Tables(spark, dir).embeddings.count())
+      else args(1).toInt
+    println(s"[probe] resolved nlist=$nlist (${args(1)})")
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       val m = graft.operators.KMeansPortable.trainModel(

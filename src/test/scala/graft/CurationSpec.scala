@@ -758,6 +758,29 @@ class CurationSpec extends SparkSpec {
     assert(fbRows === out)
   }
 
+  test("semanticDecontaminate rejects a quantizer too coarse for the corpus (no cull to hide behind)") {
+    import graft.operators.{Decontamination, KMeansPortable}
+    // 30 corpus vectors into ONE cell with a bound of 8: this path
+    // has no oversized-cell cull by design, so the contract fails
+    // loudly instead of paying the uncullable within-cell blow-up
+    val corpus = (0L until 30L).map(i => (i, Seq(i.toDouble, 1.0)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((100L, Seq(1.0, 1.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Decontamination.semanticDecontaminate(corpus, bench,
+        Array(Array(0.0, 0.0)), threshold = 0.9,
+        maxExpectedCellSize = 8L))
+    assert(e.getMessage.contains("semanticDecontaminate"))
+    assert(e.getMessage.contains("nlistFor"))
+    // in-contract: a quantizer sized by the contract passes
+    val k = KMeansPortable.nlistFor(30L, targetCellSize = 8)
+    assert(k === 4)
+    val m = KMeansPortable.trainModel(corpus, k = k, iters = 2)
+    val rows = Decontamination.semanticDecontaminate(corpus, bench,
+      m.centroids, threshold = 0.9, maxExpectedCellSize = 8L).count()
+    assert(rows === 30L)
+  }
+
   test("importanceResample: target-like candidates win, target never a candidate, empty docs survive") {
     import graft.operators.DataSelection
     // target sample (domain "tgt"): feline corpus. Candidates in two

@@ -94,6 +94,69 @@ class KMeansPortableSpec extends SparkSpec {
     assert(m1.counts.toSeq === m2.counts.toSeq)
   }
 
+  test("nlistFor: ceil to the target cell population, floor 1, hard clamp") {
+    val t = KMeansPortable.DefaultTargetCellSize
+    assert(KMeansPortable.nlistFor(0L) === 1)
+    assert(KMeansPortable.nlistFor(1L) === 1)
+    assert(KMeansPortable.nlistFor(t.toLong) === 1)
+    assert(KMeansPortable.nlistFor(t + 1L) === 2)
+    // the round-9 operating points the default was chosen to hit:
+    // 1× gate (2 000 embeddings) → 8; 10× (20 000) → 79 ≈ the
+    // hand-tuned measured-linear nlist=80 (SCALE.md)
+    assert(KMeansPortable.nlistFor(2000L) === 8)
+    assert(KMeansPortable.nlistFor(20000L) === 79)
+    // monotone in n, inverse-monotone in target
+    assert(KMeansPortable.nlistFor(100000L) > KMeansPortable.nlistFor(50000L))
+    assert(KMeansPortable.nlistFor(100000L, 64) >
+      KMeansPortable.nlistFor(100000L, 1024))
+    // clamp: past MaxAutoNlist·target the resolution stops growing
+    assert(KMeansPortable.nlistFor(Long.MaxValue / 4) ===
+      KMeansPortable.MaxAutoNlist)
+    intercept[IllegalArgumentException](KMeansPortable.nlistFor(10L, 0))
+    intercept[IllegalArgumentException](KMeansPortable.nlistFor(-1L))
+  }
+
+  test("requireBoundedCells: in-bound passes, out-of-bound names the fix") {
+    KMeansPortable.requireBoundedCells("spec", n = 10000L, nlist = 40,
+      bound = 256L) // 250 <= 256
+    val e = intercept[IllegalArgumentException](
+      KMeansPortable.requireBoundedCells("spec", n = 200000L, nlist = 8,
+        bound = 10000L)) // the 100×-at-fixed-nlist deployment mistake
+    assert(e.getMessage.contains("nlistFor"))
+    assert(e.getMessage.contains("25000"))
+  }
+
+  test("semanticDedupPortable rejects a quantizer too coarse for the corpus") {
+    // 40 vectors into ONE cell with maxCellSize 8: expected
+    // population 40 > 8 means the typical cell would be culled
+    // wholesale — the contract fails loudly instead
+    val df = (0L until 40L).map(i => (i, Array(i.toDouble, 1.0)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Dedup.semanticDedupPortable(df, Array(Array(0.0, 0.0)),
+        threshold = 0.99, maxCellSize = 8))
+    assert(e.getMessage.contains("semanticDedupPortable"))
+    assert(e.getMessage.contains("nlistFor"))
+  }
+
+  test("auto-nlist semanticDedup: sized quantizer dedupes the planted pair") {
+    // default nlist (AutoNlist) derives k from the corpus size —
+    // 5 vectors → max(2, nlistFor(5)) = 2 cells (Spark ML's k >= 2
+    // floor); the near-identical planted pair lands in one cell and
+    // dedupes; the call site passes NO resolution at all
+    val df = Seq(
+      (0L, Array(1.0, 0.0)), (3L, Array(0.999, 0.01)),
+      (1L, Array(9.9, 0.1)), (2L, Array(0.0, 10.1)),
+      (4L, Array(-1.0, 0.2))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(3L) === ((0L, false)) && out(0L) === ((0L, true)))
+    assert(Seq(1L, 2L, 4L).forall(i => out(i) === ((i, true))))
+  }
+
   test("iteration count is the only knob: 1 iter != 3 iters under bad init") {
     // both first-k seeds start inside cluster A, so the first mean
     // update drags seed 1 toward cluster B and later iterations
