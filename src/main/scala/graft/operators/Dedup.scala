@@ -440,6 +440,98 @@ object Dedup {
       .withColumn("keep", col("id") === col("group_id"))
   }
 
+  /** INCREMENTAL semantic admission — the daily-ingest batch sibling
+    * of [[graft.streaming.EventStreams.semanticAdmittedStream]]
+    * (VERDICT r9 item 5) and the embedding twin of
+    * [[DedupPipeline.admitIncremental]]: admit the vectors of a NEW
+    * batch against an already-deduplicated corpus SURVIVOR set doing
+    * only new×new and new×corpus work — the corpus never
+    * self-compares, so a daily batch costs O(|batch| · cell
+    * population), not a full-corpus re-dedup.
+    *
+    * Mechanics (all single-sited pieces): both sides cell-assign
+    * against the same centroid matrix ([[KMeansPortable
+    * .assignCells]]); the oversized-cell cull applies to the UNION
+    * population per cell (≡ the batch twin's cull — a cell culled
+    * there must be culled here or the equivalence breaks); corpus
+    * ids are negated into a disjoint key space (the
+    * admitIncremental trick) so the closure's min-label makes any
+    * corpus-touching component negative without a flag column; a
+    * fresh vector is admitted iff its component is untouched by the
+    * corpus AND it is the component's min id (or it pairs with
+    * nothing).
+    *
+    * EQUIVALENCE (spec-pinned, the established admission contract):
+    * given `corpusSurvivors` = the keep-set of
+    * [[semanticDedupPortable]] at the same (centroids, threshold,
+    * maxCellSize), the admitted set equals the batch twin over
+    * corpus ∪ batch: fresh ids that survive the union dedup and
+    * whose group contains no corpus member. (The precondition makes
+    * corpus×corpus edges empty, so skipping them loses nothing.)
+    *
+    * Scale shape: the pairing is a cell equi-join (cells ARE the
+    * partitioning — at deployment the corpus side can be stored
+    * bucketed by cell so only the batch shuffles); the closure input
+    * is the verified edge set (tiny by dedup construction); ids-only
+    * exchanges after the one scored join. Ids must be NON-NEGATIVE
+    * on both sides — enforced per-row at zero happy-path cost.
+    *
+    * Returns the admitted subset of `newVecs`, original columns.
+    */
+  def admitIncrementalSemantic(newVecs: DataFrame,
+      corpusSurvivors: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double, maxCellSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      ccCollectThreshold: Long =
+        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
+    import org.apache.spark.sql.graft.RhpExpressions
+    require(centroids.nonEmpty)
+    def baseOf(df: DataFrame): DataFrame =
+      KMeansPortable.assignCells(
+        Par.ensureWide(df).select(
+          when(col(idCol).cast("long") >= 0, col(idCol).cast("long"))
+            .otherwise(raise_error(concat(
+              lit("admitIncrementalSemantic requires non-negative ids "),
+              lit("(corpus ids are negated into a disjoint key space); got "),
+              col(idCol).cast("string"))).cast("long")).as("id"),
+          col(vecCol).cast("array<double>").as("vec"))
+          .withColumn("n2",
+            RhpExpressions.decimalScaledDot(col("vec"), col("vec"))),
+        centroids)
+    val fresh = graft.CacheScope.track(baseOf(newVecs))
+    val corp = graft.CacheScope.track(baseOf(corpusSurvivors))
+    KMeansPortable.requireBoundedCells("admitIncrementalSemantic",
+      fresh.count() + corp.count(), centroids.length, maxCellSize)
+    // cull on the UNION cell population — the batch twin's cull
+    val oversized = fresh.select(col("cell"))
+      .unionByName(corp.select(col("cell")))
+      .groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > maxCellSize)
+      .select(col("cell"))
+    val f = fresh.join(broadcast(oversized), Seq("cell"), "left_anti")
+    val probe = f
+      .unionByName(corp.join(broadcast(oversized), Seq("cell"), "left_anti")
+        .select(col("cell"), (-col("id") - 1).as("id"), col("vec"),
+          col("n2")))
+    val edges = f.as("x").join(probe.as("y"),
+        col("x.cell") === col("y.cell") &&
+          (col("x.id") < col("y.id") || col("y.id") < 0))
+      .withColumn("score", round(
+        RhpExpressions.decimalScaledDot(col("x.vec"), col("y.vec")) /
+          (sqrt(col("x.n2")) * sqrt(col("y.n2"))), 6))
+      .filter(col("score") >= threshold)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val comps = ConnectedComponents.components(edges, "a", "b",
+      collectThreshold = ccCollectThreshold)
+    val admittedIds = fresh.select(col("id"))
+      .join(comps, col("id") === col("node"), "left")
+      .filter(col("component").isNull ||
+        (col("component") >= 0 && col("component") === col("id")))
+      .select(col("id").as("__admitted_id"))
+    newVecs.join(admittedIds,
+      col(idCol).cast("long") === col("__admitted_id"), "left_semi")
+  }
+
   /** Segment-level (line/paragraph) exact dedup — the CCNet-style
     * boilerplate scrub (Wenzek et al., "CCNet", LREC 2020 dedupe
     * paragraphs corpus-wide; Gopher/Dolma run the same pass at line

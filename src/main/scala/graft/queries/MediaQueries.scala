@@ -17,8 +17,115 @@ import org.apache.spark.sql.functions._
   * discipline applied to the image modality. Real codec decode is
   * exercised by MediaDedupSpec (PNG via ImageIO, WAV via the JDK
   * sound stack) where DuckDB cannot follow.
+  *
+  * q88 composes both modalities end-to-end (VERDICT r9 item 3):
+  * signatures → per-modality banded near-dup → ONE union edge set →
+  * transitive closure → min-id survivor election → catalog join,
+  * under ONE oracle. The oracle SQL is assembled from the SAME
+  * fragment builders as q83/q84 ([[imageSigCtes]]/[[audioSigCtes]]/
+  * [[pairCtes]]), so the signature arithmetic is single-sited — a
+  * drift reaches every media oracle or none (the assignmentCtes
+  * discipline).
   */
 object MediaQueries {
+
+  // ---- oracle fragment builders (single source per arithmetic) ----
+
+  /** Image modality: media universe (parents + "~v" variants) →
+    * md5-derived pixels → 4×4 tile means → 60-bit dHash. Emits
+    * `<p>media`, `<p>px`, `<p>tiles`, `<p>sigs` (media_id, sig),
+    * trailing comma. */
+  private def imageSigCtes(p: String): String =
+    s"""${p}media AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS media_id, CAST(NULL AS VARCHAR) AS parent
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS VARCHAR) || '~v', CAST(doc_id AS VARCHAR)
+       |  FROM documents
+       |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':var'),
+       |    1, 2)) AS INTEGER) < 48),
+       |${p}px AS (
+       |  SELECT media_id,
+       |    [least(255,
+       |       CAST(('0x' || substring(md5(coalesce(parent, media_id) || ':px:' ||
+       |         CAST((i-1)//16 AS VARCHAR)), 1 + 2*((i-1)%16), 2)) AS INTEGER)
+       |       + CASE WHEN parent IS NOT NULL AND
+       |           CAST(('0x' || substring(md5(media_id || ':pt:' ||
+       |             CAST((i-1)//16 AS VARCHAR)), 1 + 2*((i-1)%16), 2)) AS INTEGER) < 3
+       |         THEN 80 ELSE 0 END)
+       |     for i in generate_series(1, 1056)] AS p
+       |  FROM ${p}media),
+       |${p}tiles AS (
+       |  SELECT media_id,
+       |    [list_sum(flatten([[p[(((t-1)//11)*4 + dy)*44 + ((t-1)%11)*4 + dx + 1]
+       |        for dx in generate_series(0,3)] for dy in generate_series(0,3)])) // 16
+       |     for t in generate_series(1, 66)] AS avgs
+       |  FROM ${p}px),
+       |${p}sigs AS MATERIALIZED (
+       |  SELECT media_id,
+       |    CAST(list_sum([CASE WHEN avgs[((k-1)//10)*11 + (k-1)%10 + 2] >
+       |                        avgs[((k-1)//10)*11 + (k-1)%10 + 1]
+       |      THEN CAST(1 AS BIGINT) << (k-1) ELSE CAST(0 AS BIGINT) END
+       |      for k in generate_series(1, 60)]) AS BIGINT) AS sig
+       |  FROM ${p}tiles),
+       |""".stripMargin
+
+  /** Audio modality: media universe (parents + "~a" variants) →
+    * md5-derived RMS envelope (61 windows) → 60-bit gradient sig.
+    * Emits `<p>media`, `<p>env`, `<p>steps`, `<p>sigs`, trailing
+    * comma. */
+  private def audioSigCtes(p: String): String =
+    s"""${p}media AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS media_id, CAST(NULL AS VARCHAR) AS parent
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS VARCHAR) || '~a', CAST(doc_id AS VARCHAR)
+       |  FROM documents
+       |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':var'),
+       |    1, 2)) AS INTEGER) < 48),
+       |${p}env AS (
+       |  SELECT media_id, k AS frameIdx,
+       |    (CAST(('0x' || substring(md5(coalesce(parent, media_id) || ':env:' ||
+       |       CAST(k AS VARCHAR)), 1, 2)) AS INTEGER)
+       |     + CASE WHEN parent IS NOT NULL AND
+       |         CAST(('0x' || substring(md5(media_id || ':pt:' ||
+       |           CAST(k AS VARCHAR)), 1, 2)) AS INTEGER) < 24
+       |       THEN 32 ELSE 0 END) / 256.0 AS rms
+       |  FROM ${p}media, generate_series(0, 60) AS g(k)),
+       |${p}steps AS (
+       |  SELECT media_id, frameIdx, rms,
+       |    lead(rms) OVER (PARTITION BY media_id ORDER BY frameIdx) AS nxt
+       |  FROM ${p}env),
+       |${p}sigs AS MATERIALIZED (
+       |  SELECT media_id, CAST(sum(CASE WHEN nxt > rms
+       |    THEN CAST(1 AS BIGINT) << frameIdx ELSE CAST(0 AS BIGINT) END)
+       |    AS BIGINT) AS sig
+       |  FROM ${p}steps WHERE frameIdx < 60 AND nxt IS NOT NULL
+       |  GROUP BY media_id),
+       |""".stripMargin
+
+  /** The shared pigeonhole pairing over a `<p>sigs` relation: 4×15
+    * banding, bucket cull at 10 000, distinct candidate pairs,
+    * popcount verify at hamming ≤ 3. Emits `<p>banded`, `<p>sized`,
+    * `<p>pairs` (a_id, b_id, hamming), trailing comma. */
+  private def pairCtes(p: String): String =
+    s"""${p}banded AS (
+       |  SELECT media_id, b AS band, (sig >> (b*15)) & 32767 AS bv
+       |  FROM ${p}sigs, generate_series(0,3) AS g(b)),
+       |${p}sized AS (
+       |  SELECT media_id, band, bv FROM ${p}banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, bv) <= 10000),
+       |${p}pairs AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |  FROM (
+       |    SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id
+       |    FROM ${p}sized x JOIN ${p}sized y
+       |      ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id) c
+       |  JOIN ${p}sigs a ON a.media_id = c.a_id
+       |  JOIN ${p}sigs b ON b.media_id = c.b_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |""".stripMargin
 
   /** q83: perceptual image near-dup — 60-bit integer dHash over the
     * synthetic frame corpus, 4×15-band pigeonhole pairing, popcount
@@ -37,66 +144,16 @@ object MediaQueries {
   }
 
   private val q83Sql =
-    """WITH media AS (
-      |  SELECT CAST(doc_id AS VARCHAR) AS media_id, NULL AS parent
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT CAST(doc_id AS VARCHAR) || '~v', CAST(doc_id AS VARCHAR)
-      |  FROM documents
-      |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':var'),
-      |    1, 2)) AS INTEGER) < 48),
-      |px AS (
-      |  SELECT media_id,
-      |    [least(255,
-      |       CAST(('0x' || substring(md5(coalesce(parent, media_id) || ':px:' ||
-      |         CAST((i-1)//16 AS VARCHAR)), 1 + 2*((i-1)%16), 2)) AS INTEGER)
-      |       + CASE WHEN parent IS NOT NULL AND
-      |           CAST(('0x' || substring(md5(media_id || ':pt:' ||
-      |             CAST((i-1)//16 AS VARCHAR)), 1 + 2*((i-1)%16), 2)) AS INTEGER) < 3
-      |         THEN 80 ELSE 0 END)
-      |     for i in generate_series(1, 1056)] AS p
-      |  FROM media),
-      |tiles AS (
-      |  SELECT media_id,
-      |    [list_sum(flatten([[p[(((t-1)//11)*4 + dy)*44 + ((t-1)%11)*4 + dx + 1]
-      |        for dx in generate_series(0,3)] for dy in generate_series(0,3)])) // 16
-      |     for t in generate_series(1, 66)] AS avgs
-      |  FROM px),
-      |sigs AS (
-      |  SELECT media_id,
-      |    CAST(list_sum([CASE WHEN avgs[((k-1)//10)*11 + (k-1)%10 + 2] >
-      |                        avgs[((k-1)//10)*11 + (k-1)%10 + 1]
-      |      THEN CAST(1 AS BIGINT) << (k-1) ELSE CAST(0 AS BIGINT) END
-      |      for k in generate_series(1, 60)]) AS BIGINT) AS sig
-      |  FROM tiles),
-      |banded AS (
-      |  SELECT media_id, b AS band, (sig >> (b*15)) & 32767 AS bv
-      |  FROM sigs, generate_series(0,3) AS g(b)),
-      |sized AS (
-      |  SELECT media_id, band, bv FROM banded
-      |  QUALIFY count(*) OVER (PARTITION BY band, bv) <= 10000),
-      |cands AS (
-      |  SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id
-      |  FROM sized x JOIN sized y
-      |    ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id)
-      |SELECT c.a_id, c.b_id,
-      |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-      |FROM cands c
-      |JOIN sigs a ON a.media_id = c.a_id
-      |JOIN sigs b ON b.media_id = c.b_id
-      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-      |ORDER BY a_id, b_id""".stripMargin
+    s"""WITH ${imageSigCtes("")}${pairCtes("")}
+       |fin AS (SELECT a_id, b_id, hamming FROM pairs)
+       |SELECT a_id, b_id, hamming FROM fin
+       |ORDER BY a_id, b_id""".stripMargin
 
-  /** q84: audio-envelope near-dup — the RELATIONAL half of the audio
-    * family ([[MediaDedup.audioEnvelopeSig]] → 60-bit gradient sig →
-    * the same 4×15 pigeonhole pairing) under a FULL oracle: envelopes
-    * derive from md5 bytes of doc_id (61 windows, ~19% of ids get a
-    * loudness-perturbed "~a" variant), integer-valued rms/256 doubles
-    * so every comparison is exact in both engines. The CODEC half
-    * (WAV PCM decode → RMS) is spec-verified where DuckDB cannot
-    * follow (MediaDedupSpec's gained+shifted WAV re-encode).
-    */
-  private def q84(s: SparkSession, dir: String): DataFrame = {
+  /** The q84 synthetic envelope relation — md5-derived 61-window RMS
+    * per media (parents + "~a" loudness-perturbed variants), shared
+    * by the q84 single-stage gate and the q88 composed pipeline so
+    * the generated corpus cannot drift between them. */
+  private def syntheticEnvelope(s: SparkSession, dir: String): DataFrame = {
     val ids = Tables(s, dir).documents
       .select(col("doc_id").cast("string").as("pid"))
     def hexByte(c: org.apache.spark.sql.Column) =
@@ -107,7 +164,7 @@ object MediaQueries {
       .filter(hexByte(concat(col("pid"), lit(":var"))) < 48)
       .select(concat(col("pid"), lit("~a")).as("media_id"),
         col("pid").as("parent"))
-    val env = parents.unionByName(variants)
+    parents.unionByName(variants)
       .select(col("media_id"), col("parent"),
         explode(sequence(lit(0), lit(60))).as("frameIdx"))
       .withColumn("rms",
@@ -118,58 +175,97 @@ object MediaQueries {
                 col("frameIdx").cast("string"))) < 24, 32)
             .otherwise(0)) / lit(256.0))
       .select(col("media_id"), col("frameIdx"), col("rms"))
-    MediaDedup.hammingPairs(MediaDedup.audioEnvelopeSig(env),
-        maxHamming = 3)
-      .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q84: audio-envelope near-dup — the RELATIONAL half of the audio
+    * family ([[MediaDedup.audioEnvelopeSig]] → 60-bit gradient sig →
+    * the same 4×15 pigeonhole pairing) under a FULL oracle: envelopes
+    * derive from md5 bytes of doc_id (61 windows, ~19% of ids get a
+    * loudness-perturbed "~a" variant), integer-valued rms/256 doubles
+    * so every comparison is exact in both engines. The CODEC half
+    * (WAV PCM decode → RMS) is spec-verified where DuckDB cannot
+    * follow (MediaDedupSpec's gained+shifted WAV re-encode).
+    */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    MediaDedup.hammingPairs(
+        MediaDedup.audioEnvelopeSig(syntheticEnvelope(s, dir)),
+        maxHamming = 3)
+      .orderBy(col("a_id"), col("b_id"))
+
   private val q84Sql =
-    """WITH media AS (
-      |  SELECT CAST(doc_id AS VARCHAR) AS media_id, NULL AS parent
-      |  FROM documents
-      |  UNION ALL
-      |  SELECT CAST(doc_id AS VARCHAR) || '~a', CAST(doc_id AS VARCHAR)
-      |  FROM documents
-      |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':var'),
-      |    1, 2)) AS INTEGER) < 48),
-      |env AS (
-      |  SELECT media_id, k AS frameIdx,
-      |    (CAST(('0x' || substring(md5(coalesce(parent, media_id) || ':env:' ||
-      |       CAST(k AS VARCHAR)), 1, 2)) AS INTEGER)
-      |     + CASE WHEN parent IS NOT NULL AND
-      |         CAST(('0x' || substring(md5(media_id || ':pt:' ||
-      |           CAST(k AS VARCHAR)), 1, 2)) AS INTEGER) < 24
-      |       THEN 32 ELSE 0 END) / 256.0 AS rms
-      |  FROM media, generate_series(0, 60) AS g(k)),
-      |steps AS (
-      |  SELECT media_id, frameIdx, rms,
-      |    lead(rms) OVER (PARTITION BY media_id ORDER BY frameIdx) AS nxt
-      |  FROM env),
-      |sigs AS (
-      |  SELECT media_id, CAST(sum(CASE WHEN nxt > rms
-      |    THEN CAST(1 AS BIGINT) << frameIdx ELSE CAST(0 AS BIGINT) END)
-      |    AS BIGINT) AS sig
-      |  FROM steps WHERE frameIdx < 60 AND nxt IS NOT NULL
-      |  GROUP BY media_id),
-      |banded AS (
-      |  SELECT media_id, b AS band, (sig >> (b*15)) & 32767 AS bv
-      |  FROM sigs, generate_series(0,3) AS g(b)),
-      |sized AS (
-      |  SELECT media_id, band, bv FROM banded
-      |  QUALIFY count(*) OVER (PARTITION BY band, bv) <= 10000),
-      |cands AS (
-      |  SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id
-      |  FROM sized x JOIN sized y
-      |    ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id)
-      |SELECT c.a_id, c.b_id,
-      |  CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-      |FROM cands c
-      |JOIN sigs a ON a.media_id = c.a_id
-      |JOIN sigs b ON b.media_id = c.b_id
-      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-      |ORDER BY a_id, b_id""".stripMargin
+    s"""WITH ${audioSigCtes("")}${pairCtes("")}
+       |fin AS (SELECT a_id, b_id, hamming FROM pairs)
+       |SELECT a_id, b_id, hamming FROM fin
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** q88: the COMPOSED multimodal pipeline under ONE oracle
+    * ([[MediaDedup.crossModalDupGroups]]): image dHash + audio
+    * envelope signatures over the same underlying documents →
+    * per-modality banded near-dup → union edge set → transitive
+    * closure (a parent, its "~v" image variant and its "~a" audio
+    * variant collapse into ONE group — the cross-modal join no
+    * single-modality gate exercises) → min-media_id survivor →
+    * join back to the documents catalog (lang, source). The oracle
+    * re-derives every stage including the recursive closure and the
+    * final catalog join, so inter-stage column drift fails the hash.
+    */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables(s, dir).documents
+      .select(col("doc_id").cast("string")).as[String]
+    val imageSigs = MediaDedup.imageDHash(
+        MediaDedup.syntheticFrameCorpus(ids))
+      .select(col("media_id"), col("sig"))
+    val audioSigs = MediaDedup.audioEnvelopeSig(syntheticEnvelope(s, dir))
+    MediaDedup.crossModalDupGroups(Seq(imageSigs, audioSigs))
+      .withColumn("parent_doc",
+        substring_index(col("media_id"), "~", 1).cast("long"))
+      .join(Tables(s, dir).documents
+        .select(col("doc_id").as("parent_doc"), col("lang"), col("source")),
+        Seq("parent_doc"))
+      .select(col("media_id"), col("parent_doc"), col("lang"),
+        col("source"), col("group_id"), col("group_size"), col("keep"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q88Sql =
+    s"""WITH RECURSIVE ${imageSigCtes("im_")}${pairCtes("im_")}${audioSigCtes("au_")}${pairCtes("au_")}
+       |edges AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a_id AS a, b_id AS b FROM im_pairs
+       |    UNION ALL SELECT b_id, a_id FROM im_pairs
+       |    UNION ALL SELECT a_id, b_id FROM au_pairs
+       |    UNION ALL SELECT b_id, a_id FROM au_pairs)),
+       |walk(node, label) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+       |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+       |-- DISTINCT is explicit (not a bare UNION): inside a WITH
+       |-- RECURSIVE block DuckDB 1.0 gives sibling UNION CTEs
+       |-- append-like semantics, so a plain UNION here leaked
+       |-- duplicate media rows (observed 1194 vs 694)
+       |universe AS (
+       |  SELECT DISTINCT media_id FROM (
+       |    SELECT media_id FROM im_sigs
+       |    UNION ALL SELECT media_id FROM au_sigs)),
+       |assigned AS (
+       |  SELECT u.media_id,
+       |    coalesce(c.component, u.media_id) AS group_id
+       |  FROM universe u LEFT JOIN comp c ON c.node = u.media_id),
+       |gsz AS (SELECT group_id, count(*) AS group_size
+       |  FROM assigned GROUP BY 1)
+       |SELECT a.media_id,
+       |  CAST(split_part(a.media_id, '~', 1) AS BIGINT) AS parent_doc,
+       |  d.lang, d.source, a.group_id, z.group_size,
+       |  a.media_id = a.group_id AS keep
+       |FROM assigned a
+       |JOIN gsz z USING (group_id)
+       |JOIN documents d ON d.doc_id = CAST(split_part(a.media_id, '~', 1) AS BIGINT)
+       |ORDER BY a.media_id""".stripMargin
 
   def all: Seq[Q] = Seq(
     Q("q83_image_near_dup", q83, Some(q83Sql)),
-    Q("q84_audio_near_dup", q84, Some(q84Sql)))
+    Q("q84_audio_near_dup", q84, Some(q84Sql)),
+    Q("q88_media_pipeline", q88, Some(q88Sql)))
 }

@@ -448,4 +448,65 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._3))
     assert(got.map(_._1).toSet === Set(1L, 2L, 3L))
   }
+
+  test("admitIncrementalSemantic ≡ semanticDedupPortable over corpus ∪ batch (incl. transitive corpus chains)") {
+    def v(a: Double, b: Double, c: Double, d: Double) = Seq(a, b, c, d)
+    // deduplicated corpus survivors: no within-corpus pairs at 0.95
+    val corpus = Seq(
+      (1L, v(1.0, 0.05, 0.0, 0.0)),
+      (2L, v(0.0, 1.0, 0.05, 0.0)),
+      (3L, v(0.6, 0.6, 0.0, 0.1)))
+      .toDF("vec_id", "embedding")
+    val m = graft.operators.KMeansPortable.trainModel(corpus, k = 2,
+      iters = 2)
+    // batch: 10 near corpus 1 (reject); 11 novel (admit); 12 near 11
+    // (reject — fresh group, 11 is min); 13 novel other cluster
+    // (admit); 14 near 10 but NOT near corpus 1 directly — the
+    // TRANSITIVE chain corpus1—10—14 must reject BOTH (the
+    // corpus-touching component rule, not a direct-pair rule)
+    val batch = Seq(
+      (10L, v(1.0, 0.055, 0.0, 0.0)),
+      (11L, v(0.0, 0.05, 1.0, 0.3)),
+      (12L, v(0.0, 0.05, 1.0, 0.31)),
+      (13L, v(0.0, 1.0, 0.5, 0.0)),
+      (14L, v(1.0, 0.06, 0.001, 0.0)),
+      (15L, v(1.0, 0.07, 0.0, 0.002)))
+      .toDF("vec_id", "embedding")
+    def twinAdmitted(maxCell: Int): Set[Long] = {
+      val union = corpus.unionByName(batch)
+      val groups = Dedup.semanticDedupPortable(union, m.centroids, 0.95,
+        maxCellSize = maxCell)
+      val corpusGroups = groups.filter(col("id") <= 3L)
+        .select(col("group_id")).distinct()
+      groups.filter(col("id") > 3L && col("keep"))
+        .join(corpusGroups, Seq("group_id"), "left_anti")
+        .select("id").as[Long].collect().toSet
+    }
+    val got = Dedup.admitIncrementalSemantic(batch, corpus, m.centroids,
+        threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === twinAdmitted(10000))
+    assert(got === Set(11L, 13L))
+    // SKEWED culled cell: 9 union vectors in 2 cells keeps the
+    // expected population (4) inside maxCellSize = 4 (the scale
+    // contract passes) but the e0-adjacent cell actually holds 7
+    // (1, 3, 10, 11, 12, 14, 15 — verified assignment) — it is
+    // culled, its members pair with nothing in BOTH formulations,
+    // so its fresh vectors ADMIT (including 10/14/15, which would
+    // otherwise reject against corpus 1, and 12, which would
+    // otherwise reject against 11); the equivalence must hold
+    // through the cull too
+    val culled = Dedup.admitIncrementalSemantic(batch, corpus,
+        m.centroids, threshold = 0.95, maxCellSize = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(culled === twinAdmitted(4))
+    assert(culled === Set(10L, 11L, 12L, 13L, 14L, 15L))
+    // negative id fails loudly (the disjoint-key-space precondition)
+    val bad = Seq((-5L, v(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Dedup.admitIncrementalSemantic(bad, corpus, m.centroids, 0.95)
+        .collect()
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
 }

@@ -184,4 +184,37 @@ class MediaDedupSpec extends SparkSpec {
         new Multimodal.WavDecoder(1024))))
     assert(sigs.count() === 0L)
   }
+
+  test("crossModalDupGroups: image and audio edges close transitively; min-id survivor; singleton media keep") {
+    // image modality: A ~ Av (near sigs); audio: A ~ Aa. The union
+    // closure must collapse {A, Av, Aa} into ONE group even though
+    // Av and Aa never pair directly in any single modality. B is in
+    // the image set only and pairs with nothing; C is audio-only.
+    val imgSigs = Seq(
+      ("A", 0x0F0FL), ("Av", 0x0F0EL),             // hamming 1
+      ("B", 0x7AAA900000000L))                     // far from both
+      .toDF("media_id", "sig")
+    val audSigs = Seq(
+      ("A", 0x333CL), ("Aa", 0x333DL),             // hamming 1
+      ("C", 0x5AA5A5000000L))
+      .toDF("media_id", "sig")
+    val out = MediaDedup.crossModalDupGroups(Seq(imgSigs, audSigs))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(out.keySet === Set("A", "Av", "Aa", "B", "C"),
+      "one row per distinct media across modalities")
+    assert(out("A") === (("A", 3L, true)), "A survives its triple")
+    assert(out("Av") === (("A", 3L, false)))
+    assert(out("Aa") === (("A", 3L, false)))
+    assert(out("B") === (("B", 1L, true)) && out("C") === (("C", 1L, true)))
+    // partitioning-proof: the survivor window and closure are keyed,
+    // not order-dependent
+    val rep = MediaDedup.crossModalDupGroups(
+      Seq(imgSigs.repartition(7), audSigs.repartition(5)))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(rep === out)
+  }
 }
