@@ -416,8 +416,56 @@ object Dedup {
     // exact-decimal argmin serves training (q78), the fixture
     // application (q76) and the end-to-end chain (q80), so the
     // train/apply arithmetic cannot drift (review r8)
-    val assigned = graft.CacheScope.track(
-      KMeansPortable.assignCells(base, centroids))
+    semanticDedupFromAssigned(vectors,
+      KMeansPortable.assignCells(base, centroids), threshold,
+      maxCellSize, idCol, ccCollectThreshold)
+  }
+
+  /** SemDeDup over a TWO-LEVEL quantizer
+    * ([[KMeansPortable.trainTwoLevel]]) — the scale structure for
+    * corpus-sized nlist (SCALE.md round 10: the flat argmin is a
+    * single nlist-literal expression, measured unusable at the 100×
+    * ∝N operating point nlist ≈ 800; two-level routing does the same
+    * job in O(N·2√nlist) with no nlist-sized codegen body). Cell
+    * semantics are the documented IVF approximation: a vector whose
+    * nearest child sits under another super mis-routes — a recall
+    * trade, not a correctness one (S = 1 degenerates to the flat
+    * assignment exactly, spec-pinned). Same cull, closure and
+    * survivor rules as [[semanticDedupPortable]] — the tail is the
+    * shared single-sited helper.
+    */
+  def semanticDedupTwoLevel(vectors: DataFrame,
+      model: KMeansPortable.TwoLevelModel, threshold: Double,
+      maxCellSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      ccCollectThreshold: Long =
+        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
+    import org.apache.spark.sql.graft.RhpExpressions
+    require(model.nlist > 0)
+    val base = graft.CacheScope.track(Par.ensureWide(vectors)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("n2",
+        RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
+    KMeansPortable.requireBoundedCells("semanticDedupTwoLevel",
+      base.count(), model.nlist, maxCellSize)
+    semanticDedupFromAssigned(vectors,
+      KMeansPortable.assignCellsTwoLevel(base, model), threshold,
+      maxCellSize, idCol, ccCollectThreshold)
+  }
+
+  /** The shared SemDeDup tail: oversized-cell cull → within-cell
+    * decimal-cosine pair scan → transitive closure → min-id
+    * survivor. Single-sited so the flat and two-level assignment
+    * paths cannot drift in cull/score/closure semantics. `assigned`
+    * must carry (id, vec, n2, cell); the two-level path's
+    * childless-super rows arrive with distinct out-of-range cell ids
+    * and behave like any other cell (cull included). */
+  private def semanticDedupFromAssigned(vectors: DataFrame,
+      assignedIn: DataFrame, threshold: Double, maxCellSize: Int,
+      idCol: String, ccCollectThreshold: Long): DataFrame = {
+    import org.apache.spark.sql.graft.RhpExpressions
+    val assigned = graft.CacheScope.track(assignedIn)
     val oversized = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("csz"))
       .filter(col("csz") > maxCellSize)

@@ -211,6 +211,176 @@ object KMeansPortable {
       centroids: Array[Array[Double]]): Column =
     array_min(array(distStructs(vec, n2, centroids): _*)).getField("j")
 
+  // ---------------------------------------------------------------
+  // TWO-LEVEL (hierarchical) quantizer — the structure past the
+  // flat-argmin ceiling. The flat path's assignment is a single
+  // expression over nlist centroid literals: O(N·nlist·dim) work and
+  // a codegen body that grows with nlist — measured unusable at
+  // nlist ≈ 800 (the 100× ∝N point, SCALE.md round 10). The fix is
+  // the classic two-level coarse quantizer (the IMI/FAISS shape):
+  // route each row to one of S ≈ √nlist SUPER-cells (flat argmin
+  // over S literals — cheap), then argmin only over that super's
+  // ~nlist/S child centroids (a broadcast-joined candidate array +
+  // one higher-order fold) — O(N·2√nlist·dim) total, no
+  // nlist-sized codegen body anywhere.
+  //
+  // The assignment is APPROXIMATE vs the flat global argmin: a row
+  // whose true nearest child lives under a different super mis-
+  // routes (the documented IVF trade; SemDeDup cells are a recall
+  // heuristic, not a correctness surface). S = 1 degenerates to the
+  // flat argmin EXACTLY (spec-pinned), which is why the gates can
+  // stay on the flat path while the scale path changes structure.
+  // Same arithmetic discipline throughout: exact-decimal dots,
+  // round-12 decimal means, ties to the lowest index, empty cells
+  // keep their previous centroid.
+  // ---------------------------------------------------------------
+
+  /** Two-level quantizer state: S super-centroids (routing layer,
+    * fixed after their own Lloyd), the global child-centroid matrix
+    * (cell j's centroid at `children(j)`), and each super's child
+    * cell ids (`groups(s)` — consecutive, supers in index order). */
+  final case class TwoLevelModel(supers: Array[Array[Double]],
+      children: Array[Array[Double]], groups: Array[Array[Int]]) {
+    def nlist: Int = children.length
+  }
+
+  /** Train a two-level quantizer: Lloyd over S = ⌈√nlist⌉ supers,
+    * route, then Lloyd over per-super children (child count
+    * proportional to super population, ≥ 1, largest-remainder so
+    * totals hit `nlist` when every super has enough members; a
+    * starved super keeps fewer). Driver state: (S + nlist)·dim
+    * scalars — the Lloyd bound, corpus-size-independent.
+    */
+  def trainTwoLevel(vectors: DataFrame, nlist: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      supers: Int = 0): TwoLevelModel = {
+    require(nlist > 0 && iters >= 1,
+      s"need nlist>0, iters>=1; got nlist=$nlist iters=$iters")
+    require(supers >= 0, s"supers must be >= 0 (0 = auto ⌈√nlist⌉)")
+    // supers = 1 degenerates to the flat trainModel EXACTLY (same
+    // seeds, same argmin, same means — spec-pinned), which is what
+    // lets the gates stay flat while the scale path goes two-level
+    val s = if (supers > 0) supers
+      else math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val superModel = trainModel(vectors, k = s, iters = iters, idCol, vecCol)
+    val base = graft.CacheScope.track(Par.ensureWide(vectors)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("n2",
+        RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
+    val routed = graft.CacheScope.track(
+      base.withColumn("super", cellExpr(col("vec"), col("n2"),
+        superModel.centroids)))
+    // proportional child allocation (largest remainder, each
+    // populated super >= 1, capped at the super's population)
+    val counts = routed.groupBy(col("super")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    require(total > 0, "trainTwoLevel needs a non-empty vector set")
+    val raw = (0 until s).map { i =>
+      val n = counts.getOrElse(i, 0L)
+      if (n == 0L) (i, 0, 0.0)
+      else {
+        val exact = nlist * n / total
+        (i, math.max(1, exact.toInt), exact - exact.toInt)
+      }
+    }
+    var remaining = nlist - raw.map(_._2).sum
+    val ks = scala.collection.mutable.Map(raw.map(r => r._1 -> r._2): _*)
+    raw.sortBy(-_._3).foreach { case (i, _, _) =>
+      if (remaining > 0 && counts.getOrElse(i, 0L) > ks(i)) {
+        ks(i) += 1; remaining -= 1
+      }
+    }
+    (0 until s).foreach(i =>
+      ks(i) = math.min(ks(i), counts.getOrElse(i, 0L).toInt))
+    // committed seeds: per super, its ks(i) lowest-id members. One
+    // bounded collect of <= nlist (id, super, vec) rows.
+    val ksDf = {
+      val spark = vectors.sparkSession
+      import spark.implicits._
+      (0 until s).map(i => (i, ks(i))).toDF("super", "__k")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("super")).orderBy(col("id"))
+    val seedRows = routed
+      .join(broadcast(ksDf), Seq("super"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__k"))
+      .select(col("super"), col("id"), col("vec"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2))
+    // global child ids: consecutive within supers, supers in order
+    val groups = Array.fill(s)(scala.collection.mutable.ArrayBuffer[Int]())
+    val children = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    seedRows.foreach { case (sup, _, v) =>
+      groups(sup) += children.length
+      children += v
+    }
+    var cents = children.toArray
+    val groupsArr = groups.map(_.toArray)
+    var it = 0
+    while (it < iters) {
+      val assigned = assignChildren(routed, cents, groupsArr)
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg((sum(round(col("x"), 12).cast(DecimalType(38, 12)))
+            .cast("double") / count(lit(1))).as("c"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+      it += 1
+    }
+    TwoLevelModel(superModel.centroids, cents, groupsArr)
+  }
+
+  /** Per-row child argmin over the row's routed super-group: the
+    * candidate (j, c, nc2) array rides in via ONE broadcast hash
+    * join keyed on the super id, and the argmin is a higher-order
+    * fold over ~nlist/S candidates — the same (d, j) struct-min
+    * total order as [[cellExpr]], never an nlist-sized expression.
+    * Input must carry (vec, n2, super); adds `cell`.
+    */
+  private[graft] def assignChildren(routed: DataFrame,
+      children: Array[Array[Double]],
+      groups: Array[Array[Int]]): DataFrame = {
+    val spark = routed.sparkSession
+    import spark.implicits._
+    val nc2 = children.map(c =>
+      RhpKernels.decimalDot(new GenericArrayData(c), new GenericArrayData(c)))
+    val candRows = groups.indices.map { sIdx =>
+      (sIdx, groups(sIdx).map(j =>
+        (j, children(j).toSeq, nc2(j))).toSeq)
+    }
+    val cands = candRows.toDF("super", "cands")
+    routed.join(broadcast(cands), Seq("super"), "left")
+      .withColumn("cell",
+        when(col("cands").isNotNull && size(col("cands")) > 0,
+          array_min(transform(col("cands"), c =>
+            struct((col("n2") - lit(2.0) *
+                RhpExpressions.decimalScaledDot(col("vec"), c.getField("_2"))
+                + c.getField("_3")).as("d"),
+              c.getField("_1").as("j")))).getField("j"))
+          // childless super (ended empty in training): a distinct
+          // out-of-range cell PER super — rows there still share a
+          // coarse region legitimately, but two different childless
+          // supers must not collapse into one pseudo-cell
+          .otherwise(lit(children.length) + col("super")))
+      .drop("cands")
+  }
+
+  /** Route + child argmin: the two-level sibling of [[assignCells]].
+    * Rows routed to a childless super get cell −1 (only possible for
+    * supers that ended empty during training — they pair with
+    * nothing downstream, the cull discipline). */
+  def assignCellsTwoLevel(base: DataFrame, m: TwoLevelModel): DataFrame =
+    assignChildren(
+      base.withColumn("super", cellExpr(col("vec"), col("n2"), m.supers)),
+      m.children, m.groups)
+
   /** The DuckDB re-derivation of [[train]] — `iters` unrolled Lloyd
     * iterations over the same decimal arithmetic. Generated, not
     * hand-written, so the iteration count stays a single source of

@@ -36,23 +36,38 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // auto  = flat assignment at nlistFor(n) — the ∝N discipline on
+    //         the FLAT argmin structure (O(N·nlist) assignment);
+    // auto2 = the two-level quantizer at the same nlist — the scale
+    //         structure (O(N·2√nlist) assignment, SCALE.md round 10)
+    val twoLevel = args(1) == "auto2"
     val nlist =
-      if (args(1) == "auto")
+      if (args(1) == "auto" || twoLevel)
         graft.operators.KMeansPortable.nlistFor(
           graft.Tables(spark, dir).embeddings.count())
       else args(1).toInt
     println(s"[probe] resolved nlist=$nlist (${args(1)})")
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
-      val m = graft.operators.KMeansPortable.trainModel(
-        graft.Tables(spark, dir).embeddings, k = nlist, iters = 3)
-      val n = graft.Measure.force(
-        graft.operators.Dedup.semanticDedupPortable(
-          graft.Tables(spark, dir).embeddings, m.centroids,
-          threshold = 0.35).orderBy(col("id")))
+      val n =
+        if (twoLevel) {
+          val m = graft.operators.KMeansPortable.trainTwoLevel(
+            graft.Tables(spark, dir).embeddings, nlist = nlist, iters = 3)
+          graft.Measure.force(
+            graft.operators.Dedup.semanticDedupTwoLevel(
+              graft.Tables(spark, dir).embeddings, m,
+              threshold = 0.35).orderBy(col("id")))
+        } else {
+          val m = graft.operators.KMeansPortable.trainModel(
+            graft.Tables(spark, dir).embeddings, k = nlist, iters = 3)
+          graft.Measure.force(
+            graft.operators.Dedup.semanticDedupPortable(
+              graft.Tables(spark, dir).embeddings, m.centroids,
+              threshold = 0.35).orderBy(col("id")))
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
       graft.CacheScope.releaseAll(blocking = true)
-      println(f"[probe] semdedup nlist=$nlist run $i: $n rows in $elapsed%.2fs")
+      println(f"[probe] semdedup nlist=$nlist mode=${args(1)} run $i: $n rows in $elapsed%.2fs")
     }
     spark.stop()
   }

@@ -157,6 +157,60 @@ class KMeansPortableSpec extends SparkSpec {
     assert(Seq(1L, 2L, 4L).forall(i => out(i) === ((i, true))))
   }
 
+  test("two-level quantizer: supers=1 degenerates to the flat trainer EXACTLY") {
+    val flat = KMeansPortable.trainModel(planted, k = 3, iters = 4)
+    val two = KMeansPortable.trainTwoLevel(planted, nlist = 3, iters = 4,
+      supers = 1)
+    assert(two.supers.length === 1 &&
+      two.groups.map(_.toSeq).toSeq === Seq(Seq(0, 1, 2)))
+    assert(two.children.flatten[Double].toSeq ===
+      flat.centroids.flatten[Double].toSeq)
+    // and the assignment degenerates too: every row lands in the
+    // same cell under both paths
+    val base = planted
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("n2", org.apache.spark.sql.graft.RhpExpressions
+        .decimalScaledDot(col("vec"), col("vec")))
+    val a1 = KMeansPortable.assignCells(base, flat.centroids)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = KMeansPortable.assignCellsTwoLevel(base, two)
+      .select("id", "cell").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 === a2)
+  }
+
+  test("two-level quantizer: auto supers recovers planted clusters; partitioning-proof; dedup catches the planted pair") {
+    val m = KMeansPortable.trainTwoLevel(planted, nlist = 3, iters = 4)
+    assert(m.supers.length === 2, "ceil(sqrt(3)) = 2 routing cells")
+    assert(m.children.length === 3 &&
+      m.groups.map(_.length).sum === 3)
+    val m2 = KMeansPortable.trainTwoLevel(planted.repartition(13),
+      nlist = 3, iters = 4)
+    assert(m.children.flatten[Double].toSeq ===
+      m2.children.flatten[Double].toSeq,
+      "decimal training is partitioning-proof in the two-level path too")
+    // dedup over the two-level assignment: near-identical planted
+    // pair collapses, the rest survive
+    val df = Seq(
+      (0L, Array(1.0, 0.0)), (3L, Array(0.999, 0.01)),
+      (1L, Array(9.9, 0.1)), (2L, Array(0.0, 10.1)),
+      (4L, Array(-1.0, 0.2))
+    ).toDF("vec_id", "embedding")
+    val tm = KMeansPortable.trainTwoLevel(df, nlist = 3, iters = 3)
+    val out = Dedup.semanticDedupTwoLevel(df, tm, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(3L) === ((0L, false)) && out(0L) === ((0L, true)))
+    assert(Seq(1L, 2L, 4L).forall(i => out(i) === ((i, true))))
+    // the scale contract holds on this path too
+    val e = intercept[IllegalArgumentException](
+      Dedup.semanticDedupTwoLevel(df,
+        KMeansPortable.TwoLevelModel(Array(Array(0.0, 0.0)),
+          Array(Array(0.0, 0.0)), Array(Array(0))),
+        threshold = 0.99, maxCellSize = 2))
+    assert(e.getMessage.contains("nlistFor"))
+  }
+
   test("iteration count is the only knob: 1 iter != 3 iters under bad init") {
     // both first-k seeds start inside cluster A, so the first mean
     // update drags seed 1 toward cluster B and later iterations
