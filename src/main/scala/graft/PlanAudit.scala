@@ -486,7 +486,23 @@ object PlanAudit {
       // cached envelope-window exchanges, the universe distinct, the
       // survivor window shuffle, the presentation sort — all real
       // keyed shuffles (no ensureWide in this lineage)
-      maxShuffleExchanges = Some(5)))
+      maxShuffleExchanges = Some(5)),
+    // q89: video containment — frames reduce to (struct id, sig)
+    // longs before the shared banded kernel; the containment
+    // aggregation's two countDistincts compile to the two-phase
+    // expand shape; every join is a broadcast of a media-count or
+    // cached-sig relation
+    Check("q89_video_containment",
+      mustContain = Seq("BroadcastHashJoin", "InMemoryTableScan",
+        "LeftAnti"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // [MEASURED] 10 = the round-10 counted plan (sf0.001): bucket
+      // cull agg, candidate distinct, the two two-phase
+      // countDistinct chains (2 exchanges each), the per-media frame
+      // count agg (2), presentation sort — all real keyed shuffles
+      // over id/count scalars, never pixels
+      maxShuffleExchanges = Some(10)))
 
   // Queries whose broadcast nested-loop join is the documented design:
   // brute-force baselines with a fixed-size anchor side, and q31's

@@ -175,6 +175,61 @@ object MediaDedup {
         media, new Multimodal.WavDecoder(samplesPerFrame)))),
       maxHamming = maxHamming, maxBucketSize = maxBucketSize)
 
+  /** VIDEO-shaped near-dup: per-frame 60-bit signatures → banded
+    * FRAME-level pairing (the shared pigeonhole kernel over
+    * struct(media, frame) ids — struct ordering keeps every
+    * cross-media pair canonically oriented) → per-media-pair
+    * CONTAINMENT aggregation (the winnowing q34 shape lifted from
+    * shingle fingerprints to frame signatures): containment =
+    * max(matched-frames-of-A / |A|, matched-frames-of-B / |B|), so a
+    * TRIMMED clip (a frame subset) of a longer video scores 1.0 from
+    * its own side no matter how long the parent is, and a noisy
+    * re-encode scores by the fraction of frames that survive within
+    * `maxHamming` (spec-pinned with planted trimmed+re-encoded
+    * clips).
+    *
+    * Scale shape: the kernel sees (struct id, sig) longs only —
+    * pixels reduced to signatures upstream; the pair aggregation is
+    * two map-side-combining countDistincts per (a, b) media pair;
+    * frame counts join back keyed by media. Nothing frame-shaped
+    * survives past the banded join.
+    *
+    * Input: (media_id, frameIdx, sig) — [[imageDHash]] over sampled
+    * video frames produces exactly this. Returns (a_id, b_id,
+    * a_matched, b_matched, a_frames, b_frames, containment ≥
+    * `minContainment`), a_id < b_id.
+    */
+  def videoContainmentPairs(frameSigs: DataFrame,
+      minContainment: Double = 0.5, maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val base = graft.CacheScope.track(frameSigs.select(
+      struct(col("media_id"), col("frameIdx")).as("id"), col("sig")))
+    val framePairs = Lsh.hamming60Pairs(base, maxHamming, maxBucketSize)
+      // struct order ⇒ a_id.media_id <= b_id.media_id; equal media =
+      // within-video self-similarity, not a dup signal — drop it
+      .filter(col("a_id.media_id") =!= col("b_id.media_id"))
+      .select(col("a_id.media_id").as("a_id"),
+        col("a_id.frameIdx").as("a_frame"),
+        col("b_id.media_id").as("b_id"),
+        col("b_id.frameIdx").as("b_frame"))
+    val counts = frameSigs.groupBy(col("media_id"))
+      .agg(countDistinct(col("frameIdx")).as("nf"))
+    framePairs.groupBy(col("a_id"), col("b_id"))
+      .agg(countDistinct(col("a_frame")).as("a_matched"),
+        countDistinct(col("b_frame")).as("b_matched"))
+      .join(counts.select(col("media_id").as("a_id"),
+        col("nf").as("a_frames")), "a_id")
+      .join(counts.select(col("media_id").as("b_id"),
+        col("nf").as("b_frames")), "b_id")
+      .withColumn("containment", greatest(
+        col("a_matched").cast("double") / col("a_frames"),
+        col("b_matched").cast("double") / col("b_frames")))
+      .filter(col("containment") >= minContainment)
+      .select(col("a_id"), col("b_id"), col("a_matched"),
+        col("b_matched"), col("a_frames"), col("b_frames"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** The COMPOSED multimodal pipeline (VERDICT r9 item 3 — the q44
     * sibling for media): per-modality 60-bit signature relations →
     * banded near-dup pairs PER modality (image sigs pair with image
@@ -308,6 +363,33 @@ object MediaDedup {
         Seq(parent, DecodedFrame(s"$id~v", 0, FrameW, FrameH,
           perturbedPixels(id, s"$id~v")))
       else Seq(parent)
+    }
+  }
+
+  /** VIDEO frames per parent + TRIMMED RE-ENCODED clips (q89). */
+  val VideoFrames = 6
+  val ClipFrames = 4
+
+  /** Multi-frame corpus: [[VideoFrames]] deterministic frames per id
+    * (frame k seeded "<id>:f<k>"), and for the [[hasVariant]] subset
+    * a "<id>~t" clip of [[ClipFrames]] frames — clip frame j is the
+    * PERTURBED re-encode of parent frame j+1 (a one-frame trim off
+    * each end plus brightness noise: the trimmed+re-encoded dup
+    * model [[videoContainmentPairs]] exists to catch). Same
+    * md5-derived pixels as [[syntheticFrameCorpus]], so a SQL engine
+    * re-derives every frame. */
+  def syntheticVideoCorpus(ids: Dataset[String]): Dataset[DecodedFrame] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.flatMap { id =>
+      val parents = (0 until VideoFrames).map(k =>
+        DecodedFrame(id, k, FrameW, FrameH, syntheticPixels(s"$id:f$k")))
+      val clips =
+        if (hasVariant(id)) (0 until ClipFrames).map(j =>
+          DecodedFrame(s"$id~t", j, FrameW, FrameH,
+            perturbedPixels(s"$id:f${j + 1}", s"$id~t:f$j")))
+        else Seq.empty
+      parents ++ clips
     }
   }
 }

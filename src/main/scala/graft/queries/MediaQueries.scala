@@ -264,8 +264,101 @@ object MediaQueries {
        |JOIN documents d ON d.doc_id = CAST(split_part(a.media_id, '~', 1) AS BIGINT)
        |ORDER BY a.media_id""".stripMargin
 
+  /** q89: VIDEO containment near-dup under a FULL oracle
+    * ([[MediaDedup.videoContainmentPairs]]): 6 md5-derived frames
+    * per parent video, a 4-frame trimmed+brightness-perturbed clip
+    * for the ~19% variant subset; frame-level pigeonhole pairing at
+    * hamming ≤ 3, then per-media-pair containment (max coverage
+    * ratio — the trimmed side's coverage is what makes sub-clips
+    * findable). The oracle re-derives every pixel, tile, signature
+    * bit, frame pair, DISTINCT-frame count and coverage division.
+    */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables(s, dir).documents
+      .select(col("doc_id").cast("string")).as[String]
+    MediaDedup.videoContainmentPairs(
+        MediaDedup.imageDHash(MediaDedup.syntheticVideoCorpus(ids)),
+        minContainment = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val q89Sql =
+    """WITH vmedia AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+      |    CAST(NULL AS VARCHAR) AS parent, 6 AS nf
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS VARCHAR) || '~t', CAST(doc_id AS VARCHAR), 4
+      |  FROM documents
+      |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':var'),
+      |    1, 2)) AS INTEGER) < 48),
+      |vframes AS (
+      |  SELECT media_id, parent, k,
+      |    CASE WHEN parent IS NULL THEN k ELSE k + 1 END AS src
+      |  FROM vmedia, generate_series(0, 5) AS g(k) WHERE k < nf),
+      |vpx AS (
+      |  SELECT media_id, k,
+      |    [least(255,
+      |       CAST(('0x' || substring(md5(coalesce(parent, media_id) || ':f' ||
+      |         CAST(src AS VARCHAR) || ':px:' ||
+      |         CAST((i-1)//16 AS VARCHAR)), 1 + 2*((i-1)%16), 2)) AS INTEGER)
+      |       + CASE WHEN parent IS NOT NULL AND
+      |           CAST(('0x' || substring(md5(media_id || ':f' ||
+      |             CAST(k AS VARCHAR) || ':pt:' ||
+      |             CAST((i-1)//16 AS VARCHAR)), 1 + 2*((i-1)%16), 2)) AS INTEGER) < 3
+      |         THEN 80 ELSE 0 END)
+      |     for i in generate_series(1, 1056)] AS p
+      |  FROM vframes),
+      |vtiles AS (
+      |  SELECT media_id, k,
+      |    [list_sum(flatten([[p[(((t-1)//11)*4 + dy)*44 + ((t-1)%11)*4 + dx + 1]
+      |        for dx in generate_series(0,3)] for dy in generate_series(0,3)])) // 16
+      |     for t in generate_series(1, 66)] AS avgs
+      |  FROM vpx),
+      |vsigs AS MATERIALIZED (
+      |  SELECT media_id, k,
+      |    CAST(list_sum([CASE WHEN avgs[((b-1)//10)*11 + (b-1)%10 + 2] >
+      |                        avgs[((b-1)//10)*11 + (b-1)%10 + 1]
+      |      THEN CAST(1 AS BIGINT) << (b-1) ELSE CAST(0 AS BIGINT) END
+      |      for b in generate_series(1, 60)]) AS BIGINT) AS sig
+      |  FROM vtiles),
+      |vbanded AS (
+      |  SELECT media_id, k, b AS band, (sig >> (b*15)) & 32767 AS bv
+      |  FROM vsigs, generate_series(0,3) AS g(b)),
+      |vsized AS (
+      |  SELECT media_id, k, band, bv FROM vbanded
+      |  QUALIFY count(*) OVER (PARTITION BY band, bv) <= 10000),
+      |vpairs AS (
+      |  SELECT c.am, c.af, c.bm, c.bf
+      |  FROM (
+      |    SELECT DISTINCT x.media_id AS am, x.k AS af,
+      |      y.media_id AS bm, y.k AS bf
+      |    FROM vsized x JOIN vsized y
+      |      ON x.band = y.band AND x.bv = y.bv
+      |      AND (x.media_id, x.k) < (y.media_id, y.k)) c
+      |  JOIN vsigs a ON a.media_id = c.am AND a.k = c.af
+      |  JOIN vsigs b ON b.media_id = c.bm AND b.k = c.bf
+      |  WHERE bit_count(xor(a.sig, b.sig)) <= 3 AND c.am <> c.bm),
+      |vagg AS (
+      |  SELECT am AS a_id, bm AS b_id,
+      |    count(DISTINCT af) AS a_matched, count(DISTINCT bf) AS b_matched
+      |  FROM vpairs GROUP BY 1, 2),
+      |vcnt AS (SELECT media_id, count(DISTINCT k) AS nfr FROM vsigs GROUP BY 1)
+      |SELECT a_id, b_id, a_matched, b_matched,
+      |  ca.nfr AS a_frames, cb.nfr AS b_frames,
+      |  round(greatest(CAST(a_matched AS DOUBLE) / ca.nfr,
+      |    CAST(b_matched AS DOUBLE) / cb.nfr), 6) AS containment
+      |FROM vagg
+      |JOIN vcnt ca ON ca.media_id = a_id
+      |JOIN vcnt cb ON cb.media_id = b_id
+      |WHERE greatest(CAST(a_matched AS DOUBLE) / ca.nfr,
+      |  CAST(b_matched AS DOUBLE) / cb.nfr) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q83_image_near_dup", q83, Some(q83Sql)),
     Q("q84_audio_near_dup", q84, Some(q84Sql)),
-    Q("q88_media_pipeline", q88, Some(q88Sql)))
+    Q("q88_media_pipeline", q88, Some(q88Sql)),
+    Q("q89_video_containment", q89, Some(q89Sql)))
 }

@@ -185,6 +185,44 @@ class MediaDedupSpec extends SparkSpec {
     assert(sigs.count() === 0L)
   }
 
+  test("videoContainmentPairs: trimmed re-encoded clip scores 1.0 from its side; unrelated video never pairs") {
+    import graft.domain.Multimodal.DecodedFrame
+    // video A: 10 deterministic frames; video B: frames 2..7 of A,
+    // RE-ENCODED (brightness-perturbed — the near-dup model, mostly
+    // within hamming 3 per frame); video C: 10 unrelated frames
+    val frames =
+      (0 until 10).map(i => DecodedFrame("vidA", i, MediaDedup.FrameW,
+        MediaDedup.FrameH, MediaDedup.syntheticPixels(s"A:$i"))) ++
+      (0 until 6).map(j => DecodedFrame("vidB", j, MediaDedup.FrameW,
+        MediaDedup.FrameH,
+        MediaDedup.perturbedPixels(s"A:${j + 2}", s"B:$j"))) ++
+      (0 until 10).map(i => DecodedFrame("vidC", i, MediaDedup.FrameW,
+        MediaDedup.FrameH, MediaDedup.syntheticPixels(s"C:$i")))
+    val sigs = MediaDedup.imageDHash(frames.toDS())
+    val got = MediaDedup.videoContainmentPairs(sigs,
+        minContainment = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(got.keySet === Set(("vidA", "vidB")),
+      s"only the planted sub-clip pairs: ${got.keySet}")
+    val (aM, bM, aF, bF, cont) = got(("vidA", "vidB"))
+    assert(aF === 10L && bF === 6L)
+    // every B frame derives from an A frame; perturbation keeps most
+    // within hamming 3 (a handful may honestly exceed it — the q83
+    // disclosure), so the B-side coverage drives containment
+    assert(bM >= 5L && bM <= 6L && aM === bM)
+    assert(cont === math.rint(bM.toDouble / 6L * 1e6) / 1e6,
+      "containment is the max coverage ratio — the trimmed side's, round-6")
+    // sub-clip recall even though A-side coverage is only 0.5-0.6:
+    // the max() rule is what makes trims findable
+    assert(cont >= 0.8)
+    // partitioning-proof
+    val rep = MediaDedup.videoContainmentPairs(
+      sigs.repartition(7), minContainment = 0.5).count()
+    assert(rep === 1L)
+  }
+
   test("crossModalDupGroups: image and audio edges close transitively; min-id survivor; singleton media keep") {
     // image modality: A ~ Av (near sigs); audio: A ~ Aa. The union
     // closure must collapse {A, Av, Aa} into ONE group even though
