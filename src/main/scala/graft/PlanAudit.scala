@@ -292,6 +292,17 @@ object PlanAudit {
       // pair scan run inside the bounded local closure before the
       // frame exists. A 2nd exchange here means that contract broke.
       maxShuffleExchanges = Some(1)),
+    // q90: the two-level trained SemDeDup — same final-frame caveat
+    // as q80 (super training, routing, child training and the pair
+    // scan all run before the final frame exists; the assignment's
+    // candidate-array join is a BROADCAST of a ≤nlist-row relation)
+    Check("q90_semdedup_twolevel_oracle",
+      mustContain = Seq(),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin"),
+      // [CEILING] 1: the q80 contract at the two-level site — the
+      // FINAL frame re-derives only the survivor anti-join. A 2nd
+      // exchange here means training/pair work leaked into the frame.
+      maxShuffleExchanges = Some(1)),
     // q77: portable LR scoring — the 256-row weight relation must
     // BROADCAST (a shuffle for a kilobyte dim table would be wrong at
     // any scale); the doc-keyed margin join-back may legitimately

@@ -437,6 +437,114 @@ object KMeansPortable {
     * CTEs by the q80 end-to-end oracle. No WITH keyword — the caller
     * owns it (q80 needs WITH RECURSIVE for its closure).
     */
+  /** The DuckDB re-derivation of [[trainTwoLevel]] +
+    * [[assignCellsTwoLevel]] as a generated CTE chain (q90): super
+    * Lloyd (composing [[lloydCtes]] at S = ⌈√nlist⌉), the routing
+    * assignment (`asr`, from the same [[assignmentCtes]] generator),
+    * the largest-remainder child ALLOCATION replayed in window SQL,
+    * per-super child Lloyd with the super-restricted argmin, and the
+    * final application assignment ending in `askf` (id → cell).
+    * Trailing comma; the caller owns WITH RECURSIVE and appends the
+    * application tail (the q80 shape).
+    *
+    * The allocation replay mirrors [[trainTwoLevel]] decision for
+    * decision: exact = nlist·n/total in DOUBLE (BIGINT product, then
+    * IEEE division — identical in both engines), base =
+    * max(1, trunc(exact)) per populated super, +1 to the first
+    * `remaining` supers eligible (n > base) in (frac DESC, super ASC)
+    * order — the Scala stable-sort tie-break — then a final cap at
+    * the super's population. Child ids are global and consecutive in
+    * (super, id) seed order, exactly the Scala seed walk. Empty
+    * supers never appear in `scnt`, so they contribute 0 to the base
+    * sum and are never eligible — the getOrElse(0) branch.
+    */
+  def twoLevelCtes(table: String, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, supers: Int = 0): String = {
+    val s = if (supers > 0) supers
+      else math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    // the super-restricted argmin: candidates for a row are ONLY the
+    // children of its routed super (childsup ⋈ asr), the SQL image
+    // of assignChildren's broadcast candidate-array fold; same
+    // (dist, j) total order as assignmentCtes. Suffixes k1..kf avoid
+    // the lloydCtes/assignmentCtes namespace (cn1/dot1/as1, *r).
+    def childAssign(sfx: String, centRel: String): String =
+      s"""cn$sfx AS MATERIALIZED (
+         |  SELECT j, CAST(sum(CAST(round(c * c, 12) AS DECIMAL(38,12)))
+         |    AS DOUBLE) AS nc2
+         |  FROM $centRel GROUP BY j),
+         |dot$sfx AS MATERIALIZED (
+         |  SELECT m.id, cd.j,
+         |    CAST(sum(CAST(round(m.x * cd.c, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS dot
+         |  FROM dims m
+         |  JOIN asr r ON r.id = m.id
+         |  JOIN childsup cs ON cs.super = r.cell
+         |  JOIN $centRel cd ON cd.j = cs.j AND cd.d = m.d
+         |  GROUP BY 1, 2),
+         |as$sfx AS MATERIALIZED (
+         |  SELECT id, j AS cell FROM (
+         |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
+         |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
+         |    FROM dot$sfx d
+         |    JOIN norms n ON n.id = d.id
+         |    JOIN cn$sfx c ON c.j = d.j) WHERE rn = 1),
+         |""".stripMargin
+    val sb = new StringBuilder
+    sb ++= lloydCtes(table, idCol, vecCol, s, iters)
+    sb ++= assignmentCtes("r", s"cd$iters")
+    sb ++=
+      s"""scnt AS MATERIALIZED (
+         |  SELECT cell AS super, count(*) AS n FROM asr GROUP BY cell),
+         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM scnt),
+         |alloc0 AS MATERIALIZED (
+         |  SELECT sc.super, sc.n,
+         |    GREATEST(1, CAST(floor($nlist * sc.n / t.total) AS INT)) AS base,
+         |    $nlist * sc.n / t.total
+         |      - floor($nlist * sc.n / t.total) AS frac
+         |  FROM scnt sc, tot t),
+         |rem AS (SELECT $nlist - CAST(sum(base) AS INT) AS remaining
+         |  FROM alloc0),
+         |elig AS (
+         |  SELECT super, row_number() OVER (ORDER BY frac DESC, super) AS rk
+         |  FROM alloc0 WHERE n > base),
+         |alloc AS MATERIALIZED (
+         |  SELECT a.super,
+         |    LEAST(CAST(a.n AS INT), a.base + CASE
+         |      WHEN e.rk IS NOT NULL AND e.rk <= GREATEST(r.remaining, 0)
+         |      THEN 1 ELSE 0 END) AS k
+         |  FROM alloc0 a LEFT JOIN elig e ON e.super = a.super, rem r),
+         |seedids AS MATERIALIZED (
+         |  SELECT q.super, q.id,
+         |    row_number() OVER (ORDER BY q.super, q.id) - 1 AS j
+         |  FROM (
+         |    SELECT r.id, r.cell AS super,
+         |      row_number() OVER (PARTITION BY r.cell ORDER BY r.id) AS rn
+         |    FROM asr r) q
+         |  JOIN alloc a ON a.super = q.super
+         |  WHERE q.rn <= a.k),
+         |childsup AS MATERIALIZED (SELECT j, super FROM seedids),
+         |ccd0 AS MATERIALIZED (
+         |  SELECT sd.j, m.d, m.x AS c
+         |  FROM seedids sd JOIN dims m ON m.id = sd.id),
+         |""".stripMargin
+    for (i <- 1 to iters) {
+      val prev = s"ccd${i - 1}"
+      sb ++= childAssign(s"k$i", prev)
+      sb ++=
+        s"""cmm$i AS MATERIALIZED (
+           |  SELECT a.cell AS j, m.d,
+           |    CAST(sum(CAST(round(m.x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+           |      / count(*) AS c
+           |  FROM ask$i a JOIN dims m ON m.id = a.id GROUP BY 1, 2),
+           |ccd$i AS MATERIALIZED (
+           |  SELECT p.j, p.d, coalesce(m.c, p.c) AS c
+           |  FROM $prev p LEFT JOIN cmm$i m ON m.j = p.j AND m.d = p.d),
+           |""".stripMargin
+    }
+    sb ++= childAssign("kf", s"ccd$iters")
+    sb.toString
+  }
+
   def lloydCtes(table: String, idCol: String, vecCol: String,
       k: Int, iters: Int, prefix: String = ""): String = {
     val p = prefix

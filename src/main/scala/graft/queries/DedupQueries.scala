@@ -694,6 +694,61 @@ object DedupQueries {
        |ORDER BY v.id""".stripMargin
   }
 
+  /** END-TO-END TWO-LEVEL SemDeDup under ONE oracle (q90): the q80
+    * statement for the hierarchical quantizer — the structure the
+    * 100× measurement picked (SCALE.md round 10: flat ∝N argmin
+    * 1301 s → two-level 286 s at 100×). The oracle re-derives the
+    * ENTIRE [[KMeansPortable.trainTwoLevel]] walk from the parquet
+    * bytes: super Lloyd, routing, the largest-remainder child
+    * allocation (window-SQL replay of the Scala stable sort),
+    * per-super child Lloyd with the super-RESTRICTED argmin, the
+    * application assignment, and the shared cull→pair→close→survive
+    * tail. Training-time routing and application-time routing are
+    * the same relation (`asr`) because both assign the same corpus
+    * against the same final super centroids — the one deliberate
+    * reuse. nlist = 8 keeps gate parity with q80 (the structures
+    * agree on VALUES only via their own oracles — cells differ, so
+    * survivors may too; each chain is verified independently).
+    */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir).embeddings
+    val m = KMeansPortable.trainTwoLevel(t, nlist = 8, iters = 3)
+    Dedup.semanticDedupTwoLevel(t, m, threshold = 0.35)
+      .orderBy(col("id"))
+  }
+
+  private val q90Sql = {
+    val chain = KMeansPortable.twoLevelCtes("embeddings", "vec_id",
+      "embedding", nlist = 8, iters = 3)
+    s"""WITH RECURSIVE $chain
+       |sized AS (
+       |  SELECT id, cell FROM askf
+       |  QUALIFY count(*) OVER (PARTITION BY cell) <= 10000),
+       |pdots AS (
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS dot
+       |  FROM sized a JOIN sized b ON a.cell = b.cell AND a.id < b.id
+       |  JOIN dims da ON da.id = a.id
+       |  JOIN dims db ON db.id = b.id AND db.d = da.d
+       |  GROUP BY 1, 2),
+       |e0 AS (
+       |  SELECT p.a_id AS a, p.b_id AS b FROM pdots p
+       |  JOIN norms na ON na.id = p.a_id
+       |  JOIN norms nb ON nb.id = p.b_id
+       |  WHERE round(p.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35),
+       |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |walk(node, label) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+       |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+       |SELECT v.id, CAST(coalesce(c.component, v.id) AS BIGINT) AS group_id,
+       |  v.id = coalesce(c.component, v.id) AS keep
+       |FROM v LEFT JOIN comp c ON c.node = v.id
+       |ORDER BY v.id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q16_exact_dup_groups", q16, Some(q16Sql)),
     Q("q17_jaccard_pairs", q17, Some(q17Sql), headline = true),
@@ -711,5 +766,6 @@ object DedupQueries {
     Q("q69_minhash_lsh_oracle", q69, Some(q69Sql), headline = true),
     Q("q70_simhash_oracle", q70, Some(q70Sql)),
     Q("q78_kmeans_train_oracle", q78, Some(q78Sql)),
-    Q("q80_semdedup_e2e_oracle", q80, Some(q80Sql)))
+    Q("q80_semdedup_e2e_oracle", q80, Some(q80Sql)),
+    Q("q90_semdedup_twolevel_oracle", q90, Some(q90Sql)))
 }
