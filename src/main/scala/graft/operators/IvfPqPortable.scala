@@ -82,9 +82,16 @@ object IvfPqPortable {
       .withColumn("n2",
         RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
 
-    // ---- training (driver state: nlist·dim + m·ksub·dsub scalars)
-    val coarse = KMeansPortable.trainModel(vectors, nlist, coarseIters,
-      idCol, vecCol).centroids
+    // ---- training (driver state: nlist·dim + m·ksub·dsub scalars).
+    // Trains through the CHECKED base, not the raw input, so the
+    // ragged-dim guard covers the FIRST job — otherwise coarse Lloyd
+    // would run to completion on silently-truncated dots before the
+    // guard fires (round-10 review); values are identical for a
+    // uniform corpus (same cast, same id order, same seeds) and the
+    // training now reads the cache the encode stage needs anyway
+    val coarse = KMeansPortable.trainModel(
+      base.select(col("id"), col("vec")), nlist, coarseIters,
+      "id", "vec").centroids
     val centsLit = typedLit(coarse.map(_.toSeq).toSeq)
     // residuals once, shared by all m subspace trainings + encoding
     val withRes = graft.CacheScope.track(

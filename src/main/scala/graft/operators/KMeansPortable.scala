@@ -373,9 +373,13 @@ object KMeansPortable {
   }
 
   /** Route + child argmin: the two-level sibling of [[assignCells]].
-    * Rows routed to a childless super get cell −1 (only possible for
-    * supers that ended empty during training — they pair with
-    * nothing downstream, the cull discipline). */
+    * Rows routed to a CHILDLESS super (only possible when applying
+    * the model to data OTHER than the training corpus — a super that
+    * ended empty in training received no children) get the distinct
+    * out-of-range pseudo-cell `children.length + super`: they pair
+    * only among themselves, which is the coarse-region semantics
+    * routing already asserts for them. [[twoLevelCtes]] replays the
+    * same fallback, so an artifact-split gate stays hash-exact. */
   def assignCellsTwoLevel(base: DataFrame, m: TwoLevelModel): DataFrame =
     assignChildren(
       base.withColumn("super", cellExpr(col("vec"), col("n2"), m.supers)),
@@ -467,7 +471,19 @@ object KMeansPortable {
     // of assignChildren's broadcast candidate-array fold; same
     // (dist, j) total order as assignmentCtes. Suffixes k1..kf avoid
     // the lloydCtes/assignmentCtes namespace (cn1/dot1/as1, *r).
-    def childAssign(sfx: String, centRel: String): String =
+    // `withFallback` adds assignChildren's childless-super branch
+    // (pseudo-cell = child count + super) — needed only for the
+    // APPLICATION assignment: training-corpus rows always route to
+    // a populated super (each super's members include themselves),
+    // so the training iterations never take it.
+    def childAssign(sfx: String, centRel: String,
+        withFallback: Boolean = false): String = {
+      val fallback = if (!withFallback) ""
+      else s"""
+         |  UNION ALL
+         |  SELECT r.id, (SELECT count(*) FROM childsup) + r.cell AS cell
+         |  FROM asr r
+         |  WHERE r.cell NOT IN (SELECT super FROM childsup)""".stripMargin
       s"""cn$sfx AS MATERIALIZED (
          |  SELECT j, CAST(sum(CAST(round(c * c, 12) AS DECIMAL(38,12)))
          |    AS DOUBLE) AS nc2
@@ -487,8 +503,9 @@ object KMeansPortable {
          |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
          |    FROM dot$sfx d
          |    JOIN norms n ON n.id = d.id
-         |    JOIN cn$sfx c ON c.j = d.j) WHERE rn = 1),
+         |    JOIN cn$sfx c ON c.j = d.j) WHERE rn = 1$fallback),
          |""".stripMargin
+    }
     val sb = new StringBuilder
     sb ++= lloydCtes(table, idCol, vecCol, s, iters)
     sb ++= assignmentCtes("r", s"cd$iters")
@@ -541,7 +558,7 @@ object KMeansPortable {
            |  FROM $prev p LEFT JOIN cmm$i m ON m.j = p.j AND m.d = p.d),
            |""".stripMargin
     }
-    sb ++= childAssign("kf", s"ccd$iters")
+    sb ++= childAssign("kf", s"ccd$iters", withFallback = true)
     sb.toString
   }
 

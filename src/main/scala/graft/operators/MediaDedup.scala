@@ -212,8 +212,12 @@ object MediaDedup {
         col("a_id.frameIdx").as("a_frame"),
         col("b_id.media_id").as("b_id"),
         col("b_id.frameIdx").as("b_frame"))
-    val counts = frameSigs.groupBy(col("media_id"))
-      .agg(countDistinct(col("frameIdx")).as("nf"))
+    // counts read the CACHED base, not the raw input: frameSigs'
+    // lineage is a full decode+dHash pass for real video, and the
+    // raw-relation aggregate would not match the cached projection
+    // (round-10 review) — this way the frames derive exactly once
+    val counts = base.groupBy(col("id.media_id").as("media_id"))
+      .agg(countDistinct(col("id.frameIdx")).as("nf"))
     framePairs.groupBy(col("a_id"), col("b_id"))
       .agg(countDistinct(col("a_frame")).as("a_matched"),
         countDistinct(col("b_frame")).as("b_matched"))
@@ -264,12 +268,18 @@ object MediaDedup {
       ccCollectThreshold: Long =
         ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
     require(sigSets.nonEmpty, "need at least one modality signature set")
-    val edges = sigSets.map(s =>
+    // each modality relation is tracked ONCE and feeds both the
+    // pairing and the universe: the raw relation's lineage is the
+    // full signature derivation (pixels/envelopes), and reading it
+    // twice through two different projections would derive it twice
+    // (round-10 review)
+    val sets = sigSets.map(graft.CacheScope.track)
+    val edges = sets.map(s =>
         hammingPairs(s, maxHamming = maxHamming,
           maxBucketSize = maxBucketSize)
           .select(col("a_id"), col("b_id")))
       .reduce(_.unionByName(_))
-    val universe = sigSets.map(_.select(col("media_id")))
+    val universe = sets.map(_.select(col("media_id")))
       .reduce(_.unionByName(_)).distinct()
     val comps = ConnectedComponents.components(
       edges.select(Dedup.md5Hash60(col("a_id")).as("a"),
