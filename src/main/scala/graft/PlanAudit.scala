@@ -303,6 +303,19 @@ object PlanAudit {
       // FINAL frame re-derives only the survivor anti-join. A 2nd
       // exchange here means training/pair work leaked into the frame.
       maxShuffleExchanges = Some(1)),
+    // q91: incremental semantic admission composed with the corpus
+    // dedup — both closures run inside the bounded local path before
+    // the final frame exists; the frame itself is two id-set
+    // broadcast semi-joins + the presentation sort
+    Check("q91_incremental_admission_oracle",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // [MEASURED] 3 = the round-10 counted plan (sf0.01): two
+      // Par.ensureWide RoundRobin scan widenings in the cached
+      // lineages + the presentation sort; the survivor and admitted
+      // id sets ride as broadcasts
+      maxShuffleExchanges = Some(3)),
     // q77: portable LR scoring — the 256-row weight relation must
     // BROADCAST (a shuffle for a kilobyte dim table would be wrong at
     // any scale); the doc-keyed margin join-back may legitimately

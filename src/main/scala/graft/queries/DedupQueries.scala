@@ -749,6 +749,132 @@ object DedupQueries {
        |ORDER BY v.id""".stripMargin
   }
 
+  /** INCREMENTAL semantic admission under ONE oracle (q91): the
+    * daily-ingest deployment shape, composed end-to-end — corpus =
+    * the 6/7 slice of embeddings, DEDUPED in-query by the q76 chain
+    * (its keep-set is [[Dedup.admitIncrementalSemantic]]'s
+    * precondition); batch = the held-out 1/7 slice; admission does
+    * only new×new and new×corpus work with corpus ids negated into
+    * the disjoint key space. The oracle re-derives BOTH pipelines —
+    * corpus cull/pair/close/survive, then the union-population cull,
+    * the (x.id < y.id OR y.id < 0) incremental pair scan, the second
+    * closure and the component-untouched-and-min admission rule —
+    * from the parquet bytes and the committed fixture centroids.
+    * Complements the spec-pinned equivalence (admitted ≡ batch twin
+    * over corpus ∪ batch) with a hash gate on the composed chain.
+    */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val cents = graft.operators.SimilaritySearch.loadFixtureArtifacts()
+      .coarseCentroids
+    val corpus = emb.filter(col("vec_id") % 7 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 7 === 0)
+    val survivors = corpus.join(
+      Dedup.semanticDedupPortable(corpus, cents, threshold = 0.35)
+        .filter(col("keep")).select(col("id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    Dedup.admitIncrementalSemantic(fresh, survivors, cents,
+        threshold = 0.35)
+      .select(col("vec_id")).orderBy(col("vec_id"))
+  }
+
+  private val q91Sql = {
+    val cents = graft.operators.SimilaritySearch.loadFixtureArtifacts()
+      .coarseCentroids
+    val rows = cents.zipWithIndex.map { case (c, j) =>
+      s"($j, [${c.map(java.lang.Double.toString).mkString(", ")}])"
+    }.mkString(", ")
+    s"""WITH RECURSIVE v AS (
+       |  SELECT vec_id AS id, [CAST(x AS DOUBLE) for x in embedding] AS xs
+       |  FROM embeddings),
+       |dims AS MATERIALIZED (
+       |  SELECT id, generate_subscripts(xs, 1) - 1 AS d, unnest(xs) AS x
+       |  FROM v),
+       |norms AS MATERIALIZED (
+       |  SELECT id, CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+       |    AS DOUBLE) AS n2
+       |  FROM dims GROUP BY id),
+       |cents AS (SELECT * FROM (VALUES $rows) AS t(j, cs)),
+       |cdims AS (
+       |  SELECT j, generate_subscripts(cs, 1) - 1 AS d, unnest(cs) AS c
+       |  FROM cents),
+       |${KMeansPortable.assignmentCtes("p", "cdims")}
+       |fresh AS MATERIALIZED (
+       |  SELECT id, cell FROM asp WHERE id % 7 = 0),
+       |corp0 AS MATERIALIZED (
+       |  SELECT id, cell FROM asp WHERE id % 7 <> 0),
+       |csized AS MATERIALIZED (
+       |  SELECT id, cell FROM corp0
+       |  QUALIFY count(*) OVER (PARTITION BY cell) <= 10000),
+       |cpd AS MATERIALIZED (
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS dot
+       |  FROM csized a JOIN csized b ON a.cell = b.cell AND a.id < b.id
+       |  JOIN dims da ON da.id = a.id
+       |  JOIN dims db ON db.id = b.id AND db.d = da.d
+       |  GROUP BY 1, 2),
+       |ce0 AS (
+       |  SELECT p.a_id AS a, p.b_id AS b FROM cpd p
+       |  JOIN norms na ON na.id = p.a_id
+       |  JOIN norms nb ON nb.id = p.b_id
+       |  WHERE round(p.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35),
+       |cedges AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM ce0 UNION ALL SELECT b, a FROM ce0)),
+       |cwalk(node, label) AS (
+       |  SELECT a, a FROM cedges
+       |  UNION
+       |  SELECT e.b, w.label FROM cwalk w JOIN cedges e ON e.a = w.node),
+       |ccomp AS MATERIALIZED (
+       |  SELECT node, min(label) AS component FROM cwalk GROUP BY node),
+       |surv AS MATERIALIZED (
+       |  SELECT c.id, c.cell FROM corp0 c
+       |  LEFT JOIN ccomp k ON k.node = c.id
+       |  WHERE c.id = coalesce(k.component, c.id)),
+       |ucull AS MATERIALIZED (
+       |  SELECT cell FROM (
+       |    SELECT cell FROM fresh UNION ALL SELECT cell FROM surv) u
+       |  GROUP BY cell HAVING count(*) > 10000),
+       |fa AS MATERIALIZED (
+       |  SELECT id, cell FROM fresh
+       |  WHERE cell NOT IN (SELECT cell FROM ucull)),
+       |ca AS MATERIALIZED (
+       |  SELECT id, cell FROM surv
+       |  WHERE cell NOT IN (SELECT cell FROM ucull)),
+       |ipd AS MATERIALIZED (
+       |  SELECT x.id AS a, y.id AS b, y.orig AS b_orig,
+       |    CAST(sum(CAST(round(dx.x * dy.x, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS dot
+       |  FROM fa x
+       |  JOIN (SELECT id, id AS orig, cell FROM fa
+       |        UNION ALL
+       |        SELECT -id - 1 AS id, id AS orig, cell FROM ca) y
+       |    ON x.cell = y.cell AND (x.id < y.id OR y.id < 0)
+       |  JOIN dims dx ON dx.id = x.id
+       |  JOIN dims dy ON dy.id = y.orig AND dy.d = dx.d
+       |  GROUP BY 1, 2, 3),
+       |ie0 AS (
+       |  SELECT p.a, p.b FROM ipd p
+       |  JOIN norms na ON na.id = p.a
+       |  JOIN norms nb ON nb.id = p.b_orig
+       |  WHERE round(p.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35),
+       |iedges AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM ie0 UNION ALL SELECT b, a FROM ie0)),
+       |iwalk(node, label) AS (
+       |  SELECT a, a FROM iedges
+       |  UNION
+       |  SELECT e.b, w.label FROM iwalk w JOIN iedges e ON e.a = w.node),
+       |icomp AS (
+       |  SELECT node, min(label) AS component FROM iwalk GROUP BY node)
+       |SELECT CAST(f.id AS BIGINT) AS vec_id
+       |FROM fresh f LEFT JOIN icomp k ON k.node = f.id
+       |WHERE k.component IS NULL
+       |   OR (k.component >= 0 AND k.component = f.id)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q16_exact_dup_groups", q16, Some(q16Sql)),
     Q("q17_jaccard_pairs", q17, Some(q17Sql), headline = true),
@@ -767,5 +893,6 @@ object DedupQueries {
     Q("q70_simhash_oracle", q70, Some(q70Sql)),
     Q("q78_kmeans_train_oracle", q78, Some(q78Sql)),
     Q("q80_semdedup_e2e_oracle", q80, Some(q80Sql)),
-    Q("q90_semdedup_twolevel_oracle", q90, Some(q90Sql)))
+    Q("q90_semdedup_twolevel_oracle", q90, Some(q90Sql)),
+    Q("q91_incremental_admission_oracle", q91, Some(q91Sql)))
 }
