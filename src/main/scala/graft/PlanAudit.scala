@@ -448,6 +448,18 @@ object PlanAudit {
       // sort — real keyed shuffles (the base's ensureWide rides inside
       // the cached lineage, see the printed split)
       maxShuffleExchanges = Some(4)),
+    // q92: the q86 statement at the two-level quantizer — the child
+    // argmin's candidate arrays ride as BROADCASTS (never shuffles),
+    // so the frame's exchange composition is identical to q86's
+    Check("q92_semantic_decon_twolevel",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // [MEASURED] 5 = the round-10 counted plan (sf0.01): 2 real
+      // (hit aggregation + presentation sort) + 3 ensureWide
+      // RoundRobin widenings — the q86 composition, unchanged by the
+      // two-level assignment because its joins broadcast
+      maxShuffleExchanges = Some(5)),
     // q86: semantic decontamination — training is driver-side Lloyd
     // state; the frame cell-assigns both sides as zero-shuffle
     // projections (centroid literals), broadcasts the small BENCH side

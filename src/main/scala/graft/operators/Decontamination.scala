@@ -262,10 +262,55 @@ object Decontamination {
           .withColumn("n2",
             RhpExpressions.decimalScaledDot(col("vec"), col("vec"))),
         centroids)
-    val c = assigned(corpus)
-    val b = assigned(bench)
-      .select(col("cell"), col("id").as("bench_id"),
-        col("vec").as("b_vec"), col("n2").as("b_n2"))
+    decontaminateAssigned(assigned(corpus), assigned(bench), bench,
+      threshold, maxBroadcastBench)
+  }
+
+  /** Semantic decontamination over a TWO-LEVEL quantizer — the q86
+    * operator at the [[KMeansPortable.trainTwoLevel]] structure, for
+    * the corpus-sized-nlist regime where the flat argmin is the
+    * measured assignment bottleneck (SCALE.md round 10: 1075.8 s →
+    * 285.7 s at 100×; decontamination shares the shape). Same
+    * NO-CULL contract as the flat path. Rows either side routes to a
+    * CHILDLESS super land in the per-super pseudo-cell — shared by
+    * construction across the two sides, so a bench row and a corpus
+    * row in the same empty-in-training coarse region still meet in
+    * the join: the conservative direction (a check can only be
+    * ADDED, never skipped). Tail is the single-sited helper.
+    */
+  def semanticDecontaminateTwoLevel(corpus: DataFrame, bench: DataFrame,
+      model: KMeansPortable.TwoLevelModel, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBroadcastBench: Int = 100000,
+      maxExpectedCellSize: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.graft.RhpExpressions
+    require(model.nlist > 0)
+    KMeansPortable.requireBoundedCells("semanticDecontaminateTwoLevel",
+      corpus.select(col(idCol)).count(), model.nlist,
+      maxExpectedCellSize)
+    def assigned(df: DataFrame): DataFrame =
+      KMeansPortable.assignCellsTwoLevel(
+        Par.ensureWide(df)
+          .select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<double>").as("vec"))
+          .withColumn("n2",
+            RhpExpressions.decimalScaledDot(col("vec"), col("vec"))),
+        model)
+    decontaminateAssigned(assigned(corpus), assigned(bench), bench,
+      threshold, maxBroadcastBench)
+  }
+
+  /** The shared decontamination tail: bounded-broadcast bench side,
+    * LEFT cell join + conditional aggregation. Single-sited so the
+    * flat and two-level assignment paths cannot drift in
+    * score/hit/flag semantics (the semanticDedupFromAssigned
+    * pattern). `c`/`b0` must carry (id, vec, n2, cell). */
+  private def decontaminateAssigned(c: DataFrame, b0: DataFrame,
+      bench: DataFrame, threshold: Double,
+      maxBroadcastBench: Int): DataFrame = {
+    import org.apache.spark.sql.graft.RhpExpressions
+    val b = b0.select(col("cell"), col("id").as("bench_id"),
+      col("vec").as("b_vec"), col("n2").as("b_n2"))
     val benchSide = Par.boundedBroadcast(b,
       bench.select(lit(1).as("__bench_probe")), maxBroadcastBench)
     // LEFT join + conditional aggregation, not aggregate-then-rejoin:

@@ -466,46 +466,6 @@ object KMeansPortable {
       nlist: Int, iters: Int, supers: Int = 0): String = {
     val s = if (supers > 0) supers
       else math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
-    // the super-restricted argmin: candidates for a row are ONLY the
-    // children of its routed super (childsup ⋈ asr), the SQL image
-    // of assignChildren's broadcast candidate-array fold; same
-    // (dist, j) total order as assignmentCtes. Suffixes k1..kf avoid
-    // the lloydCtes/assignmentCtes namespace (cn1/dot1/as1, *r).
-    // `withFallback` adds assignChildren's childless-super branch
-    // (pseudo-cell = child count + super) — needed only for the
-    // APPLICATION assignment: training-corpus rows always route to
-    // a populated super (each super's members include themselves),
-    // so the training iterations never take it.
-    def childAssign(sfx: String, centRel: String,
-        withFallback: Boolean = false): String = {
-      val fallback = if (!withFallback) ""
-      else s"""
-         |  UNION ALL
-         |  SELECT r.id, (SELECT count(*) FROM childsup) + r.cell AS cell
-         |  FROM asr r
-         |  WHERE r.cell NOT IN (SELECT super FROM childsup)""".stripMargin
-      s"""cn$sfx AS MATERIALIZED (
-         |  SELECT j, CAST(sum(CAST(round(c * c, 12) AS DECIMAL(38,12)))
-         |    AS DOUBLE) AS nc2
-         |  FROM $centRel GROUP BY j),
-         |dot$sfx AS MATERIALIZED (
-         |  SELECT m.id, cd.j,
-         |    CAST(sum(CAST(round(m.x * cd.c, 12) AS DECIMAL(38,12)))
-         |      AS DOUBLE) AS dot
-         |  FROM dims m
-         |  JOIN asr r ON r.id = m.id
-         |  JOIN childsup cs ON cs.super = r.cell
-         |  JOIN $centRel cd ON cd.j = cs.j AND cd.d = m.d
-         |  GROUP BY 1, 2),
-         |as$sfx AS MATERIALIZED (
-         |  SELECT id, j AS cell FROM (
-         |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
-         |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
-         |    FROM dot$sfx d
-         |    JOIN norms n ON n.id = d.id
-         |    JOIN cn$sfx c ON c.j = d.j) WHERE rn = 1$fallback),
-         |""".stripMargin
-    }
     val sb = new StringBuilder
     sb ++= lloydCtes(table, idCol, vecCol, s, iters)
     sb ++= assignmentCtes("r", s"cd$iters")
@@ -546,7 +506,7 @@ object KMeansPortable {
          |""".stripMargin
     for (i <- 1 to iters) {
       val prev = s"ccd${i - 1}"
-      sb ++= childAssign(s"k$i", prev)
+      sb ++= childAssignCtes(s"k$i", prev, "dims", "norms", "asr")
       sb ++=
         s"""cmm$i AS MATERIALIZED (
            |  SELECT a.cell AS j, m.d,
@@ -558,8 +518,58 @@ object KMeansPortable {
            |  FROM $prev p LEFT JOIN cmm$i m ON m.j = p.j AND m.d = p.d),
            |""".stripMargin
     }
-    sb ++= childAssign("kf", s"ccd$iters", withFallback = true)
+    sb ++= childAssignCtes("kf", s"ccd$iters", "dims", "norms", "asr",
+      withFallback = true)
     sb.toString
+  }
+
+  /** The super-restricted child argmin as SQL — candidates for a row
+    * are ONLY the children of its routed super (`childsup` ⋈
+    * `routeRel`), the SQL image of [[assignChildren]]'s broadcast
+    * candidate-array fold; same (dist, j) total order as
+    * [[assignmentCtes]]. Emits `cn<sfx>`/`dot<sfx>`/`as<sfx>`,
+    * trailing comma. Reads the vector relation through (`dimsRel`,
+    * `normsRel`) and its routing through `routeRel` (id, cell =
+    * super) — overridable so a SECOND vector set (q92's bench side)
+    * can two-level-assign against the same trained `childsup`/child
+    * centroids in one statement. `withFallback` adds
+    * [[assignChildren]]'s childless-super branch (pseudo-cell =
+    * child count + routed super) — needed for APPLICATION
+    * assignments only: training-corpus rows always route to a
+    * populated super (each super's members include themselves), so
+    * the training iterations never take it. Suffixes k1..kf avoid
+    * the lloydCtes/assignmentCtes namespace (cn1/dot1/as1, *r).
+    */
+  def childAssignCtes(sfx: String, centRel: String,
+      dimsRel: String, normsRel: String, routeRel: String,
+      withFallback: Boolean = false): String = {
+    val fallback = if (!withFallback) ""
+    else s"""
+       |  UNION ALL
+       |  SELECT r.id, (SELECT count(*) FROM childsup) + r.cell AS cell
+       |  FROM $routeRel r
+       |  WHERE r.cell NOT IN (SELECT super FROM childsup)""".stripMargin
+    s"""cn$sfx AS MATERIALIZED (
+       |  SELECT j, CAST(sum(CAST(round(c * c, 12) AS DECIMAL(38,12)))
+       |    AS DOUBLE) AS nc2
+       |  FROM $centRel GROUP BY j),
+       |dot$sfx AS MATERIALIZED (
+       |  SELECT m.id, cd.j,
+       |    CAST(sum(CAST(round(m.x * cd.c, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS dot
+       |  FROM $dimsRel m
+       |  JOIN $routeRel r ON r.id = m.id
+       |  JOIN childsup cs ON cs.super = r.cell
+       |  JOIN $centRel cd ON cd.j = cs.j AND cd.d = m.d
+       |  GROUP BY 1, 2),
+       |as$sfx AS MATERIALIZED (
+       |  SELECT id, j AS cell FROM (
+       |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
+       |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
+       |    FROM dot$sfx d
+       |    JOIN $normsRel n ON n.id = d.id
+       |    JOIN cn$sfx c ON c.j = d.j) WHERE rn = 1$fallback),
+       |""".stripMargin
   }
 
   def lloydCtes(table: String, idCol: String, vecCol: String,

@@ -684,6 +684,77 @@ object CurationQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** Two-level semantic decontamination under a FULL oracle (q92) —
+    * the q86 statement at the hierarchical-quantizer structure
+    * (SCALE.md round 10): trainTwoLevel on the corpus, BOTH sides
+    * two-level-assigned (route via super argmin, child argmin
+    * restricted to the routed super, childless-super fallback on
+    * both — the conservative never-skip-a-check direction), same
+    * LEFT-join hit aggregation. The oracle composes
+    * [[KMeansPortable.twoLevelCtes]] (corpus training + assignment)
+    * with a second [[KMeansPortable.assignmentCtes]] route +
+    * [[KMeansPortable.childAssignCtes]] pass for the bench side.
+    */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val corpus = emb.filter(col("vec_id") % 97 =!= 0)
+    val bench = emb.filter(col("vec_id") % 97 === 0)
+    val m = graft.operators.KMeansPortable.trainTwoLevel(corpus,
+      nlist = 8, iters = 2)
+    graft.operators.Decontamination.semanticDecontaminateTwoLevel(
+        corpus, bench, m, threshold = 0.35)
+      .orderBy(col("id"))
+  }
+
+  private val q92Sql = {
+    val iters = 2
+    val chain = graft.operators.KMeansPortable.twoLevelCtes(
+      "(SELECT * FROM embeddings WHERE vec_id % 97 <> 0)",
+      "vec_id", "embedding", nlist = 8, iters = iters)
+    val routeBench = graft.operators.KMeansPortable.assignmentCtes(
+      "br", s"cd$iters", "bdims", "bnorms")
+    val assignBench = graft.operators.KMeansPortable.childAssignCtes(
+      "bf", s"ccd$iters", "bdims", "bnorms", "asbr",
+      withFallback = true)
+    s"""WITH $chain
+       |bv AS MATERIALIZED (
+       |  SELECT vec_id AS id, [CAST(x AS DOUBLE) for x in embedding] AS xs
+       |  FROM embeddings WHERE vec_id % 97 = 0),
+       |bdims AS MATERIALIZED (
+       |  SELECT id, generate_subscripts(xs, 1) - 1 AS d, unnest(xs) AS x
+       |  FROM bv),
+       |bnorms AS MATERIALIZED (
+       |  SELECT id, CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+       |    AS DOUBLE) AS n2
+       |  FROM bdims GROUP BY id),
+       |$routeBench$assignBench
+       |cand AS (
+       |  SELECT a.id AS cid, b.id AS bid
+       |  FROM askf a JOIN asbf b ON a.cell = b.cell),
+       |cdots AS (
+       |  SELECT c.cid, c.bid,
+       |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS dot
+       |  FROM cand c
+       |  JOIN dims da ON da.id = c.cid
+       |  JOIN bdims db ON db.id = c.bid AND db.d = da.d
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.cid, round(d.dot / (sqrt(cn.n2) * sqrt(bn.n2)), 6) AS score
+       |  FROM cdots d
+       |  JOIN norms cn ON cn.id = d.cid
+       |  JOIN bnorms bn ON bn.id = d.bid),
+       |hits AS (
+       |  SELECT cid AS id, CAST(count(*) AS BIGINT) AS n_hits,
+       |    max(score) AS max_score
+       |  FROM scored WHERE score >= 0.35 GROUP BY cid)
+       |SELECT v.id, coalesce(h.n_hits, 0) AS n_hits, h.max_score,
+       |  coalesce(h.n_hits, 0) > 0 AS flagged
+       |FROM (SELECT id FROM v) v
+       |LEFT JOIN hits h USING (id)
+       |ORDER BY id""".stripMargin
+  }
+
   /** DSIR importance resampling under a FULL oracle (q87) — the
     * data-SELECTION capability (Xie et al. 2023): pick the most
     * target-like quarter of every source's candidates, where
@@ -779,5 +850,6 @@ object CurationQueries {
     Q("q77_portable_lr_oracle", q77, Some(q77Sql)),
     Q("q72_fuzzy_decon_oracle", q72, Some(q72Sql)),
     Q("q86_semantic_decon_oracle", q86, Some(q86Sql), headline = true),
-    Q("q87_dsir_selection", q87, Some(q87Sql), headline = true))
+    Q("q87_dsir_selection", q87, Some(q87Sql), headline = true),
+    Q("q92_semantic_decon_twolevel", q92, Some(q92Sql)))
 }

@@ -758,6 +758,48 @@ class CurationSpec extends SparkSpec {
     assert(fbRows === out)
   }
 
+  test("semanticDecontaminateTwoLevel: supers=1 ≡ flat; planted paraphrases flagged at auto supers; partitioning-proof") {
+    import graft.operators.{Decontamination, KMeansPortable}
+    def v(a: Double, b: Double, c: Double, d: Double) = Seq(a, b, c, d)
+    val bench = Seq(
+      (100L, v(1.0, 0.02, 0.0, 0.0)),
+      (101L, v(0.0, 0.0, 1.0, 0.05)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, v(0.99, 0.03, 0.0, 0.01)),
+      (11L, v(0.6, 0.75, 0.0, 0.0)),
+      (12L, v(0.7, -0.6, 0.0, 0.0)),
+      (13L, v(0.0, 0.01, 0.98, 0.06)),
+      (14L, v(0.0, -0.9, 0.0, 0.4)))
+      .toDF("vec_id", "embedding")
+    // supers = 1 degenerates the two-level trainer to the flat one
+    // (spec-pinned in KMeansPortableSpec), so the DECON outputs must
+    // be identical row-for-row — the established degeneracy contract
+    val flat = Decontamination.semanticDecontaminate(corpus, bench,
+        KMeansPortable.trainModel(corpus, k = 2, iters = 2).centroids,
+        threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getBoolean(3))).sortBy(_._1).toSeq
+    val one = Decontamination.semanticDecontaminateTwoLevel(corpus,
+        bench, KMeansPortable.trainTwoLevel(corpus, nlist = 2,
+          iters = 2, supers = 1), threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(one === flat)
+    // auto supers: planted paraphrases still flagged, clean stays
+    // clean, and the result is partitioning-proof
+    val m = KMeansPortable.trainTwoLevel(corpus, nlist = 2, iters = 2)
+    val out = Decontamination.semanticDecontaminateTwoLevel(corpus,
+        bench, m, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(10L) && out(13L), "planted paraphrases flagged")
+    assert(!out(11L) && !out(12L) && !out(14L), "clean stays clean")
+    val rep = Decontamination.semanticDecontaminateTwoLevel(
+        corpus.repartition(7), bench, m, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(rep === out)
+  }
+
   test("semanticDecontaminate rejects a quantizer too coarse for the corpus (no cull to hide behind)") {
     import graft.operators.{Decontamination, KMeansPortable}
     // 30 corpus vectors into ONE cell with a bound of 8: this path
