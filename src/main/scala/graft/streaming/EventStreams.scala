@@ -445,17 +445,57 @@ object EventStreams {
       vecCol: String = "embedding", tsCol: String = "ts",
       watermarkDelay: String = "10 minutes",
       maxRetainedPerCell: Int = 10000): DataFrame = {
+    require(centroids.nonEmpty, "need a trained centroid matrix")
+    semanticAdmittedAssigned(vectors, corpusSurvivors,
+      base => graft.operators.KMeansPortable.assignCells(base, centroids),
+      threshold, idCol, vecCol, tsCol, watermarkDelay, maxRetainedPerCell)
+  }
+
+  /** [[semanticAdmittedStream]] over a TWO-LEVEL quantizer
+    * ([[graft.operators.KMeansPortable.trainTwoLevel]]) — the ingest
+    * sibling of `semanticDedupTwoLevel`/`semanticDecontaminateTwoLevel`,
+    * completing the hierarchical structure across batch AND stream:
+    * the routing is the S-literal argmin projection and the child
+    * argmin rides a stream-static BROADCAST join of the ≤nlist-row
+    * candidate-array relation (stateless, append-safe — the same
+    * plan shape as the batch assignment, and the corpus side assigns
+    * with the identical function so cells cannot drift). Everything
+    * downstream — corpus anti-join, per-cell watermarked state, the
+    * cap — is the single-sited admission body.
+    */
+  def semanticAdmittedStreamTwoLevel(vectors: DataFrame,
+      model: graft.operators.KMeansPortable.TwoLevelModel,
+      corpusSurvivors: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes",
+      maxRetainedPerCell: Int = 10000): DataFrame = {
+    require(model.nlist > 0, "need a trained two-level model")
+    semanticAdmittedAssigned(vectors, corpusSurvivors,
+      base => graft.operators.KMeansPortable
+        .assignCellsTwoLevel(base, model),
+      threshold, idCol, vecCol, tsCol, watermarkDelay, maxRetainedPerCell)
+  }
+
+  /** The shared admission body — assignment comes in as a function
+    * so the flat (centroid-literal argmin) and two-level (route +
+    * broadcast child argmin) structures share every downstream
+    * decision: anti-join predicate, retention window, state cap,
+    * (ts, id) ordering. Single-sited like the batch tails. */
+  private def semanticAdmittedAssigned(vectors: DataFrame,
+      corpusSurvivors: DataFrame, assign: DataFrame => DataFrame,
+      threshold: Double, idCol: String, vecCol: String, tsCol: String,
+      watermarkDelay: String, maxRetainedPerCell: Int): DataFrame = {
     import org.apache.spark.sql.graft.RhpExpressions
     val spark = vectors.sparkSession
     import spark.implicits._
-    require(centroids.nonEmpty, "need a trained centroid matrix")
     def withCells(df: DataFrame, id: Column, ts: Option[Column]): DataFrame = {
       val base = df.select(
         (Seq(id.cast("long").as("id"),
           col(vecCol).cast("array<double>").as("vec")) ++ ts.toSeq): _*)
         .withColumn("n2",
           RhpExpressions.decimalScaledDot(col("vec"), col("vec")))
-      graft.operators.KMeansPortable.assignCells(base, centroids)
+      assign(base)
     }
     val assigned = withCells(vectors, col(idCol), Some(col(tsCol).as("ts")))
       .withWatermark("ts", watermarkDelay)

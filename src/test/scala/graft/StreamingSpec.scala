@@ -452,6 +452,52 @@ class StreamingSpec extends SparkSpec {
     assert(gotIds === Set(11L, 13L))
   }
 
+  test("two-level streaming SemDeDup admission admits exactly the batch semanticDedupTwoLevel set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-semadm2l").toString
+    def v(a: Double, b: Double, c: Double, d: Double) = Seq(a, b, c, d)
+    val corpus = Seq(
+      (1L, v(1.0, 0.05, 0.0, 0.0)),
+      (2L, v(0.0, 1.0, 0.05, 0.0)),
+      (3L, v(0.6, 0.6, 0.0, 0.1)))
+      .toDF("vec_id", "embedding")
+    val model = graft.operators.KMeansPortable
+      .trainTwoLevel(corpus, nlist = 2, iters = 2)
+    val corpusKeep = graft.operators.Dedup
+      .semanticDedupTwoLevel(corpus, model, 0.95)
+      .filter(col("keep")).select(col("id"))
+    val corpusSurvivors = corpus.join(corpusKeep,
+      corpus("vec_id") === corpusKeep("id")).select("vec_id", "embedding")
+    assert(corpusSurvivors.count() === 3L)
+    val feed = Seq(
+      (10L, "2026-01-01 10:00:00", v(1.0, 0.055, 0.0, 0.0)),
+      (11L, "2026-01-01 10:00:01", v(0.0, 0.05, 1.0, 0.3)),
+      (12L, "2026-01-01 10:00:02", v(0.0, 0.05, 1.0, 0.31)),
+      (13L, "2026-01-01 10:00:03", v(0.0, 1.0, 0.5, 0.0)))
+      .toDF("vec_id", "ts_s", "embedding")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    feed.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(feed.schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.semanticAdmittedStreamTwoLevel(stream, model,
+        corpusSurvivors, 0.95),
+      "semadm2l_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val gotIds = spark.table("semadm2l_out")
+      .select("id").as[Long].collect().toSet
+    // the batch twin at the SAME structure: two-level dedup over
+    // corpus ∪ feed, admitted = new survivors untouched by corpus
+    val union = corpus.unionByName(feed.select("vec_id", "embedding"))
+    val groups = graft.operators.Dedup
+      .semanticDedupTwoLevel(union, model, 0.95)
+    val corpusGroups = groups.filter(col("id") <= 3L)
+      .select(col("group_id")).distinct()
+    val batchIds = groups.filter(col("id") > 3L && col("keep"))
+      .join(corpusGroups, Seq("group_id"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    assert(gotIds === batchIds)
+    assert(gotIds === Set(11L, 13L))
+  }
+
   test("semanticAdmittedStream: per-cell state cap keeps the newest entries (bounded-state trade — a near-dup of an evicted entry re-admits)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-semcap").toString
