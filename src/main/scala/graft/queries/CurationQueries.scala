@@ -636,30 +636,33 @@ object CurationQueries {
       .orderBy(col("id"))
   }
 
-  private val q86Sql = {
-    val iters = 2
-    val lloyd = graft.operators.KMeansPortable.lloydCtes(
-      "(SELECT * FROM embeddings WHERE vec_id % 97 <> 0)",
-      "vec_id", "embedding", k = 8, iters = iters)
-    val assignCorpus = graft.operators.KMeansPortable.assignmentCtes(
-      "ca", s"cd$iters")
-    val assignBench = graft.operators.KMeansPortable.assignmentCtes(
-      "cb", s"cd$iters", "bdims", "bnorms")
-    s"""WITH $lloyd$assignCorpus
-       |bv AS MATERIALIZED (
-       |  SELECT vec_id AS id, [CAST(x AS DOUBLE) for x in embedding] AS xs
-       |  FROM embeddings WHERE vec_id % 97 = 0),
-       |bdims AS MATERIALIZED (
-       |  SELECT id, generate_subscripts(xs, 1) - 1 AS d, unnest(xs) AS x
-       |  FROM bv),
-       |bnorms AS MATERIALIZED (
-       |  SELECT id, CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
-       |    AS DOUBLE) AS n2
-       |  FROM bdims GROUP BY id),
-       |$assignBench
-       |cand AS (
+  /** The bench-side vector scaffolding (bv/bdims/bnorms over the
+    * held-out 1/97 slice) + the decontamination scoring tail
+    * (cell-join candidates → decimal dots → rounded scores → per-
+    * corpus-id hits → LEFT-enumerated final frame) — ONE source for
+    * the q86/q92 oracle arithmetic, the oracle-side image of the
+    * Scala `decontaminateAssigned` single-siting (round-10 review).
+    * `corpusAssign`/`benchAssign` are (id, cell) relations; the
+    * caller supplies the training + assignment chains.
+    */
+  private def deconBenchCtes: String =
+    """bv AS MATERIALIZED (
+      |  SELECT vec_id AS id, [CAST(x AS DOUBLE) for x in embedding] AS xs
+      |  FROM embeddings WHERE vec_id % 97 = 0),
+      |bdims AS MATERIALIZED (
+      |  SELECT id, generate_subscripts(xs, 1) - 1 AS d, unnest(xs) AS x
+      |  FROM bv),
+      |bnorms AS MATERIALIZED (
+      |  SELECT id, CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+      |    AS DOUBLE) AS n2
+      |  FROM bdims GROUP BY id),
+      |""".stripMargin
+
+  private def deconTailSql(corpusAssign: String, benchAssign: String,
+      threshold: Double): String =
+    s"""cand AS (
        |  SELECT a.id AS cid, b.id AS bid
-       |  FROM asca a JOIN ascb b ON a.cell = b.cell),
+       |  FROM $corpusAssign a JOIN $benchAssign b ON a.cell = b.cell),
        |cdots AS (
        |  SELECT c.cid, c.bid,
        |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
@@ -676,12 +679,26 @@ object CurationQueries {
        |hits AS (
        |  SELECT cid AS id, CAST(count(*) AS BIGINT) AS n_hits,
        |    max(score) AS max_score
-       |  FROM scored WHERE score >= 0.35 GROUP BY cid)
+       |  FROM scored WHERE score >= $threshold GROUP BY cid)
        |SELECT v.id, coalesce(h.n_hits, 0) AS n_hits, h.max_score,
        |  coalesce(h.n_hits, 0) > 0 AS flagged
        |FROM (SELECT id FROM v) v
        |LEFT JOIN hits h USING (id)
        |ORDER BY id""".stripMargin
+
+  private val q86Sql = {
+    val iters = 2
+    val lloyd = graft.operators.KMeansPortable.lloydCtes(
+      "(SELECT * FROM embeddings WHERE vec_id % 97 <> 0)",
+      "vec_id", "embedding", k = 8, iters = iters)
+    val assignCorpus = graft.operators.KMeansPortable.assignmentCtes(
+      "ca", s"cd$iters")
+    val assignBench = graft.operators.KMeansPortable.assignmentCtes(
+      "cb", s"cd$iters", "bdims", "bnorms")
+    s"""WITH $lloyd$assignCorpus
+       |$deconBenchCtes
+       |$assignBench
+       |${deconTailSql("asca", "ascb", 0.35)}""".stripMargin
   }
 
   /** Two-level semantic decontamination under a FULL oracle (q92) —
@@ -717,42 +734,9 @@ object CurationQueries {
       "bf", s"ccd$iters", "bdims", "bnorms", "asbr",
       withFallback = true)
     s"""WITH $chain
-       |bv AS MATERIALIZED (
-       |  SELECT vec_id AS id, [CAST(x AS DOUBLE) for x in embedding] AS xs
-       |  FROM embeddings WHERE vec_id % 97 = 0),
-       |bdims AS MATERIALIZED (
-       |  SELECT id, generate_subscripts(xs, 1) - 1 AS d, unnest(xs) AS x
-       |  FROM bv),
-       |bnorms AS MATERIALIZED (
-       |  SELECT id, CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
-       |    AS DOUBLE) AS n2
-       |  FROM bdims GROUP BY id),
+       |$deconBenchCtes
        |$routeBench$assignBench
-       |cand AS (
-       |  SELECT a.id AS cid, b.id AS bid
-       |  FROM askf a JOIN asbf b ON a.cell = b.cell),
-       |cdots AS (
-       |  SELECT c.cid, c.bid,
-       |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
-       |      AS DOUBLE) AS dot
-       |  FROM cand c
-       |  JOIN dims da ON da.id = c.cid
-       |  JOIN bdims db ON db.id = c.bid AND db.d = da.d
-       |  GROUP BY 1, 2),
-       |scored AS (
-       |  SELECT d.cid, round(d.dot / (sqrt(cn.n2) * sqrt(bn.n2)), 6) AS score
-       |  FROM cdots d
-       |  JOIN norms cn ON cn.id = d.cid
-       |  JOIN bnorms bn ON bn.id = d.bid),
-       |hits AS (
-       |  SELECT cid AS id, CAST(count(*) AS BIGINT) AS n_hits,
-       |    max(score) AS max_score
-       |  FROM scored WHERE score >= 0.35 GROUP BY cid)
-       |SELECT v.id, coalesce(h.n_hits, 0) AS n_hits, h.max_score,
-       |  coalesce(h.n_hits, 0) > 0 AS flagged
-       |FROM (SELECT id FROM v) v
-       |LEFT JOIN hits h USING (id)
-       |ORDER BY id""".stripMargin
+       |${deconTailSql("askf", "asbf", 0.35)}""".stripMargin
   }
 
   /** DSIR importance resampling under a FULL oracle (q87) — the

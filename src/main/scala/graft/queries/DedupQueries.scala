@@ -567,6 +567,55 @@ object DedupQueries {
           .coarseCentroids, threshold = 0.35)
       .orderBy(col("id"))
 
+  /** The SemDeDup application tail as SQL — cull → within-cell
+    * decimal-cosine pair scan → symmetric edges → recursive min-label
+    * closure — ONE source for the arithmetic across every oracle that
+    * applies it (q76 fixture, q80 flat e2e, q90 two-level e2e, q91's
+    * corpus-dedup stage): the oracle-side image of the Scala
+    * `semanticDedupFromAssigned` single-siting (round-10 review).
+    * Reads the shared `dims`/`norms`; `assignRel` is (id, cell);
+    * emits `<p>sized … <p>comp` with NO trailing comma (most callers
+    * follow with the final SELECT — a caller appending further CTEs
+    * adds its own comma, unlike the assignmentCtes convention). Edges
+    * carry the explicit-DISTINCT wrapper (the q88 DuckDB-1.0
+    * sibling-UNION lesson) uniformly.
+    */
+  private def semanticTailCtes(assignRel: String, p: String,
+      threshold: Double, maxCellSize: Int = 10000): String =
+    s"""${p}sized AS (
+       |  SELECT id, cell FROM $assignRel
+       |  QUALIFY count(*) OVER (PARTITION BY cell) <= $maxCellSize),
+       |${p}pdots AS MATERIALIZED (
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS dot
+       |  FROM ${p}sized a JOIN ${p}sized b ON a.cell = b.cell AND a.id < b.id
+       |  JOIN dims da ON da.id = a.id
+       |  JOIN dims db ON db.id = b.id AND db.d = da.d
+       |  GROUP BY 1, 2),
+       |${p}e0 AS (
+       |  SELECT q.a_id AS a, q.b_id AS b FROM ${p}pdots q
+       |  JOIN norms na ON na.id = q.a_id
+       |  JOIN norms nb ON nb.id = q.b_id
+       |  WHERE round(q.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= $threshold),
+       |${p}edges AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM ${p}e0 UNION ALL SELECT b, a FROM ${p}e0)),
+       |${p}walk(node, label) AS (
+       |  SELECT a, a FROM ${p}edges
+       |  UNION
+       |  SELECT e.b, w.label FROM ${p}walk w JOIN ${p}edges e ON e.a = w.node),
+       |${p}comp AS MATERIALIZED (
+       |  SELECT node, min(label) AS component FROM ${p}walk GROUP BY node)""".stripMargin
+
+  /** The standard survivor frame over [[semanticTailCtes]]'s comp:
+    * one row per `v` id, min-member group, keep flag. */
+  private val semanticSurvivorSelect: String =
+    """SELECT v.id, CAST(coalesce(c.component, v.id) AS BIGINT) AS group_id,
+      |  v.id = coalesce(c.component, v.id) AS keep
+      |FROM v LEFT JOIN comp c ON c.node = v.id
+      |ORDER BY v.id""".stripMargin
+
   private val q76Sql = {
     val cents = graft.operators.SimilaritySearch.loadFixtureArtifacts()
       .coarseCentroids
@@ -590,32 +639,8 @@ object DedupQueries {
        |  SELECT j, generate_subscripts(cs, 1) - 1 AS d, unnest(cs) AS c
        |  FROM cents),
        |${KMeansPortable.assignmentCtes("p", "cdims")}
-       |sized AS (
-       |  SELECT id, cell FROM asp
-       |  QUALIFY count(*) OVER (PARTITION BY cell) <= 10000),
-       |pdots AS (
-       |  SELECT a.id AS a_id, b.id AS b_id,
-       |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
-       |      AS DOUBLE) AS dot
-       |  FROM sized a JOIN sized b ON a.cell = b.cell AND a.id < b.id
-       |  JOIN dims da ON da.id = a.id
-       |  JOIN dims db ON db.id = b.id AND db.d = da.d
-       |  GROUP BY 1, 2),
-       |e0 AS (
-       |  SELECT p.a_id AS a, p.b_id AS b FROM pdots p
-       |  JOIN norms na ON na.id = p.a_id
-       |  JOIN norms nb ON nb.id = p.b_id
-       |  WHERE round(p.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35),
-       |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
-       |walk(node, label) AS (
-       |  SELECT a, a FROM edges
-       |  UNION
-       |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
-       |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
-       |SELECT v.id, CAST(coalesce(c.component, v.id) AS BIGINT) AS group_id,
-       |  v.id = coalesce(c.component, v.id) AS keep
-       |FROM v LEFT JOIN comp c ON c.node = v.id
-       |ORDER BY v.id""".stripMargin
+       |${semanticTailCtes("asp", "", 0.35)}
+       |$semanticSurvivorSelect""".stripMargin
   }
 
   /** Portable Lloyd k-means training under a FULL DuckDB oracle
@@ -666,38 +691,14 @@ object DedupQueries {
     val assign = KMeansPortable.assignmentCtes("f", "cd3")
     s"""WITH RECURSIVE $lloyd
        |$assign
-       |sized AS (
-       |  SELECT id, cell FROM asf
-       |  QUALIFY count(*) OVER (PARTITION BY cell) <= 10000),
-       |pdots AS (
-       |  SELECT a.id AS a_id, b.id AS b_id,
-       |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
-       |      AS DOUBLE) AS dot
-       |  FROM sized a JOIN sized b ON a.cell = b.cell AND a.id < b.id
-       |  JOIN dims da ON da.id = a.id
-       |  JOIN dims db ON db.id = b.id AND db.d = da.d
-       |  GROUP BY 1, 2),
-       |e0 AS (
-       |  SELECT p.a_id AS a, p.b_id AS b FROM pdots p
-       |  JOIN norms na ON na.id = p.a_id
-       |  JOIN norms nb ON nb.id = p.b_id
-       |  WHERE round(p.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35),
-       |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
-       |walk(node, label) AS (
-       |  SELECT a, a FROM edges
-       |  UNION
-       |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
-       |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
-       |SELECT v.id, CAST(coalesce(c.component, v.id) AS BIGINT) AS group_id,
-       |  v.id = coalesce(c.component, v.id) AS keep
-       |FROM v LEFT JOIN comp c ON c.node = v.id
-       |ORDER BY v.id""".stripMargin
+       |${semanticTailCtes("asf", "", 0.35)}
+       |$semanticSurvivorSelect""".stripMargin
   }
 
   /** END-TO-END TWO-LEVEL SemDeDup under ONE oracle (q90): the q80
     * statement for the hierarchical quantizer — the structure the
     * 100× measurement picked (SCALE.md round 10: flat ∝N argmin
-    * 1301 s → two-level 286 s at 100×). The oracle re-derives the
+    * 1075.8 s solo → two-level 285.7 s at 100×). The oracle re-derives the
     * ENTIRE [[KMeansPortable.trainTwoLevel]] walk from the parquet
     * bytes: super Lloyd, routing, the largest-remainder child
     * allocation (window-SQL replay of the Scala stable sort),
@@ -721,32 +722,8 @@ object DedupQueries {
     val chain = KMeansPortable.twoLevelCtes("embeddings", "vec_id",
       "embedding", nlist = 8, iters = 3)
     s"""WITH RECURSIVE $chain
-       |sized AS (
-       |  SELECT id, cell FROM askf
-       |  QUALIFY count(*) OVER (PARTITION BY cell) <= 10000),
-       |pdots AS (
-       |  SELECT a.id AS a_id, b.id AS b_id,
-       |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
-       |      AS DOUBLE) AS dot
-       |  FROM sized a JOIN sized b ON a.cell = b.cell AND a.id < b.id
-       |  JOIN dims da ON da.id = a.id
-       |  JOIN dims db ON db.id = b.id AND db.d = da.d
-       |  GROUP BY 1, 2),
-       |e0 AS (
-       |  SELECT p.a_id AS a, p.b_id AS b FROM pdots p
-       |  JOIN norms na ON na.id = p.a_id
-       |  JOIN norms nb ON nb.id = p.b_id
-       |  WHERE round(p.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35),
-       |edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
-       |walk(node, label) AS (
-       |  SELECT a, a FROM edges
-       |  UNION
-       |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
-       |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
-       |SELECT v.id, CAST(coalesce(c.component, v.id) AS BIGINT) AS group_id,
-       |  v.id = coalesce(c.component, v.id) AS keep
-       |FROM v LEFT JOIN comp c ON c.node = v.id
-       |ORDER BY v.id""".stripMargin
+       |${semanticTailCtes("askf", "", 0.35)}
+       |$semanticSurvivorSelect""".stripMargin
   }
 
   /** INCREMENTAL semantic admission under ONE oracle (q91): the
@@ -803,31 +780,7 @@ object DedupQueries {
        |  SELECT id, cell FROM asp WHERE id % 7 = 0),
        |corp0 AS MATERIALIZED (
        |  SELECT id, cell FROM asp WHERE id % 7 <> 0),
-       |csized AS MATERIALIZED (
-       |  SELECT id, cell FROM corp0
-       |  QUALIFY count(*) OVER (PARTITION BY cell) <= 10000),
-       |cpd AS MATERIALIZED (
-       |  SELECT a.id AS a_id, b.id AS b_id,
-       |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
-       |      AS DOUBLE) AS dot
-       |  FROM csized a JOIN csized b ON a.cell = b.cell AND a.id < b.id
-       |  JOIN dims da ON da.id = a.id
-       |  JOIN dims db ON db.id = b.id AND db.d = da.d
-       |  GROUP BY 1, 2),
-       |ce0 AS (
-       |  SELECT p.a_id AS a, p.b_id AS b FROM cpd p
-       |  JOIN norms na ON na.id = p.a_id
-       |  JOIN norms nb ON nb.id = p.b_id
-       |  WHERE round(p.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35),
-       |cedges AS MATERIALIZED (
-       |  SELECT DISTINCT a, b FROM (
-       |    SELECT a, b FROM ce0 UNION ALL SELECT b, a FROM ce0)),
-       |cwalk(node, label) AS (
-       |  SELECT a, a FROM cedges
-       |  UNION
-       |  SELECT e.b, w.label FROM cwalk w JOIN cedges e ON e.a = w.node),
-       |ccomp AS MATERIALIZED (
-       |  SELECT node, min(label) AS component FROM cwalk GROUP BY node),
+       |${semanticTailCtes("corp0", "c", 0.35)},
        |surv AS MATERIALIZED (
        |  SELECT c.id, c.cell FROM corp0 c
        |  LEFT JOIN ccomp k ON k.node = c.id
