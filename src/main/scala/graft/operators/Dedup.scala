@@ -532,10 +532,48 @@ object Dedup {
       idCol: String = "vec_id", vecCol: String = "embedding",
       ccCollectThreshold: Long =
         ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
-    import org.apache.spark.sql.graft.RhpExpressions
     require(centroids.nonEmpty)
+    admitIncrementalAssigned(newVecs, corpusSurvivors,
+      KMeansPortable.assignCells(_, centroids), centroids.length,
+      threshold, maxCellSize, idCol, vecCol, ccCollectThreshold)
+  }
+
+  /** [[admitIncrementalSemantic]] over a TWO-LEVEL quantizer — the
+    * batch-ingest member of the hierarchical family
+    * (`semanticDedupTwoLevel` / `semanticDecontaminateTwoLevel` /
+    * `semanticAdmittedStreamTwoLevel`), for the corpus-sized-nlist
+    * regime where the flat argmin is the measured assignment
+    * bottleneck (SCALE.md round 10). Both sides assign through
+    * [[KMeansPortable.assignCellsTwoLevel]] — childless-super rows
+    * share per-super pseudo-cells across the two sides, so a fresh
+    * vector in an empty-in-training coarse region still checks
+    * against corpus rows there. Cull/pair/closure/admission are the
+    * single-sited body.
+    */
+  def admitIncrementalSemanticTwoLevel(newVecs: DataFrame,
+      corpusSurvivors: DataFrame, model: KMeansPortable.TwoLevelModel,
+      threshold: Double, maxCellSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      ccCollectThreshold: Long =
+        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
+    require(model.nlist > 0)
+    admitIncrementalAssigned(newVecs, corpusSurvivors,
+      KMeansPortable.assignCellsTwoLevel(_, model), model.nlist,
+      threshold, maxCellSize, idCol, vecCol, ccCollectThreshold)
+  }
+
+  /** The shared incremental-admission body — assignment injected so
+    * the flat and two-level structures share every downstream
+    * decision (union cull, id negation, pair predicate, closure,
+    * admission rule); the streaming/dedup/decon tail discipline. */
+  private def admitIncrementalAssigned(newVecs: DataFrame,
+      corpusSurvivors: DataFrame, assign: DataFrame => DataFrame,
+      nlist: Int, threshold: Double, maxCellSize: Int,
+      idCol: String, vecCol: String,
+      ccCollectThreshold: Long): DataFrame = {
+    import org.apache.spark.sql.graft.RhpExpressions
     def baseOf(df: DataFrame): DataFrame =
-      KMeansPortable.assignCells(
+      assign(
         Par.ensureWide(df).select(
           when(col(idCol).cast("long") >= 0, col(idCol).cast("long"))
             .otherwise(raise_error(concat(
@@ -544,12 +582,15 @@ object Dedup {
               col(idCol).cast("string"))).cast("long")).as("id"),
           col(vecCol).cast("array<double>").as("vec"))
           .withColumn("n2",
-            RhpExpressions.decimalScaledDot(col("vec"), col("vec"))),
-        centroids)
+            RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
+        // normalize the assigned schema: the two-level assignment
+        // also carries its routing column, which must not reach the
+        // fresh∪corp unionByName below
+        .select(col("id"), col("vec"), col("n2"), col("cell"))
     val fresh = graft.CacheScope.track(baseOf(newVecs))
     val corp = graft.CacheScope.track(baseOf(corpusSurvivors))
     KMeansPortable.requireBoundedCells("admitIncrementalSemantic",
-      fresh.count() + corp.count(), centroids.length, maxCellSize)
+      fresh.count() + corp.count(), nlist, maxCellSize)
     // cull on the UNION cell population — the batch twin's cull
     val oversized = fresh.select(col("cell"))
       .unionByName(corp.select(col("cell")))

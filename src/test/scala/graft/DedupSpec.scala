@@ -509,4 +509,37 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("non-negative"))
   }
+
+  test("admitIncrementalSemanticTwoLevel ≡ semanticDedupTwoLevel over corpus ∪ batch") {
+    def v(a: Double, b: Double, c: Double, d: Double) = Seq(a, b, c, d)
+    val corpus = Seq(
+      (1L, v(1.0, 0.05, 0.0, 0.0)),
+      (2L, v(0.0, 1.0, 0.05, 0.0)),
+      (3L, v(0.6, 0.6, 0.0, 0.1)))
+      .toDF("vec_id", "embedding")
+    val m = graft.operators.KMeansPortable.trainTwoLevel(corpus,
+      nlist = 2, iters = 2)
+    // same planted structure as the flat spec: 10 near corpus 1
+    // (reject), 11 novel (admit), 12 near 11 (reject), 13 novel
+    // (admit), 14 transitively corpus-touching via 10 (reject)
+    val batch = Seq(
+      (10L, v(1.0, 0.055, 0.0, 0.0)),
+      (11L, v(0.0, 0.05, 1.0, 0.3)),
+      (12L, v(0.0, 0.05, 1.0, 0.31)),
+      (13L, v(0.0, 1.0, 0.5, 0.0)),
+      (14L, v(1.0, 0.06, 0.001, 0.0)))
+      .toDF("vec_id", "embedding")
+    val union = corpus.unionByName(batch)
+    val groups = Dedup.semanticDedupTwoLevel(union, m, 0.95)
+    val corpusGroups = groups.filter(col("id") <= 3L)
+      .select(col("group_id")).distinct()
+    val twin = groups.filter(col("id") > 3L && col("keep"))
+      .join(corpusGroups, Seq("group_id"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    val got = Dedup.admitIncrementalSemanticTwoLevel(batch, corpus, m,
+        threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === twin)
+    assert(got === Set(11L, 13L))
+  }
 }
