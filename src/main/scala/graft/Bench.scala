@@ -57,6 +57,11 @@ object Bench {
     // crash in minBy over an empty timing vector
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
+    // parsed HERE, not after the timed passes (ADVICE r10): a
+    // malformed value must fail before warmup, not discard a full
+    // suite's measurements from inside the quiet section
+    val quietN = sys.env.getOrElse("SPARK_GRAFT_QUIET_N", "10").toInt
+    require(quietN >= 0, s"SPARK_GRAFT_QUIET_N must be >= 0, got $quietN")
     var warmupFailures = 0
     val fns = SparkEntry.queries
     names.foreach { name =>
@@ -152,7 +157,6 @@ object Bench {
     // outside the window. The child inherits this JVM's input args
     // (add-opens, -Xmx, -D flags) and classpath, so "quiet" IS an
     // independent RunOne measurement by construction.
-    val quietN = sys.env.getOrElse("SPARK_GRAFT_QUIET_N", "10").toInt
     // Gate on ACTUAL busy cores (the round-9 ext_cores sentinel), not
     // the 1-minute load average: load_1m lags ~2 min behind reality —
     // after a child's 32-core burst exits, the box is instantly idle

@@ -608,8 +608,13 @@ object PlanAudit {
         // widenings (keyless repartitions that spread a narrow scan
         // across the box) — benign, but counted by the cap; printing
         // the split keeps every pin's real-vs-widening composition a
-        // mechanical fact instead of a comment claim
-        val widen = "RoundRobinPartitioning".r.findAllIn(plan).size
+        // mechanical fact instead of a comment claim. Count only the
+        // numbered Exchange nodes' own Arguments lines (ADVICE r10):
+        // cached-relation details and the codegen section repeat
+        // exchange text in tree form, which would let the split
+        // exceed the node count it is a split OF
+        val widen = "Arguments: RoundRobinPartitioning".r
+          .findAllIn(plan).size
         val ok = n <= cap
         if (!ok) failures += 1
         println(s"${if (ok) "PASS" else "FAIL"}  ${c.query}: " +

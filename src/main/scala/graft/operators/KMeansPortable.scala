@@ -85,7 +85,10 @@ object KMeansPortable {
     require(targetCellSize > 0, s"targetCellSize must be positive; " +
       s"got $targetCellSize")
     require(n >= 0, s"corpus size must be non-negative; got $n")
-    val raw = (n + targetCellSize - 1) / targetCellSize
+    // overflow-safe ceiling division (ADVICE r10): n + target - 1
+    // wraps negative for n within target of Long.MaxValue and would
+    // clamp DOWN to 1 — the opposite of the intended direction
+    val raw = n / targetCellSize + (if (n % targetCellSize > 0) 1L else 0L)
     math.min(math.max(raw, 1L), MaxAutoNlist.toLong).toInt
   }
 
@@ -247,9 +250,14 @@ object KMeansPortable {
   /** Train a two-level quantizer: Lloyd over S = ⌈√nlist⌉ supers,
     * route, then Lloyd over per-super children (child count
     * proportional to super population, ≥ 1, largest-remainder so
-    * totals hit `nlist` when every super has enough members; a
-    * starved super keeps fewer). Driver state: (S + nlist)·dim
-    * scalars — the Lloyd bound, corpus-size-independent.
+    * totals hit `nlist` — a positive remainder is distributed
+    * largest-frac-first, and an over-allocation (many low-population
+    * supers riding the ≥ 1 floor — ADVICE r10) is reclaimed from
+    * donors with base > 1, smallest-frac-first, so Σ children = nlist
+    * exactly whenever supers ≤ nlist (required); a starved super
+    * (population below its allocation) still keeps fewer. Driver
+    * state: (S + nlist)·dim scalars — the Lloyd bound,
+    * corpus-size-independent.
     */
   def trainTwoLevel(vectors: DataFrame, nlist: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -262,6 +270,9 @@ object KMeansPortable {
     // lets the gates stay flat while the scale path goes two-level
     val s = if (supers > 0) supers
       else math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    // the reclaim guarantee below (Σ children = nlist) needs every
+    // populated super's ≥1 floor to fit inside nlist
+    require(s <= nlist, s"supers=$s must not exceed nlist=$nlist")
     val superModel = trainModel(vectors, k = s, iters = iters, idCol, vecCol)
     val base = graft.CacheScope.track(Par.ensureWide(vectors)
       .select(col(idCol).cast("long").as("id"),
@@ -290,6 +301,24 @@ object KMeansPortable {
     raw.sortBy(-_._3).foreach { case (i, _, _) =>
       if (remaining > 0 && counts.getOrElse(i, 0L) > ks(i)) {
         ks(i) += 1; remaining -= 1
+      }
+    }
+    // over-allocation reclaim (ADVICE r10): Σ max(1, ⌊exact⌋) exceeds
+    // nlist when low-population supers ride the ≥1 floor; the excess
+    // comes back from donors with base > 1, smallest frac first (ties
+    // super ASC — the order the SQL replay's window mirrors), each
+    // donating down to its own floor of 1. Donor capacity
+    // Σ(base−1) = Σbase − #populated ≥ Σbase − nlist = the excess
+    // whenever supers ≤ nlist (the require above), so one cumulative
+    // pass always restores Σ = nlist exactly.
+    var over = -remaining
+    if (over > 0) {
+      raw.filter(_._2 > 1).sortBy(r => (r._3, r._1)).foreach {
+        case (i, base, _) =>
+          if (over > 0) {
+            val take = math.min(over, base - 1)
+            ks(i) -= take; over -= take
+          }
       }
     }
     (0 until s).foreach(i =>
@@ -456,7 +485,11 @@ object KMeansPortable {
     * IEEE division — identical in both engines), base =
     * max(1, trunc(exact)) per populated super, +1 to the first
     * `remaining` supers eligible (n > base) in (frac DESC, super ASC)
-    * order — the Scala stable-sort tie-break — then a final cap at
+    * order — the Scala stable-sort tie-break — an over-allocation
+    * (negative remaining) reclaimed from donors with base > 1 by
+    * cumulative capacity in (frac ASC, super ASC) order (the `don`
+    * CTE — the ADVICE-r10 reclaim, decision-for-decision the Scala
+    * walk), then a final cap at
     * the super's population. Child ids are global and consecutive in
     * (super, id) seed order, exactly the Scala seed walk. Empty
     * supers never appear in `scnt`, so they contribute 0 to the base
@@ -484,12 +517,21 @@ object KMeansPortable {
          |elig AS (
          |  SELECT super, row_number() OVER (ORDER BY frac DESC, super) AS rk
          |  FROM alloc0 WHERE n > base),
+         |don AS (
+         |  SELECT super, base - 1 AS cap,
+         |    sum(base - 1) OVER (ORDER BY frac, super
+         |      ROWS UNBOUNDED PRECEDING) AS cumcap
+         |  FROM alloc0 WHERE base > 1),
          |alloc AS MATERIALIZED (
          |  SELECT a.super,
          |    LEAST(CAST(a.n AS INT), a.base + CASE
          |      WHEN e.rk IS NOT NULL AND e.rk <= GREATEST(r.remaining, 0)
-         |      THEN 1 ELSE 0 END) AS k
-         |  FROM alloc0 a LEFT JOIN elig e ON e.super = a.super, rem r),
+         |      THEN 1 ELSE 0 END
+         |      - CAST(coalesce(GREATEST(LEAST(d.cap,
+         |          GREATEST(-r.remaining, 0) - (d.cumcap - d.cap)), 0), 0)
+         |        AS INT)) AS k
+         |  FROM alloc0 a LEFT JOIN elig e ON e.super = a.super
+         |  LEFT JOIN don d ON d.super = a.super, rem r),
          |seedids AS MATERIALIZED (
          |  SELECT q.super, q.id,
          |    row_number() OVER (ORDER BY q.super, q.id) - 1 AS j
