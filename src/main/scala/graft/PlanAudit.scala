@@ -448,6 +448,24 @@ object PlanAudit {
       // sort — real keyed shuffles (the base's ensureWide rides inside
       // the cached lineage, see the printed split)
       maxShuffleExchanges = Some(4)),
+    // q93: two-level IVF-PQ end-to-end — the q85 statement at the
+    // hierarchical coarse quantizer: both trainers are driver-side
+    // Lloyd state (outside the final frame); routing and the child
+    // argmin/probe ride ONE broadcast candidate-array join (never an
+    // nlist-sized codegen body, never a vector shuffle); the frame
+    // re-derives encode+reconstruct as a zero-shuffle projection over
+    // the cached routed base
+    Check("q93_ivfpq_twolevel_oracle",
+      mustContain = Seq("BroadcastHashJoin", "InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // [MEASURED] 4 = the round-11 counted plan (sf0.001 AND sf0.01,
+      // identical): 2 Par.ensureWide RoundRobin widenings inside the
+      // cached base/routed lineages + the shortlist/top-k aggregation
+      // keying on anchor_id + the presentation sort — one real keyed
+      // exchange FEWER than flat q85 (the probe's broadcast
+      // candidate join replaces a rescore keying exchange)
+      maxShuffleExchanges = Some(4)),
     // q92: the q86 statement at the two-level quantizer — the child
     // argmin's candidate arrays ride as BROADCASTS (never shuffles),
     // so the frame's exchange composition is identical to q86's

@@ -43,31 +43,34 @@ import org.apache.spark.sql.graft.RhpExpressions
   * zero-shuffle projection; candidate routing is an equi-join on the
   * cell id; only the nprobe/nlist fraction of the corpus is scored
   * per anchor and the rerank set is `rerank` ids per anchor.
+  *
+  * TWO structures for the coarse quantizer (the SemDeDup-family
+  * split, SCALE.md round 10): [[topK]] is the flat argmin — a single
+  * nlist-literal expression, measured unusable at the ∝N operating
+  * point nlist ≈ 800 — and [[topKTwoLevel]] is the hierarchical
+  * (IMI/FAISS-shaped) one: route to S ≈ √nlist supers, then argmin /
+  * rank only that super's children via ONE broadcast candidate-array
+  * join — O(N·2√nlist·dim), no nlist-sized codegen body anywhere.
+  * supers = 1 degenerates to the flat path EXACTLY (spec-pinned);
+  * the subspace CODEBOOKS stay flat in both (ksub is bounded by
+  * construction — 256 at 8-bit codes — never corpus-sized).
   */
 object IvfPqPortable {
 
-  /** End-to-end portable IVF-PQ top-k: (anchor_id, rank, neighbor_id,
-    * score), score = round(cosine, 6), rank 1..k per anchor.
-    * `anchorPred` is evaluated against the renamed `id` column (the
-    * [[SimilaritySearch]] convention). dim must be divisible by `m`.
-    */
-  def topK(vectors: DataFrame, anchorPred: Column, k: Int,
-      nlist: Int, coarseIters: Int, m: Int, ksub: Int, subIters: Int,
-      nprobe: Int, rerank: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Probe the vector width and build the cached uniform-checked
+    * (id, vec, n2) base — shared by both coarse structures. A ragged
+    * corpus (mixed widths) or null vectors would otherwise slice
+    * residuals silently wrong downstream (ADVICE r9); the per-row
+    * guard costs zero on the happy path and fails the FIRST job
+    * loudly (round-10 review). */
+  private def checkedBase(vectors: DataFrame, idCol: String,
+      vecCol: String): (DataFrame, Int) = {
     // fail the (m, dim) contract BEFORE paying a full coarse training
     // job (review r9): one head row answers it in milliseconds
     val dimRow = vectors.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol))).limit(1).collect()
     require(dimRow.nonEmpty, "topK: empty or all-null vector set")
     val dim = dimRow(0).getInt(0)
-    require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val dsub = dim / m
-    // dim was probed from ONE row; a ragged corpus (mixed widths) or
-    // null vectors would otherwise slice residuals silently wrong
-    // downstream (ADVICE r9). Enforce uniformity per-row at zero
-    // happy-path cost — the admitIncremental raise_error discipline —
-    // so the first deviant row fails the job loudly instead.
     val checkedVec = when(col(vecCol).isNotNull &&
         size(col(vecCol)) === lit(dim), col(vecCol).cast("array<double>"))
       .otherwise(raise_error(concat(
@@ -81,23 +84,20 @@ object IvfPqPortable {
         checkedVec.as("vec"))
       .withColumn("n2",
         RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
+    (base, dim)
+  }
 
-    // ---- training (driver state: nlist·dim + m·ksub·dsub scalars).
-    // Trains through the CHECKED base, not the raw input, so the
-    // ragged-dim guard covers the FIRST job — otherwise coarse Lloyd
-    // would run to completion on silently-truncated dots before the
-    // guard fires (round-10 review); values are identical for a
-    // uniform corpus (same cast, same id order, same seeds) and the
-    // training now reads the cache the encode stage needs anyway
-    val coarse = KMeansPortable.trainModel(
-      base.select(col("id"), col("vec")), nlist, coarseIters,
-      "id", "vec").centroids
-    val centsLit = typedLit(coarse.map(_.toSeq).toSeq)
-    // residuals once, shared by all m subspace trainings + encoding
-    val withRes = graft.CacheScope.track(
-      KMeansPortable.assignCells(base, coarse)
-        .withColumn("rvec", zip_with(col("vec"),
-          element_at(centsLit, col("cell") + 1), (x, c) => x - c)))
+  /** The shared back half of both coarse structures: per-subspace
+    * codebook training on the residuals, the fused encode +
+    * reconstruct projection, ADC scoring against the probed cells,
+    * shortlist rerank and the exact final top-k. `withRes` must carry
+    * (id, cell, rvec); `centsLit` is the per-CELL centroid matrix the
+    * residuals were taken against (coarse for flat, children for
+    * two-level); `probeCells` carries (anchor_id, a_vec, cell).
+    */
+  private def encodeAndScore(base: DataFrame, withRes: DataFrame,
+      centsLit: Column, probeCells: DataFrame, k: Int, m: Int,
+      ksub: Int, subIters: Int, rerank: Int, dsub: Int): DataFrame = {
     val codebooks = (0 until m).map { j =>
       KMeansPortable.trainModel(
         withRes.select(col("id"),
@@ -107,7 +107,7 @@ object IvfPqPortable {
 
     // ---- encode + reconstruct: ONE zero-shuffle projection — each
     // code is the Lloyd assignment of the residual slice, the
-    // reconstruction re-adds the coarse centroid
+    // reconstruction re-adds the cell centroid
     val codeCols = (0 until m).map { j =>
       val sl = slice(col("rvec"), j * dsub + 1, dsub)
       KMeansPortable.cellExpr(sl,
@@ -120,19 +120,6 @@ object IvfPqPortable {
     val encoded = withRes.select(col("id").as("nid"), col("cell"),
       zip_with(element_at(centsLit, col("cell") + 1),
         concat(cwCols: _*), (c, w) => c + w).as("recon"))
-
-    // ---- candidate routing: each anchor probes its nprobe nearest
-    // cells under the SAME decimal distance + lowest-index tie rule
-    // as the assignment (array_sort on (d, j) structs == the oracle's
-    // ORDER BY dist, j window)
-    val anchors = base.filter(anchorPred)
-    val probeCells = anchors.select(col("id").as("anchor_id"),
-        col("vec").as("a_vec"), col("n2").as("a_n2"),
-        explode(slice(array_sort(array(
-          KMeansPortable.distStructs(col("vec"), col("n2"), coarse): _*)),
-          1, nprobe)).as("pc"))
-      .select(col("anchor_id"), col("a_vec"), col("a_n2"),
-        col("pc.j").as("cell"))
 
     // ---- ADC approximation + shortlist (top `rerank` per anchor by
     // approx DESC, neighbor id ASC — TopKByScore's tie rule)
@@ -157,32 +144,123 @@ object IvfPqPortable {
     SimilaritySearch.rankTopK(scored, k)
   }
 
-  /** The DuckDB re-derivation of [[topK]] — composes one prefixed
-    * [[KMeansPortable.lloydCtes]] chain for the coarse quantizer and
-    * one per subspace (over the residual-slice relations), the shared
-    * [[KMeansPortable.assignmentCtes]] for corpus assignment and PQ
-    * encoding, then reconstruction, routing, ADC, rerank and top-k as
-    * plain SQL over the same decimal arithmetic. `anchorPredSql` is a
-    * predicate over `id`.
+  /** End-to-end portable IVF-PQ top-k with the FLAT coarse quantizer:
+    * (anchor_id, rank, neighbor_id, score), score = round(cosine, 6),
+    * rank 1..k per anchor. `anchorPred` is evaluated against the
+    * renamed `id` column (the [[SimilaritySearch]] convention). dim
+    * must be divisible by `m`.
     */
-  def oracleSql(table: String, idCol: String, vecCol: String, k: Int,
+  def topK(vectors: DataFrame, anchorPred: Column, k: Int,
       nlist: Int, coarseIters: Int, m: Int, ksub: Int, subIters: Int,
-      nprobe: Int, rerank: Int, dim: Int,
-      anchorPredSql: String): String = {
+      nprobe: Int, rerank: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (base, dim) = checkedBase(vectors, idCol, vecCol)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    val cCd = s"c_cd$coarseIters"
-    val sb = new StringBuilder("WITH ")
-    sb ++= KMeansPortable.lloydCtes(table, idCol, vecCol, nlist,
-      coarseIters, "c_")
-    // corpus cell assignment against the trained coarse centroids
-    sb ++= KMeansPortable.assignmentCtes("ca", cCd, "c_dims", "c_norms")
+
+    // ---- training (driver state: nlist·dim + m·ksub·dsub scalars).
+    // Trains through the CHECKED base, not the raw input, so the
+    // ragged-dim guard covers the FIRST job — otherwise coarse Lloyd
+    // would run to completion on silently-truncated dots before the
+    // guard fires (round-10 review); values are identical for a
+    // uniform corpus (same cast, same id order, same seeds) and the
+    // training now reads the cache the encode stage needs anyway
+    val coarse = KMeansPortable.trainModel(
+      base.select(col("id"), col("vec")), nlist, coarseIters,
+      "id", "vec").centroids
+    val centsLit = typedLit(coarse.map(_.toSeq).toSeq)
+    // residuals once, shared by all m subspace trainings + encoding
+    val withRes = graft.CacheScope.track(
+      KMeansPortable.assignCells(base, coarse)
+        .withColumn("rvec", zip_with(col("vec"),
+          element_at(centsLit, col("cell") + 1), (x, c) => x - c)))
+
+    // ---- candidate routing: each anchor probes its nprobe nearest
+    // cells under the SAME decimal distance + lowest-index tie rule
+    // as the assignment (array_sort on (d, j) structs == the oracle's
+    // ORDER BY dist, j window)
+    val anchors = base.filter(anchorPred)
+    val probeCells = anchors.select(col("id").as("anchor_id"),
+        col("vec").as("a_vec"),
+        explode(slice(array_sort(array(
+          KMeansPortable.distStructs(col("vec"), col("n2"), coarse): _*)),
+          1, nprobe)).as("pc"))
+      .select(col("anchor_id"), col("a_vec"), col("pc.j").as("cell"))
+    encodeAndScore(base, withRes, centsLit, probeCells, k, m, ksub,
+      subIters, rerank, dsub)
+  }
+
+  /** [[topK]] with the TWO-LEVEL coarse quantizer — the structure for
+    * corpus-sized nlist (the reference sizes its index to the corpus,
+    * `Docs/SIMILARITY-PLAN.md:55-75`; at nlist ∝ N the flat argmin is
+    * the measured 1075.8 s / megabyte-codegen bottleneck, SCALE.md
+    * round 10). Training is [[KMeansPortable.trainTwoLevel]]; corpus
+    * assignment routes then child-argmins through ONE broadcast
+    * candidate-array join; anchors probe the top-nprobe children OF
+    * THEIR ROUTED SUPER ([[KMeansPortable.probeChildren]] — the IVF
+    * recall trade: a neighbor under another super is invisible, the
+    * same approximation the routing itself makes). Residuals and
+    * reconstruction use the CHILD centroid (the cell the vector
+    * actually lives in). supers = 1 degenerates to [[topK]] EXACTLY:
+    * one super holds every child, so routing is constant, the child
+    * argmin/ranking candidates are all nlist cells under the same
+    * (d, j) order, and training seeds/means coincide (spec-pinned).
+    * Operates on the training corpus, where every routed super is
+    * populated — the childless-super fallback never fires.
+    */
+  def topKTwoLevel(vectors: DataFrame, anchorPred: Column, k: Int,
+      nlist: Int, coarseIters: Int, m: Int, ksub: Int, subIters: Int,
+      nprobe: Int, rerank: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      supers: Int = 0): DataFrame = {
+    val (base, dim) = checkedBase(vectors, idCol, vecCol)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val tl = KMeansPortable.trainTwoLevel(
+      base.select(col("id"), col("vec")), nlist, coarseIters,
+      "id", "vec", supers)
+    val childLit = typedLit(tl.children.map(_.toSeq).toSeq)
+    // route once (cached): corpus assignment, anchor filtering and
+    // the probe all read the routed relation
+    val routed = graft.CacheScope.track(base.withColumn("super",
+      KMeansPortable.cellExpr(col("vec"), col("n2"), tl.supers)))
+    val withRes = graft.CacheScope.track(
+      KMeansPortable.assignChildren(routed, tl.children, tl.groups)
+        .withColumn("rvec", zip_with(col("vec"),
+          element_at(childLit, col("cell") + 1), (x, c) => x - c)))
+    val probeCells = KMeansPortable.probeChildren(
+        routed.filter(anchorPred), tl.children, tl.groups, nprobe)
+      .select(col("id").as("anchor_id"), col("vec").as("a_vec"),
+        col("cell"))
+    encodeAndScore(base, withRes, childLit, probeCells, k, m, ksub,
+      subIters, rerank, dsub)
+  }
+
+  /** The shared SQL back half of both oracle generators: residuals
+    * against the assigned cell's centroid, per-subspace Lloyd chains
+    * + PQ encode, reconstruction, the nprobe probe (the SAME
+    * dot/norm/centroid-norm relations the assignment used — rn ≤
+    * nprobe instead of rn = 1, so the probe ranking and the
+    * assignment argmin share one arithmetic), ADC, shortlist, exact
+    * rerank, final top-k. Parameterized on the vector relations
+    * (`dims`/`norms`/`v`), the cell-centroid relation, the corpus
+    * assignment, and the probe's dot/cn relations — the flat oracle
+    * passes its `ca`-suffixed global-argmin relations, the two-level
+    * one its `kf`-suffixed super-restricted relations, which is
+    * exactly the structural difference between the engines' paths.
+    */
+  private def tailSql(m: Int, dsub: Int, ksub: Int, subIters: Int,
+      nprobe: Int, rerank: Int, k: Int, anchorPredSql: String,
+      dimsRel: String, normsRel: String, vRel: String,
+      centRel: String, assignRel: String, probeDotRel: String,
+      probeCnRel: String): String = {
+    val sb = new StringBuilder
     sb ++=
       s"""rdims AS (
          |  SELECT m.id, m.d, m.x - cd.c AS x
-         |  FROM c_dims m
-         |  JOIN asca a ON a.id = m.id
-         |  JOIN $cCd cd ON cd.j = a.cell AND cd.d = m.d),
+         |  FROM $dimsRel m
+         |  JOIN $assignRel a ON a.id = m.id
+         |  JOIN $centRel cd ON cd.j = a.cell AND cd.d = m.d),
          |""".stripMargin
     for (j <- 0 until m) {
       sb ++=
@@ -206,27 +284,27 @@ object IvfPqPortable {
          |recdims AS (
          |  SELECT w.id, w.d, cd.c + w.cw AS x
          |  FROM cwdims w
-         |  JOIN asca a ON a.id = w.id
-         |  JOIN $cCd cd ON cd.j = a.cell AND cd.d = w.d),
-         |aset AS (SELECT id FROM c_v WHERE $anchorPredSql),
+         |  JOIN $assignRel a ON a.id = w.id
+         |  JOIN $centRel cd ON cd.j = a.cell AND cd.d = w.d),
+         |aset AS (SELECT id FROM $vRel WHERE $anchorPredSql),
          |probe AS (
          |  SELECT id AS anchor_id, j AS cell FROM (
          |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
          |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
-         |    FROM dotca d
-         |    JOIN c_norms n ON n.id = d.id
-         |    JOIN cnca c ON c.j = d.j
+         |    FROM $probeDotRel d
+         |    JOIN $normsRel n ON n.id = d.id
+         |    JOIN $probeCnRel c ON c.j = d.j
          |    WHERE d.id IN (SELECT id FROM aset)) WHERE rn <= $nprobe),
          |cands AS (
          |  SELECT p.anchor_id, a.id AS nid
-         |  FROM probe p JOIN asca a ON a.cell = p.cell
+         |  FROM probe p JOIN $assignRel a ON a.cell = p.cell
          |  WHERE a.id <> p.anchor_id),
          |approx AS (
          |  SELECT c.anchor_id, c.nid,
          |    CAST(sum(CAST(round(ad.x * r.x, 12) AS DECIMAL(38,12)))
          |      AS DOUBLE) AS ap
          |  FROM cands c
-         |  JOIN c_dims ad ON ad.id = c.anchor_id
+         |  JOIN $dimsRel ad ON ad.id = c.anchor_id
          |  JOIN recdims r ON r.id = c.nid AND r.d = ad.d
          |  GROUP BY 1, 2),
          |short AS (
@@ -239,21 +317,72 @@ object IvfPqPortable {
          |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
          |      AS DOUBLE) AS dot
          |  FROM short s
-         |  JOIN c_dims da ON da.id = s.anchor_id
-         |  JOIN c_dims db ON db.id = s.nid AND db.d = da.d
+         |  JOIN $dimsRel da ON da.id = s.anchor_id
+         |  JOIN $dimsRel db ON db.id = s.nid AND db.d = da.d
          |  GROUP BY 1, 2),
          |scored AS (
          |  SELECT d.anchor_id, d.nid AS neighbor_id,
          |    round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS score
          |  FROM dote d
-         |  JOIN c_norms na ON na.id = d.anchor_id
-         |  JOIN c_norms nb ON nb.id = d.nid)
+         |  JOIN $normsRel na ON na.id = d.anchor_id
+         |  JOIN $normsRel nb ON nb.id = d.nid)
          |SELECT anchor_id, rank, neighbor_id, score FROM (
          |  SELECT anchor_id, neighbor_id, score,
          |    CAST(row_number() OVER (PARTITION BY anchor_id
          |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
          |  FROM scored)
          |WHERE rank <= $k ORDER BY anchor_id, rank""".stripMargin
+    sb.toString
+  }
+
+  /** The DuckDB re-derivation of [[topK]] — composes one prefixed
+    * [[KMeansPortable.lloydCtes]] chain for the coarse quantizer and
+    * one per subspace (over the residual-slice relations), the shared
+    * [[KMeansPortable.assignmentCtes]] for corpus assignment and PQ
+    * encoding, then reconstruction, routing, ADC, rerank and top-k as
+    * plain SQL over the same decimal arithmetic (the shared
+    * [[tailSql]]). `anchorPredSql` is a predicate over `id`.
+    */
+  def oracleSql(table: String, idCol: String, vecCol: String, k: Int,
+      nlist: Int, coarseIters: Int, m: Int, ksub: Int, subIters: Int,
+      nprobe: Int, rerank: Int, dim: Int,
+      anchorPredSql: String): String = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val cCd = s"c_cd$coarseIters"
+    val sb = new StringBuilder("WITH ")
+    sb ++= KMeansPortable.lloydCtes(table, idCol, vecCol, nlist,
+      coarseIters, "c_")
+    // corpus cell assignment against the trained coarse centroids;
+    // the probe reads the SAME dotca/cnca relations at rn <= nprobe
+    sb ++= KMeansPortable.assignmentCtes("ca", cCd, "c_dims", "c_norms")
+    sb ++= tailSql(m, dsub, ksub, subIters, nprobe, rerank, k,
+      anchorPredSql, "c_dims", "c_norms", "c_v", cCd, "asca",
+      "dotca", "cnca")
+    sb.toString
+  }
+
+  /** The DuckDB re-derivation of [[topKTwoLevel]] — the coarse
+    * structure comes from [[KMeansPortable.twoLevelCtes]] (super
+    * Lloyd, routing, largest-remainder allocation replay, per-super
+    * child Lloyd, the super-restricted application assignment
+    * `askf`), and the probe reads the SAME `dotkf`/`cnkf` relations —
+    * dots exist ONLY for a row's routed super's children, so rn ≤
+    * nprobe IS the two-level probe, structurally, not by analogy.
+    * The subspace/encode/ADC/rerank tail is the shared [[tailSql]].
+    */
+  def oracleSqlTwoLevel(table: String, idCol: String, vecCol: String,
+      k: Int, nlist: Int, coarseIters: Int, m: Int, ksub: Int,
+      subIters: Int, nprobe: Int, rerank: Int, dim: Int,
+      anchorPredSql: String, supers: Int = 0): String = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val sb = new StringBuilder("WITH ")
+    sb ++= KMeansPortable.twoLevelCtes(table, idCol, vecCol, nlist,
+      coarseIters, supers)
+    sb ++= tailSql(m, dsub, ksub, subIters, nprobe, rerank, k,
+      anchorPredSql, "dims", "norms", "v", s"ccd$coarseIters", "askf",
+      "dotkf", "cnkf")
     sb.toString
   }
 }

@@ -69,6 +69,58 @@ object KMeansPortable {
     */
   val MaxAutoNlist: Int = 16384
 
+  /** Structure-dispatch boundary for the AUTO front doors (VERDICT
+    * r10 item 2 — the clamp above was a documented cliff: past it the
+    * flat auto path silently re-entered growing-cell-population
+    * territory). At nlist ≤ this the flat argmin is measured at
+    * parity-or-better with the two-level quantizer; past it the
+    * two-level structure wins and the auto paths SWITCH instead of
+    * clamping (SCALE.md round 10: structures at parity around
+    * nlist ≈ 80, two-level 3.8× ahead by ≈ 800 — 128 sits inside the
+    * measured window, flat-side of the knee).
+    */
+  val FlatAutoMaxNlist: Int = 128
+
+  /** Auto clamp for the TWO-LEVEL structure: driver state is
+    * (S + nlist)·dim doubles (~134 MB at dim 64 here) and the super
+    * argmin is a √nlist-literal expression, so the structure extends
+    * the flat path's ~10³-literal codegen ceiling quadratically
+    * (√262144 = 512 supers). Past ~67M vectors at the default target
+    * a THIRD level would be needed — the same loud, documented
+    * degradation contract as [[MaxAutoNlist]], three orders of
+    * magnitude later.
+    */
+  val MaxAutoNlistTwoLevel: Int = 262144
+
+  /** Corpus-sized nlist for the structure-dispatching auto paths —
+    * [[nlistFor]]'s sizing rule under the two-level clamp. */
+  def autoNlist(n: Long,
+      targetCellSize: Int = DefaultTargetCellSize): Int = {
+    require(targetCellSize > 0, s"targetCellSize must be positive; " +
+      s"got $targetCellSize")
+    require(n >= 0, s"corpus size must be non-negative; got $n")
+    val raw = n / targetCellSize + (if (n % targetCellSize > 0) 1L else 0L)
+    math.min(math.max(raw, 1L), MaxAutoNlistTwoLevel.toLong).toInt
+  }
+
+  /** Auto-STRUCTURE training front door: size the quantizer to the
+    * corpus ([[autoNlist]]) and train the structure the measured
+    * crossover picks — flat at nlist ≤ [[FlatAutoMaxNlist]] (Left),
+    * two-level past it (Right). Replaces the old behavior where the
+    * flat auto path clamped at [[MaxAutoNlist]] and silently
+    * re-entered the quadratic regime for n ≳ 4.2M.
+    */
+  def trainAuto(vectors: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      targetCellSize: Int = DefaultTargetCellSize): Either[Model, TwoLevelModel] = {
+    val n = vectors.count()
+    val nlist = autoNlist(n, targetCellSize)
+    if (nlist <= FlatAutoMaxNlist)
+      Left(trainModel(vectors, nlist, iters, idCol, vecCol))
+    else
+      Right(trainTwoLevel(vectors, nlist, iters, idCol, vecCol))
+  }
+
   /** Quantizer resolution sized to the corpus — the SemDeDup-family
     * SCALE contract (VERDICT r9 item 1). At fixed nlist the
     * within-cell pair scan is O(N²/nlist) — measured α 1.92
@@ -247,6 +299,54 @@ object KMeansPortable {
     def nlist: Int = children.length
   }
 
+  /** Largest-remainder proportional child allocation — the ONE site
+    * of the two-level family's count arithmetic (the portable
+    * [[trainTwoLevel]] and the native
+    * [[SimilaritySearch.trainTwoLevelCoarse]] share it, and
+    * [[twoLevelCtes]] replays it decision-for-decision in window
+    * SQL). Per populated super: base = max(1, ⌊nlist·n/total⌋); a
+    * positive remainder bumps eligible supers (n > base) by 1 in
+    * (frac DESC, super ASC) order; an over-allocation (low-population
+    * supers riding the ≥1 floor — ADVICE r10) is reclaimed from
+    * donors with base > 1 by cumulative capacity in (frac ASC, super
+    * ASC) order; finally each super caps at its own population.
+    * Returns the child count per super index (0 for empty supers).
+    */
+  private[graft] def allocateChildren(counts: Map[Int, Long], s: Int,
+      nlist: Int): Array[Int] = {
+    val total = counts.values.sum.toDouble
+    val raw = (0 until s).map { i =>
+      val n = counts.getOrElse(i, 0L)
+      if (n == 0L) (i, 0, 0.0)
+      else {
+        val exact = nlist * n / total
+        (i, math.max(1, exact.toInt), exact - exact.toInt)
+      }
+    }
+    var remaining = nlist - raw.map(_._2).sum
+    val ks = scala.collection.mutable.Map(raw.map(r => r._1 -> r._2): _*)
+    raw.sortBy(-_._3).foreach { case (i, _, _) =>
+      if (remaining > 0 && counts.getOrElse(i, 0L) > ks(i)) {
+        ks(i) += 1; remaining -= 1
+      }
+    }
+    // reclaim: donor capacity Σ(base−1) = Σbase − #populated ≥
+    // Σbase − nlist = the excess whenever supers ≤ nlist (the
+    // trainers' require), so one cumulative pass restores Σ = nlist
+    var over = -remaining
+    if (over > 0) {
+      raw.filter(_._2 > 1).sortBy(r => (r._3, r._1)).foreach {
+        case (i, base, _) =>
+          if (over > 0) {
+            val take = math.min(over, base - 1)
+            ks(i) -= take; over -= take
+          }
+      }
+    }
+    (0 until s).map(i =>
+      math.min(ks(i), counts.getOrElse(i, 0L).toInt)).toArray
+  }
+
   /** Train a two-level quantizer: Lloyd over S = ⌈√nlist⌉ supers,
     * route, then Lloyd over per-super children (child count
     * proportional to super population, ≥ 1, largest-remainder so
@@ -286,43 +386,8 @@ object KMeansPortable {
     // populated super >= 1, capped at the super's population)
     val counts = routed.groupBy(col("super")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = counts.values.sum.toDouble
-    require(total > 0, "trainTwoLevel needs a non-empty vector set")
-    val raw = (0 until s).map { i =>
-      val n = counts.getOrElse(i, 0L)
-      if (n == 0L) (i, 0, 0.0)
-      else {
-        val exact = nlist * n / total
-        (i, math.max(1, exact.toInt), exact - exact.toInt)
-      }
-    }
-    var remaining = nlist - raw.map(_._2).sum
-    val ks = scala.collection.mutable.Map(raw.map(r => r._1 -> r._2): _*)
-    raw.sortBy(-_._3).foreach { case (i, _, _) =>
-      if (remaining > 0 && counts.getOrElse(i, 0L) > ks(i)) {
-        ks(i) += 1; remaining -= 1
-      }
-    }
-    // over-allocation reclaim (ADVICE r10): Σ max(1, ⌊exact⌋) exceeds
-    // nlist when low-population supers ride the ≥1 floor; the excess
-    // comes back from donors with base > 1, smallest frac first (ties
-    // super ASC — the order the SQL replay's window mirrors), each
-    // donating down to its own floor of 1. Donor capacity
-    // Σ(base−1) = Σbase − #populated ≥ Σbase − nlist = the excess
-    // whenever supers ≤ nlist (the require above), so one cumulative
-    // pass always restores Σ = nlist exactly.
-    var over = -remaining
-    if (over > 0) {
-      raw.filter(_._2 > 1).sortBy(r => (r._3, r._1)).foreach {
-        case (i, base, _) =>
-          if (over > 0) {
-            val take = math.min(over, base - 1)
-            ks(i) -= take; over -= take
-          }
-      }
-    }
-    (0 until s).foreach(i =>
-      ks(i) = math.min(ks(i), counts.getOrElse(i, 0L).toInt))
+    require(counts.values.sum > 0, "trainTwoLevel needs a non-empty vector set")
+    val ks = allocateChildren(counts, s, nlist)
     // committed seeds: per super, its ks(i) lowest-id members. One
     // bounded collect of <= nlist (id, super, vec) rows.
     val ksDf = {
@@ -375,30 +440,70 @@ object KMeansPortable {
     */
   private[graft] def assignChildren(routed: DataFrame,
       children: Array[Array[Double]],
-      groups: Array[Array[Int]]): DataFrame = {
-    val spark = routed.sparkSession
-    import spark.implicits._
-    val nc2 = children.map(c =>
-      RhpKernels.decimalDot(new GenericArrayData(c), new GenericArrayData(c)))
-    val candRows = groups.indices.map { sIdx =>
-      (sIdx, groups(sIdx).map(j =>
-        (j, children(j).toSeq, nc2(j))).toSeq)
-    }
-    val cands = candRows.toDF("super", "cands")
-    routed.join(broadcast(cands), Seq("super"), "left")
+      groups: Array[Array[Int]]): DataFrame =
+    routed.join(broadcast(childCands(routed, children, groups)),
+        Seq("super"), "left")
       .withColumn("cell",
         when(col("cands").isNotNull && size(col("cands")) > 0,
-          array_min(transform(col("cands"), c =>
-            struct((col("n2") - lit(2.0) *
-                RhpExpressions.decimalScaledDot(col("vec"), c.getField("_2"))
-                + c.getField("_3")).as("d"),
-              c.getField("_1").as("j")))).getField("j"))
+          array_min(childDistArray(col("cands"), col("vec"), col("n2")))
+            .getField("j"))
           // childless super (ended empty in training): a distinct
           // out-of-range cell PER super — rows there still share a
           // coarse region legitimately, but two different childless
           // supers must not collapse into one pseudo-cell
           .otherwise(lit(children.length) + col("super")))
       .drop("cands")
+
+  /** The (super → candidate (j, centroid, nc2) array) relation — the
+    * broadcast side of the ONE hash join both the child argmin
+    * ([[assignChildren]]) and the child ranking ([[probeChildren]])
+    * ride; ≤ nlist rows by construction. */
+  private def childCands(routed: DataFrame,
+      children: Array[Array[Double]],
+      groups: Array[Array[Int]]): DataFrame = {
+    val spark = routed.sparkSession
+    import spark.implicits._
+    val nc2 = children.map(c =>
+      RhpKernels.decimalDot(new GenericArrayData(c), new GenericArrayData(c)))
+    groups.indices.map { sIdx =>
+      (sIdx, groups(sIdx).map(j =>
+        (j, children(j).toSeq, nc2(j))).toSeq)
+    }.toDF("super", "cands")
+  }
+
+  /** The per-candidate (d, j) struct array over a routed row's
+    * super-group — struct comparison orders by (d, j), so `array_min`
+    * IS the child argmin and `array_sort` IS the nprobe child ranking
+    * (the [[distStructs]] total order, candidate-array form). */
+  private def childDistArray(cands: Column, vec: Column,
+      n2: Column): Column =
+    transform(cands, c =>
+      struct((n2 - lit(2.0) *
+          RhpExpressions.decimalScaledDot(vec, c.getField("_2"))
+          + c.getField("_3")).as("d"),
+        c.getField("_1").as("j")))
+
+  /** Top-`nprobe` child cells per routed row — the two-level PROBE
+    * (the IVF query-side sibling of [[assignChildren]]): candidates
+    * are ONLY the routed super's children, ranked by the shared
+    * (d, j) struct order, exploded one row per probed cell (fewer
+    * when the super has fewer children). Rows routed to a childless
+    * super probe nothing and drop — callers probe the training
+    * corpus, where every routed super is populated. Input must carry
+    * (vec, n2, super); adds `cell`.
+    */
+  private[graft] def probeChildren(routed: DataFrame,
+      children: Array[Array[Double]], groups: Array[Array[Int]],
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
+    routed.join(broadcast(childCands(routed, children, groups)),
+        Seq("super"), "left")
+      .withColumn("__pc",
+        explode(slice(array_sort(
+          childDistArray(col("cands"), col("vec"), col("n2"))),
+          1, nprobe)))
+      .withColumn("cell", col("__pc.j"))
+      .drop("cands", "__pc")
   }
 
   /** Route + child argmin: the two-level sibling of [[assignCells]].

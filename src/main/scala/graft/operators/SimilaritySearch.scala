@@ -782,6 +782,335 @@ object SimilaritySearch {
     rerankTopK(approx, anchors, vectors, k, rerank, idCol, vecCol)
   }
 
+  // ---------------------------------------------------------------
+  // TWO-LEVEL (hierarchical) coarse quantizer — the native siblings
+  // of KMeansPortable.trainTwoLevel/assignCellsTwoLevel (VERDICT r10
+  // item 1: the ANN family was the last flat-only site). The flat
+  // native assignment is a JVM argmin over ALL nlist centroids per
+  // row — O(N·nlist·dim); at the reference's corpus-sized nlist
+  // (Docs/SIMILARITY-PLAN.md:55-75) that is the same ∝N·nlist wall
+  // the SemDeDup family measured (SCALE.md round 10). Two-level:
+  // route to one of S ≈ √nlist supers, then argmin only that super's
+  // ~nlist/S children — O(N·2√nlist·dim); the probe becomes an
+  // equi-join on the routed super instead of a crossJoin against the
+  // full nlist-row centroid relation. supers = 1 degenerates to the
+  // flat path exactly (spec-pinned).
+  // ---------------------------------------------------------------
+
+  /** Two-level coarse structure: S super-centroids (routing), the
+    * global child matrix (the IVF cells), each super's child ids
+    * (consecutive, supers in order). Driver-sized: (S + nlist)·dim
+    * doubles. */
+  case class TwoLevelCoarse(supers: Array[Array[Double]],
+      children: Array[Array[Double]], groups: Array[Array[Int]]) {
+    require(supers.nonEmpty && children.nonEmpty &&
+      groups.length == supers.length)
+    val nlist: Int = children.length
+    val dim: Int = children(0).length
+    require(children.forall(_.length == dim) &&
+      supers.forall(_.length == dim))
+    /** Super indices that received children — the routing domain
+      * ([[groups]] entries may be empty for supers that trained
+      * empty; routing targets only populated ones so every routed
+      * vector has a child to land in). */
+    val populated: Array[Int] = groups.indices.filter(groups(_).nonEmpty).toArray
+    require(populated.nonEmpty, "two-level coarse has no populated super")
+  }
+
+  /** Train the two-level coarse structure natively (Spark ML KMeans
+    * at both levels): Lloyd over S = ⌈√nlist⌉ supers (supers = 0 →
+    * auto; supers = 1 skips super training — routing is constant, so
+    * the child level trains EXACTLY like the flat quantizer, which is
+    * what makes the parity spec possible), route the (sampled)
+    * training set, allocate child counts by the shared
+    * largest-remainder rule ([[KMeansPortable.allocateChildren]] —
+    * one arithmetic for the portable and native trainers), then one
+    * ML KMeans per super over its routed members (a ks = 1 super
+    * takes the member mean — the k = 1 Lloyd solution ML refuses to
+    * fit). S small jobs over disjoint slices: training cost matches
+    * the flat trainer's at equal nlist while the ASSIGNMENT drops
+    * from O(nlist) to O(2√nlist) per row.
+    */
+  def trainTwoLevelCoarse(vectors: DataFrame, nlist: Int,
+      vecCol: String = "embedding", seed: Long = 42L,
+      trainFraction: Double = 1.0, supers: Int = 0): TwoLevelCoarse = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(nlist > 0, s"nlist must be positive; got $nlist")
+    val s = if (supers > 0) supers
+      else math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    require(s <= nlist, s"supers=$s must not exceed nlist=$nlist")
+    val dv = graft.CacheScope.track {
+      val raw = vectors.select(col(vecCol).cast("array<double>").as("v"))
+        .filter(col("v").isNotNull)
+      if (trainFraction >= 1.0) raw else raw.sample(trainFraction, seed)
+    }
+    val dimRow = dv.select(size(col("v"))).limit(1).collect()
+    require(dimRow.nonEmpty,
+      "trainTwoLevelCoarse: empty or all-null vector set")
+    val dim = dimRow(0).getInt(0)
+    val superCents: Array[Array[Double]] =
+      if (s == 1) Array(Array.fill(dim)(0.0)) // routing is constant
+      else new KMeans().setK(s).setSeed(seed)
+        .setFeaturesCol("features")
+        .fit(dv.select(array_to_vector(col("v")).as("features")))
+        .clusterCenters.map(_.toArray)
+    val scB = spark.sparkContext.broadcast(superCents)
+    val routed = graft.CacheScope.track(
+      dv.as[Array[Double]].map(v => (nearestCentroid(v, scB.value), v))
+        .toDF("super", "v"))
+    val counts = routed.groupBy(col("super")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ks = KMeansPortable.allocateChildren(counts, s, nlist)
+    val groups = Array.fill(s)(scala.collection.mutable.ArrayBuffer[Int]())
+    val children = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    (0 until s).foreach { i =>
+      val cents: Array[Array[Double]] =
+        if (ks(i) == 0) Array.empty
+        else if (ks(i) == 1)
+          // the k = 1 Lloyd solution is the member mean; ML's k > 1
+          // contract forces the closed form (the allocation guarantees
+          // a populated super gets >= 1, so this branch is common for
+          // small supers)
+          Array(routed.filter(col("super") === i)
+            .select(posexplode(col("v")).as(Seq("d", "x")))
+            .groupBy(col("d")).agg(avg(col("x")).as("c"))
+            .orderBy(col("d")).collect().map(_.getDouble(1)))
+        else new KMeans().setK(ks(i)).setSeed(seed)
+          .setFeaturesCol("features")
+          .fit(routed.filter(col("super") === i)
+            .select(array_to_vector(col("v")).as("features")))
+          .clusterCenters.map(_.toArray)
+      cents.foreach { c => groups(i) += children.length; children += c }
+    }
+    TwoLevelCoarse(superCents, children.toArray, groups.map(_.toArray))
+  }
+
+  /** Route `v` to its nearest POPULATED super, then to the nearest
+    * child within that super's group (ties to the lowest index at
+    * both levels — the [[nearestCentroid]] rule). Routing targets
+    * populated supers only, so both the encode/assign map and the
+    * probe's equi-join see the same domain and no vector is ever
+    * cell-less. O(S + nlist/S) per row vs the flat O(nlist). */
+  private def nearestChild(v: Array[Double], c: TwoLevelCoarse): Int = {
+    var best = c.populated(0); var bestD = Double.MaxValue
+    var pi = 0
+    while (pi < c.populated.length) {
+      val i = c.populated(pi)
+      val cc = c.supers(i)
+      var d = 0.0; var t = 0
+      while (t < v.length) { val x = v(t) - cc(t); d += x * x; t += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      pi += 1
+    }
+    val g = c.groups(best)
+    var bj = g(0); var bd = Double.MaxValue
+    var k = 0
+    while (k < g.length) {
+      val cc = c.children(g(k))
+      var d = 0.0; var t = 0
+      while (t < v.length) { val x = v(t) - cc(t); d += x * x; t += 1 }
+      if (d < bd) { bd = d; bj = g(k) }
+      k += 1
+    }
+    bj
+  }
+
+  /** The routed super of `v` over the populated domain — the probe's
+    * map-side half (the join against the (cell, cvec, super) relation
+    * is the other). */
+  private def routeSuper(v: Array[Double], c: TwoLevelCoarse): Int = {
+    var best = c.populated(0); var bestD = Double.MaxValue
+    var pi = 0
+    while (pi < c.populated.length) {
+      val i = c.populated(pi)
+      val cc = c.supers(i)
+      var d = 0.0; var t = 0
+      while (t < v.length) { val x = v(t) - cc(t); d += x * x; t += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      pi += 1
+    }
+    best
+  }
+
+  /** IVF-flat top-k over the two-level structure — the
+    * [[ivfCosineTopK]] sibling with O(2√nlist) assignment and an
+    * equi-join probe: each anchor routes to its super and ranks ONLY
+    * that super's children (broadcast (cell, cvec, super) relation —
+    * never a crossJoin against all nlist rows), probing its `nprobe`
+    * best by the same topKByScore rule; candidates and rerank are the
+    * flat path's. supers = 1 ≡ the flat path's semantics exactly
+    * (every child in one group); spec-pinned via the nprobe = nlist
+    * ≡ exact-search invariant the flat path itself carries.
+    */
+  def ivfCosineTopKTwoLevel(vectors: DataFrame, anchorPred: Column,
+      k: Int, nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, trainFraction: Double = 1.0,
+      supers: Int = 0): DataFrame = {
+    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val coarse = trainTwoLevelCoarse(vectors, nlist, vecCol, seed,
+      trainFraction, supers)
+    val cB = spark.sparkContext.broadcast(coarse)
+    val feat = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    // fused route+assign: one zero-shuffle map, O(2√nlist) per row
+    val assigned = feat.as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, nearestChild(v, cB.value)) }
+      .toDF("id", "vec", "cell")
+    val superOf = {
+      val arr = new Array[Int](coarse.nlist)
+      coarse.groups.indices.foreach(i => coarse.groups(i).foreach(j =>
+        arr(j) = i))
+      arr
+    }
+    val centDf = spark.createDataFrame(
+      coarse.children.zipWithIndex.toSeq
+        .map { case (c, j) => (j, c, superOf(j)) })
+      .toDF("cell", "cvec", "super")
+    val anchorsRouted = feat.filter(anchorPred)
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, routeSuper(v, cB.value)) }
+      .toDF("id", "a_vec", "super")
+    val probeCells = anchorsRouted.join(broadcast(centDf), Seq("super"))
+      .withColumn("cs", fastCosine(col("a_vec"), col("cvec")))
+      .groupBy(col("id"))
+      .agg(topKByScore(col("cs"), col("cell"), nprobe).as("pc"))
+      .select(col("id").as("anchor_id"), explode(col("pc.id")).as("cell"))
+    val anchors = assigned.filter(anchorPred)
+      .select(col("id").as("anchor_id"), col("vec").as("a_vec"))
+    val cands = probeCells.join(anchors, "anchor_id")
+      .join(assigned.select(col("cell"), col("id").as("neighbor_id"),
+        col("vec").as("n_vec")), "cell")
+      .filter(col("anchor_id") =!= col("neighbor_id"))
+      .withColumn("score", round(fastCosine(col("a_vec"), col("n_vec")), 4))
+      .select(col("anchor_id"), col("neighbor_id"), col("score"))
+    rankTopK(cands, k)
+  }
+
+  /** Two-level IVF-PQ index artifacts — [[IvfPqArtifacts]] with the
+    * hierarchical coarse structure. Driver-sized:
+    * m·ksub·dsub + (S + nlist)·dim doubles. */
+  case class TwoLevelIvfPqArtifacts(
+      codebooks: Array[Array[Array[Double]]],
+      coarse: TwoLevelCoarse, residual: Boolean = false) {
+    require(codebooks.nonEmpty)
+    val m: Int = codebooks.length
+    val ksub: Int = codebooks(0).length
+    val dsub: Int = codebooks(0)(0).length
+    require(m * dsub == coarse.dim,
+      s"codebook subspaces (m=$m × dsub=$dsub) must cover dim=${coarse.dim}")
+    require(codebooks.forall(b => b.length == ksub && b.forall(_.length == dsub)))
+  }
+
+  /** Train two-level IVF-PQ artifacts: the hierarchical coarse
+    * quantizer + the flat PQ codebooks (ksub is bounded by
+    * construction — 256 at 8-bit codes — so the codebook level never
+    * needs the structure). `residual = true` trains on v − c(v)
+    * against the CHILD centroid (the cell the vector actually lives
+    * in — the classical IVFADC refinement at the two-level site).
+    * supers = 1 reproduces [[trainIvfPqArtifacts]]'s centroids and
+    * codebooks exactly (same fits, same inputs — the parity spec). */
+  def trainIvfPqArtifactsTwoLevel(vectors: DataFrame, nlist: Int = 16,
+      m: Int = 8, ksub: Int = 16, vecCol: String = "embedding",
+      seed: Long = 42L, trainFraction: Double = 1.0,
+      residual: Boolean = false,
+      supers: Int = 0): TwoLevelIvfPqArtifacts = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val coarse = trainTwoLevelCoarse(vectors, nlist, vecCol, seed,
+      trainFraction, supers)
+    val cbInput =
+      if (!residual) vectors
+      else {
+        val cB = spark.sparkContext.broadcast(coarse)
+        vectors.select(col(vecCol).cast("array<double>").as("v"))
+          .as[Array[Double]]
+          .map { v =>
+            val c = cB.value.children(nearestChild(v, cB.value))
+            val r = new Array[Double](v.length)
+            var t = 0
+            while (t < v.length) { r(t) = v(t) - c(t); t += 1 }
+            r
+          }.toDF(vecCol)
+      }
+    val codebooks = pqCodebooks(cbInput, m, ksub, vecCol, seed, trainFraction)
+    TwoLevelIvfPqArtifacts(codebooks, coarse, residual)
+  }
+
+  /** IVF+PQ QUERY path over [[TwoLevelIvfPqArtifacts]] — the
+    * [[ivfPqTopKScore]] statement with the O(2√nlist) route+assign
+    * map and the equi-join probe ([[ivfCosineTopKTwoLevel]]'s): the
+    * structural difference is confined to how a row finds its cell
+    * and how an anchor finds its probe cells; encode, ADC, shortlist
+    * and rerank are the shared flat machinery. supers = 1 is
+    * value-identical to the flat score path over
+    * [[trainIvfPqArtifacts]]'s artifacts (spec-pinned). */
+  def ivfPqTopKScoreTwoLevel(vectors: DataFrame, anchorPred: Column,
+      k: Int, artifacts: TwoLevelIvfPqArtifacts, nprobe: Int = 4,
+      rerank: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val residual = artifacts.residual
+    val coarse = artifacts.coarse
+    val cbB = spark.sparkContext.broadcast(artifacts.codebooks)
+    val cB = spark.sparkContext.broadcast(coarse)
+    val childB = spark.sparkContext.broadcast(coarse.children)
+    val feat = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // route+assign+encode FUSED in one zero-shuffle pass (the flat
+    // path's discipline) — per-row cost O(2√nlist), not O(nlist)
+    val encoded = feat.as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val cell = nearestChild(v, cB.value)
+        val enc =
+          if (!residual) v
+          else {
+            val c = cB.value.children(cell)
+            val r = new Array[Double](v.length)
+            var t = 0
+            while (t < v.length) { r(t) = v(t) - c(t); t += 1 }
+            r
+          }
+        (id, pqEncodeVec(enc, cbB.value), cell)
+      }.toDF("nid", "code", "cell")
+    val superOf = {
+      val arr = new Array[Int](coarse.nlist)
+      coarse.groups.indices.foreach(i => coarse.groups(i).foreach(j =>
+        arr(j) = i))
+      arr
+    }
+    val centDf = spark.createDataFrame(
+      coarse.children.zipWithIndex.toSeq
+        .map { case (c, j) => (j, c, superOf(j)) })
+      .toDF("cell", "cvec", "super")
+    val anchorsRouted = feat.filter(anchorPred)
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, routeSuper(v, cB.value)) }
+      .toDF("id", "v", "super")
+    val probeCells = anchorsRouted.join(broadcast(centDf), Seq("super"))
+      .withColumn("cs", fastCosine(col("v"), col("cvec")))
+      .groupBy(col("id"))
+      .agg(topKByScore(col("cs"), col("cell"), nprobe).as("pc"))
+      .select(col("id").as("anchor_id"), explode(col("pc.id")).as("cell"))
+    val anchors = feat.filter(anchorPred)
+    val cands = probeCells
+      .join(anchors.select(col("id").as("anchor_id"), col("v").as("a_vec")),
+        "anchor_id")
+      .join(encoded, "cell")
+      .filter(col("anchor_id") =!= col("nid"))
+    val approx =
+      if (residual) adcScoresResidual(cands, cbB, childB)
+      else adcScores(cands, cbB)
+    rerankTopK(approx, anchors, vectors, k, rerank, idCol, vecCol)
+  }
+
   /** IVF+PQ fusion, training inline — [[trainIvfPqArtifacts]] then
     * [[ivfPqTopKScore]]. nprobe = nlist degenerates to
     * [[pqCosineTopK]] exactly (spec-pinned). Deployments train once

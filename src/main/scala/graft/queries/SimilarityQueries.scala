@@ -397,6 +397,40 @@ object SimilarityQueries {
     coarseIters = 2, m = 4, ksub = 8, subIters = 2, nprobe = 2,
     rerank = 16, dim = Q85Dim, anchorPredSql = "id < 20")
 
+  /** End-to-end TWO-LEVEL IVF-PQ under a FULL oracle (q93) — the q85
+    * statement for the hierarchical coarse quantizer (VERDICT r10
+    * item 1: the ANN family was the last flat-only site of the
+    * structure the 100× measurement picked, SCALE.md round 10). The
+    * oracle re-derives the ENTIRE chain from the parquet bytes: super
+    * Lloyd, routing, the largest-remainder child allocation replay,
+    * per-super child Lloyd, the super-restricted corpus assignment,
+    * residual codebook training per subspace, PQ encode,
+    * reconstruction, the routed-super nprobe probe (the same
+    * dot/norm relations as the assignment at rn ≤ nprobe), ADC,
+    * shortlist and the exact top-k. Gate parameters match q85 except
+    * the structure, so the two chains are each verified independently
+    * (cells differ by construction — the IVF routing approximation).
+    */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    // same dim-inlining guard as q85 (the oracle text unrolls the
+    // subspace slices for dim = 64 before seeing data)
+    val probed = emb.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
+    require(probed.nonEmpty && probed(0).getInt(0) == Q85Dim,
+      s"q93 oracle is generated for dim=$Q85Dim; data has " +
+        probed.headOption.map(_.getInt(0)).getOrElse(-1))
+    graft.operators.IvfPqPortable.topKTwoLevel(emb,
+        col("id") < 20, k = 5, nlist = 8, coarseIters = 2, m = 4,
+        ksub = 8, subIters = 2, nprobe = 2, rerank = 16)
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  private val q93Sql = graft.operators.IvfPqPortable.oracleSqlTwoLevel(
+    "embeddings", "vec_id", "embedding", k = 5, nlist = 8,
+    coarseIters = 2, m = 4, ksub = 8, subIters = 2, nprobe = 2,
+    rerank = 16, dim = Q85Dim, anchorPredSql = "id < 20")
+
   val all: Seq[Q] = Seq(
     Q("q20_cosine_topk", q20, Some(q20Sql), headline = true),
     Q("q21_label_centroids", q21, Some(q21Sql)),
@@ -404,6 +438,7 @@ object SimilarityQueries {
     Q("q23_lsh_cosine_topk", q23, None, headline = true),
     Q("q74_lsh_topk_oracle", q74, Some(q74Sql)),
     Q("q85_ivfpq_e2e_oracle", q85, Some(q85Sql), headline = true),
+    Q("q93_ivfpq_twolevel_oracle", q93, Some(q93Sql)),
     Q("q31_group_scores", q31, Some(q31Sql), headline = true),
     Q("q32_cosine_pairs", q32, Some(q32Sql)),
     Q("q42_cosine_near_dup", q42, None),

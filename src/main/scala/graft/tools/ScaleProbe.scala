@@ -39,10 +39,17 @@ object ScaleProbe {
     // auto  = flat assignment at nlistFor(n) — the ∝N discipline on
     //         the FLAT argmin structure (O(N·nlist) assignment);
     // auto2 = the two-level quantizer at the same nlist — the scale
-    //         structure (O(N·2√nlist) assignment, SCALE.md round 10)
+    //         structure (O(N·2√nlist) assignment, SCALE.md round 10);
+    // ivf   = flat end-to-end IVF-PQ (IvfPqPortable.topK) at
+    //         nlistFor(n) — the ANN family's ∝N flat point;
+    // ivf2  = two-level IVF-PQ (topKTwoLevel) at the same nlist —
+    //         the round-11 structure (q93's operator at deployment
+    //         sizing: 20 anchors, m=4, ksub=8, 2 iters, nprobe=2,
+    //         rerank=16 — the gate parameters with nlist freed)
     val twoLevel = args(1) == "auto2"
+    val ivfMode = args(1) == "ivf" || args(1) == "ivf2"
     val nlist =
-      if (args(1) == "auto" || twoLevel)
+      if (args(1) == "auto" || twoLevel || ivfMode)
         graft.operators.KMeansPortable.nlistFor(
           graft.Tables(spark, dir).embeddings.count())
       else args(1).toInt
@@ -50,7 +57,20 @@ object ScaleProbe {
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       val n =
-        if (twoLevel) {
+        if (ivfMode) {
+          import org.apache.spark.sql.functions.col
+          val emb = graft.Tables(spark, dir).embeddings
+          val res =
+            if (args(1) == "ivf2")
+              graft.operators.IvfPqPortable.topKTwoLevel(emb,
+                col("id") < 20, k = 5, nlist = nlist, coarseIters = 2,
+                m = 4, ksub = 8, subIters = 2, nprobe = 2, rerank = 16)
+            else
+              graft.operators.IvfPqPortable.topK(emb,
+                col("id") < 20, k = 5, nlist = nlist, coarseIters = 2,
+                m = 4, ksub = 8, subIters = 2, nprobe = 2, rerank = 16)
+          graft.Measure.force(res.orderBy(col("anchor_id"), col("rank")))
+        } else if (twoLevel) {
           val m = graft.operators.KMeansPortable.trainTwoLevel(
             graft.Tables(spark, dir).embeddings, nlist = nlist, iters = 3)
           graft.Measure.force(

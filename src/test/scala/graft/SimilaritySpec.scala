@@ -156,6 +156,53 @@ class SimilaritySpec extends SparkSpec {
     assert(partial(0).getAs[Long]("neighbor_id") === 101L)
   }
 
+  test("ivfCosineTopKTwoLevel: supers=1 + nprobe=nlist is exact; partial probe finds the dup at auto supers") {
+    // one super holds every child, probing every cell → the exact
+    // brute force (the flat path's own invariant, at the two-level
+    // structure's degenerate point)
+    val exact = SimilaritySearch.cosineTopK(emb, emb.filter($"vec_id" < 3), 5)
+      .collect().map(_.toSeq).toSet
+    val full = SimilaritySearch.ivfCosineTopKTwoLevel(emb, col("id") < 3, 5,
+        nlist = 4, nprobe = 4, supers = 1)
+      .collect().map(_.toSeq).toSet
+    assert(full === exact)
+    // the real structure (auto supers = 2): near-identical vectors
+    // route to the same super and share a child cell → found at
+    // nprobe=1 with the probe restricted to the routed super
+    val partial = SimilaritySearch.ivfCosineTopKTwoLevel(emb,
+        col("id") === 100, 1, nlist = 4, nprobe = 1)
+      .collect()
+    assert(partial.nonEmpty)
+    assert(partial(0).getAs[Long]("neighbor_id") === 101L)
+  }
+
+  test("ivfPqTopKScoreTwoLevel: supers=1 query path ≡ flat ivfPqTopKScore over the same centroids; auto supers recalls the dup") {
+    val pred = col("id") < 3 || col("id") === 100
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // supers=1 pins QUERY-path parity on shared artifacts: the
+    // route+assign map, the equi-join probe, residual-ADC against
+    // child centroids, shortlist and rerank must reproduce the flat
+    // path value-for-value when one super holds every child
+    val tl = SimilaritySearch.trainIvfPqArtifactsTwoLevel(emb,
+      nlist = 4, m = 2, ksub = 4, residual = true, supers = 1)
+    assert(tl.coarse.supers.length === 1)
+    val flat = SimilaritySearch.IvfPqArtifacts(tl.codebooks,
+      tl.coarse.children, residual = true)
+    val a = rows(SimilaritySearch.ivfPqTopKScoreTwoLevel(emb, pred,
+      k = 3, tl, nprobe = 2, rerank = 8))
+    val b = rows(SimilaritySearch.ivfPqTopKScore(emb, pred, k = 3,
+      flat, nprobe = 2, rerank = 8))
+    assert(a === b)
+    // the real structure: planted dup survives routing + PQ + rerank
+    val auto = SimilaritySearch.trainIvfPqArtifactsTwoLevel(emb,
+      nlist = 4, m = 2, ksub = 4, residual = true)
+    val got = SimilaritySearch.ivfPqTopKScoreTwoLevel(emb,
+        col("id") === 100, 1, auto, nprobe = 2, rerank = 8)
+      .collect()
+    assert(got.nonEmpty && got(0).getAs[Long]("neighbor_id") === 101L)
+  }
+
   test("TopKByScore is row-identical to window-rank, ties included") {
     import org.apache.spark.sql.graft.TopKExpressions.topKByScore
     import org.apache.spark.sql.expressions.Window
@@ -431,6 +478,33 @@ class SimilaritySpec extends SparkSpec {
     // above, not this bulk number. Floor set under the measured
     // value's noise band.
     assert(mean >= 0.55, s"fixture recall@$k = $mean")
+  }
+
+  test("IvfPqPortable.topKTwoLevel: supers=1 ≡ flat topK EXACTLY; auto supers recalls the planted dup") {
+    import graft.operators.IvfPqPortable
+    val pred = col("id") < 3 || col("id") === 100
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("anchor_id", "rank").collect().map(r =>
+        (r.getAs[Long]("anchor_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).toSeq
+    val flat = rows(IvfPqPortable.topK(emb, pred, k = 3, nlist = 4,
+      coarseIters = 2, m = 2, ksub = 4, subIters = 2, nprobe = 2,
+      rerank = 8))
+    // one super holds every child: routing is constant, the child
+    // argmin/probe candidates are all nlist cells under the same
+    // (d, j) order, training seeds/means coincide — value-identical
+    val one = rows(IvfPqPortable.topKTwoLevel(emb, pred, k = 3,
+      nlist = 4, coarseIters = 2, m = 2, ksub = 4, subIters = 2,
+      nprobe = 2, rerank = 8, supers = 1))
+    assert(one === flat)
+    // the real structure (auto supers = 2): cells differ — the IVF
+    // routing approximation — but the planted near-identical pair
+    // lands in the same cell and stays the top neighbor
+    val auto = rows(IvfPqPortable.topKTwoLevel(emb, pred, k = 3,
+      nlist = 4, coarseIters = 2, m = 2, ksub = 4, subIters = 2,
+      nprobe = 2, rerank = 8))
+    val top100 = auto.find(r => r._1 == 100L && r._2 == 1).get
+    assert(top100._3 === 101L && top100._4 > 0.999)
   }
 
   test("residual IVF+PQ (IVFADC): sharper codes at equal bits on clustered data") {
