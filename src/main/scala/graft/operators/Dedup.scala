@@ -305,13 +305,22 @@ object Dedup {
     * keep — true for the group representative).
     *
     * `nlist` defaults to [[AutoNlist]]: the quantizer is sized to
-    * the corpus ([[KMeansPortable.nlistFor]] — expected cell
+    * the corpus ([[KMeansPortable.autoNlist]] — expected cell
     * population held at the measured-linear target), at the cost of
-    * one count job over the cached feature relation. A fixed nlist
+    * one count job over the cached feature relation, and the
+    * STRUCTURE is dispatched at the measured crossover (VERDICT r10
+    * item 2 — the old behavior clamped the flat path at
+    * [[KMeansPortable.MaxAutoNlist]] and silently re-entered the
+    * quadratic regime past n ≈ 4.2M): a corpus whose auto nlist
+    * exceeds [[KMeansPortable.FlatAutoMaxNlist]] routes to
+    * [[semanticDedupAuto]]'s two-level path instead — the structural
+    * choice outranks the ML-trainer flavor, because past the knee the
+    * flat argmin is the measured 1075.8 s-class bottleneck
+    * (SCALE.md round 10). A fixed nlist
     * is the measured α 1.92 quadratic (SCALE.md); pass one only with
     * the cell-population math done, and the auto path still fails
-    * loudly ([[KMeansPortable.requireBoundedCells]]) if the clamp
-    * left expected population above the `maxCellSize` cull bound —
+    * loudly ([[KMeansPortable.requireBoundedCells]]) if expected
+    * population lands above the `maxCellSize` cull bound —
     * past that point the typical cell would be culled wholesale and
     * recall silently collapses.
     */
@@ -328,19 +337,27 @@ object Dedup {
       vectors.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("vec"),
         array_to_vector(col(vecCol).cast("array<double>")).as("features")))
-    val k =
-      if (nlist != AutoNlist) nlist
+    val autoK: Option[Int] =
+      if (nlist != AutoNlist) None
       else {
         // the count materializes the cache the trainer re-scans
         // anyway, so the auto path's extra job is one cached count
         val n = feat.count()
-        // Spark ML's KMeans requires k >= 2 (the portable trainer
-        // accepts 1); the +1 cell changes nothing at this size
-        val auto = math.max(2, KMeansPortable.nlistFor(n))
-        KMeansPortable.requireBoundedCells("semanticDedup", n, auto,
-          maxCellSize)
-        auto
+        val auto = KMeansPortable.autoNlist(n)
+        if (auto > KMeansPortable.FlatAutoMaxNlist) None // dispatch below
+        else {
+          KMeansPortable.requireBoundedCells("semanticDedup", n, auto,
+            maxCellSize)
+          // Spark ML's KMeans requires k >= 2 (the portable trainer
+          // accepts 1); the +1 cell changes nothing at this size
+          Some(math.max(2, auto))
+        }
       }
+    if (nlist == AutoNlist && autoK.isEmpty)
+      return semanticDedupAuto(vectors, threshold, iters = 3,
+        maxCellSize = maxCellSize, idCol = idCol, vecCol = vecCol,
+        ccCollectThreshold = ccCollectThreshold)
+    val k = autoK.getOrElse(nlist)
     val trainSet =
       if (trainFraction >= 1.0) feat else feat.sample(trainFraction, seed)
     val model = new KMeans().setK(k).setSeed(seed)
@@ -453,6 +470,35 @@ object Dedup {
       KMeansPortable.assignCellsTwoLevel(base, model), threshold,
       maxCellSize, idCol, ccCollectThreshold)
   }
+
+  /** AUTO-STRUCTURE SemDeDup — the portable family's front door
+    * (VERDICT r10 item 2): size the quantizer to the corpus and
+    * train the STRUCTURE the measured crossover picks
+    * ([[KMeansPortable.trainAuto]] — flat Lloyd at auto nlist ≤
+    * [[KMeansPortable.FlatAutoMaxNlist]], two-level past it), then
+    * the shared cull/pair/closure/survivor tail. This is the path
+    * that replaces the old clamp cliff: at any corpus size up to the
+    * two-level clamp (~67M vectors at the default target) the
+    * expected cell population stays at `targetCellSize` and the
+    * assignment never becomes an nlist-sized codegen body. The
+    * dispatch boundary and both-sided parity with the explicit paths
+    * are spec-pinned (DedupSpec).
+    */
+  def semanticDedupAuto(vectors: DataFrame, threshold: Double,
+      iters: Int = 3, maxCellSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      targetCellSize: Int = KMeansPortable.DefaultTargetCellSize,
+      ccCollectThreshold: Long =
+        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame =
+    KMeansPortable.trainAuto(vectors, iters, idCol, vecCol,
+        targetCellSize) match {
+      case Left(m) =>
+        semanticDedupPortable(vectors, m.centroids, threshold,
+          maxCellSize, idCol, vecCol, ccCollectThreshold)
+      case Right(m) =>
+        semanticDedupTwoLevel(vectors, m, threshold, maxCellSize,
+          idCol, vecCol, ccCollectThreshold)
+    }
 
   /** The shared SemDeDup tail: oversized-cell cull → within-cell
     * decimal-cosine pair scan → transitive closure → min-id

@@ -40,6 +40,10 @@ object ScaleProbe {
     //         the FLAT argmin structure (O(N·nlist) assignment);
     // auto2 = the two-level quantizer at the same nlist — the scale
     //         structure (O(N·2√nlist) assignment, SCALE.md round 10);
+    // autod = the auto-structure FRONT DOOR (Dedup.semanticDedupAuto
+    //         — round-11 dispatch): sizes nlist itself and picks the
+    //         structure at the measured crossover; at 100× this must
+    //         track the manual auto2 choice (VERDICT r10 item 2);
     // ivf   = flat end-to-end IVF-PQ (IvfPqPortable.topK) at
     //         nlistFor(n) — the ANN family's ∝N flat point;
     // ivf2  = two-level IVF-PQ (topKTwoLevel) at the same nlist —
@@ -48,8 +52,9 @@ object ScaleProbe {
     //         rerank=16 — the gate parameters with nlist freed)
     val twoLevel = args(1) == "auto2"
     val ivfMode = args(1) == "ivf" || args(1) == "ivf2"
+    val dispatch = args(1) == "autod"
     val nlist =
-      if (args(1) == "auto" || twoLevel || ivfMode)
+      if (args(1) == "auto" || twoLevel || ivfMode || dispatch)
         graft.operators.KMeansPortable.nlistFor(
           graft.Tables(spark, dir).embeddings.count())
       else args(1).toInt
@@ -70,6 +75,11 @@ object ScaleProbe {
                 col("id") < 20, k = 5, nlist = nlist, coarseIters = 2,
                 m = 4, ksub = 8, subIters = 2, nprobe = 2, rerank = 16)
           graft.Measure.force(res.orderBy(col("anchor_id"), col("rank")))
+        } else if (dispatch) {
+          graft.Measure.force(
+            graft.operators.Dedup.semanticDedupAuto(
+              graft.Tables(spark, dir).embeddings,
+              threshold = 0.35).orderBy(col("id")))
         } else if (twoLevel) {
           val m = graft.operators.KMeansPortable.trainTwoLevel(
             graft.Tables(spark, dir).embeddings, nlist = nlist, iters = 3)

@@ -510,6 +510,49 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("non-negative"))
   }
 
+  test("auto-structure dispatch: flat at the boundary, two-level past it, dispatcher ≡ the explicit paths") {
+    import graft.operators.KMeansPortable
+    // the boundary is pure arithmetic — pin it directly
+    assert(KMeansPortable.autoNlist(512, 4) === 128)
+    assert(KMeansPortable.autoNlist(513, 4) === 129)
+    assert(KMeansPortable.FlatAutoMaxNlist === 128)
+    // past the two-level clamp the auto path still clamps loudly-
+    // documentedly (the third-level regime), never overflows
+    assert(KMeansPortable.autoNlist(Long.MaxValue / 2, 4)
+      === KMeansPortable.MaxAutoNlistTwoLevel)
+    // deterministic corpus with one planted near-dup pair; sizes
+    // straddle the dispatch boundary at targetCellSize = 4
+    val r = new scala.util.Random(11)
+    def corpus(n: Int) = {
+      val base = (0 until n - 2).map(i =>
+        (i.toLong, Seq.fill(4)(r.nextDouble() * 2 - 1)))
+      val v = Seq.fill(4)(r.nextDouble() * 2 - 1)
+      (base :+ (n - 2L, v) :+ (n - 1L, v.updated(0, v.head + 1e-4)))
+        .toDF("vec_id", "embedding")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+    // n = 512 → auto nlist 128 = the boundary → FLAT: the dispatcher
+    // must reproduce the explicit flat-portable path exactly
+    val at = corpus(512).cache()
+    val flatModel = KMeansPortable.trainModel(at, k = 128, iters = 3)
+    assert(rows(Dedup.semanticDedupAuto(at, 0.999, targetCellSize = 4))
+      === rows(Dedup.semanticDedupPortable(at, flatModel.centroids, 0.999)))
+    // n = 520 → auto nlist 130 > 128 → TWO-LEVEL: the dispatcher must
+    // reproduce the explicit two-level path exactly
+    val past = corpus(520).cache()
+    val tlModel = KMeansPortable.trainTwoLevel(past, nlist = 130,
+      iters = 3)
+    // threshold 0.999: random dim-4 cosines routinely exceed 0.9, so a
+    // looser cut would chain unplanted pairs and hide the planted one
+    val auto = rows(Dedup.semanticDedupAuto(past, 0.999, targetCellSize = 4))
+    assert(auto === rows(Dedup.semanticDedupTwoLevel(past, tlModel, 0.999)))
+    // the planted pair collapses on the two-level path too
+    val dup = auto.find(_.head == 519L).get
+    assert(dup(1) === 518L && dup(2) == false)
+    at.unpersist(); past.unpersist()
+  }
+
   test("admitIncrementalSemanticTwoLevel ≡ semanticDedupTwoLevel over corpus ∪ batch") {
     def v(a: Double, b: Double, c: Double, d: Double) = Seq(a, b, c, d)
     val corpus = Seq(
