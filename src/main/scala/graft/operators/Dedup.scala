@@ -563,12 +563,15 @@ object Dedup {
     * whose group contains no corpus member. (The precondition makes
     * corpus×corpus edges empty, so skipping them loses nothing.)
     *
-    * Scale shape: the pairing is a cell equi-join (cells ARE the
-    * partitioning — at deployment the corpus side can be stored
-    * bucketed by cell so only the batch shuffles); the closure input
-    * is the verified edge set (tiny by dedup construction); ids-only
-    * exchanges after the one scored join. Ids must be NON-NEGATIVE
-    * on both sides — enforced per-row at zero happy-path cost.
+    * Scale shape: the pairing is a pair of cell equi-joins (cells ARE
+    * the partitioning — at deployment the corpus side is stored
+    * bucketed by cell and read through
+    * [[admitIncrementalSemanticAssigned]], where the no-corpus-
+    * exchange plan is spec-asserted, so only the batch shuffles); the
+    * closure input is the verified edge set (tiny by dedup
+    * construction); ids-only exchanges after the scored joins. Ids
+    * must be NON-NEGATIVE on both sides — enforced per-row at zero
+    * happy-path cost.
     *
     * Returns the admitted subset of `newVecs`, original columns.
     */
@@ -579,9 +582,26 @@ object Dedup {
       ccCollectThreshold: Long =
         ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
     require(centroids.nonEmpty)
-    admitIncrementalAssigned(newVecs, corpusSurvivors,
+    admitIncrementalAssigned(newVecs,
+      assignCorpus(corpusSurvivors, KMeansPortable.assignCells(_, centroids),
+        idCol, vecCol),
       KMeansPortable.assignCells(_, centroids), centroids.length,
       threshold, maxCellSize, idCol, vecCol, ccCollectThreshold)
+  }
+
+  /** In-query corpus shaping for the non-bucketed admission entries:
+    * guard, widen, norm, assign — the fresh side's recipe applied to
+    * the corpus argument. */
+  private def assignCorpus(corpus: DataFrame,
+      assign: DataFrame => DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.RhpExpressions
+    assign(
+      Par.ensureWide(corpus).select(
+        requireNonNegId(col(idCol).cast("long")).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+        .withColumn("n2",
+          RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
   }
 
   /** [[admitIncrementalSemantic]] over a TWO-LEVEL quantizer — the
@@ -603,60 +623,135 @@ object Dedup {
       ccCollectThreshold: Long =
         ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
     require(model.nlist > 0)
-    admitIncrementalAssigned(newVecs, corpusSurvivors,
+    admitIncrementalAssigned(newVecs,
+      assignCorpus(corpusSurvivors,
+        KMeansPortable.assignCellsTwoLevel(_, model), idCol, vecCol),
       KMeansPortable.assignCellsTwoLevel(_, model), model.nlist,
       threshold, maxCellSize, idCol, vecCol, ccCollectThreshold)
   }
 
-  /** The shared incremental-admission body — assignment injected so
-    * the flat and two-level structures share every downstream
-    * decision (union cull, id negation, pair predicate, closure,
-    * admission rule); the streaming/dedup/decon tail discipline. */
-  private def admitIncrementalAssigned(newVecs: DataFrame,
-      corpusSurvivors: DataFrame, assign: DataFrame => DataFrame,
-      nlist: Int, threshold: Double, maxCellSize: Int,
-      idCol: String, vecCol: String,
-      ccCollectThreshold: Long): DataFrame = {
+  /** Non-negative-id guard shared by every admission entry — corpus
+    * ids are negated into a disjoint key space, so a negative input
+    * id would silently alias a corpus row. Zero happy-path cost. */
+  private def requireNonNegId(id: Column): Column =
+    when(id >= 0, id)
+      .otherwise(raise_error(concat(
+        lit("admitIncrementalSemantic requires non-negative ids "),
+        lit("(corpus ids are negated into a disjoint key space); got "),
+        id.cast("string"))).cast("long"))
+
+  /** Cell-assign a vector relation against a fixed centroid matrix —
+    * (id, vec, n2, cell): the STORAGE shape of a deployment's
+    * survivor corpus. Write it `Sinks.writeBucketed(_, table, "cell",
+    * n)` and [[admitIncrementalSemanticAssigned]] reads the buckets
+    * directly — the per-cell cull aggregate and the new×corpus pair
+    * scan then need NO corpus-side exchange (spec-asserted in
+    * SinksSpec): only the nightly batch shuffles, which was q91's
+    * argued-only deployment claim until round 11. */
+  def assignVectors(vectors: DataFrame,
+      centroids: Array[Array[Double]], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.graft.RhpExpressions
-    def baseOf(df: DataFrame): DataFrame =
-      assign(
-        Par.ensureWide(df).select(
-          when(col(idCol).cast("long") >= 0, col(idCol).cast("long"))
-            .otherwise(raise_error(concat(
-              lit("admitIncrementalSemantic requires non-negative ids "),
-              lit("(corpus ids are negated into a disjoint key space); got "),
-              col(idCol).cast("string"))).cast("long")).as("id"),
+    KMeansPortable.assignCells(
+      Par.ensureWide(vectors)
+        .select(col(idCol).cast("long").as("id"),
           col(vecCol).cast("array<double>").as("vec"))
-          .withColumn("n2",
-            RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
-        // normalize the assigned schema: the two-level assignment
-        // also carries its routing column, which must not reach the
-        // fresh∪corp unionByName below
-        .select(col("id"), col("vec"), col("n2"), col("cell"))
-    val fresh = graft.CacheScope.track(baseOf(newVecs))
-    val corp = graft.CacheScope.track(baseOf(corpusSurvivors))
-    KMeansPortable.requireBoundedCells("admitIncrementalSemantic",
-      fresh.count() + corp.count(), nlist, maxCellSize)
-    // cull on the UNION cell population — the batch twin's cull
-    val oversized = fresh.select(col("cell"))
-      .unionByName(corp.select(col("cell")))
-      .groupBy(col("cell")).agg(count(lit(1)).as("csz"))
-      .filter(col("csz") > maxCellSize)
-      .select(col("cell"))
-    val f = fresh.join(broadcast(oversized), Seq("cell"), "left_anti")
-    val probe = f
-      .unionByName(corp.join(broadcast(oversized), Seq("cell"), "left_anti")
-        .select(col("cell"), (-col("id") - 1).as("id"), col("vec"),
-          col("n2")))
-    val edges = f.as("x").join(probe.as("y"),
-        col("x.cell") === col("y.cell") &&
-          (col("x.id") < col("y.id") || col("y.id") < 0))
+        .withColumn("n2",
+          RhpExpressions.decimalScaledDot(col("vec"), col("vec"))),
+      centroids)
+  }
+
+  /** [[admitIncrementalSemantic]] over a PRE-ASSIGNED corpus — the
+    * bucketed-storage deployment path. `corpusAssigned` carries
+    * (id, vec, n2, cell) as written by [[assignVectors]]; it is used
+    * AS READ — no repartition, no re-assignment — so over a
+    * cell-bucketed table the corpus never exchanges. The caller owns
+    * the consistency contract: the stored cells and `centroids` (the
+    * matrix that assigns the fresh side) must be the same quantizer,
+    * or fresh and corpus rows of one region land in different cells
+    * and admission silently loses recall.
+    */
+  def admitIncrementalSemanticAssigned(newVecs: DataFrame,
+      corpusAssigned: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double, maxCellSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      ccCollectThreshold: Long =
+        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
+    require(centroids.nonEmpty)
+    admitIncrementalAssigned(newVecs,
+      corpusAssigned.select(requireNonNegId(col("id")).as("id"),
+        col("vec"), col("n2"), col("cell")),
+      KMeansPortable.assignCells(_, centroids), centroids.length,
+      threshold, maxCellSize, idCol, vecCol, ccCollectThreshold)
+  }
+
+  /** The admission pair scan, single-sited: new×new (x.id < y.id
+    * within a cell) ∪ new×corpus (every same-cell pair; corpus ids
+    * negated into the disjoint key space), both under the shared
+    * decimal cosine. SPLIT into two equi-joins rather than one join
+    * against fresh ∪ negated-corpus (round 11): the union shape
+    * forced the corpus through a fresh exchange, while here the
+    * corpus side of the second join reads a cell-bucketed table
+    * in place — `f`/`c` must carry (id, vec, n2, cell). Exposed
+    * private[graft] for the SinksSpec plan assertion. */
+  private[graft] def admissionEdges(f: DataFrame, c: DataFrame,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.RhpExpressions
+    def scoredPairs(pairs: DataFrame, b: Column): DataFrame = pairs
       .withColumn("score", round(
         RhpExpressions.decimalScaledDot(col("x.vec"), col("y.vec")) /
           (sqrt(col("x.n2")) * sqrt(col("y.n2"))), 6))
       .filter(col("score") >= threshold)
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-    val comps = ConnectedComponents.components(edges, "a", "b",
+      .select(col("x.id").as("a"), b.as("b"))
+    scoredPairs(
+      f.as("x").join(f.as("y"),
+        col("x.cell") === col("y.cell") && col("x.id") < col("y.id")),
+      col("y.id"))
+      .unionByName(scoredPairs(
+        f.as("x").join(c.as("y"), col("x.cell") === col("y.cell")),
+        -col("y.id") - 1))
+  }
+
+  /** The shared incremental-admission body — fresh-side assignment
+    * injected (flat / two-level), corpus side pre-shaped by the
+    * callers (in-query assignment or the bucketed read), so every
+    * structure and storage layout shares the same cull, pair scan,
+    * closure and admission rule; the streaming/dedup/decon tail
+    * discipline. */
+  private def admitIncrementalAssigned(newVecs: DataFrame,
+      corpAssigned: DataFrame, assign: DataFrame => DataFrame,
+      nlist: Int, threshold: Double, maxCellSize: Int,
+      idCol: String, vecCol: String,
+      ccCollectThreshold: Long): DataFrame = {
+    import org.apache.spark.sql.graft.RhpExpressions
+    val fresh = graft.CacheScope.track(
+      assign(
+        Par.ensureWide(newVecs).select(
+          requireNonNegId(col(idCol).cast("long")).as("id"),
+          col(vecCol).cast("array<double>").as("vec"))
+          .withColumn("n2",
+            RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
+        // normalize the assigned schema: the two-level assignment
+        // also carries its routing column
+        .select(col("id"), col("vec"), col("n2"), col("cell")))
+    val corp = graft.CacheScope.track(
+      corpAssigned.select(col("id"), col("vec"), col("n2"), col("cell")))
+    KMeansPortable.requireBoundedCells("admitIncrementalSemantic",
+      fresh.count() + corp.count(), nlist, maxCellSize)
+    // cull on the UNION cell population (≡ the batch twin's cull),
+    // computed as the sum of PER-SIDE counts: the corpus-side
+    // aggregate groups on the storage key, so a cell-bucketed corpus
+    // contributes its counts without an exchange
+    val oversized = fresh.groupBy(col("cell")).agg(count(lit(1)).as("__fn"))
+      .join(corp.groupBy(col("cell")).agg(count(lit(1)).as("__cn")),
+        Seq("cell"), "full_outer")
+      .filter(coalesce(col("__fn"), lit(0L)) + coalesce(col("__cn"), lit(0L))
+        > maxCellSize)
+      .select(col("cell"))
+    val f = fresh.join(broadcast(oversized), Seq("cell"), "left_anti")
+    val c = corp.join(broadcast(oversized), Seq("cell"), "left_anti")
+    val comps = ConnectedComponents.components(
+      admissionEdges(f, c, threshold), "a", "b",
       collectThreshold = ccCollectThreshold)
     val admittedIds = fresh.select(col("id"))
       .join(comps, col("id") === col("node"), "left")

@@ -64,6 +64,92 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("bucketed survivor corpus: admission pair scan has ZERO corpus-side exchanges; result ≡ in-query path") {
+    import graft.operators.Dedup
+    // the q91 deployment claim, demonstrated (VERDICT r10 item 3):
+    // store the deduplicated survivor set bucketBy(cell) and nightly
+    // admission never moves the corpus — only the batch shuffles
+    val t = "b_corpus_cells"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (loc.exists()) rm(loc)
+    // the DedupSpec admission fixture: pairwise non-dup corpus (its
+    // own survivor set), batch with planted rejects/admits
+    def v(a: Double, b: Double, c: Double, d: Double) = Seq(a, b, c, d)
+    val corpus = Seq(
+      (1L, v(1.0, 0.05, 0.0, 0.0)),
+      (2L, v(0.0, 1.0, 0.05, 0.0)),
+      (3L, v(0.6, 0.6, 0.0, 0.1)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, v(1.0, 0.055, 0.0, 0.0)),
+      (11L, v(0.0, 0.05, 1.0, 0.3)),
+      (12L, v(0.0, 0.05, 1.0, 0.31)),
+      (13L, v(0.0, 1.0, 0.5, 0.0)),
+      (14L, v(1.0, 0.06, 0.001, 0.0)))
+      .toDF("vec_id", "embedding")
+    val m = graft.operators.KMeansPortable.trainModel(corpus, k = 2,
+      iters = 2)
+    Sinks.writeBucketed(Dedup.assignVectors(corpus, m.centroids),
+      t, "cell", 4)
+    // result parity: the bucketed read is a storage layout, not a
+    // semantics change
+    val got = Dedup.admitIncrementalSemanticAssigned(batch,
+        spark.table(t), m.centroids, threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    val raw = Dedup.admitIncrementalSemantic(batch, corpus, m.centroids,
+        threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === raw)
+    assert(got === Set(11L, 13L))
+    // plan assertion: with broadcast off (so the join would otherwise
+    // shuffle BOTH sides) the new×corpus equi-join's corpus subtree
+    // contains the bucketed scan and NO shuffle exchange — the
+    // batch side carries every exchange
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val edges = Dedup.admissionEdges(
+        Dedup.assignVectors(batch, m.centroids),
+        spark.table(t), threshold = 0.95)
+      def bucketed(p: SparkPlan): Boolean = p.collectFirst {
+        case s: FileSourceScanExec if s.bucketedScan => s
+      }.isDefined
+      val plan = edges.queryExecution.executedPlan
+      val shuffledJoins = plan.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      val corpJoins = shuffledJoins.filter(j =>
+        bucketed(j.left) || bucketed(j.right))
+      assert(corpJoins.nonEmpty,
+        s"expected a shuffled join over the bucketed corpus in:\n$plan")
+      corpJoins.foreach { j =>
+        val side = if (bucketed(j.left)) j.left else j.right
+        val ex = side.collect { case e: ShuffleExchangeExec => e }
+        assert(ex.isEmpty, s"corpus-side exchange:\n$side")
+      }
+      // the measured before/after for SCALE.md: the in-query corpus
+      // path exchanges the corpus (ensureWide + join keying), the
+      // bucketed path does not — assert the count drop mechanically
+      val rawEdges = Dedup.admissionEdges(
+        Dedup.assignVectors(batch, m.centroids),
+        Dedup.assignVectors(corpus, m.centroids), threshold = 0.95)
+      def nEx(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }.size
+      assert(nEx(edges) < nEx(rawEdges),
+        s"bucketed=${nEx(edges)} raw=${nEx(rawEdges)}")
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
