@@ -527,20 +527,25 @@ object PlanAudit {
     // q88: the composed multimodal pipeline — per-modality pairing is
     // the shared q83/q84 machinery (verified edges feed the bounded
     // local closure, so the closure work is outside this frame); the
-    // survivor election is ONE component-keyed window (min + count),
-    // NOT aggregate-then-rejoin (static SMJ, and the group relation
-    // has no broadcast bound in the all-singletons worst case); the
-    // catalog join broadcasts the documents dim columns
+    // survivor election is a partial-aggregated component min/count
+    // re-joined by SHUFFLE_HASH (round 11 — the former component-
+    // keyed window buffered an unbounded component on one task; the
+    // hint keeps the rejoin streaming, never the static SMJ the q86
+    // lesson warned about); the catalog join broadcasts the
+    // documents dim columns
     Check("q88_media_pipeline",
-      mustContain = Seq("BroadcastHashJoin", "Window",
+      mustContain = Seq("BroadcastHashJoin", "ShuffledHashJoin",
         "InMemoryTableScan"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
-        "SortMergeJoin"),
-      // [MEASURED] 5 = the round-10 counted plan (sf0.001): the two
+        "SortMergeJoin", "WindowExec"),
+      // [MEASURED] 7 = the round-11 counted plan (sf0.001): the two
       // cached envelope-window exchanges, the universe distinct, the
-      // survivor window shuffle, the presentation sort — all real
-      // keyed shuffles (no ensureWide in this lineage)
-      maxShuffleExchanges = Some(5)),
+      // election aggregate (partial-combined, skew-proof) and the
+      // two SHUFFLE_HASH rejoin keyings that replaced the window's
+      // single partition-buffering shuffle, the presentation sort —
+      // all real keyed shuffles (no ensureWide in this lineage); +2
+      // vs round 10 is the window→agg+SHJ de-skew trade, deliberate
+      maxShuffleExchanges = Some(7)),
     // q89: video containment — frames reduce to (struct id, sig)
     // longs before the shared banded kernel; the containment
     // aggregation's two countDistincts compile to the two-phase

@@ -255,4 +255,28 @@ class MediaDedupSpec extends SparkSpec {
         r.getBoolean(3)))).toMap
     assert(rep === out)
   }
+  test("crossModalDupGroups: planted mega-component elects one survivor skew-safely (no partition-buffering window)") {
+    // the operator contract does not bound component size — a viral
+    // media re-encoded everywhere makes one component corpus-shaped.
+    // 200 identical signatures form one 200-member component dwarfing
+    // everything else; the election must stay aggregation + hash join
+    // (partial min/count collapse the component map-side), never a
+    // WindowExec that would buffer the whole component on one task.
+    val n = 200
+    val mega = (0 until n).map(i => (f"m$i%03d", 12345L))
+    val lone = Seq(("z0", 99999L), ("z1", 1L << 59))
+    val sigs = (mega ++ lone).toDF("media_id", "sig")
+    val got = MediaDedup.crossModalDupGroups(Seq(sigs))
+    val rows = got.collect()
+    val inMega = rows.filter(_.getAs[Long]("group_size") == n)
+    assert(inMega.length === n)
+    assert(inMega.forall(_.getAs[String]("group_id") == "m000"))
+    assert(inMega.count(_.getAs[Boolean]("keep")) === 1)
+    assert(rows.filter(_.getAs[String]("media_id").startsWith("z"))
+      .forall(r => r.getAs[Long]("group_size") == 1L && r.getAs[Boolean]("keep")))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"partition-buffering window in:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected a hash-join election in:\n$plan")
+  }
 }
