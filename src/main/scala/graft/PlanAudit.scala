@@ -546,6 +546,19 @@ object PlanAudit {
       // all real keyed shuffles (no ensureWide in this lineage); +2
       // vs round 10 is the window→agg+SHJ de-skew trade, deliberate
       maxShuffleExchanges = Some(7)),
+    // q94: batch media admission — banding/cull/pair/closure all run
+    // inside the bounded local closure before the final frame exists;
+    // the frame is the admitted-id broadcast semi-join back onto the
+    // fresh signatures + the presentation sort (the q80-family
+    // final-frame shape)
+    Check("q94_media_admission_oracle",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // [MEASURED] 1 = the round-11 counted plan (sf0.001): the
+      // presentation sort alone — the admitted-id relation rides as
+      // a broadcast
+      maxShuffleExchanges = Some(1)),
     // q89: video containment — frames reduce to (struct id, sig)
     // longs before the shared banded kernel; the containment
     // aggregation's two countDistincts compile to the two-phase

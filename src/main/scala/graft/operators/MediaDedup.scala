@@ -315,6 +315,111 @@ object MediaDedup {
         (col("media_id") === col("group_id")).as("keep"))
   }
 
+  /** BATCH media admission — the empty cell of the admission grid
+    * (VERDICT r10 item 5): admit the signatures of a NEW batch
+    * against an already-deduplicated corpus signature set doing only
+    * new×new and new×corpus work — the [[Dedup
+    * .admitIncrementalSemantic]] statement over the banded hamming
+    * kernel, the batch sibling of [[graft.streaming.EventStreams
+    * .mediaAdmittedStream]].
+    *
+    * Mechanics (each the established piece): both sides band through
+    * the 4 × 15-bit pigeonhole; the oversized-bucket cull applies to
+    * the UNION population per (band, value) — computed as the sum of
+    * per-side counts, the round-11 bucketed-storage shape — because a
+    * bucket culled in the batch twin must be culled here or the
+    * equivalence breaks; candidates are the two id-only equi-joins
+    * (new×new with id ordering, new×corpus unordered — the corpus
+    * never self-compares); the popcount verify is exact; closure
+    * nodes are [[Dedup.md5Hash60]] hashes with corpus hashes negated
+    * into the disjoint key space, so a corpus-touching component has
+    * a negative min-label without a flag column; a fresh signature is
+    * admitted iff its component is corpus-untouched AND it is the
+    * component's min media_id in STRING order (the hash-free group
+    * identity [[crossModalDupGroups]] elects) — or it pairs with
+    * nothing.
+    *
+    * EQUIVALENCE (spec-pinned, the admission-family contract): given
+    * `corpusSigs` = the keep-set signatures of a
+    * [[crossModalDupGroups]] pass at the same (maxHamming,
+    * maxBucketSize), the admitted set equals the batch twin over
+    * corpus ∪ batch: fresh ids that survive the union dedup and
+    * whose group contains no corpus member.
+    *
+    * Returns the admitted subset of `newSigs`, original columns.
+    */
+  def admitIncremental(newSigs: DataFrame, corpusSigs: DataFrame,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000,
+      idCol: String = "media_id", sigCol: String = "sig",
+      ccCollectThreshold: Long =
+        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 x 15-bit bands pigeonhole 60 bits at hamming <= 3 (got $maxHamming)")
+    val fresh = graft.CacheScope.track(newSigs.select(
+      col(idCol).cast("string").as("id"), col(sigCol).cast("long").as("sig")))
+    val corp = graft.CacheScope.track(corpusSigs.select(
+      col(idCol).cast("string").as("id"), col(sigCol).cast("long").as("sig")))
+    def banded(df: DataFrame): DataFrame = df.select(col("id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 15).bitwiseAND(32767)): _*))
+        .as(Seq("band", "bv")))
+    val fb = banded(fresh)
+    val cb = banded(corp)
+    // union-population cull as per-side count sum (the Dedup
+    // admission shape: the corpus side aggregates on its own)
+    val oversized = fb.groupBy(col("band"), col("bv"))
+      .agg(count(lit(1)).as("__fn"))
+      .join(cb.groupBy(col("band"), col("bv"))
+        .agg(count(lit(1)).as("__cn")), Seq("band", "bv"), "full_outer")
+      .filter(coalesce(col("__fn"), lit(0L)) + coalesce(col("__cn"), lit(0L))
+        > maxBucketSize)
+      .select(col("band"), col("bv"))
+    val fs = fb.join(broadcast(oversized), Seq("band", "bv"), "left_anti")
+    val cs = cb.join(broadcast(oversized), Seq("band", "bv"), "left_anti")
+    // id-only candidates, sigs joined back from the cached bases
+    // (the Lsh discipline), exact popcount verify
+    def verified(cands: DataFrame, bSide: DataFrame): DataFrame = cands
+      .join(fresh.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(bSide.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .filter(bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= maxHamming)
+      .select(col("a_id"), col("b_id"))
+    val nn = verified(
+      fs.as("x").join(fs.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct(),
+      fresh)
+    val nc = verified(
+      fs.as("x").join(cs.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id")).distinct(),
+      corp)
+    val edges = nn.select(Dedup.md5Hash60(col("a_id")).as("a"),
+        Dedup.md5Hash60(col("b_id")).as("b"))
+      .unionByName(nc.select(Dedup.md5Hash60(col("a_id")).as("a"),
+        (-Dedup.md5Hash60(col("b_id")) - 1).as("b")))
+    val comps = ConnectedComponents.components(edges, "a", "b",
+      collectThreshold = ccCollectThreshold)
+    val labeled = fresh
+      .withColumn("__h", Dedup.md5Hash60(col("id")))
+      .join(comps, col("__h") === col("node"), "left")
+      .select(col("id"), col("component"))
+    // corpus-touched components (negative min-label) reject outright;
+    // fresh-only components admit their min STRING id — the
+    // skew-safe agg + SHUFFLE_HASH election (never a window)
+    val freshOnly = labeled.filter(col("component").isNotNull &&
+      col("component") >= 0)
+    val mins = freshOnly.groupBy(col("component"))
+      .agg(min(col("id")).as("__gmin"))
+    val admitted = labeled.filter(col("component").isNull).select(col("id"))
+      .unionByName(freshOnly
+        .join(mins.hint("shuffle_hash"), Seq("component"))
+        .filter(col("id") === col("__gmin")).select(col("id")))
+      .withColumnRenamed("id", "__admitted_id")
+    newSigs.join(admitted,
+      col(idCol).cast("string") === col("__admitted_id"), "left_semi")
+  }
+
   // ---------------------------------------------------------------
   // Deterministic synthetic frame corpus — the q83 gate's input and
   // the planted-dup fixture generator (the q53 planted-span

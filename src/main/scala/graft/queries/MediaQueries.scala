@@ -356,9 +356,96 @@ object MediaQueries {
       |  CAST(b_matched AS DOUBLE) / cb.nfr) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** q94: BATCH media admission under ONE oracle
+    * ([[MediaDedup.admitIncremental]] — the admission grid's last
+    * empty cell, VERDICT r10 item 5): corpus = the parent-frame
+    * signatures (pairwise non-dup at hamming 3 by the q83-corpus
+    * construction — its own survivor set), batch = the planted "~v"
+    * variants; admission does only new×new and new×corpus banded
+    * work with corpus node-hashes negated into the disjoint key
+    * space. The oracle re-derives every pixel, signature, band,
+    * union-population cull, split candidate join, popcount verify,
+    * the recursive closure over md5-60 node hashes and the
+    * min-STRING-id admission rule (the crossModalDupGroups group
+    * identity, which is what the spec-pinned batch-twin equivalence
+    * is stated against). Most variants reject against their parent;
+    * the hamming>3 outliers admit — the gate rows are the real cut.
+    */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables(s, dir).documents
+      .select(col("doc_id").cast("string")).as[String]
+    val sigs = graft.CacheScope.track(
+      MediaDedup.imageDHash(MediaDedup.syntheticFrameCorpus(ids))
+        .select(col("media_id"), col("sig")))
+    MediaDedup.admitIncremental(
+        sigs.filter(col("media_id").endsWith("~v")),
+        sigs.filter(!col("media_id").endsWith("~v")))
+      .select(col("media_id")).orderBy(col("media_id"))
+  }
+
+  private val q94Sql = {
+    def h(c: String) =
+      s"CAST(('0x' || substring(md5($c), 1, 15)) AS BIGINT)"
+    s"""WITH RECURSIVE ${imageSigCtes("")}
+       |fsig AS MATERIALIZED (
+       |  SELECT media_id, sig FROM sigs WHERE media_id LIKE '%~v'),
+       |csig AS MATERIALIZED (
+       |  SELECT media_id, sig FROM sigs WHERE media_id NOT LIKE '%~v'),
+       |fband AS (SELECT media_id, b AS band, (sig >> (b*15)) & 32767 AS bv
+       |  FROM fsig, generate_series(0,3) AS g(b)),
+       |cband AS (SELECT media_id, b AS band, (sig >> (b*15)) & 32767 AS bv
+       |  FROM csig, generate_series(0,3) AS g(b)),
+       |obkt AS (SELECT band, bv FROM (
+       |    SELECT band, bv, count(*) AS n FROM (
+       |      SELECT band, bv FROM fband
+       |      UNION ALL SELECT band, bv FROM cband) u
+       |    GROUP BY 1, 2) WHERE n > 10000),
+       |fsz AS (SELECT f.* FROM fband f
+       |  LEFT JOIN obkt o ON o.band = f.band AND o.bv = f.bv
+       |  WHERE o.band IS NULL),
+       |csz AS (SELECT c.* FROM cband c
+       |  LEFT JOIN obkt o ON o.band = c.band AND o.bv = c.bv
+       |  WHERE o.band IS NULL),
+       |nn AS (SELECT c2.a_id, c2.b_id FROM (
+       |    SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id
+       |    FROM fsz x JOIN fsz y
+       |      ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id) c2
+       |  JOIN fsig a ON a.media_id = c2.a_id
+       |  JOIN fsig b ON b.media_id = c2.b_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |nc AS (SELECT c2.a_id, c2.b_id FROM (
+       |    SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id
+       |    FROM fsz x JOIN csz y ON x.band = y.band AND x.bv = y.bv) c2
+       |  JOIN fsig a ON a.media_id = c2.a_id
+       |  JOIN csig b ON b.media_id = c2.b_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |aedges AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+       |  SELECT ${h("a_id")} AS a, ${h("b_id")} AS b FROM nn
+       |  UNION ALL SELECT ${h("b_id")}, ${h("a_id")} FROM nn
+       |  UNION ALL SELECT ${h("a_id")}, -${h("b_id")} - 1 FROM nc
+       |  UNION ALL SELECT -${h("b_id")} - 1, ${h("a_id")} FROM nc)),
+       |awalk(node, label) AS (
+       |  SELECT a, a FROM aedges
+       |  UNION
+       |  SELECT e.b, w.label FROM awalk w JOIN aedges e ON e.a = w.node),
+       |acomp AS MATERIALIZED (
+       |  SELECT node, min(label) AS component FROM awalk GROUP BY node),
+       |lab AS (SELECT f.media_id, c.component
+       |  FROM fsig f LEFT JOIN acomp c ON c.node = ${h("f.media_id")}),
+       |gmins AS (SELECT component, min(media_id) AS gmin FROM lab
+       |  WHERE component IS NOT NULL AND component >= 0 GROUP BY 1)
+       |SELECT l.media_id FROM lab l
+       |LEFT JOIN gmins g ON g.component = l.component
+       |WHERE l.component IS NULL
+       |   OR (l.component >= 0 AND l.media_id = g.gmin)
+       |ORDER BY media_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q83_image_near_dup", q83, Some(q83Sql)),
     Q("q84_audio_near_dup", q84, Some(q84Sql)),
     Q("q88_media_pipeline", q88, Some(q88Sql)),
-    Q("q89_video_containment", q89, Some(q89Sql)))
+    Q("q89_video_containment", q89, Some(q89Sql)),
+    Q("q94_media_admission_oracle", q94, Some(q94Sql)))
 }

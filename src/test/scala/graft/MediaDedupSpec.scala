@@ -279,4 +279,45 @@ class MediaDedupSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
       s"expected a hash-join election in:\n$plan")
   }
+  test("admitIncremental ≡ crossModalDupGroups over corpus ∪ batch (the media admission grid's batch cell)") {
+    // corpus = the parent frames (pairwise non-dup at hamming 3 — the
+    // q83-corpus spec above pins that, so the survivor-set
+    // precondition holds by construction); batch = the planted "~v"
+    // variants plus fresh novel ids
+    val ids = (0 until 150).map(_.toString)
+    val parentSigs = MediaDedup.imageDHash(
+        MediaDedup.syntheticFrameCorpus(ids.toDS())
+          .filter((f: DecodedFrame) => !f.media_id.endsWith("~v")))
+      .select(col("media_id"), col("sig"))
+    val batchSigs = MediaDedup.imageDHash(
+        MediaDedup.syntheticFrameCorpus(ids.toDS())
+          .filter((f: DecodedFrame) => f.media_id.endsWith("~v")))
+      .select(col("media_id"), col("sig"))
+      .unionByName(MediaDedup.imageDHash(MediaDedup.syntheticFrameCorpus(
+        (1000 until 1020).map(_.toString).toDS())
+        .filter((f: DecodedFrame) => !f.media_id.endsWith("~v")))
+        .select(col("media_id"), col("sig")))
+    val got = MediaDedup.admitIncremental(batchSigs, parentSigs)
+      .select("media_id").as[String].collect().toSet
+    // the batch twin: union dedup, keep fresh survivors whose group
+    // holds no corpus member
+    val union = parentSigs.unionByName(batchSigs)
+    val groups = MediaDedup.crossModalDupGroups(Seq(union))
+    val corpusGroups = groups
+      .join(parentSigs.select(col("media_id")), Seq("media_id"), "left_semi")
+      .select(col("group_id")).distinct()
+    val twin = groups
+      .join(batchSigs.select(col("media_id")), Seq("media_id"), "left_semi")
+      .filter(col("keep"))
+      .join(corpusGroups, Seq("group_id"), "left_anti")
+      .select("media_id").as[String].collect().toSet
+    assert(got === twin)
+    // structure sanity: most variants reject against their parent,
+    // the hamming>3 outliers and the 20 novel ids admit
+    val novel = (1000 until 1020).map(_.toString).toSet
+    assert(novel.subsetOf(got))
+    val variants = ids.filter(MediaDedup.hasVariant).map(i => s"$i~v").toSet
+    assert((variants -- got).size >= (variants.size * 7) / 10,
+      "most planted variants must reject against the corpus")
+  }
 }
