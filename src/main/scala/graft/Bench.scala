@@ -212,8 +212,14 @@ object Bench {
         // min-of-5, not 3: a fresh JVM's first reps carry warmup
         // luck (q80 measured 15.4/5.6/5.7 — the min over 3 samples
         // still varies ~18% run-to-run); two more ~6 s reps per
-        // child buy convergence inside the 15% agreement bar
+        // child buy convergence inside the 15% agreement bar.
+        // RUNS_STABLE=2 (round 11): the child stops early once 2
+        // consecutive reps fail to improve the running min by > 5%
+        // (never before rep 3) — a converged line pays 3 reps, an
+        // unstable one keeps the full 5; trims the section's ~18 min
+        // wall-clock without moving any stable number
         pb.environment().put("SPARK_GRAFT_RUNS", "5")
+        pb.environment().put("SPARK_GRAFT_RUNS_STABLE", "2")
         pb.redirectErrorStream(false)
         pb.redirectError(ProcessBuilder.Redirect.DISCARD)
         val t = try {
@@ -296,7 +302,7 @@ object Bench {
     // timings — and any head-truncation clips prose, not numbers
     // (round 6 lost timings to sentinel-last ordering, round 7 to
     // full-name 9-decimal keys; see shortKey above).
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":${q(sfDir)},"timing":"min of $reps INTERLEAVED rounds (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started — it INCLUDES this bench's own 32-thread self-load decaying through the 1-min window, so mid-suite values of 8-11 are expected on an otherwise-idle box; ext_cores_at_min_rep is the round-9 contention sentinel: (systemCpu - processCpu) x nCores integrated over exactly the winning rep's window — cores OTHER processes burned while the rep ran; quiet_share is the fraction of winning reps with ext < 5 cores; full-plan materialization via queryExecution.toRdd; keys are the unique qNN prefixes of the catalog names","warmup":${q(warmupNote)},"load_1m_at_min_rep":$loads,"ext_cores_at_min_rep":$exts,"quiet_share":${num(quietShare, 2)},"quiet_note":"quiet = the top-${quietPairs.size} committed lines re-measured in a FRESH JVM each (spawned RunOne child, min-of-5), gated on OTHER-PROCESS busy cores < $QuietCores over a 3 s getCpuLoad window (NOT load_1m, which lags ~2 min behind an exited burst; quiet_gate_load = the busy-core reading that opened each child's gate; 240 s cap per child, 25 min budget for the section — a heavy line past the budget keeps its suite number and is absent here); these are the numbers to trust for heavy lines — the interleaved suite carries ~90 queries of within-JVM state; -1 = child failed","quiet_gate_load":$quietLoads,"quiet":$quietJson,"failed":$failed,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":${q(sfDir)},"timing":"min of $reps INTERLEAVED rounds (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started — it INCLUDES this bench's own 32-thread self-load decaying through the 1-min window, so mid-suite values of 8-11 are expected on an otherwise-idle box; ext_cores_at_min_rep is the round-9 contention sentinel: (systemCpu - processCpu) x nCores integrated over exactly the winning rep's window — cores OTHER processes burned while the rep ran; quiet_share is the fraction of winning reps with ext < 5 cores; full-plan materialization via queryExecution.toRdd; keys are the unique qNN prefixes of the catalog names","warmup":${q(warmupNote)},"load_1m_at_min_rep":$loads,"ext_cores_at_min_rep":$exts,"quiet_share":${num(quietShare, 2)},"quiet_note":"quiet = the top-${quietPairs.size} committed lines re-measured in a FRESH JVM each (spawned RunOne child, min of up to 5 reps, early-stopped at >=3 once 2 consecutive reps fail to improve the running min by >5%), gated on OTHER-PROCESS busy cores < $QuietCores over a 3 s getCpuLoad window (NOT load_1m, which lags ~2 min behind an exited burst; quiet_gate_load = the busy-core reading that opened each child's gate; 240 s cap per child, 25 min budget for the section — a heavy line past the budget keeps its suite number and is absent here); these are the numbers to trust for heavy lines — the interleaved suite carries ~90 queries of within-JVM state; -1 = child failed","quiet_gate_load":$quietLoads,"quiet":$quietJson,"failed":$failed,"queries":$qs}""")
     spark.stop()
   }
 }
