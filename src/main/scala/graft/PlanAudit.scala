@@ -337,6 +337,22 @@ object PlanAudit {
         "topkbyscore", "InMemoryTableScan", "LeftAnti"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
         "SortMergeJoin")),
+    // q95: the composed recall→rerank tiering — the q74 candidate
+    // machinery (fused kernels, id-only banding, cull) plus the
+    // BUDGET take as a bounded constant-score TopKByScore aggregate
+    // (partial aggregation, no per-anchor sort window) feeding the
+    // shared exact-rerank scoring
+    Check("q95_budgeted_rerank_oracle",
+      mustContain = Seq("rhpdecimalbuckets", "decimalscaleddot",
+        "topkbyscore", "InMemoryTableScan", "LeftAnti"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin", "WindowExec"),
+      // [MEASURED] 6 = the round-11 counted plan (sf0.001): the
+      // cached base's ensureWide RoundRobin widening, the candidate
+      // distinct, the budget-take aggregate, the rerank keyings and
+      // the presentation sort — one more than q74's 5, the budget
+      // tier's own bounded aggregate
+      maxShuffleExchanges = Some(6)),
     // q42: RHP candidate generation — both self-join sides read the
     // cached vector-FREE (id, table, bucket) relation, the candidate
     // distinct exchanges (id, id) pairs only, and vectors join back

@@ -296,6 +296,22 @@ object SimilaritySearch {
     */
   def lshCosineTopKPortable(vectors: DataFrame, anchorPred: Column, k: Int,
       numPlanes: Int = 8, numTables: Int = 4, maxBucketSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rerankTopKExact(
+      lshCandidatesPortable(vectors, anchorPred, numPlanes, numTables,
+        maxBucketSize, idCol, vecCol),
+      vectors, k, budget = 0, idCol, vecCol)
+
+  /** The PORTABLE LSH RECALL TIER as a composable surface (round 11
+    * stretch — the reference's plan is recall → rerank,
+    * `Docs/SIMILARITY-PLAN.md:55-75`, and every tier should compose):
+    * the md5-60 banded candidate relation (anchor_id, neighbor_id) of
+    * [[lshCosineTopKPortable]], un-scored — feed it (or any other
+    * recall tier's candidates) to [[rerankTopKExact]]. Same
+    * mechanics as always: id-only banding, oversized-bucket cull,
+    * bounded anchor broadcast, distinct id pairs. */
+  def lshCandidatesPortable(vectors: DataFrame, anchorPred: Column,
+      numPlanes: Int = 8, numTables: Int = 4, maxBucketSize: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.graft.{RhpExpressions, RhpKernels}
     require(numPlanes <= 30, "bucket is an int of numPlanes sign bits")
@@ -303,8 +319,7 @@ object SimilaritySearch {
       .select(size(col(vecCol))).limit(1).collect()
     if (dimRow.isEmpty)
       return vectors.select(col(idCol).as("anchor_id"),
-        lit(1).as("rank"), col(idCol).as("neighbor_id"),
-        lit(0.0).as("score")).where(lit(false))
+        col(idCol).as("neighbor_id")).where(lit(false))
     val planes = RhpKernels.planeMatrix(numTables, numPlanes,
       dimRow(0).getInt(0))
     val base = graft.CacheScope.track(Par.ensureWide(vectors)
@@ -330,11 +345,46 @@ object SimilaritySearch {
       .join(boundedBroadcast(anchorIds, anchorProbe),
         col("id") === col("anchor_id"))
       .select(col("anchor_id"), col("t"), col("bucket"))
-    val candIds = sized.join(anchorBands, Seq("t", "bucket"))
+    sized.join(anchorBands, Seq("t", "bucket"))
       .filter(col("anchor_id") =!= col("id"))
       .select(col("anchor_id"), col("id").as("neighbor_id"))
       .distinct()
-    val scored = candIds
+  }
+
+  /** BUDGETED EXACT RERANK over ANY recall tier's candidates — the
+    * final tier of the recall → rerank plan as its own operator
+    * (q95): `candidates` is any (anchor_id, neighbor_id) relation
+    * (the portable LSH tier above, an IVF probe, banded hamming
+    * survivors…); at most `budget` candidates per anchor are scored
+    * (0 = un-budgeted). The budget take is by NEIGHBOR ID ASC —
+    * deterministic and oracle-able; a score-ordered cap would re-pay
+    * the exact scoring cost the budget exists to bound — and runs as
+    * the bounded TopKByScore aggregate with a constant score (the
+    * (score DESC, id ASC) tie rule IS id-ascending take — partial
+    * aggregation, no per-anchor sort). Scoring is the exact decimal
+    * cosine rounded to 6 (the q74 rule), ranking the shared bounded
+    * top-k. [[lshCosineTopKPortable]] IS this operator at budget 0
+    * over [[lshCandidatesPortable]] — one scoring site, so the q74
+    * and q95 oracles pin the same arithmetic. */
+  def rerankTopKExact(candidates: DataFrame, vectors: DataFrame,
+      k: Int, budget: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.RhpExpressions
+    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
+    require(k >= 1, s"k must be >= 1; got $k")
+    require(budget == 0 || budget >= k,
+      s"budget=$budget must be 0 (off) or >= k=$k")
+    val base = graft.CacheScope.track(Par.ensureWide(vectors)
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("n2",
+        RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
+    val capped =
+      if (budget <= 0) candidates
+      else candidates.groupBy(col("anchor_id"))
+        .agg(topKByScore(lit(0.0), col("neighbor_id"), budget).as("c"))
+        .select(col("anchor_id"), explode(col("c.id")).as("neighbor_id"))
+    val scored = capped
       .join(base.select(col("id").as("anchor_id"), col("vec").as("a_vec"),
         col("n2").as("a_n2")), "anchor_id")
       .join(base.select(col("id").as("neighbor_id"), col("vec").as("n_vec"),

@@ -303,62 +303,99 @@ object SimilarityQueries {
         col("id") < 20, k = 10, numPlanes = 8, numTables = 4)
       .orderBy(col("anchor_id"), col("rank"))
 
-  private val q74Sql =
-    """WITH v AS (
-      |  SELECT vec_id AS id, [CAST(x AS DOUBLE) for x in embedding] AS xs
-      |  FROM embeddings),
-      |dims AS (
-      |  SELECT id, generate_subscripts(xs, 1) - 1 AS d, unnest(xs) AS x
-      |  FROM v),
-      |pl AS (SELECT t, p FROM generate_series(0, 3) AS gt(t),
-      |  generate_series(0, 7) AS gp(p)),
-      |terms AS (
-      |  SELECT m.id, pl.t, pl.p,
-      |    CAST(round(m.x * (CAST(
-      |      CAST(('0x' || substring(md5(pl.t || ':' || pl.p || ':' || m.d),
-      |        1, 15)) AS BIGINT) - (CAST(1 AS BIGINT) << 59) AS DOUBLE)
-      |      / 576460752303423488.0), 12)
-      |      AS DECIMAL(18,12)) AS term
-      |  FROM dims m, pl),
-      |sums AS (
-      |  SELECT id, t, p, sum(term) AS s FROM terms GROUP BY 1, 2, 3),
-      |buckets AS (
-      |  SELECT id, t,
-      |    CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
-      |      AS bucket
-      |  FROM sums GROUP BY 1, 2),
-      |sized AS (
-      |  SELECT id, t, bucket FROM buckets
-      |  QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 10000),
-      |cands AS (
-      |  SELECT DISTINCT a.id AS anchor_id, y.id AS neighbor_id
-      |  FROM sized a JOIN sized y
-      |    ON a.t = y.t AND a.bucket = y.bucket AND a.id <> y.id
-      |  WHERE a.id < 20),
-      |norms AS (
-      |  SELECT id, CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
-      |    AS DOUBLE) AS n2
-      |  FROM dims GROUP BY id),
-      |dots AS (
-      |  SELECT c.anchor_id, c.neighbor_id,
-      |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
-      |      AS DOUBLE) AS dot
-      |  FROM cands c
-      |  JOIN dims da ON da.id = c.anchor_id
-      |  JOIN dims db ON db.id = c.neighbor_id AND db.d = da.d
-      |  GROUP BY 1, 2),
-      |scored AS (
-      |  SELECT d.anchor_id, d.neighbor_id,
-      |    round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS score
-      |  FROM dots d
-      |  JOIN norms na ON na.id = d.anchor_id
-      |  JOIN norms nb ON nb.id = d.neighbor_id)
-      |SELECT anchor_id, rank, neighbor_id, score FROM (
-      |  SELECT anchor_id, neighbor_id, score,
-      |    CAST(row_number() OVER (PARTITION BY anchor_id
-      |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
-      |  FROM scored)
-      |WHERE rank <= 10 ORDER BY anchor_id, rank""".stripMargin
+  /** Shared oracle text for the portable LSH recall tier + exact
+    * rerank: q74 is the un-budgeted statement (budget = None), q95
+    * inserts the budget CTE — per-anchor first-`budget` candidates by
+    * neighbor id — between candidates and scoring. The Scala sides
+    * share one scoring site ([[graft.operators.SimilaritySearch
+    * .rerankTopKExact]]), the SQL sides this one generator. */
+  private def lshTopKOracleSql(k: Int, budget: Option[Int]): String = {
+    val budCte = budget.map(b =>
+      s"""bud AS (
+         |  SELECT anchor_id, neighbor_id FROM (
+         |    SELECT anchor_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY anchor_id ORDER BY neighbor_id) AS rn
+         |    FROM cands) WHERE rn <= $b),
+         |""".stripMargin).getOrElse("")
+    val candRel = if (budget.isDefined) "bud" else "cands"
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, [CAST(x AS DOUBLE) for x in embedding] AS xs
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT id, generate_subscripts(xs, 1) - 1 AS d, unnest(xs) AS x
+       |  FROM v),
+       |pl AS (SELECT t, p FROM generate_series(0, 3) AS gt(t),
+       |  generate_series(0, 7) AS gp(p)),
+       |terms AS (
+       |  SELECT m.id, pl.t, pl.p,
+       |    CAST(round(m.x * (CAST(
+       |      CAST(('0x' || substring(md5(pl.t || ':' || pl.p || ':' || m.d),
+       |        1, 15)) AS BIGINT) - (CAST(1 AS BIGINT) << 59) AS DOUBLE)
+       |      / 576460752303423488.0), 12)
+       |      AS DECIMAL(18,12)) AS term
+       |  FROM dims m, pl),
+       |sums AS (
+       |  SELECT id, t, p, sum(term) AS s FROM terms GROUP BY 1, 2, 3),
+       |buckets AS (
+       |  SELECT id, t,
+       |    CAST(sum(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM sums GROUP BY 1, 2),
+       |sized AS (
+       |  SELECT id, t, bucket FROM buckets
+       |  QUALIFY count(*) OVER (PARTITION BY t, bucket) <= 10000),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS anchor_id, y.id AS neighbor_id
+       |  FROM sized a JOIN sized y
+       |    ON a.t = y.t AND a.bucket = y.bucket AND a.id <> y.id
+       |  WHERE a.id < 20),
+       |${budCte}norms AS (
+       |  SELECT id, CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+       |    AS DOUBLE) AS n2
+       |  FROM dims GROUP BY id),
+       |dots AS (
+       |  SELECT c.anchor_id, c.neighbor_id,
+       |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS dot
+       |  FROM $candRel c
+       |  JOIN dims da ON da.id = c.anchor_id
+       |  JOIN dims db ON db.id = c.neighbor_id AND db.d = da.d
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.anchor_id, d.neighbor_id,
+       |    round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS score
+       |  FROM dots d
+       |  JOIN norms na ON na.id = d.anchor_id
+       |  JOIN norms nb ON nb.id = d.neighbor_id)
+       |SELECT anchor_id, rank, neighbor_id, score FROM (
+       |  SELECT anchor_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k ORDER BY anchor_id, rank""".stripMargin
+  }
+
+  private val q74Sql = lshTopKOracleSql(k = 10, budget = None)
+
+  /** q95: the recall → rerank tiering as TWO composable operators
+    * under ONE oracle — the portable LSH candidate tier
+    * ([[graft.operators.SimilaritySearch.lshCandidatesPortable]])
+    * feeding the budgeted exact rerank ([[graft.operators
+    * .SimilaritySearch.rerankTopKExact]], budget = 8): the oracle
+    * re-derives the banding, the cull, the candidate set, the
+    * per-anchor id-ordered budget take AND the exact decimal-cosine
+    * ranking — the q74 statement with the budget tier inserted, from
+    * the same generator. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    graft.operators.SimilaritySearch.rerankTopKExact(
+        graft.operators.SimilaritySearch.lshCandidatesPortable(
+          emb, col("id") < 20, numPlanes = 8, numTables = 4),
+        emb, k = 5, budget = 8)
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  private val q95Sql = lshTopKOracleSql(k = 5, budget = Some(8))
 
   /** End-to-end PORTABLE IVF-PQ under a FULL oracle (q85) — the q73
     * sibling with zero fixtures: coarse Lloyd training, residual
@@ -437,6 +474,7 @@ object SimilarityQueries {
     Q("q22_knn_classify", q22, Some(q22Sql)),
     Q("q23_lsh_cosine_topk", q23, None, headline = true),
     Q("q74_lsh_topk_oracle", q74, Some(q74Sql)),
+    Q("q95_budgeted_rerank_oracle", q95, Some(q95Sql)),
     Q("q85_ivfpq_e2e_oracle", q85, Some(q85Sql), headline = true),
     Q("q93_ivfpq_twolevel_oracle", q93, Some(q93Sql)),
     Q("q31_group_scores", q31, Some(q31Sql), headline = true),
