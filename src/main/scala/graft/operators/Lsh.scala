@@ -44,6 +44,35 @@ object Lsh {
       .distinct()
   }
 
+  /** The loud half of the 60-bit family's scale contract (round 11 —
+    * the banded-hamming analog of
+    * [[KMeansPortable.requireBoundedCells]]): a 60-bit signature
+    * family has a FIXED band space — 2¹⁵ values per band — so once
+    * the per-band bucket occupancy n/2¹⁵ is ≫ 1, RANDOM collisions
+    * dominate and candidates grow ~n²/2¹⁵ per band whether or not
+    * anything is similar. Measured at the 100× frame corpus
+    * (SCALE.md round 11): occupancy 103 → an OUTAGE, not a slowdown
+    * (heap-OOM at the default 8 g; shuffle spill past the free disk
+    * at 48 g). Unlike RHP-LSH
+    * there is no plane knob — the fix is signature RESOLUTION ∝
+    * corpus (a wider perceptual hash → more/wider bands). Fail fast
+    * at the bound; callers that intend the cost (a sized-up cluster
+    * re-measuring the curve) raise it explicitly.
+    */
+  private[graft] def requireBoundedBuckets(site: String, n: Long,
+      bound: Long): Unit = {
+    val occupancy = n >> 15
+    require(occupancy <= bound,
+      s"$site: expected per-band bucket occupancy n/2^15 = $n/32768 = " +
+        s"$occupancy exceeds the bound $bound — the fixed-signature " +
+        "saturation regime (SCALE.md round 11: candidates grow " +
+        "~n^2/2^15; measured outage at occupancy 103). A 60-bit " +
+        "signature family is exhausted at this corpus size: raise " +
+        "the signature resolution (wider perceptual hash -> " +
+        "more/wider bands), or raise the bound explicitly if the " +
+        "candidate cost is intended and provisioned for.")
+  }
+
   /** Banded near-dup pairing over 60-bit signatures — the shared
     * back half of every 60-bit hamming family (portable SimHash q70,
     * perceptual image dHash q83, audio envelope signatures): 4 ×
@@ -53,16 +82,19 @@ object Lsh {
     * step is integer arithmetic a SQL engine reproduces, so callers
     * whose signatures are themselves engine-portable sit under full
     * value oracles. `base` must carry (`id`, `sig`) and should be
-    * cached by the caller — the banding and both verify joins read it.
+    * cached by the caller — the banding and both verify joins read
+    * it (the occupancy guard's count materializes that cache).
     * Returns (a_id, b_id, hamming ≤ maxHamming), a_id < b_id.
     */
   private[graft] def hamming60Pairs(base: DataFrame, maxHamming: Int,
-      maxBucketSize: Int): DataFrame = {
+      maxBucketSize: Int, maxExpectedOccupancy: Long = 64): DataFrame = {
     // the 4 x 15 pigeonhole guarantees recall UP TO hamming 3, so any
     // stricter cut is sound too (the Dedup.simhashPairs convention —
     // review r9 relaxed the former == 3)
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4 x 15-bit bands pigeonhole 60 bits at hamming <= 3 (got $maxHamming)")
+    requireBoundedBuckets("hamming60Pairs", base.count(),
+      maxExpectedOccupancy)
     val banded = base.select(col("id"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 15).bitwiseAND(32767)): _*))

@@ -131,10 +131,12 @@ object MediaDedup {
     */
   def hammingPairs(sigs: DataFrame, idCol: String = "media_id",
       sigCol: String = "sig", maxHamming: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      maxExpectedOccupancy: Long = 64): DataFrame = {
     val base = graft.CacheScope.track(
       sigs.select(col(idCol).as("id"), col(sigCol).as("sig")))
-    Lsh.hamming60Pairs(base, maxHamming, maxBucketSize)
+    Lsh.hamming60Pairs(base, maxHamming, maxBucketSize,
+      maxExpectedOccupancy)
   }
 
   /** End-to-end image near-dup: decode → dHash (frame 0 — still
@@ -201,10 +203,12 @@ object MediaDedup {
     */
   def videoContainmentPairs(frameSigs: DataFrame,
       minContainment: Double = 0.5, maxHamming: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      maxExpectedOccupancy: Long = 64): DataFrame = {
     val base = graft.CacheScope.track(frameSigs.select(
       struct(col("media_id"), col("frameIdx")).as("id"), col("sig")))
-    val framePairs = Lsh.hamming60Pairs(base, maxHamming, maxBucketSize)
+    val framePairs = Lsh.hamming60Pairs(base, maxHamming, maxBucketSize,
+      maxExpectedOccupancy)
       // struct order ⇒ a_id.media_id <= b_id.media_id; equal media =
       // within-video self-similarity, not a dup signal — drop it
       .filter(col("a_id.media_id") =!= col("b_id.media_id"))
@@ -265,6 +269,7 @@ object MediaDedup {
     */
   def crossModalDupGroups(sigSets: Seq[DataFrame], maxHamming: Int = 3,
       maxBucketSize: Int = 10000,
+      maxExpectedOccupancy: Long = 64,
       ccCollectThreshold: Long =
         ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
     require(sigSets.nonEmpty, "need at least one modality signature set")
@@ -276,7 +281,8 @@ object MediaDedup {
     val sets = sigSets.map(graft.CacheScope.track)
     val edges = sets.map(s =>
         hammingPairs(s, maxHamming = maxHamming,
-          maxBucketSize = maxBucketSize)
+          maxBucketSize = maxBucketSize,
+          maxExpectedOccupancy = maxExpectedOccupancy)
           .select(col("a_id"), col("b_id")))
       .reduce(_.unionByName(_))
     val universe = sets.map(_.select(col("media_id")))
@@ -351,6 +357,7 @@ object MediaDedup {
   def admitIncremental(newSigs: DataFrame, corpusSigs: DataFrame,
       maxHamming: Int = 3, maxBucketSize: Int = 10000,
       idCol: String = "media_id", sigCol: String = "sig",
+      maxExpectedOccupancy: Long = 64,
       ccCollectThreshold: Long =
         ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
@@ -359,6 +366,8 @@ object MediaDedup {
       col(idCol).cast("string").as("id"), col(sigCol).cast("long").as("sig")))
     val corp = graft.CacheScope.track(corpusSigs.select(
       col(idCol).cast("string").as("id"), col(sigCol).cast("long").as("sig")))
+    Lsh.requireBoundedBuckets("MediaDedup.admitIncremental",
+      fresh.count() + corp.count(), maxExpectedOccupancy)
     def banded(df: DataFrame): DataFrame = df.select(col("id"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 15).bitwiseAND(32767)): _*))

@@ -50,13 +50,21 @@ object ScaleProbe {
     //         the round-11 structure (q93's operator at deployment
     //         sizing: 20 anchors, m=4, ksub=8, 2 iters, nprobe=2,
     //         rerank=16 — the gate parameters with nlist freed)
+    // video = the q89 operator chain (synthetic video corpus →
+    //         frame dHash → containment) with the band-occupancy
+    //         bound RAISED — the provisioned-cost escape the guard
+    //         documents, which is precisely how the saturation
+    //         regime gets MEASURED (the q89 gate itself fails the
+    //         default bound at 100× frames, loudly and by design)
     val twoLevel = args(1) == "auto2"
     val ivfMode = args(1) == "ivf" || args(1) == "ivf2"
     val dispatch = args(1) == "autod"
+    val video = args(1) == "video"
     val nlist =
       if (args(1) == "auto" || twoLevel || ivfMode || dispatch)
         graft.operators.KMeansPortable.nlistFor(
           graft.Tables(spark, dir).embeddings.count())
+      else if (video) 0
       else args(1).toInt
     println(s"[probe] resolved nlist=$nlist (${args(1)})")
     (1 to runs).foreach { i =>
@@ -75,6 +83,16 @@ object ScaleProbe {
                 col("id") < 20, k = 5, nlist = nlist, coarseIters = 2,
                 m = 4, ksub = 8, subIters = 2, nprobe = 2, rerank = 16)
           graft.Measure.force(res.orderBy(col("anchor_id"), col("rank")))
+        } else if (video) {
+          import spark.implicits._
+          val ids = graft.Tables(spark, dir).documents
+            .select(col("doc_id").cast("string")).as[String]
+          graft.Measure.force(
+            graft.operators.MediaDedup.videoContainmentPairs(
+              graft.operators.MediaDedup.imageDHash(
+                graft.operators.MediaDedup.syntheticVideoCorpus(ids)),
+              minContainment = 0.5, maxExpectedOccupancy = 256)
+            .orderBy(col("a_id"), col("b_id")))
         } else if (dispatch) {
           graft.Measure.force(
             graft.operators.Dedup.semanticDedupAuto(

@@ -320,4 +320,25 @@ class MediaDedupSpec extends SparkSpec {
     assert((variants -- got).size >= (variants.size * 7) / 10,
       "most planted variants must reject against the corpus")
   }
+  test("band-occupancy guard: signature-space saturation fails loudly, in-regime corpora pass") {
+    // the fixed-signature scale contract (SCALE.md round 11): 60-bit
+    // bands saturate at occupancy n/2^15 >> 1 — candidates grow
+    // ~n^2/2^15 and the measured 100x frame corpus OOMs. The guard is
+    // the requireBoundedCells analog: loud at the bound, overridable
+    // where the cost is provisioned for.
+    val many = spark.range(40000)
+      .select(concat(lit("s"), $"id").as("media_id"), $"id".as("sig"))
+    val e = intercept[IllegalArgumentException] {
+      MediaDedup.hammingPairs(many, maxExpectedOccupancy = 0)
+    }
+    assert(e.getMessage.contains("occupancy"))
+    // raising the bound explicitly is the provisioned-cost escape
+    assert(MediaDedup.hammingPairs(many, maxExpectedOccupancy = 2)
+      .columns.nonEmpty)
+    // the admission entry carries the same guard over both sides
+    val e2 = intercept[IllegalArgumentException] {
+      MediaDedup.admitIncremental(many, many, maxExpectedOccupancy = 1)
+    }
+    assert(e2.getMessage.contains("occupancy"))
+  }
 }

@@ -147,6 +147,8 @@ class SinksSpec extends SparkSpec {
         }.size
       assert(nEx(edges) < nEx(rawEdges),
         s"bucketed=${nEx(edges)} raw=${nEx(rawEdges)}")
+      info(s"pair-scan exchanges: bucketed corpus ${nEx(edges)}, " +
+        s"in-query corpus ${nEx(rawEdges)}")
     }
   }
 
