@@ -331,18 +331,14 @@ object Dedup {
         ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    // cached: k-means|| init + every Lloyd iteration rescans its
-    // input — uncached, that is parquet-scan × iterations
-    val feat = graft.CacheScope.track(
-      vectors.select(col(idCol).cast("long").as("id"),
-        col(vecCol).as("vec"),
-        array_to_vector(col(vecCol).cast("array<double>")).as("features")))
+    // structure dispatch FIRST, from a cheap raw count — building
+    // (and caching) the ML feature relation before deciding would
+    // materialize a corpus-sized cache the dispatched path never
+    // reads (round-11 review)
     val autoK: Option[Int] =
       if (nlist != AutoNlist) None
       else {
-        // the count materializes the cache the trainer re-scans
-        // anyway, so the auto path's extra job is one cached count
-        val n = feat.count()
+        val n = vectors.count()
         val auto = KMeansPortable.autoNlist(n)
         if (auto > KMeansPortable.FlatAutoMaxNlist) None // dispatch below
         else {
@@ -354,9 +350,20 @@ object Dedup {
         }
       }
     if (nlist == AutoNlist && autoK.isEmpty)
+      // the caller's sampling/seed knobs travel with the dispatch
+      // (round-11 review — dropping them silently changed training
+      // cost semantics); the trainer flavor still changes, which the
+      // scaladoc documents as the structural choice outranking it
       return semanticDedupAuto(vectors, threshold, iters = 3,
         maxCellSize = maxCellSize, idCol = idCol, vecCol = vecCol,
+        trainFraction = trainFraction, seed = seed,
         ccCollectThreshold = ccCollectThreshold)
+    // cached: k-means|| init + every Lloyd iteration rescans its
+    // input — uncached, that is parquet-scan × iterations
+    val feat = graft.CacheScope.track(
+      vectors.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec"),
+        array_to_vector(col(vecCol).cast("array<double>")).as("features")))
     val k = autoK.getOrElse(nlist)
     val trainSet =
       if (trainFraction >= 1.0) feat else feat.sample(trainFraction, seed)
@@ -488,10 +495,19 @@ object Dedup {
       iters: Int = 3, maxCellSize: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding",
       targetCellSize: Int = KMeansPortable.DefaultTargetCellSize,
+      trainFraction: Double = 1.0, seed: Long = 42L,
       ccCollectThreshold: Long =
-        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame =
-    KMeansPortable.trainAuto(vectors, iters, idCol, vecCol,
-        targetCellSize) match {
+        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
+    // quantizer RESOLUTION is sized by the FULL corpus (the scale
+    // contract is about application-time cell population), while the
+    // TRAINING input may be a sample — the trainer fails loudly if
+    // the sample is too small to seed nlist centroids
+    val n = vectors.count()
+    val trainSet =
+      if (trainFraction >= 1.0) vectors
+      else vectors.sample(trainFraction, seed)
+    KMeansPortable.trainAuto(trainSet, iters, idCol, vecCol,
+        targetCellSize, n = n) match {
       case Left(m) =>
         semanticDedupPortable(vectors, m.centroids, threshold,
           maxCellSize, idCol, vecCol, ccCollectThreshold)
@@ -499,6 +515,7 @@ object Dedup {
         semanticDedupTwoLevel(vectors, m, threshold, maxCellSize,
           idCol, vecCol, ccCollectThreshold)
     }
+  }
 
   /** The shared SemDeDup tail: oversized-cell cull → within-cell
     * decimal-cosine pair scan → transitive closure → min-id
@@ -1047,7 +1064,8 @@ object Dedup {
     * 3 (4 bands × 15 bits pigeonhole the 60-bit space).
     */
   def simhashPairsPortable(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 10000,
+      maxExpectedOccupancy: Long = 64): DataFrame = {
     require(maxHamming == 3, "portable variant pigeonholes 60 bits as 4x15")
     // Round-7: fused Md5SimHash60 kernel — same md5-60 token hashes,
     // same ±1 counts and `>= 0` sign rule as the exploded 60-column
@@ -1062,7 +1080,8 @@ object Dedup {
     // shared 60-bit pigeonhole back half (round-9 single-siting with
     // the perceptual-hash families) — expression-identical to the
     // inline banding it replaced; q70's oracle pins value identity
-    Lsh.hamming60Pairs(base, maxHamming, maxBucketSize)
+    Lsh.hamming60Pairs(base, maxHamming, maxBucketSize,
+      maxExpectedOccupancy)
   }
 
   /** 64-bit SimHash over the distinct-token set: bit j of the

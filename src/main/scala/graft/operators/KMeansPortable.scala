@@ -93,32 +93,43 @@ object KMeansPortable {
   val MaxAutoNlistTwoLevel: Int = 262144
 
   /** Corpus-sized nlist for the structure-dispatching auto paths —
-    * [[nlistFor]]'s sizing rule under the two-level clamp. */
+    * [[nlistFor]]'s sizing rule under the two-level clamp (ONE
+    * sizing/overflow implementation, two clamp constants). */
   def autoNlist(n: Long,
-      targetCellSize: Int = DefaultTargetCellSize): Int = {
+      targetCellSize: Int = DefaultTargetCellSize): Int =
+    sizedNlist(n, targetCellSize, MaxAutoNlistTwoLevel)
+
+  private def sizedNlist(n: Long, targetCellSize: Int,
+      maxNlist: Int): Int = {
     require(targetCellSize > 0, s"targetCellSize must be positive; " +
       s"got $targetCellSize")
     require(n >= 0, s"corpus size must be non-negative; got $n")
+    // overflow-safe ceiling division (ADVICE r10): n + target - 1
+    // wraps negative for n within target of Long.MaxValue and would
+    // clamp DOWN to 1 — the opposite of the intended direction
     val raw = n / targetCellSize + (if (n % targetCellSize > 0) 1L else 0L)
-    math.min(math.max(raw, 1L), MaxAutoNlistTwoLevel.toLong).toInt
+    math.min(math.max(raw, 1L), maxNlist.toLong).toInt
   }
 
   /** Auto-STRUCTURE training front door: size the quantizer to the
-    * corpus ([[autoNlist]]) and train the structure the measured
-    * crossover picks — flat at nlist ≤ [[FlatAutoMaxNlist]] (Left),
-    * two-level past it (Right). Replaces the old behavior where the
-    * flat auto path clamped at [[MaxAutoNlist]] and silently
-    * re-entered the quadratic regime for n ≳ 4.2M.
+    * corpus ([[autoNlist]] over `n` — pass the FULL corpus size when
+    * `vectors` is a training sample; -1 counts `vectors`) and train
+    * the structure the measured crossover picks — flat at nlist ≤
+    * [[FlatAutoMaxNlist]] (Left), two-level past it (Right).
+    * Replaces the old behavior where the flat auto path clamped at
+    * [[MaxAutoNlist]] and silently re-entered the quadratic regime
+    * for n ≳ 4.2M.
     */
   def trainAuto(vectors: DataFrame, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      targetCellSize: Int = DefaultTargetCellSize): Either[Model, TwoLevelModel] = {
-    val n = vectors.count()
-    val nlist = autoNlist(n, targetCellSize)
-    if (nlist <= FlatAutoMaxNlist)
-      Left(trainModel(vectors, nlist, iters, idCol, vecCol))
+      targetCellSize: Int = DefaultTargetCellSize,
+      n: Long = -1L): Either[Model, TwoLevelModel] = {
+    val sized = autoNlist(if (n >= 0) n else vectors.count(),
+      targetCellSize)
+    if (sized <= FlatAutoMaxNlist)
+      Left(trainModel(vectors, sized, iters, idCol, vecCol))
     else
-      Right(trainTwoLevel(vectors, nlist, iters, idCol, vecCol))
+      Right(trainTwoLevel(vectors, sized, iters, idCol, vecCol))
   }
 
   /** Quantizer resolution sized to the corpus — the SemDeDup-family
@@ -133,16 +144,8 @@ object KMeansPortable {
     * Clamped to [1, [[MaxAutoNlist]]]; see the clamp note above.
     */
   def nlistFor(n: Long,
-      targetCellSize: Int = DefaultTargetCellSize): Int = {
-    require(targetCellSize > 0, s"targetCellSize must be positive; " +
-      s"got $targetCellSize")
-    require(n >= 0, s"corpus size must be non-negative; got $n")
-    // overflow-safe ceiling division (ADVICE r10): n + target - 1
-    // wraps negative for n within target of Long.MaxValue and would
-    // clamp DOWN to 1 — the opposite of the intended direction
-    val raw = n / targetCellSize + (if (n % targetCellSize > 0) 1L else 0L)
-    math.min(math.max(raw, 1L), MaxAutoNlist.toLong).toInt
-  }
+      targetCellSize: Int = DefaultTargetCellSize): Int =
+    sizedNlist(n, targetCellSize, MaxAutoNlist)
 
   /** The loud half of the scale contract: fail fast when a caller
     * hands a corpus to a quantizer too coarse for it. `bound` is the

@@ -145,11 +145,13 @@ object MediaDedup {
     * banded pairing.
     */
   def imageNearDupPairs(media: DataFrame, decoder: Decoder,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
+      maxHamming: Int = 3, maxBucketSize: Int = 10000,
+      maxExpectedOccupancy: Long = 64): DataFrame =
     hammingPairs(
       imageDHash(Multimodal.decodeFrames(media, decoder))
         .filter(col("frameIdx") === 0),
-      maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize,
+      maxExpectedOccupancy = maxExpectedOccupancy)
 
   /** Gain-invariant 60-bit envelope signature per audio media over
     * [[Multimodal.audioRms]] rows: bit k = rms(window k+1) >
@@ -171,11 +173,13 @@ object MediaDedup {
   /** End-to-end audio near-dup: decode PCM → RMS envelope →
     * signature → banded pairing. */
   def audioNearDupPairs(media: DataFrame, samplesPerFrame: Int = 1024,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
+      maxHamming: Int = 3, maxBucketSize: Int = 10000,
+      maxExpectedOccupancy: Long = 64): DataFrame =
     hammingPairs(
       audioEnvelopeSig(Multimodal.audioRms(Multimodal.decodeFrames(
         media, new Multimodal.WavDecoder(samplesPerFrame)))),
-      maxHamming = maxHamming, maxBucketSize = maxBucketSize)
+      maxHamming = maxHamming, maxBucketSize = maxBucketSize,
+      maxExpectedOccupancy = maxExpectedOccupancy)
 
   /** VIDEO-shaped near-dup: per-frame 60-bit signatures → banded
     * FRAME-level pairing (the shared pigeonhole kernel over

@@ -297,6 +297,12 @@ object SimilaritySearch {
   def lshCosineTopKPortable(vectors: DataFrame, anchorPred: Column, k: Int,
       numPlanes: Int = 8, numTables: Int = 4, maxBucketSize: Int = 10000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    // rerankTopKExact re-derives the (id, vec, n2) base the candidate
+    // tier also builds — IDENTICAL plan, so Spark's CacheManager
+    // dedupes the persist (one materialization, one storage copy; the
+    // "already cached" warning is that dedup working); measured: the
+    // composed q74 path times at the pre-split number (1.5 s quiet
+    // at sf0.1, round 11)
     rerankTopKExact(
       lshCandidatesPortable(vectors, anchorPred, numPlanes, numTables,
         maxBucketSize, idCol, vecCol),
@@ -865,7 +871,24 @@ object SimilaritySearch {
       * vector has a child to land in). */
     val populated: Array[Int] = groups.indices.filter(groups(_).nonEmpty).toArray
     require(populated.nonEmpty, "two-level coarse has no populated super")
+    /** cell → owning super (the groups inverted) — the probe-side
+      * join key derivation, single-sited for both query paths. */
+    lazy val superOf: Array[Int] = {
+      val arr = new Array[Int](nlist)
+      groups.indices.foreach(i => groups(i).foreach(j => arr(j) = i))
+      arr
+    }
   }
+
+  /** The (cell, cvec, super) probe relation of a two-level coarse
+    * structure — ≤ nlist rows, broadcast onto routed anchors by both
+    * two-level query paths. */
+  private def childCentDf(spark: org.apache.spark.sql.SparkSession,
+      coarse: TwoLevelCoarse): DataFrame =
+    spark.createDataFrame(
+      coarse.children.zipWithIndex.toSeq
+        .map { case (c, j) => (j, c, coarse.superOf(j)) })
+      .toDF("cell", "cvec", "super")
 
   /** Train the two-level coarse structure natively (Spark ML KMeans
     * at both levels): Lloyd over S = ⌈√nlist⌉ supers (supers = 0 →
@@ -945,17 +968,7 @@ object SimilaritySearch {
     * probe's equi-join see the same domain and no vector is ever
     * cell-less. O(S + nlist/S) per row vs the flat O(nlist). */
   private def nearestChild(v: Array[Double], c: TwoLevelCoarse): Int = {
-    var best = c.populated(0); var bestD = Double.MaxValue
-    var pi = 0
-    while (pi < c.populated.length) {
-      val i = c.populated(pi)
-      val cc = c.supers(i)
-      var d = 0.0; var t = 0
-      while (t < v.length) { val x = v(t) - cc(t); d += x * x; t += 1 }
-      if (d < bestD) { bestD = d; best = i }
-      pi += 1
-    }
-    val g = c.groups(best)
+    val g = c.groups(routeSuper(v, c))
     var bj = g(0); var bd = Double.MaxValue
     var k = 0
     while (k < g.length) {
@@ -1012,16 +1025,7 @@ object SimilaritySearch {
     val assigned = feat.as[(Long, Array[Double])]
       .map { case (id, v) => (id, v, nearestChild(v, cB.value)) }
       .toDF("id", "vec", "cell")
-    val superOf = {
-      val arr = new Array[Int](coarse.nlist)
-      coarse.groups.indices.foreach(i => coarse.groups(i).foreach(j =>
-        arr(j) = i))
-      arr
-    }
-    val centDf = spark.createDataFrame(
-      coarse.children.zipWithIndex.toSeq
-        .map { case (c, j) => (j, c, superOf(j)) })
-      .toDF("cell", "cvec", "super")
+    val centDf = childCentDf(spark, coarse)
     val anchorsRouted = feat.filter(anchorPred)
       .as[(Long, Array[Double])]
       .map { case (id, v) => (id, v, routeSuper(v, cB.value)) }
@@ -1130,16 +1134,7 @@ object SimilaritySearch {
           }
         (id, pqEncodeVec(enc, cbB.value), cell)
       }.toDF("nid", "code", "cell")
-    val superOf = {
-      val arr = new Array[Int](coarse.nlist)
-      coarse.groups.indices.foreach(i => coarse.groups(i).foreach(j =>
-        arr(j) = i))
-      arr
-    }
-    val centDf = spark.createDataFrame(
-      coarse.children.zipWithIndex.toSeq
-        .map { case (c, j) => (j, c, superOf(j)) })
-      .toDF("cell", "cvec", "super")
+    val centDf = childCentDf(spark, coarse)
     val anchorsRouted = feat.filter(anchorPred)
       .as[(Long, Array[Double])]
       .map { case (id, v) => (id, v, routeSuper(v, cB.value)) }

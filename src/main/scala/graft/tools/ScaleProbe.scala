@@ -60,13 +60,18 @@ object ScaleProbe {
     val ivfMode = args(1) == "ivf" || args(1) == "ivf2"
     val dispatch = args(1) == "autod"
     val video = args(1) == "video"
+    // autod sizes ITSELF inside the front door (autoNlist, two-level
+    // clamp) — resolving here would both double the count job and log
+    // a number from the wrong clamp (round-11 review); same for the
+    // video mode, which has no quantizer at all
     val nlist =
-      if (args(1) == "auto" || twoLevel || ivfMode || dispatch)
+      if (dispatch || video) -1
+      else if (args(1) == "auto" || twoLevel || ivfMode)
         graft.operators.KMeansPortable.nlistFor(
           graft.Tables(spark, dir).embeddings.count())
-      else if (video) 0
       else args(1).toInt
-    println(s"[probe] resolved nlist=$nlist (${args(1)})")
+    println(s"[probe] resolved nlist=" +
+      s"${if (nlist < 0) "front-door" else nlist.toString} (${args(1)})")
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       val n =
