@@ -1096,6 +1096,62 @@ object SimilaritySearch {
     TwoLevelIvfPqArtifacts(codebooks, coarse, residual)
   }
 
+  /** Plain-text serialization for the two-level artifacts — the
+    * [[saveArtifacts]] format with the hierarchy appended:
+    * `meta2 m ksub dsub nlist dim S [residual]`, `cb j c v…` per
+    * codebook centroid, `sup i v…` per super centroid, `cent j v…`
+    * per child centroid, `grp i j…` per super's child ids (empty
+    * groups emit a bare `grp i`). Same deployment split as the flat
+    * path: train once offline, ship the text artifact to every query
+    * job. */
+  def saveArtifactsTwoLevel(a: TwoLevelIvfPqArtifacts,
+      out: java.io.Writer): Unit = {
+    val c = a.coarse
+    val res = if (a.residual) 1 else 0
+    out.write(s"meta2 ${a.m} ${a.ksub} ${a.dsub} ${c.nlist} ${c.dim} " +
+      s"${c.supers.length} $res\n")
+    for (j <- 0 until a.m; k <- 0 until a.ksub)
+      out.write(s"cb $j $k " +
+        a.codebooks(j)(k).map(java.lang.Double.toString).mkString(" ") + "\n")
+    for (i <- c.supers.indices)
+      out.write(s"sup $i " +
+        c.supers(i).map(java.lang.Double.toString).mkString(" ") + "\n")
+    for (j <- 0 until c.nlist)
+      out.write(s"cent $j " +
+        c.children(j).map(java.lang.Double.toString).mkString(" ") + "\n")
+    for (i <- c.groups.indices)
+      out.write((s"grp $i " + c.groups(i).mkString(" ")).trim + "\n")
+  }
+
+  def loadArtifactsTwoLevel(
+      in: java.io.InputStream): TwoLevelIvfPqArtifacts = {
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+    val meta = lines.head.split(" ")
+    require(meta(0) == "meta2" && meta.length == 8,
+      s"bad two-level artifact header: ${lines.head}")
+    val Array(m, ksub, dsub, nlist, dim, s) = meta.slice(1, 7).map(_.toInt)
+    val residual = meta(7) == "1"
+    val cb = Array.ofDim[Array[Double]](m, ksub)
+    val sup = new Array[Array[Double]](s)
+    val cent = new Array[Array[Double]](nlist)
+    val grp = Array.fill(s)(Array.empty[Int])
+    lines.tail.foreach { ln =>
+      val p = ln.split(" ")
+      p(0) match {
+        case "cb"   => cb(p(1).toInt)(p(2).toInt) = p.drop(3).map(_.toDouble)
+        case "sup"  => sup(p(1).toInt) = p.drop(2).map(_.toDouble)
+        case "cent" => cent(p(1).toInt) = p.drop(2).map(_.toDouble)
+        case "grp"  => grp(p(1).toInt) = p.drop(2).map(_.toInt)
+        case other => throw new IllegalArgumentException(s"bad line tag $other")
+      }
+    }
+    val a = TwoLevelIvfPqArtifacts(cb.map(_.toArray),
+      TwoLevelCoarse(sup, cent, grp), residual)
+    require(a.dsub == dsub && a.coarse.dim == dim,
+      "two-level artifact meta/body mismatch")
+    a
+  }
+
   /** IVF+PQ QUERY path over [[TwoLevelIvfPqArtifacts]] — the
     * [[ivfPqTopKScore]] statement with the O(2√nlist) route+assign
     * map and the equi-join probe ([[ivfCosineTopKTwoLevel]]'s): the

@@ -426,6 +426,32 @@ class SimilaritySpec extends SparkSpec {
     assert(partial(0).getAs[Long]("neighbor_id") === 101L)
   }
 
+  test("two-level IVF+PQ artifacts: save/load round-trips bit-exactly; score path unchanged through the text form") {
+    import graft.operators.SimilaritySearch
+    val art = SimilaritySearch.trainIvfPqArtifactsTwoLevel(emb,
+      nlist = 4, m = 2, ksub = 4, residual = true)
+    val sw = new java.io.StringWriter()
+    SimilaritySearch.saveArtifactsTwoLevel(art, sw)
+    val back = SimilaritySearch.loadArtifactsTwoLevel(
+      new java.io.ByteArrayInputStream(sw.toString.getBytes("UTF-8")))
+    assert(back.residual === art.residual)
+    assert(back.codebooks.map(_.map(_.toSeq).toSeq).toSeq ===
+      art.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(back.coarse.supers.map(_.toSeq).toSeq ===
+      art.coarse.supers.map(_.toSeq).toSeq)
+    assert(back.coarse.children.map(_.toSeq).toSeq ===
+      art.coarse.children.map(_.toSeq).toSeq)
+    assert(back.coarse.groups.map(_.toSeq).toSeq ===
+      art.coarse.groups.map(_.toSeq).toSeq)
+    val direct = SimilaritySearch.ivfPqTopKScoreTwoLevel(emb,
+      col("id") < 5, k = 3, art, nprobe = 2, rerank = 16)
+      .collect().map(_.toSeq).toSet
+    val loaded = SimilaritySearch.ivfPqTopKScoreTwoLevel(emb,
+      col("id") < 5, k = 3, back, nprobe = 2, rerank = 16)
+      .collect().map(_.toSeq).toSet
+    assert(direct === loaded)
+  }
+
   test("IVF+PQ artifacts: save/load round-trips; score path ≡ inline training") {
     import graft.operators.SimilaritySearch
     val art = SimilaritySearch.trainIvfPqArtifacts(emb, nlist = 4, m = 4,
