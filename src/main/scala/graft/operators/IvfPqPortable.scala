@@ -159,15 +159,13 @@ object IvfPqPortable {
     val dsub = dim / m
 
     // ---- training (driver state: nlist·dim + m·ksub·dsub scalars).
-    // Trains through the CHECKED base, not the raw input, so the
-    // ragged-dim guard covers the FIRST job — otherwise coarse Lloyd
-    // would run to completion on silently-truncated dots before the
-    // guard fires (round-10 review); values are identical for a
-    // uniform corpus (same cast, same id order, same seeds) and the
-    // training now reads the cache the encode stage needs anyway
-    val coarse = KMeansPortable.trainModel(
-      base.select(col("id"), col("vec")), nlist, coarseIters,
-      "id", "vec").centroids
+    // Trains FROM the checked cached base, so the ragged-dim guard
+    // covers the FIRST job (round-10 review) and no identical
+    // (id, vec, n2) relation is re-materialized for training
+    // (round 11 — trainModelFromBase reads the SAME cache the encode
+    // stage reads)
+    val coarse = KMeansPortable.trainModelFromBase(
+      base, nlist, coarseIters).centroids
     val centsLit = typedLit(coarse.map(_.toSeq).toSeq)
     // residuals once, shared by all m subspace trainings + encoding
     val withRes = graft.CacheScope.track(
@@ -216,9 +214,10 @@ object IvfPqPortable {
     val (base, dim) = checkedBase(vectors, idCol, vecCol)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
-    val tl = KMeansPortable.trainTwoLevel(
-      base.select(col("id"), col("vec")), nlist, coarseIters,
-      "id", "vec", supers)
+    // trains FROM the checked cached base (one shaping, one cache —
+    // the flat topK discipline at the two-level site)
+    val tl = KMeansPortable.trainTwoLevelFromBase(
+      base, nlist, coarseIters, supers)
     val childLit = typedLit(tl.children.map(_.toSeq).toSeq)
     // route once (cached): corpus assignment, anchor filtering and
     // the probe all read the routed relation

@@ -173,14 +173,28 @@ object KMeansPortable {
     * return the final centroid matrix + last-assignment member
     * counts. Driver-side state is the k×dim matrix only.
     */
-  def trainModel(vectors: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
-    require(k > 0 && iters >= 1, s"need k>0, iters>=1; got k=$k iters=$iters")
-    val base = graft.CacheScope.track(Par.ensureWide(vectors)
+  /** The (id, vec, n2) shaping every trainer and assignment
+    * consumes — factored so composed operators (IvfPqPortable) can
+    * train from the SAME cached base they assign/encode from instead
+    * of re-materializing an identical relation (round 11: one fewer
+    * corpus-wide norm pass + cache copy per e2e IVF gate). */
+  private[graft] def shapedBase(vectors: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    graft.CacheScope.track(Par.ensureWide(vectors)
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
       .withColumn("n2",
         RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
+
+  def trainModel(vectors: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Model =
+    trainModelFromBase(shapedBase(vectors, idCol, vecCol), k, iters)
+
+  /** [[trainModel]] over an already-shaped cached (id, vec, n2)
+    * base — same values, zero re-shaping. */
+  private[graft] def trainModelFromBase(base: DataFrame, k: Int,
+      iters: Int): Model = {
+    require(k > 0 && iters >= 1, s"need k>0, iters>=1; got k=$k iters=$iters")
     // committed init: the k lowest-id vectors in id order. A bounded
     // k-row collect (the seed matrix IS driver state under Lloyd).
     val seeds = base.orderBy(col("id")).select(col("vec")).limit(k)
@@ -364,7 +378,14 @@ object KMeansPortable {
     */
   def trainTwoLevel(vectors: DataFrame, nlist: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      supers: Int = 0): TwoLevelModel = {
+      supers: Int = 0): TwoLevelModel =
+    trainTwoLevelFromBase(shapedBase(vectors, idCol, vecCol), nlist,
+      iters, supers)
+
+  /** [[trainTwoLevel]] over an already-shaped cached (id, vec, n2)
+    * base — same values, zero re-shaping (the IvfPqPortable share). */
+  private[graft] def trainTwoLevelFromBase(base: DataFrame, nlist: Int,
+      iters: Int, supers: Int = 0): TwoLevelModel = {
     require(nlist > 0 && iters >= 1,
       s"need nlist>0, iters>=1; got nlist=$nlist iters=$iters")
     require(supers >= 0, s"supers must be >= 0 (0 = auto ⌈√nlist⌉)")
@@ -376,12 +397,7 @@ object KMeansPortable {
     // the reclaim guarantee below (Σ children = nlist) needs every
     // populated super's ≥1 floor to fit inside nlist
     require(s <= nlist, s"supers=$s must not exceed nlist=$nlist")
-    val superModel = trainModel(vectors, k = s, iters = iters, idCol, vecCol)
-    val base = graft.CacheScope.track(Par.ensureWide(vectors)
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("vec"))
-      .withColumn("n2",
-        RhpExpressions.decimalScaledDot(col("vec"), col("vec"))))
+    val superModel = trainModelFromBase(base, k = s, iters = iters)
     val routed = graft.CacheScope.track(
       base.withColumn("super", cellExpr(col("vec"), col("n2"),
         superModel.centroids)))
@@ -394,7 +410,7 @@ object KMeansPortable {
     // committed seeds: per super, its ks(i) lowest-id members. One
     // bounded collect of <= nlist (id, super, vec) rows.
     val ksDf = {
-      val spark = vectors.sparkSession
+      val spark = base.sparkSession
       import spark.implicits._
       (0 until s).map(i => (i, ks(i))).toDF("super", "__k")
     }
