@@ -340,5 +340,11 @@ class MediaDedupSpec extends SparkSpec {
       MediaDedup.admitIncremental(many, many, maxExpectedOccupancy = 1)
     }
     assert(e2.getMessage.contains("occupancy"))
+    // boundary arithmetic: occupancy = n >> 15 — exactly at the bound
+    // passes, one band-space past it fails
+    graft.operators.Lsh.requireBoundedBuckets("spec", 2L * 32768, 2)
+    intercept[IllegalArgumentException] {
+      graft.operators.Lsh.requireBoundedBuckets("spec", 3L * 32768, 2)
+    }
   }
 }

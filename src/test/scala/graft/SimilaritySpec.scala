@@ -603,4 +603,36 @@ class SimilaritySpec extends SparkSpec {
       .select("centroid").as[Seq[Double]].collect()(0)
     assert(c === Seq(2.0, 4.0))
   }
+  test("rerankTopKExact: the constant-score budget take ≡ the id-ordered window take; budget 0 = un-budgeted") {
+    import graft.operators.SimilaritySearch
+    import org.apache.spark.sql.expressions.Window
+    // synthetic candidate relation with per-anchor fan-out far above
+    // the budget, ids deliberately unsorted in the input
+    val r = new scala.util.Random(23)
+    val cands = r.shuffle((0 until 4).flatMap(a =>
+      (0 until 30).map(n => (a.toLong, (n * 7 + a).toLong % 41))))
+      .distinct.toDF("anchor_id", "neighbor_id")
+    val vecs = (0 until 41).map(i => (i.toLong, mkVec(i))).toDF("vec_id", "embedding")
+    val b = 6
+    val got = SimilaritySearch.rerankTopKExact(cands, vecs, k = 3,
+      budget = b).collect().map(_.toSeq).toSet
+    // reference: window-rank the candidates by neighbor id, keep b,
+    // then the un-budgeted operator over that relation
+    val w = Window.partitionBy($"anchor_id").orderBy($"neighbor_id")
+    val taken = cands.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" <= b).drop("__rn")
+    val ref = SimilaritySearch.rerankTopKExact(taken, vecs, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(got === ref)
+    // budget >= fan-out degenerates to un-budgeted exactly
+    val all = SimilaritySearch.rerankTopKExact(cands, vecs, k = 3,
+      budget = 1000).collect().map(_.toSeq).toSet
+    val unb = SimilaritySearch.rerankTopKExact(cands, vecs, k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(all === unb)
+    // contract: a budget below k is a loud error
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.rerankTopKExact(cands, vecs, k = 3, budget = 2)
+    }
+  }
 }
