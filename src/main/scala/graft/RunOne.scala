@@ -52,7 +52,11 @@ object RunOne {
           if (secs < best * 0.95) noImprove = 0 else noImprove += 1
           if (secs < best) best = secs
           if (stable > 0 && i >= 3 && noImprove >= stable) {
-            println(f"[runone] early stop after $i reps: min $best%.2fs stable for $noImprove reps")
+            // NOT "min $best%.2fs": Bench's child-output regex is
+            // `in ([0-9.]+)s`, and the trailing "in " of "min" made
+            // this line match it (ADVICE r11) — keep the early-stop
+            // message free of the `in <num>s` shape
+            println(f"[runone] early stop after $i reps: best $best%.2f sec, stable for $noImprove reps")
             go = false
           }
           i += 1

@@ -335,10 +335,13 @@ object Dedup {
     // (and caching) the ML feature relation before deciding would
     // materialize a corpus-sized cache the dispatched path never
     // reads (round-11 review)
+    var countedN = -1L // threaded into the dispatch (ADVICE r11: the
+    // auto path was recounting the same uncached relation)
     val autoK: Option[Int] =
       if (nlist != AutoNlist) None
       else {
         val n = vectors.count()
+        countedN = n
         val auto = KMeansPortable.autoNlist(n)
         if (auto > KMeansPortable.FlatAutoMaxNlist) None // dispatch below
         else {
@@ -357,7 +360,7 @@ object Dedup {
       return semanticDedupAuto(vectors, threshold, iters = 3,
         maxCellSize = maxCellSize, idCol = idCol, vecCol = vecCol,
         trainFraction = trainFraction, seed = seed,
-        ccCollectThreshold = ccCollectThreshold)
+        ccCollectThreshold = ccCollectThreshold, n = countedN)
     // cached: k-means|| init + every Lloyd iteration rescans its
     // input — uncached, that is parquet-scan × iterations
     val feat = graft.CacheScope.track(
@@ -497,17 +500,21 @@ object Dedup {
       targetCellSize: Int = KMeansPortable.DefaultTargetCellSize,
       trainFraction: Double = 1.0, seed: Long = 42L,
       ccCollectThreshold: Long =
-        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
+        ConnectedComponents.DefaultLocalClosureThreshold,
+      n: Long = -1L): DataFrame = {
     // quantizer RESOLUTION is sized by the FULL corpus (the scale
     // contract is about application-time cell population), while the
     // TRAINING input may be a sample — the trainer fails loudly if
-    // the sample is too small to seed nlist centroids
-    val n = vectors.count()
+    // the sample is too small to seed nlist centroids. `n` < 0 =
+    // count here; a caller that already counted (semanticDedup's
+    // dispatch) passes it through — the trainAuto convention
+    // (ADVICE r11: the dispatch was scanning the relation twice)
+    val n0 = if (n >= 0) n else vectors.count()
     val trainSet =
       if (trainFraction >= 1.0) vectors
       else vectors.sample(trainFraction, seed)
     KMeansPortable.trainAuto(trainSet, iters, idCol, vecCol,
-        targetCellSize, n = n) match {
+        targetCellSize, n = n0) match {
       case Left(m) =>
         semanticDedupPortable(vectors, m.centroids, threshold,
           maxCellSize, idCol, vecCol, ccCollectThreshold)

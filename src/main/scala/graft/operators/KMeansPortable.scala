@@ -360,8 +360,13 @@ object KMeansPortable {
           }
       }
     }
+    // clamp in Long BEFORE narrowing (ADVICE r11): a super population
+    // above Int.MaxValue would wrap negative through .toInt —
+    // unreachable under the documented two-level clamp, but this is
+    // the shared one-site for both trainers
     (0 until s).map(i =>
-      math.min(ks(i), counts.getOrElse(i, 0L).toInt)).toArray
+      math.min(ks(i).toLong, counts.getOrElse(i, 0L))
+        .min(Int.MaxValue).toInt).toArray
   }
 
   /** Train a two-level quantizer: Lloyd over S = ⌈√nlist⌉ supers,

@@ -44,33 +44,37 @@ object Lsh {
       .distinct()
   }
 
-  /** The loud half of the 60-bit family's scale contract (round 11 —
-    * the banded-hamming analog of
-    * [[KMeansPortable.requireBoundedCells]]): a 60-bit signature
-    * family has a FIXED band space — 2¹⁵ values per band — so once
-    * the per-band bucket occupancy n/2¹⁵ is ≫ 1, RANDOM collisions
-    * dominate and candidates grow ~n²/2¹⁵ per band whether or not
-    * anything is similar. Measured at the 100× frame corpus
-    * (SCALE.md round 11): occupancy 103 → an OUTAGE, not a slowdown
-    * (heap-OOM at the default 8 g; shuffle spill past the free disk
-    * at 48 g). Unlike RHP-LSH
-    * there is no plane knob — the fix is signature RESOLUTION ∝
-    * corpus (a wider perceptual hash → more/wider bands). Fail fast
-    * at the bound; callers that intend the cost (a sized-up cluster
-    * re-measuring the curve) raise it explicitly.
+  /** The loud half of the banded-hamming scale contract (round 11 —
+    * the analog of [[KMeansPortable.requireBoundedCells]]): a
+    * signature family banded into `bandBits`-bit words has a FIXED
+    * band space — 2^bandBits values per band — so once the per-band
+    * bucket occupancy n/2^bandBits is ≫ 1, RANDOM collisions
+    * dominate and candidates grow ~n²/2^bandBits per band whether or
+    * not anything is similar. Measured at the 100× frame corpus
+    * (SCALE.md round 11, 60-bit family = 15-bit bands): occupancy
+    * 103 → an OUTAGE, not a slowdown (heap-OOM at the default 8 g;
+    * shuffle spill past the free disk at 48 g). Unlike RHP-LSH there
+    * is no plane knob — the fix is signature RESOLUTION ∝ corpus,
+    * and the occupancy knob is specifically the band WIDTH (band
+    * COUNT buys pigeonhole recall, not sparser buckets — each extra
+    * band adds its own ~n²/2^bandBits candidate stream; see
+    * [[MediaDedup.SigSpec]], round 12). Fail fast at the bound;
+    * callers that intend the cost (a sized-up cluster re-measuring
+    * the curve) raise it explicitly.
     */
   private[graft] def requireBoundedBuckets(site: String, n: Long,
-      bound: Long): Unit = {
-    val occupancy = n >> 15
+      bound: Long, bandBits: Int = 15): Unit = {
+    val occupancy = n >> bandBits
     require(occupancy <= bound,
-      s"$site: expected per-band bucket occupancy n/2^15 = $n/32768 = " +
-        s"$occupancy exceeds the bound $bound — the fixed-signature " +
-        "saturation regime (SCALE.md round 11: candidates grow " +
-        "~n^2/2^15; measured outage at occupancy 103). A 60-bit " +
-        "signature family is exhausted at this corpus size: raise " +
-        "the signature resolution (wider perceptual hash -> " +
-        "more/wider bands), or raise the bound explicitly if the " +
-        "candidate cost is intended and provisioned for.")
+      s"$site: expected per-band bucket occupancy n/2^$bandBits = " +
+        s"$n/${1L << bandBits} = $occupancy exceeds the bound $bound " +
+        "— the fixed-signature saturation regime (SCALE.md round 11: " +
+        s"candidates grow ~n^2/2^$bandBits; measured outage at " +
+        "occupancy 103). This signature family is exhausted at this " +
+        "corpus size: raise the signature resolution (wider bands — " +
+        "MediaDedup.SigSpec frees the grid and the band width), or " +
+        "raise the bound explicitly if the candidate cost is " +
+        "intended and provisioned for.")
   }
 
   /** Banded near-dup pairing over 60-bit signatures — the shared

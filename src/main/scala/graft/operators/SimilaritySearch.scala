@@ -1136,7 +1136,7 @@ object SimilaritySearch {
     val cent = new Array[Array[Double]](nlist)
     val grp = Array.fill(s)(Array.empty[Int])
     lines.tail.foreach { ln =>
-      val p = ln.split(" ")
+      val p = ln.split("\\s+")
       p(0) match {
         case "cb"   => cb(p(1).toInt)(p(2).toInt) = p.drop(3).map(_.toDouble)
         case "sup"  => sup(p(1).toInt) = p.drop(2).map(_.toDouble)
@@ -1145,6 +1145,18 @@ object SimilaritySearch {
         case other => throw new IllegalArgumentException(s"bad line tag $other")
       }
     }
+    // completeness check (ADVICE r11): a TRUNCATED artifact (missing
+    // cb/sup/cent lines) must fail HERE as a parse error, not later
+    // as an NPE inside TwoLevelCoarse/scoring — the loud-mismatch
+    // contract the meta/body dim check below already sets
+    for (j <- 0 until m; kk <- 0 until ksub)
+      require(cb(j)(kk) != null,
+        s"truncated two-level artifact: missing cb $j $kk")
+    for (i <- 0 until s)
+      require(sup(i) != null, s"truncated two-level artifact: missing sup $i")
+    for (j <- 0 until nlist)
+      require(cent(j) != null,
+        s"truncated two-level artifact: missing cent $j")
     val a = TwoLevelIvfPqArtifacts(cb.map(_.toArray),
       TwoLevelCoarse(sup, cent, grp), residual)
     require(a.dsub == dsub && a.coarse.dim == dim,
