@@ -600,6 +600,20 @@ object PlanAudit {
       // countDistinct chains (2 exchanges each), the per-media frame
       // count agg (2), presentation sort — all real keyed shuffles
       // over id/count scalars, never pixels
+      maxShuffleExchanges = Some(10)),
+    // q96: video containment at the WIDE signature width — the q89
+    // plan shape must survive the width change unchanged (frames
+    // reduce to 6 band words per frame before the kernel; the
+    // hamming verify is a per-candidate zip_with/aggregate
+    // projection, not a shuffle)
+    Check("q96_video_containment_wide",
+      mustContain = Seq("BroadcastHashJoin", "InMemoryTableScan",
+        "LeftAnti"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // [MEASURED] 10 = the round-12 counted plan (sf0.001): the
+      // same ten keyed shuffles as q89 — the width change moves no
+      // exchange
       maxShuffleExchanges = Some(10)))
 
   // Queries whose broadcast nested-loop join is the documented design:

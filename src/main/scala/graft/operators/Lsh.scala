@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The shared LSH candidate-generation skeleton every banded
@@ -90,6 +90,47 @@ object Lsh {
     * it (the occupancy guard's count materializes that cache).
     * Returns (a_id, b_id, hamming ≤ maxHamming), a_id < b_id.
     */
+  /** Banded near-dup pairing over WIDE signatures — the
+    * [[hamming60Pairs]] kernel with the signature width freed (round
+    * 12, the q89 fix): `base` carries (`id`, `sig` = array of
+    * `bands` band WORDS of `bandBits` bits each — the
+    * [[MediaDedup.dHashWide]] layout), banding is a plain
+    * `posexplode` of the word array, the pigeonhole guarantees
+    * recall to hamming ≤ bands − 1, and the occupancy guard derives
+    * its band space from the ACTUAL band width (n/2^bandBits ≤
+    * `maxExpectedOccupancy`) — which is what makes the family
+    * scale-followable: band width ∝ log₂(corpus) keeps buckets
+    * sparse by construction, exactly as nlist ∝ N keeps quantizer
+    * cells bounded. Every step is integer arithmetic a SQL engine
+    * reproduces (`bit_count(xor())` per word, summed), so wide
+    * callers keep the full-oracle discipline. `base` should be
+    * cached by the caller. Returns (a_id, b_id, hamming ≤
+    * `maxHamming`), a_id < b_id.
+    */
+  private[graft] def hammingWidePairs(base: DataFrame, bands: Int,
+      bandBits: Int, maxHamming: Int, maxBucketSize: Int,
+      maxExpectedOccupancy: Long): DataFrame = {
+    require(bands >= 2 && bandBits >= 1 && bandBits <= 62,
+      s"need 2+ bands of 1..62 bits (got $bands x $bandBits)")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"$bands bands pigeonhole ${bands * bandBits} bits at hamming <= " +
+        s"${bands - 1} (got $maxHamming)")
+    requireBoundedBuckets("hammingWidePairs", base.count(),
+      maxExpectedOccupancy, bandBits)
+    val banded = base.select(col("id"),
+      posexplode(col("sig")).as(Seq("band", "bv")))
+    def ham(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
+      lit(0), (acc, x) => acc + x)
+    bandedCandidatePairs(banded, Seq("band", "bv"), maxBucketSize)
+      .join(base.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .withColumn("hamming", ham(col("a_sig"), col("b_sig")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"),
+        col("hamming").cast("int").as("hamming"))
+  }
+
   private[graft] def hamming60Pairs(base: DataFrame, maxHamming: Int,
       maxBucketSize: Int, maxExpectedOccupancy: Long = 64): DataFrame = {
     // the 4 x 15 pigeonhole guarantees recall UP TO hamming 3, so any

@@ -49,6 +49,58 @@ object MediaDedup {
   val TileCols = 11
   val SigBits: Int = TileRows * (TileCols - 1)
 
+  /** The PARAMETERIZED perceptual-signature family (round 12 — the
+    * fix the measured q89 outage's fence pointed at): a dHash over a
+    * `tileRows` × `tileCols` grid produces `tileRows` × (`tileCols`
+    * − 1) gradient bits, banded into words of `bandBits` bits each.
+    * The two scale knobs are separate on purpose:
+    *
+    *   - `bandBits` is the OCCUPANCY knob: per-band bucket occupancy
+    *     is n/2^bandBits, so band width ∝ log₂(corpus) keeps buckets
+    *     sparse by construction — 15-bit bands saturate at ~2M
+    *     signatures (the measured round-11 outage), 20-bit bands at
+    *     ~32× that, and so on. More bands do NOT help here: each
+    *     band adds its own ~n²/2^bandBits random-candidate stream.
+    *   - `bands` (= sigBits / bandBits) is the RECALL knob: the
+    *     pigeonhole guarantees any pair within hamming ≤ bands − 1
+    *     shares a band exactly. More signature bits at the same
+    *     band width buy guaranteed recall headroom, because a real
+    *     near-dup's hamming distance grows ∝ sigBits while the
+    *     threshold grows with bands.
+    *
+    * Both knobs stay integer-exact (block means, comparisons, shifts)
+    * so every configuration keeps the full-oracle discipline the
+    * 60-bit family gates (q83/q89). [[Sig60]] is the legacy family
+    * unchanged; [[Sig120]] is the deployment width for frame corpora
+    * past the 60-bit bound (measured at the 100× video corpus that
+    * 60 bits could only fail loudly on — SCALE.md round 12).
+    */
+  final case class SigSpec(tileRows: Int, tileCols: Int, bandBits: Int) {
+    val sigBits: Int = tileRows * (tileCols - 1)
+    require(bandBits >= 8 && bandBits <= 62,
+      s"bandBits must be 8..62 (got $bandBits)")
+    require(sigBits % bandBits == 0,
+      s"sigBits $sigBits must split evenly into $bandBits-bit bands")
+    val bands: Int = sigBits / bandBits
+    require(bands >= 2, s"need >= 2 bands for a pigeonhole (got $bands)")
+    /** Pigeonhole recall guarantee: pairs within this hamming share
+      * at least one band exactly. */
+    val maxGuaranteedHamming: Int = bands - 1
+  }
+
+  /** The 60-bit legacy family as a spec: 6×11 grid, 4 × 15-bit
+    * bands, recall to hamming 3 — right-sized while buckets stay
+    * sparse (n ≲ 2M signatures at the default occupancy bound). */
+  val Sig60: SigSpec = SigSpec(TileRows, TileCols, 15)
+
+  /** The WIDE family: 8×16 grid → 120 gradient bits, 6 × 20-bit
+    * bands — recall guaranteed to hamming 5 (the same 1-per-24-bits
+    * relative threshold as 60-bit hamming ≤ 3 is 1-per-20), and a
+    * 2²⁰ band space that keeps occupancy ≤ 64 out to ~67M frame
+    * signatures (32× the 60-bit ceiling; the 100× outage corpus
+    * sits at occupancy 3). */
+  val Sig120: SigSpec = SigSpec(8, 16, 20)
+
   /** ITU-R BT.601 integer luma (the JPEG convention), exact: no
     * floats anywhere in the signature path. */
   def luma(r: Int, g: Int, b: Int): Int = (r * 299 + g * 587 + b * 114) / 1000
@@ -63,21 +115,26 @@ object MediaDedup {
     * layout (the corrupt-blob SKIP contract, shared with
     * [[Multimodal.ImageIODecoder]]).
     */
-  def dHash60(pixels: Array[Byte], w: Int, h: Int): Long = {
-    if (pixels == null || w < TileCols || h < TileRows) return -1L
+  /** Floor-mean luma per tile over a `rows` × `cols` grid with
+    * integer boundaries — the shared arithmetic of every grid width
+    * (null for unusable frames: null pixels, dimensions below the
+    * grid, a buffer matching neither layout). */
+  private def tileMeans(pixels: Array[Byte], w: Int, h: Int,
+      rows: Int, cols: Int): Array[Int] = {
+    if (pixels == null || w < cols || h < rows) return null
     val channels =
       if (pixels.length == w * h) 1
       else if (pixels.length == 3 * w * h) 3
-      else return -1L
-    val means = new Array[Int](TileRows * TileCols)
+      else return null
+    val means = new Array[Int](rows * cols)
     var r = 0
-    while (r < TileRows) {
-      val y0 = r * h / TileRows
-      val y1 = (r + 1) * h / TileRows
+    while (r < rows) {
+      val y0 = r * h / rows
+      val y1 = (r + 1) * h / rows
       var c = 0
-      while (c < TileCols) {
-        val x0 = c * w / TileCols
-        val x1 = (c + 1) * w / TileCols
+      while (c < cols) {
+        val x0 = c * w / cols
+        val x1 = (c + 1) * w / cols
         var sum = 0L
         var n = 0
         var y = y0
@@ -93,11 +150,17 @@ object MediaDedup {
           }
           y += 1
         }
-        means(r * TileCols + c) = (sum / n).toInt
+        means(r * cols + c) = (sum / n).toInt
         c += 1
       }
       r += 1
     }
+    means
+  }
+
+  def dHash60(pixels: Array[Byte], w: Int, h: Int): Long = {
+    val means = tileMeans(pixels, w, h, TileRows, TileCols)
+    if (means == null) return -1L
     var sig = 0L
     var k = 0
     while (k < SigBits) {
@@ -108,6 +171,29 @@ object MediaDedup {
       k += 1
     }
     sig
+  }
+
+  /** WIDE difference hash — [[dHash60]]'s arithmetic over the
+    * [[SigSpec]]'s grid, emitted directly as `spec.bands` band WORDS
+    * (word b carries global gradient bits [b·bandBits, (b+1)·
+    * bandBits); bit k, row-major as in dHash60: row = k/(cols−1),
+    * col = k%(cols−1), set iff the right tile's mean exceeds the
+    * left's). Null for unusable frames (the skip contract). */
+  def dHashWide(pixels: Array[Byte], w: Int, h: Int,
+      spec: SigSpec): Array[Long] = {
+    val means = tileMeans(pixels, w, h, spec.tileRows, spec.tileCols)
+    if (means == null) return null
+    val words = new Array[Long](spec.bands)
+    var k = 0
+    while (k < spec.sigBits) {
+      val row = k / (spec.tileCols - 1)
+      val colIdx = k % (spec.tileCols - 1)
+      if (means(row * spec.tileCols + colIdx + 1) >
+          means(row * spec.tileCols + colIdx))
+        words(k / spec.bandBits) |= 1L << (k % spec.bandBits)
+      k += 1
+    }
+    words
   }
 
   /** Frames → (media_id, frameIdx, sig). Unusable frames are SKIPPED
@@ -124,10 +210,33 @@ object MediaDedup {
       .filter(col("sig") >= 0L)
   }
 
+  /** [[imageDHash]] at a freed signature width: frames →
+    * (media_id, frameIdx, sig = array of `spec.bands` band words).
+    * Same narrow-map/skip contract. */
+  def imageDHashWide(frames: Dataset[DecodedFrame],
+      spec: SigSpec = Sig120): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map(f =>
+        (f.media_id, f.frameIdx, dHashWide(f.pixels, f.width, f.height, spec)))
+      .toDF("media_id", "frameIdx", "sig")
+      .filter(col("sig").isNotNull)
+  }
+
   /** Near-dup pairs over a 60-bit signature relation: the shared
     * pigeonhole kernel ([[Lsh.hamming60Pairs]] — guaranteed recall to
     * hamming 3, bucket-culled, id-only exchanges). Returns
     * (a_id, b_id, hamming), a_id < b_id.
+    *
+    * `maxExpectedOccupancy` (default 64 — a round-11 BEHAVIOR CHANGE
+    * on every public 60-bit entry, ADVICE r11): the call FAILS FAST
+    * with an IllegalArgumentException once per-band bucket occupancy
+    * n/2¹⁵ exceeds the bound (~2.1M signatures at the default),
+    * where round 10 ran into the measured saturation outage instead;
+    * the guard's count() also materializes the cached base. A
+    * pre-sized caller that intends the candidate cost raises the
+    * bound explicitly; past ~2M signatures the supported path is the
+    * wide family ([[SigSpec]]/[[hammingPairsWide]]).
     */
   def hammingPairs(sigs: DataFrame, idCol: String = "media_id",
       sigCol: String = "sig", maxHamming: Int = 3,
@@ -137,6 +246,25 @@ object MediaDedup {
       sigs.select(col(idCol).as("id"), col(sigCol).as("sig")))
     Lsh.hamming60Pairs(base, maxHamming, maxBucketSize,
       maxExpectedOccupancy)
+  }
+
+  /** [[hammingPairs]] at a freed signature width — the wide
+    * pigeonhole kernel ([[Lsh.hammingWidePairs]]) over a
+    * [[dHashWide]]-shaped relation (`sigCol` = array of
+    * `spec.bands` band words). `maxHamming` defaults to the spec's
+    * pigeonhole guarantee (bands − 1); the occupancy guard derives
+    * its band space from `spec.bandBits`, so the bound the 60-bit
+    * family saturates at moves out 2^(bandBits−15)× by construction.
+    */
+  def hammingPairsWide(sigs: DataFrame, spec: SigSpec = Sig120,
+      idCol: String = "media_id", sigCol: String = "sig",
+      maxHamming: Int = -1, maxBucketSize: Int = 10000,
+      maxExpectedOccupancy: Long = 64): DataFrame = {
+    val base = graft.CacheScope.track(
+      sigs.select(col(idCol).as("id"), col(sigCol).as("sig")))
+    Lsh.hammingWidePairs(base, spec.bands, spec.bandBits,
+      if (maxHamming < 0) spec.maxGuaranteedHamming else maxHamming,
+      maxBucketSize, maxExpectedOccupancy)
   }
 
   /** End-to-end image near-dup: decode → dHash (frame 0 — still
@@ -211,8 +339,42 @@ object MediaDedup {
       maxExpectedOccupancy: Long = 64): DataFrame = {
     val base = graft.CacheScope.track(frameSigs.select(
       struct(col("media_id"), col("frameIdx")).as("id"), col("sig")))
-    val framePairs = Lsh.hamming60Pairs(base, maxHamming, maxBucketSize,
-      maxExpectedOccupancy)
+    containmentTail(base,
+      Lsh.hamming60Pairs(base, maxHamming, maxBucketSize,
+        maxExpectedOccupancy),
+      minContainment)
+  }
+
+  /** [[videoContainmentPairs]] at a freed signature width (round 12
+    * — the operator the measured 100× outage demanded): identical
+    * containment semantics over [[imageDHashWide]]-shaped frame
+    * signatures; only the pairing kernel changes
+    * ([[Lsh.hammingWidePairs]], band space 2^spec.bandBits).
+    * `maxHamming` defaults to the spec's pigeonhole guarantee. */
+  def videoContainmentPairsWide(frameSigs: DataFrame,
+      spec: SigSpec = Sig120, minContainment: Double = 0.5,
+      maxHamming: Int = -1, maxBucketSize: Int = 10000,
+      maxExpectedOccupancy: Long = 64): DataFrame = {
+    val base = graft.CacheScope.track(frameSigs.select(
+      struct(col("media_id"), col("frameIdx")).as("id"), col("sig")))
+    containmentTail(base,
+      Lsh.hammingWidePairs(base, spec.bands, spec.bandBits,
+        if (maxHamming < 0) spec.maxGuaranteedHamming else maxHamming,
+        maxBucketSize, maxExpectedOccupancy),
+      minContainment)
+  }
+
+  /** The shared containment aggregation — single-sited so the 60-bit
+    * and wide video paths cannot drift in count/coverage semantics.
+    * `base` is the CACHED (id struct, sig) relation the kernel
+    * banded (counts must read it, not the raw input: frameSigs'
+    * lineage is a full decode+dHash pass for real video, and a
+    * raw-relation aggregate would derive the frames twice —
+    * round-10 review); `kernelPairs` is its (a_id, b_id, hamming)
+    * struct-keyed output. */
+  private def containmentTail(base: DataFrame, kernelPairs: DataFrame,
+      minContainment: Double): DataFrame = {
+    val framePairs = kernelPairs
       // struct order ⇒ a_id.media_id <= b_id.media_id; equal media =
       // within-video self-similarity, not a dup signal — drop it
       .filter(col("a_id.media_id") =!= col("b_id.media_id"))
@@ -220,10 +382,6 @@ object MediaDedup {
         col("a_id.frameIdx").as("a_frame"),
         col("b_id.media_id").as("b_id"),
         col("b_id.frameIdx").as("b_frame"))
-    // counts read the CACHED base, not the raw input: frameSigs'
-    // lineage is a full decode+dHash pass for real video, and the
-    // raw-relation aggregate would not match the cached projection
-    // (round-10 review) — this way the frames derive exactly once
     val counts = base.groupBy(col("id.media_id").as("media_id"))
       .agg(countDistinct(col("id.frameIdx")).as("nf"))
     framePairs.groupBy(col("a_id"), col("b_id"))
@@ -457,8 +615,15 @@ object MediaDedup {
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Deterministic grayscale frame for `seedId`. */
-  def syntheticPixels(seedId: String): Array[Byte] = {
-    val px = new Array[Byte](FrameW * FrameH)
+  def syntheticPixels(seedId: String): Array[Byte] =
+    syntheticPixelsSized(seedId, FrameW * FrameH)
+
+  /** [[syntheticPixels]] at any 16-divisible size — the wide-frame
+    * corpus draws 2048 px (128 digests) from the same digest
+    * stream. */
+  def syntheticPixelsSized(seedId: String, npx: Int): Array[Byte] = {
+    require(npx % 16 == 0, s"pixel count must be 16-divisible (got $npx)")
+    val px = new Array[Byte](npx)
     var b = 0
     while (b < px.length / 16) {
       System.arraycopy(md5Bytes(s"$seedId:px:$b"), 0, px, b * 16, 16)
@@ -471,8 +636,13 @@ object MediaDedup {
     * keyed on `variantId` — most land within hamming ≤ 3 of the
     * parent, a few honestly beyond (the threshold is a real cut,
     * not a tautology). */
-  def perturbedPixels(parentId: String, variantId: String): Array[Byte] = {
-    val px = syntheticPixels(parentId)
+  def perturbedPixels(parentId: String, variantId: String): Array[Byte] =
+    perturbedPixelsSized(parentId, variantId, FrameW * FrameH)
+
+  /** [[perturbedPixels]] at any 16-divisible size. */
+  def perturbedPixelsSized(parentId: String, variantId: String,
+      npx: Int): Array[Byte] = {
+    val px = syntheticPixelsSized(parentId, npx)
     var b = 0
     while (b < px.length / 16) {
       val d = md5Bytes(s"$variantId:pt:$b")
@@ -527,6 +697,33 @@ object MediaDedup {
         if (hasVariant(id)) (0 until ClipFrames).map(j =>
           DecodedFrame(s"$id~t", j, FrameW, FrameH,
             perturbedPixels(s"$id:f${j + 1}", s"$id~t:f$j")))
+        else Seq.empty
+      parents ++ clips
+    }
+  }
+
+  /** 64×32: [[Sig120]]'s 16×8 grid in exact 4×4 tiles, 2048 px =
+    * 128 digests — the wide gate's frame dimensions. */
+  val WideFrameW = 64
+  val WideFrameH = 32
+
+  /** [[syntheticVideoCorpus]] at the WIDE frame size — same media
+    * universe (ids, variant rate, 6 parent frames, 4-frame trimmed+
+    * perturbed clips, same "<id>:f<k>" seeds), larger frames drawn
+    * from the same digest stream, so the q96 wide gate measures the
+    * SIGNATURE family change and nothing else. */
+  def syntheticVideoCorpusWide(ids: Dataset[String]): Dataset[DecodedFrame] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val npx = WideFrameW * WideFrameH
+    ids.flatMap { id =>
+      val parents = (0 until VideoFrames).map(k =>
+        DecodedFrame(id, k, WideFrameW, WideFrameH,
+          syntheticPixelsSized(s"$id:f$k", npx)))
+      val clips =
+        if (hasVariant(id)) (0 until ClipFrames).map(j =>
+          DecodedFrame(s"$id~t", j, WideFrameW, WideFrameH,
+            perturbedPixelsSized(s"$id:f${j + 1}", s"$id~t:f$j", npx)))
         else Seq.empty
       parents ++ clips
     }

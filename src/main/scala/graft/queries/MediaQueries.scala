@@ -442,10 +442,113 @@ object MediaQueries {
        |ORDER BY media_id""".stripMargin
   }
 
+  /** q96: video containment at the WIDE signature width (round 12 —
+    * the q89 fix demonstrated end-to-end): the SAME media universe
+    * as q89 (6 parent frames per doc, ~19% 4-frame trimmed+perturbed
+    * clips) at [[MediaDedup.Sig120]]'s 64×32 frames → 16×8 grid →
+    * 120 gradient bits as 6 × 20-bit band words → wide pigeonhole
+    * pairing at hamming ≤ 5 (the spec's guarantee) → the shared
+    * containment tail. The oracle re-derives every pixel, tile,
+    * gradient bit, band WORD, bucket cull, candidate join, per-word
+    * popcount sum and coverage division — the width change keeps the
+    * full-oracle discipline because the construction stayed integer.
+    * The scale point (SCALE.md round 12): the 100× frame corpus that
+    * 60-bit banding measurably could not survive runs here at band
+    * occupancy ~3, because occupancy derives from the band WIDTH
+    * (n/2²⁰), the knob [[MediaDedup.SigSpec]] frees.
+    */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables(s, dir).documents
+      .select(col("doc_id").cast("string")).as[String]
+    MediaDedup.videoContainmentPairsWide(
+        MediaDedup.imageDHashWide(MediaDedup.syntheticVideoCorpusWide(ids)),
+        minContainment = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val q96Sql =
+    """WITH wmedia AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+      |    CAST(NULL AS VARCHAR) AS parent, 6 AS nf
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id AS VARCHAR) || '~t', CAST(doc_id AS VARCHAR), 4
+      |  FROM documents
+      |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':var'),
+      |    1, 2)) AS INTEGER) < 48),
+      |wframes AS (
+      |  SELECT media_id, parent, k,
+      |    CASE WHEN parent IS NULL THEN k ELSE k + 1 END AS src
+      |  FROM wmedia, generate_series(0, 5) AS g(k) WHERE k < nf),
+      |wpx AS (
+      |  SELECT media_id, k,
+      |    [least(255,
+      |       CAST(('0x' || substring(md5(coalesce(parent, media_id) || ':f' ||
+      |         CAST(src AS VARCHAR) || ':px:' ||
+      |         CAST((i-1)//16 AS VARCHAR)), 1 + 2*((i-1)%16), 2)) AS INTEGER)
+      |       + CASE WHEN parent IS NOT NULL AND
+      |           CAST(('0x' || substring(md5(media_id || ':f' ||
+      |             CAST(k AS VARCHAR) || ':pt:' ||
+      |             CAST((i-1)//16 AS VARCHAR)), 1 + 2*((i-1)%16), 2)) AS INTEGER) < 3
+      |         THEN 80 ELSE 0 END)
+      |     for i in generate_series(1, 2048)] AS p
+      |  FROM wframes),
+      |wtiles AS (
+      |  SELECT media_id, k,
+      |    [list_sum(flatten([[p[(((t-1)//16)*4 + dy)*64 + ((t-1)%16)*4 + dx + 1]
+      |        for dx in generate_series(0,3)] for dy in generate_series(0,3)])) // 16
+      |     for t in generate_series(1, 128)] AS avgs
+      |  FROM wpx),
+      |wsigs AS MATERIALIZED (
+      |  SELECT media_id, k,
+      |    [CAST(list_sum([CASE WHEN
+      |          avgs[(((b-1)*20 + j - 1)//15)*16 + ((b-1)*20 + j - 1)%15 + 2] >
+      |          avgs[(((b-1)*20 + j - 1)//15)*16 + ((b-1)*20 + j - 1)%15 + 1]
+      |        THEN CAST(1 AS BIGINT) << (j-1) ELSE CAST(0 AS BIGINT) END
+      |        for j in generate_series(1, 20)]) AS BIGINT)
+      |     for b in generate_series(1, 6)] AS sig
+      |  FROM wtiles),
+      |wbanded AS (
+      |  SELECT media_id, k, b - 1 AS band, sig[b] AS bv
+      |  FROM wsigs, generate_series(1, 6) AS g(b)),
+      |wsized AS (
+      |  SELECT media_id, k, band, bv FROM wbanded
+      |  QUALIFY count(*) OVER (PARTITION BY band, bv) <= 10000),
+      |wpairs AS (
+      |  SELECT c.am, c.af, c.bm, c.bf
+      |  FROM (
+      |    SELECT DISTINCT x.media_id AS am, x.k AS af,
+      |      y.media_id AS bm, y.k AS bf
+      |    FROM wsized x JOIN wsized y
+      |      ON x.band = y.band AND x.bv = y.bv
+      |      AND (x.media_id, x.k) < (y.media_id, y.k)) c
+      |  JOIN wsigs a ON a.media_id = c.am AND a.k = c.af
+      |  JOIN wsigs b ON b.media_id = c.bm AND b.k = c.bf
+      |  WHERE list_sum([bit_count(xor(a.sig[i], b.sig[i]))
+      |      for i in generate_series(1, 6)]) <= 5
+      |    AND c.am <> c.bm),
+      |wagg AS (
+      |  SELECT am AS a_id, bm AS b_id,
+      |    count(DISTINCT af) AS a_matched, count(DISTINCT bf) AS b_matched
+      |  FROM wpairs GROUP BY 1, 2),
+      |wcnt AS (SELECT media_id, count(DISTINCT k) AS nfr FROM wsigs GROUP BY 1)
+      |SELECT a_id, b_id, a_matched, b_matched,
+      |  ca.nfr AS a_frames, cb.nfr AS b_frames,
+      |  round(greatest(CAST(a_matched AS DOUBLE) / ca.nfr,
+      |    CAST(b_matched AS DOUBLE) / cb.nfr), 6) AS containment
+      |FROM wagg
+      |JOIN wcnt ca ON ca.media_id = a_id
+      |JOIN wcnt cb ON cb.media_id = b_id
+      |WHERE greatest(CAST(a_matched AS DOUBLE) / ca.nfr,
+      |  CAST(b_matched AS DOUBLE) / cb.nfr) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q83_image_near_dup", q83, Some(q83Sql)),
     Q("q84_audio_near_dup", q84, Some(q84Sql)),
     Q("q88_media_pipeline", q88, Some(q88Sql)),
     Q("q89_video_containment", q89, Some(q89Sql)),
-    Q("q94_media_admission_oracle", q94, Some(q94Sql)))
+    Q("q94_media_admission_oracle", q94, Some(q94Sql)),
+    Q("q96_video_containment_wide", q96, Some(q96Sql)))
 }

@@ -56,16 +56,21 @@ object ScaleProbe {
     //         documents, which is precisely how the saturation
     //         regime gets MEASURED (the q89 gate itself fails the
     //         default bound at 100× frames, loudly and by design)
+    // videowide = the q96 chain (WIDE corpus → Sig120 dHash →
+    //         containment) at the DEFAULT bound — the round-12 fix:
+    //         the same 100× frame corpus that saturates 15-bit bands
+    //         runs in-contract at 20-bit bands (occupancy n/2^20)
     val twoLevel = args(1) == "auto2"
     val ivfMode = args(1) == "ivf" || args(1) == "ivf2"
     val dispatch = args(1) == "autod"
     val video = args(1) == "video"
+    val videoWide = args(1) == "videowide"
     // autod sizes ITSELF inside the front door (autoNlist, two-level
     // clamp) — resolving here would both double the count job and log
     // a number from the wrong clamp (round-11 review); same for the
     // video mode, which has no quantizer at all
     val nlist =
-      if (dispatch || video) -1
+      if (dispatch || video || videoWide) -1
       else if (args(1) == "auto" || twoLevel || ivfMode)
         graft.operators.KMeansPortable.nlistFor(
           graft.Tables(spark, dir).embeddings.count())
@@ -97,6 +102,16 @@ object ScaleProbe {
               graft.operators.MediaDedup.imageDHash(
                 graft.operators.MediaDedup.syntheticVideoCorpus(ids)),
               minContainment = 0.5, maxExpectedOccupancy = 256)
+            .orderBy(col("a_id"), col("b_id")))
+        } else if (videoWide) {
+          import spark.implicits._
+          val ids = graft.Tables(spark, dir).documents
+            .select(col("doc_id").cast("string")).as[String]
+          graft.Measure.force(
+            graft.operators.MediaDedup.videoContainmentPairsWide(
+              graft.operators.MediaDedup.imageDHashWide(
+                graft.operators.MediaDedup.syntheticVideoCorpusWide(ids)),
+              minContainment = 0.5)
             .orderBy(col("a_id"), col("b_id")))
         } else if (dispatch) {
           graft.Measure.force(

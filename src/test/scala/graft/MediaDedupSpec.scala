@@ -347,4 +347,89 @@ class MediaDedupSpec extends SparkSpec {
       graft.operators.Lsh.requireBoundedBuckets("spec", 3L * 32768, 2)
     }
   }
+
+  // --- the WIDE signature family (round 12 — the q89 fix) -----------
+
+  test("dHashWide at Sig60 word-splits dHash60 exactly; wide skip contract holds") {
+    // one arithmetic, two emissions: the wide hash at the 60-bit
+    // spec must reproduce dHash60's bits band-word for band-word
+    val w = 44; val h = 24
+    (0 until 8).foreach { i =>
+      val px = MediaDedup.syntheticPixels(s"eq$i")
+      val s60 = MediaDedup.dHash60(px, w, h)
+      val words = MediaDedup.dHashWide(px, w, h, MediaDedup.Sig60)
+      assert(words.length === 4)
+      (0 until 4).foreach(b =>
+        assert(words(b) === ((s60 >> (b * 15)) & 32767),
+          s"band $b of frame eq$i"))
+    }
+    // unusable frames: null out (the -1L analog), dropped by the
+    // dataset operator
+    assert(MediaDedup.dHashWide(null, w, h, MediaDedup.Sig120) === null)
+    assert(MediaDedup.dHashWide(new Array[Byte](17), 64, 32,
+      MediaDedup.Sig120) === null)
+    assert(MediaDedup.dHashWide(new Array[Byte](64), 8, 8,
+      MediaDedup.Sig120) === null) // below the 16x8 grid
+    val frames = Seq(
+      Multimodal.DecodedFrame("ok", 0, 64, 32, new Array[Byte](64 * 32)),
+      Multimodal.DecodedFrame("bad", 0, 64, 32, new Array[Byte](17))).toDS()
+    assert(MediaDedup.imageDHashWide(frames).select("media_id")
+      .as[String].collect().toSeq === Seq("ok"))
+  }
+
+  test("hammingPairsWide at Sig60 ≡ hammingPairs: the wide kernel is the 60-bit kernel with the width freed") {
+    val ids = (0 until 300).map(i => s"p$i").toDS()
+    val frames = MediaDedup.syntheticFrameCorpus(ids)
+    val narrow = MediaDedup.hammingPairs(MediaDedup.imageDHash(frames))
+      .select("a_id", "b_id", "hamming").collect().map(_.toSeq).toSet
+    val wide = MediaDedup.hammingPairsWide(
+        MediaDedup.imageDHashWide(frames, MediaDedup.Sig60),
+        MediaDedup.Sig60, maxHamming = 3)
+      .select("a_id", "b_id", "hamming").collect().map(_.toSeq).toSet
+    assert(narrow.nonEmpty && wide === narrow)
+  }
+
+  test("wide video corpus: planted trimmed clips contained at Sig120's pigeonhole threshold; cross-parent never pairs") {
+    val ids = (0 until 250).map(i => s"v$i").toDS()
+    val got = MediaDedup.videoContainmentPairsWide(
+        MediaDedup.imageDHashWide(MediaDedup.syntheticVideoCorpusWide(ids)))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val planted = (0 until 250).map(i => s"v$i")
+      .filter(MediaDedup.hasVariant).map(i => (i, s"$i~t"))
+    assert(planted.nonEmpty)
+    // most planted clips are found (the measured h<=5 rate is ~97%
+    // per frame; containment needs 2 of 4) — a few honestly miss
+    val found = planted.count(got)
+    assert(found >= (planted.size * 8) / 10,
+      s"found $found of ${planted.size} planted clips")
+    // nothing pairs across parents: every surviving pair is a
+    // planted (parent, clip) pair
+    assert(got.forall { case (a, b) => b == s"$a~t" })
+  }
+
+  test("wide guard: the occupancy bound derives from the band WIDTH — the n that saturates 15-bit bands is in-regime at 20") {
+    // the q89 outage arithmetic: 3.4M signatures = occupancy 103 at
+    // 2^15 (fails the default bound 64), occupancy 3 at 2^20 (passes)
+    val n = 3400000L
+    intercept[IllegalArgumentException] {
+      graft.operators.Lsh.requireBoundedBuckets("spec", n, 64, bandBits = 15)
+    }
+    graft.operators.Lsh.requireBoundedBuckets("spec", n, 64, bandBits = 20)
+    // and the wide entries thread it: 40000 signatures sit at
+    // occupancy 1 in the 2^15 space (the 60-bit entry FAILS at
+    // bound 0 — pinned in the guard test above) but occupancy 0 in
+    // the 2^20 space, so the wide entry passes at the SAME bound —
+    // the 32x-larger band space, demonstrated at one n
+    val sigs = spark.range(40000).select(
+      concat(lit("s"), $"id").as("media_id"),
+      array($"id", $"id" + 1, $"id" + 2, $"id" + 3, $"id" + 4, $"id" + 5)
+        .as("sig"))
+    assert(MediaDedup.hammingPairsWide(sigs, MediaDedup.Sig120,
+      maxExpectedOccupancy = 0).columns.nonEmpty)
+    // the pigeonhole require: maxHamming past bands-1 is refused
+    val e = intercept[IllegalArgumentException] {
+      MediaDedup.hammingPairsWide(sigs, MediaDedup.Sig120, maxHamming = 6)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
 }
