@@ -210,7 +210,7 @@ object IvfPqPortable {
       nlist: Int, coarseIters: Int, m: Int, ksub: Int, subIters: Int,
       nprobe: Int, rerank: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      supers: Int = 0): DataFrame = {
+      supers: Int = 0, probeSupers: Int = 1): DataFrame = {
     val (base, dim) = checkedBase(vectors, idCol, vecCol)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
@@ -227,8 +227,16 @@ object IvfPqPortable {
       KMeansPortable.assignChildren(routed, tl.children, tl.groups)
         .withColumn("rvec", zip_with(col("vec"),
           element_at(childLit, col("cell") + 1), (x, c) => x - c)))
-    val probeCells = KMeansPortable.probeChildren(
-        routed.filter(anchorPred), tl.children, tl.groups, nprobe)
+    // probeSupers > 1 widens the anchor probe across super
+    // boundaries (KMeansPortable.probeChildrenMulti — the measured
+    // recall knob); 1 keeps the routed-super probe byte-identical
+    val probeCells = (if (probeSupers == 1)
+        KMeansPortable.probeChildren(
+          routed.filter(anchorPred), tl.children, tl.groups, nprobe)
+      else
+        KMeansPortable.probeChildrenMulti(
+          routed.filter(anchorPred), tl.supers, tl.children, tl.groups,
+          nprobe, probeSupers))
       .select(col("id").as("anchor_id"), col("vec").as("a_vec"),
         col("cell"))
     encodeAndScore(base, withRes, childLit, probeCells, k, m, ksub,
@@ -373,15 +381,19 @@ object IvfPqPortable {
   def oracleSqlTwoLevel(table: String, idCol: String, vecCol: String,
       k: Int, nlist: Int, coarseIters: Int, m: Int, ksub: Int,
       subIters: Int, nprobe: Int, rerank: Int, dim: Int,
-      anchorPredSql: String, supers: Int = 0): String = {
+      anchorPredSql: String, supers: Int = 0,
+      probeSupers: Int = 1): String = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
     val sb = new StringBuilder("WITH ")
     sb ++= KMeansPortable.twoLevelCtes(table, idCol, vecCol, nlist,
-      coarseIters, supers)
+      coarseIters, supers, probeSupers)
+    // probeSupers > 1 reads the widened `dotp` union-probe relation
+    // (dots over the top-p supers' children); the cell-norm relation
+    // is shared — cnkf covers every child in both cases
     sb ++= tailSql(m, dsub, ksub, subIters, nprobe, rerank, k,
       anchorPredSql, "dims", "norms", "v", s"ccd$coarseIters", "askf",
-      "dotkf", "cnkf")
+      if (probeSupers > 1) "dotp" else "dotkf", "cnkf")
     sb.toString
   }
 }

@@ -530,6 +530,58 @@ object KMeansPortable {
       .drop("cands", "__pc")
   }
 
+  /** MULTI-SUPER probe (round 12 — VERDICT r11 item 2): rank the
+    * UNION of the top-`probeSupers` supers' children under the same
+    * (d, j) struct order, take the top `nprobe`. One-super routing
+    * systematically loses an anchor's true neighbors across super
+    * boundaries (the documented IVF recall trade — boundary anchors'
+    * nearest cells often live under the runner-up super); probing
+    * p > 1 supers recovers them at p× the candidate-ranking cost,
+    * which is the measured recall knob (SCALE.md round 12), the
+    * IMI/FAISS multi-probe discipline.
+    *
+    * Plan shape: the top-p supers are ONE S-literal sort (the
+    * routing expression at slice p instead of array_min), and the
+    * union's candidates arrive via `probeSupers` chained broadcast
+    * hash joins of the same ≤S-row candidate relation — p is a
+    * plan-time constant, so the probe stays zero-shuffle exactly
+    * like the p = 1 path. Children partition across supers, so the
+    * union has no duplicates. probeSupers = 1 ≡ [[probeChildren]]
+    * (top-1 super IS the routed argmin); probeSupers = S ranks ALL
+    * children — the flat probe over the same child centroids
+    * (both spec-pinned). Input must carry (vec, n2); `supers` is
+    * the super-centroid matrix (the routing literals). Adds `cell`.
+    */
+  private[graft] def probeChildrenMulti(anchors: DataFrame,
+      supers: Array[Array[Double]], children: Array[Array[Double]],
+      groups: Array[Array[Int]], nprobe: Int,
+      probeSupers: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
+    require(probeSupers >= 1 && probeSupers <= supers.length,
+      s"probeSupers must be 1..${supers.length}; got $probeSupers")
+    val topSups = slice(array_sort(array(
+      distStructs(col("vec"), col("n2"), supers): _*)), 1, probeSupers)
+    var df = anchors.withColumn("__sups", topSups)
+    val cands = childCands(anchors, children, groups)
+    (0 until probeSupers).foreach { i =>
+      df = df
+        .withColumn(s"__sup$i",
+          element_at(col("__sups"), i + 1).getField("j"))
+        .join(broadcast(cands
+          .select(col("super").as(s"__sup$i"),
+            col("cands").as(s"__cands$i"))), Seq(s"__sup$i"))
+    }
+    val unioned = concat((0 until probeSupers)
+      .map(i => col(s"__cands$i")): _*)
+    df.withColumn("__pc",
+        explode(slice(array_sort(
+          childDistArray(unioned, col("vec"), col("n2"))), 1, nprobe)))
+      .withColumn("cell", col("__pc.j"))
+      .drop(Seq("__sups", "__pc") ++
+        (0 until probeSupers).flatMap(i =>
+          Seq(s"__sup$i", s"__cands$i")): _*)
+  }
+
   /** Route + child argmin: the two-level sibling of [[assignCells]].
     * Rows routed to a CHILDLESS super (only possible when applying
     * the model to data OTHER than the training corpus — a super that
@@ -625,7 +677,8 @@ object KMeansPortable {
     * sum and are never eligible — the getOrElse(0) branch.
     */
   def twoLevelCtes(table: String, idCol: String, vecCol: String,
-      nlist: Int, iters: Int, supers: Int = 0): String = {
+      nlist: Int, iters: Int, supers: Int = 0,
+      probeSupers: Int = 1): String = {
     val s = if (supers > 0) supers
       else math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
     val sb = new StringBuilder
@@ -691,6 +744,34 @@ object KMeansPortable {
     }
     sb ++= childAssignCtes("kf", s"ccd$iters", "dims", "norms", "asr",
       withFallback = true)
+    // the MULTI-SUPER probe relations (round 12 — the SQL image of
+    // [[probeChildrenMulti]]): `psup` re-reads the SAME super
+    // dot/norm relations the routing argmin used at rn <= p instead
+    // of rn = 1 (top-p supers per row, the shared (dist, j) order),
+    // and `dotp` is childAssignCtes' dot arithmetic with the routing
+    // join widened from the argmin super to the top-p set — dots
+    // exist ONLY for a row's top-p supers' children, so the caller's
+    // rn <= nprobe over (dotp, cnkf) IS the union probe,
+    // structurally. p = 1 callers keep reading dotkf (byte-identical
+    // oracle text).
+    if (probeSupers > 1) sb ++=
+      s"""psup AS MATERIALIZED (
+         |  SELECT id, j AS super FROM (
+         |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
+         |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
+         |    FROM dotr d
+         |    JOIN norms n ON n.id = d.id
+         |    JOIN cnr c ON c.j = d.j) WHERE rn <= $probeSupers),
+         |dotp AS MATERIALIZED (
+         |  SELECT m.id, cd.j,
+         |    CAST(sum(CAST(round(m.x * cd.c, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS dot
+         |  FROM dims m
+         |  JOIN psup r ON r.id = m.id
+         |  JOIN childsup cs ON cs.super = r.super
+         |  JOIN ccd$iters cd ON cd.j = cs.j AND cd.d = m.d
+         |  GROUP BY 1, 2),
+         |""".stripMargin
     sb.toString
   }
 

@@ -998,6 +998,26 @@ object SimilaritySearch {
     best
   }
 
+  /** The top-`p` populated supers of `v` by (distance, index) — the
+    * MULTI-SUPER probe's map-side half (round 12): one-super routing
+    * systematically loses a boundary anchor's neighbors under the
+    * runner-up super, so the probe may fan an anchor across p supers
+    * and rank the union of their children (the IMI/FAISS multi-probe
+    * discipline; the measured recall curve is SCALE.md round 12's).
+    * p = 1 is exactly [[routeSuper]]. O(S·(dim + log S)) per anchor —
+    * anchors only, never the corpus. */
+  private def routeSupersTopP(v: Array[Double], c: TwoLevelCoarse,
+      p: Int): Array[Int] = {
+    require(p >= 1, s"probeSupers must be >= 1; got $p")
+    if (p == 1) return Array(routeSuper(v, c))
+    c.populated.map { i =>
+      val cc = c.supers(i)
+      var d = 0.0; var t = 0
+      while (t < v.length) { val x = v(t) - cc(t); d += x * x; t += 1 }
+      (d, i)
+    }.sortBy(identity).take(p).map(_._2)
+  }
+
   /** IVF-flat top-k over the two-level structure — the
     * [[ivfCosineTopK]] sibling with O(2√nlist) assignment and an
     * equi-join probe: each anchor routes to its super and ranks ONLY
@@ -1012,7 +1032,7 @@ object SimilaritySearch {
       k: Int, nlist: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L, trainFraction: Double = 1.0,
-      supers: Int = 0): DataFrame = {
+      supers: Int = 0, probeSupers: Int = 1): DataFrame = {
     import org.apache.spark.sql.graft.TopKExpressions.topKByScore
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -1026,9 +1046,14 @@ object SimilaritySearch {
       .map { case (id, v) => (id, v, nearestChild(v, cB.value)) }
       .toDF("id", "vec", "cell")
     val centDf = childCentDf(spark, coarse)
+    // probeSupers > 1 fans each anchor across its top-p supers; the
+    // per-anchor topKByScore below already ranks the UNION of
+    // whatever (cell, cvec) rows arrive, so the widening is confined
+    // to this map (p = 1 ≡ routeSuper, byte-identical)
     val anchorsRouted = feat.filter(anchorPred)
       .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, v, routeSuper(v, cB.value)) }
+      .flatMap { case (id, v) =>
+        routeSupersTopP(v, cB.value, probeSupers).map(s => (id, v, s)) }
       .toDF("id", "a_vec", "super")
     val probeCells = anchorsRouted.join(broadcast(centDf), Seq("super"))
       .withColumn("cs", fastCosine(col("a_vec"), col("cvec")))
@@ -1175,7 +1200,7 @@ object SimilaritySearch {
   def ivfPqTopKScoreTwoLevel(vectors: DataFrame, anchorPred: Column,
       k: Int, artifacts: TwoLevelIvfPqArtifacts, nprobe: Int = 4,
       rerank: Int = 32, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", probeSupers: Int = 1): DataFrame = {
     import org.apache.spark.sql.graft.TopKExpressions.topKByScore
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -1203,9 +1228,13 @@ object SimilaritySearch {
         (id, pqEncodeVec(enc, cbB.value), cell)
       }.toDF("nid", "code", "cell")
     val centDf = childCentDf(spark, coarse)
+    // probeSupers > 1 fans each anchor across its top-p supers (the
+    // ivfCosineTopKTwoLevel widening — the per-anchor topKByScore
+    // ranks the union; p = 1 ≡ routeSuper, byte-identical)
     val anchorsRouted = feat.filter(anchorPred)
       .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, v, routeSuper(v, cB.value)) }
+      .flatMap { case (id, v) =>
+        routeSupersTopP(v, cB.value, probeSupers).map(s => (id, v, s)) }
       .toDF("id", "v", "super")
     val probeCells = anchorsRouted.join(broadcast(centDf), Seq("super"))
       .withColumn("cs", fastCosine(col("v"), col("cvec")))

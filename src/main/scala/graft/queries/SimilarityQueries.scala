@@ -468,6 +468,40 @@ object SimilarityQueries {
     coarseIters = 2, m = 4, ksub = 8, subIters = 2, nprobe = 2,
     rerank = 16, dim = Q85Dim, anchorPredSql = "id < 20")
 
+  /** MULTI-SUPER two-level IVF-PQ under a FULL oracle (q97, round 12
+    * — VERDICT r11 item 2 demonstrated end-to-end): the q93 chain
+    * with the anchor probe widened to the top-2 supers' children
+    * ([[graft.operators.KMeansPortable.probeChildrenMulti]] — the
+    * recall knob one-super routing lacks; boundary anchors' true
+    * neighbors often live under the runner-up super). Everything
+    * upstream of the probe (training, allocation, assignment,
+    * codebooks, encode) is byte-identical to q93; the oracle's only
+    * change is reading the widened `dotp` union-probe relation at
+    * rn ≤ nprobe — the structural image of the operator change.
+    * probeSupers = 1 ≡ q93 and = S ≡ the flat probe are spec-pinned
+    * (IvfPqPortableSpec); the measured recall gain is SCALE.md
+    * round 12's table.
+    */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val probed = emb.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
+    require(probed.nonEmpty && probed(0).getInt(0) == Q85Dim,
+      s"q97 oracle is generated for dim=$Q85Dim; data has " +
+        probed.headOption.map(_.getInt(0)).getOrElse(-1))
+    graft.operators.IvfPqPortable.topKTwoLevel(emb,
+        col("id") < 20, k = 5, nlist = 8, coarseIters = 2, m = 4,
+        ksub = 8, subIters = 2, nprobe = 2, rerank = 16,
+        probeSupers = 2)
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  private val q97Sql = graft.operators.IvfPqPortable.oracleSqlTwoLevel(
+    "embeddings", "vec_id", "embedding", k = 5, nlist = 8,
+    coarseIters = 2, m = 4, ksub = 8, subIters = 2, nprobe = 2,
+    rerank = 16, dim = Q85Dim, anchorPredSql = "id < 20",
+    probeSupers = 2)
+
   val all: Seq[Q] = Seq(
     Q("q20_cosine_topk", q20, Some(q20Sql), headline = true),
     Q("q21_label_centroids", q21, Some(q21Sql)),
@@ -477,6 +511,7 @@ object SimilarityQueries {
     Q("q95_budgeted_rerank_oracle", q95, Some(q95Sql)),
     Q("q85_ivfpq_e2e_oracle", q85, Some(q85Sql), headline = true),
     Q("q93_ivfpq_twolevel_oracle", q93, Some(q93Sql)),
+    Q("q97_ivfpq_multiprobe_oracle", q97, Some(q97Sql)),
     Q("q31_group_scores", q31, Some(q31Sql), headline = true),
     Q("q32_cosine_pairs", q32, Some(q32Sql)),
     Q("q42_cosine_near_dup", q42, None),

@@ -533,6 +533,94 @@ class SimilaritySpec extends SparkSpec {
     assert(top100._3 === 101L && top100._4 > 0.999)
   }
 
+  test("multi-super probe: p=1 ≡ probeChildren; p=S ranks ALL children; q97 widening changes only the probe") {
+    import graft.operators.{IvfPqPortable, KMeansPortable}
+    import org.apache.spark.sql.graft.RhpExpressions
+    val base = emb.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("n2",
+        RhpExpressions.decimalScaledDot(col("vec"), col("vec")))
+    val m = KMeansPortable.trainTwoLevel(emb, nlist = 8, iters = 2)
+    val routed = base.withColumn("super",
+      KMeansPortable.cellExpr(col("vec"), col("n2"), m.supers))
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("cell")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // p = 1: the top-1 super IS the routed argmin, so the multi
+    // probe degenerates to the one-broadcast-join probe exactly
+    val single = cells(KMeansPortable.probeChildren(
+      routed, m.children, m.groups, nprobe = 2))
+    val multi1 = cells(KMeansPortable.probeChildrenMulti(
+      routed, m.supers, m.children, m.groups, nprobe = 2,
+      probeSupers = 1))
+    assert(multi1 === single)
+    // p = S: the union is ALL children — the flat probe over the
+    // same child centroids, computed here as the global (d, j) sort
+    val s = m.supers.length
+    val flatProbe = cells(routed.withColumn("__pc",
+        explode(slice(array_sort(array(
+          KMeansPortable.distStructs(col("vec"), col("n2"),
+            m.children): _*)), 1, 2)))
+      .withColumn("cell", col("__pc.j")))
+    val multiS = cells(KMeansPortable.probeChildrenMulti(
+      routed, m.supers, m.children, m.groups, nprobe = 2,
+      probeSupers = s))
+    assert(multiS === flatProbe)
+    // the q97 statement: probeSupers widens the PROBE only — at
+    // p = 1 topKTwoLevel is byte-identical to the q93 default
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("anchor_id", "rank").collect().map(r =>
+        (r.getAs[Long]("anchor_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("score"))).toSeq
+    val p1 = rows(IvfPqPortable.topKTwoLevel(emb, col("id") < 3, k = 3,
+      nlist = 4, coarseIters = 2, m = 2, ksub = 4, subIters = 2,
+      nprobe = 2, rerank = 8, probeSupers = 1))
+    val default = rows(IvfPqPortable.topKTwoLevel(emb, col("id") < 3,
+      k = 3, nlist = 4, coarseIters = 2, m = 2, ksub = 4, subIters = 2,
+      nprobe = 2, rerank = 8))
+    assert(p1 === default)
+    // out-of-range p is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      KMeansPortable.probeChildrenMulti(routed, m.supers, m.children,
+        m.groups, nprobe = 2, probeSupers = s + 1)
+    }
+    assert(e.getMessage.contains("probeSupers"))
+  }
+
+  test("native multi-super probe: p=1 ≡ one-super routing; recall is monotone in p up to the flat probe") {
+    import graft.operators.SimilaritySearch
+    val pred = col("id") < 10
+    def neighborSets(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("anchor_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (a, ns) => a -> ns.map(_._2).toSet }
+    val exact = neighborSets(SimilaritySearch.cosineTopK(
+      emb, emb.filter(col("vec_id") < 10), 5))
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = neighborSets(df)
+      val rs = exact.map { case (a, truth) =>
+        approx.getOrElse(a, Set.empty).intersect(truth).size.toDouble /
+          truth.size }
+      rs.sum / rs.size
+    }
+    val p1 = SimilaritySearch.ivfCosineTopKTwoLevel(emb, pred, k = 5,
+      nlist = 16, nprobe = 4)
+    val p1Explicit = SimilaritySearch.ivfCosineTopKTwoLevel(emb, pred,
+      k = 5, nlist = 16, nprobe = 4, probeSupers = 1)
+    assert(p1Explicit.orderBy("anchor_id", "rank").collect().toSeq ===
+      p1.orderBy("anchor_id", "rank").collect().toSeq)
+    // widening the super fan-out can only ADD candidate cells, and
+    // the probe keeps the best nprobe of the union — recall vs the
+    // exact ground truth is monotone (measured, not assumed)
+    val r1 = recall(p1)
+    val r2 = recall(SimilaritySearch.ivfCosineTopKTwoLevel(emb, pred,
+      k = 5, nlist = 16, nprobe = 4, probeSupers = 2))
+    val rAll = recall(SimilaritySearch.ivfCosineTopKTwoLevel(emb, pred,
+      k = 5, nlist = 16, nprobe = 4, probeSupers = 4))
+    assert(r2 >= r1, s"recall p=2 ($r2) must not lose to p=1 ($r1)")
+    assert(rAll >= r2, s"recall p=S ($rAll) must not lose to p=2 ($r2)")
+  }
+
   test("residual IVF+PQ (IVFADC): sharper codes at equal bits on clustered data") {
     import graft.operators.SimilaritySearch
     // 4 tight clusters at distant centers: a GLOBAL codebook of 4
