@@ -60,11 +60,63 @@ object ScaleProbe {
     //         containment) at the DEFAULT bound — the round-12 fix:
     //         the same 100× frame corpus that saturates 15-bit bands
     //         runs in-contract at 20-bit bands (occupancy n/2^20)
+    // recall = the ANN-tier recall table (VERDICT r11 item 3): mean
+    //         recall@10 of every native tier vs the exact cosineTopK
+    //         ground truth on the same anchors, at the corpus-sized
+    //         nlist — the SCALE.md round-12 evidence rows, and the
+    //         numbers AnnRecallSpec's floors were pinned under
     val twoLevel = args(1) == "auto2"
     val ivfMode = args(1) == "ivf" || args(1) == "ivf2"
     val dispatch = args(1) == "autod"
     val video = args(1) == "video"
     val videoWide = args(1) == "videowide"
+    val recallMode = args(1) == "recall"
+    if (recallMode) {
+      import graft.operators.SimilaritySearch
+      val emb = graft.CacheScope.track(graft.Tables(spark, dir).embeddings)
+      val n = emb.count()
+      val nlist = graft.operators.KMeansPortable.nlistFor(n)
+      val k = 10
+      val pred = col("id") % 50 === 0
+      val exact = graft.CacheScope.track(SimilaritySearch.cosineTopK(
+        emb, emb.filter(col("vec_id") % 50 === 0), k))
+      def row(tier: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val r = SimilaritySearch.meanRecall(df, exact)
+        println(f"[recall] n=$n nlist=$nlist tier=$tier recall@$k=$r%.4f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      }
+      row("lsh", SimilaritySearch.lshCosineTopK(emb, pred, k))
+      row("lsh_portable",
+        SimilaritySearch.lshCosineTopKPortable(emb, pred, k))
+      row("ivf_flat_np2", SimilaritySearch.ivfCosineTopK(emb, pred, k,
+        nlist = nlist, nprobe = 2))
+      row("ivf_flat_np4", SimilaritySearch.ivfCosineTopK(emb, pred, k,
+        nlist = nlist, nprobe = 4))
+      Seq(1, 2, 4).foreach { p =>
+        row(s"ivf2_np4_p$p", SimilaritySearch.ivfCosineTopKTwoLevel(
+          emb, pred, k, nlist = nlist, nprobe = 4, probeSupers = p))
+      }
+      // the swept-fraction discipline rows: recall at FIXED nprobe
+      // falls as nlist ∝ N grows (nprobe/nlist shrinks); holding the
+      // swept fraction (nprobe ∝ nlist) holds recall — measured, so
+      // the deployment knob is a table row, not prose
+      val npScaled = math.max(4, nlist / 5)
+      row(s"ivf_flat_np$npScaled", SimilaritySearch.ivfCosineTopK(
+        emb, pred, k, nlist = nlist, nprobe = npScaled))
+      row(s"ivf2_np${npScaled}_p2", SimilaritySearch.ivfCosineTopKTwoLevel(
+        emb, pred, k, nlist = nlist, nprobe = npScaled, probeSupers = 2))
+      row("ivfpq_np4", SimilaritySearch.ivfPqTopK(emb, pred, k,
+        nlist = nlist, nprobe = 4, m = 8, ksub = 16, rerank = 64))
+      val art2 = SimilaritySearch.trainIvfPqArtifactsTwoLevel(emb,
+        nlist = nlist, m = 8, ksub = 16, residual = true)
+      Seq(1, 2).foreach { p =>
+        row(s"ivfpq2_np4_p$p", SimilaritySearch.ivfPqTopKScoreTwoLevel(
+          emb, pred, k, art2, nprobe = 4, rerank = 64, probeSupers = p))
+      }
+      spark.stop()
+      return
+    }
     // autod sizes ITSELF inside the front door (autoNlist, two-level
     // clamp) — resolving here would both double the count job and log
     // a number from the wrong clamp (round-11 review); same for the

@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{IvfPqPortable, SimilaritySearch}
+import org.apache.spark.sql.functions._
+
+/** The RECALL CONTRACT for every ANN tier (round 12 — VERDICT r11
+  * item 3): each tier's approximation quality, measured against the
+  * exact [[SimilaritySearch.cosineTopK]] ground truth on the sf0.001
+  * gate corpus and pinned as a floor through
+  * [[SimilaritySearch.requireRecall]] — the reference's
+  * validate-against-reference-or-exit harness
+  * (`Experimental/vector_search/precompute_similar_tracks.py:158-193`,
+  * top-10 overlap ≥ 0.9 gate) applied to the rebuild's tiers.
+  *
+  * Floors are pinned UNDER the measured values (ScaleProbe `recall`
+  * mode, SCALE.md round 12 table) on the DETERMINISTIC gate corpus —
+  * these are regression tripwires for the recall a tier actually
+  * delivers, not aspirations. The corpus is near-uniform synthetic
+  * embeddings, the regime where recall is bounded by the swept
+  * fraction (documented at the q73 fixture spec since round 9) — a
+  * clustered production corpus sits higher at the same knobs.
+  *
+  * THE TIER TABLE callers choose from (measured recall@10, anchors
+  * id % 50 = 0, nlist = corpus/256):
+  *   - exact cosineTopK: 1.0 by construction, O(n) per anchor.
+  *   - IVF flat nprobe=4: 0.76 at 1× — recall ∝ swept fraction
+  *     nprobe/nlist; hold it by scaling nprobe with nlist.
+  *   - IVF two-level p=1: 0.545 at 1× — the one-super routing LOSS
+  *     (−0.215 vs flat at equal nprobe) the multi-super probe exists
+  *     to recover; p=2 restores 0.73 of it at 2× probe cost. At
+  *     large nprobe, p must scale too: the union pool is ~p·nlist/S
+  *     cells, so p ≥ nprobe·S/nlist or the pool caps the probe
+  *     (measured: nprobe=15 at 10× — flat 0.63, p=2 0.46).
+  *   - IVF-PQ (+rerank): the code-resolution tiers — 0.455/0.48 at
+  *     the gate knobs; rerank recovers ranking within the swept set
+  *     but never neighbors outside it.
+  *   - LSH (random hyperplanes, 8 planes × 4 tables): recall on a
+  *     near-UNIFORM corpus is NOT boundable at useful levels (0.07
+  *     measured at 1×, 0.11 at 10×) — random planes cut uniform
+  *     mass evenly, so bucket collision ≈ random. The tier is for
+  *     CLUSTERED/near-dup data (its q23/q42 role: planted near-dups
+  *     collide reliably); a caller needing bulk recall on spread
+  *     data picks IVF and buys recall with nprobe. This documented
+  *     non-bound IS the tier's contract — asserted here as a
+  *     measured ceiling so the doc cannot silently rot.
+  */
+class AnnRecallSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = graft.CacheScope.track(
+    spark.read.parquet(s"$dir/embeddings.parquet"))
+  private val pred = col("id") % 50 === 0
+  private lazy val exact10 = graft.CacheScope.track(
+    SimilaritySearch.cosineTopK(emb,
+      emb.filter(col("vec_id") % 50 === 0), 10))
+
+  test("IVF tiers honor their pinned recall floors; two-level p=1 loss and p=2 recovery are the measured shape") {
+    val flat = SimilaritySearch.requireRecall("ivf_flat_np4",
+      SimilaritySearch.ivfCosineTopK(emb, pred, 10, nlist = 8, nprobe = 4),
+      exact10, floor = 0.70)
+    val p1 = SimilaritySearch.requireRecall("ivf2_np4_p1",
+      SimilaritySearch.ivfCosineTopKTwoLevel(emb, pred, 10, nlist = 8,
+        nprobe = 4, probeSupers = 1),
+      exact10, floor = 0.50)
+    val p2 = SimilaritySearch.requireRecall("ivf2_np4_p2",
+      SimilaritySearch.ivfCosineTopKTwoLevel(emb, pred, 10, nlist = 8,
+        nprobe = 4, probeSupers = 2),
+      exact10, floor = 0.65)
+    // the round-12 finding, pinned as an ordering: one-super routing
+    // loses recall vs flat at equal nprobe; the multi-super probe
+    // recovers most of it
+    assert(p1 < flat, f"expected the one-super loss (p1=$p1%.3f flat=$flat%.3f)")
+    assert(p2 > p1, f"expected the multi-super recovery (p2=$p2%.3f p1=$p1%.3f)")
+  }
+
+  test("IVF-PQ tiers honor their pinned recall floors") {
+    SimilaritySearch.requireRecall("ivfpq_np4",
+      SimilaritySearch.ivfPqTopK(emb, pred, 10, nlist = 8, nprobe = 4,
+        m = 8, ksub = 16, rerank = 64),
+      exact10, floor = 0.40)
+    val art2 = SimilaritySearch.trainIvfPqArtifactsTwoLevel(emb,
+      nlist = 8, m = 8, ksub = 16, residual = true)
+    SimilaritySearch.requireRecall("ivfpq2_np4_p2",
+      SimilaritySearch.ivfPqTopKScoreTwoLevel(emb, pred, 10, art2,
+        nprobe = 4, rerank = 64, probeSupers = 2),
+      exact10, floor = 0.42)
+  }
+
+  test("portable IVF-PQ tiers (the q85/q93/q97 operators) honor their pinned recall floors") {
+    val exact5 = graft.CacheScope.track(SimilaritySearch.cosineTopK(emb,
+      emb.filter(col("vec_id") < 20), 5))
+    val flat = SimilaritySearch.meanRecall(
+      IvfPqPortable.topK(emb, col("id") < 20, k = 5, nlist = 8,
+        coarseIters = 2, m = 4, ksub = 8, subIters = 2, nprobe = 2,
+        rerank = 16), exact5)
+    val p1 = SimilaritySearch.meanRecall(
+      IvfPqPortable.topKTwoLevel(emb, col("id") < 20, k = 5, nlist = 8,
+        coarseIters = 2, m = 4, ksub = 8, subIters = 2, nprobe = 2,
+        rerank = 16), exact5)
+    val p2 = SimilaritySearch.meanRecall(
+      IvfPqPortable.topKTwoLevel(emb, col("id") < 20, k = 5, nlist = 8,
+        coarseIters = 2, m = 4, ksub = 8, subIters = 2, nprobe = 2,
+        rerank = 16, probeSupers = 2), exact5)
+    info(f"portable recall@5: flat=$flat%.4f two-level p1=$p1%.4f p2=$p2%.4f")
+    // measured 0.39 / 0.40 / 0.40 at the gate knobs (nprobe 2 of
+    // nlist 8 = 25% sweep, rerank 16) — floors under the measured
+    // values; the gate knobs are sized for oracle cost, not recall,
+    // and the deployment knob table is the native tiers' above
+    assert(flat >= 0.30, f"q85 flat recall@5 $flat%.4f under floor")
+    assert(p1 >= 0.30, f"q93 two-level p=1 recall@5 $p1%.4f under floor")
+    assert(p2 >= p1, f"q97 p=2 ($p2%.4f) must not lose to q93 p=1 ($p1%.4f)")
+  }
+
+  test("LSH recall on the near-uniform corpus is LOW by nature — the documented non-bound holds both ways") {
+    val r = SimilaritySearch.meanRecall(
+      SimilaritySearch.lshCosineTopK(emb, pred, 10), exact10)
+    val rp = SimilaritySearch.meanRecall(
+      SimilaritySearch.lshCosineTopKPortable(emb, pred, 10), exact10)
+    info(f"lsh recall@10 native=$r%.4f portable=$rp%.4f")
+    // the ceiling assertion keeps the scaladoc honest: if a change
+    // ever makes the random-plane tier look like a bulk-recall tier
+    // on uniform data, something else broke (e.g. the exact ground
+    // truth regressed to a candidate subset)
+    assert(r < 0.5 && rp < 0.5,
+      "random-hyperplane LSH cannot deliver bulk recall on uniform data")
+    // and the guard itself fails loudly below a floor
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.requireRecall("lsh_contract_demo",
+        SimilaritySearch.lshCosineTopK(emb, pred, 10), exact10,
+        floor = 0.9)
+    }
+    assert(e.getMessage.contains("recall"))
+  }
+}
