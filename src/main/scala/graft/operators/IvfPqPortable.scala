@@ -243,6 +243,40 @@ object IvfPqPortable {
       subIters, rerank, dsub)
   }
 
+  /** AUTO-STRUCTURE front door for the portable IVF-PQ family (round
+    * 12 — VERDICT r11 item 4, the [[Dedup.semanticDedupAuto]]
+    * precedent at the ANN site): size the coarse quantizer to the
+    * corpus ([[KMeansPortable.autoNlist]] — expected cell population
+    * held at `targetCellSize`) and DISPATCH the structure at the
+    * measured crossover — [[topK]]'s flat argmin at nlist ≤
+    * [[KMeansPortable.FlatAutoMaxNlist]], [[topKTwoLevel]] past it
+    * (flat at the ∝N operating point is the measured 703.7 s vs
+    * 101.8 s bottleneck, SCALE.md round 11). A caller that already
+    * counted passes `n`; -1 counts here. The dispatch boundary and
+    * both-sides parity with the manual calls are spec-pinned
+    * (IvfPqPortableSpec); the front door tracks the manual choice at
+    * 100× (ScaleProbe `ivfauto`, SCALE.md round 12).
+    */
+  def topKAuto(vectors: DataFrame, anchorPred: Column, k: Int,
+      coarseIters: Int, m: Int, ksub: Int, subIters: Int,
+      nprobe: Int, rerank: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      targetCellSize: Int = KMeansPortable.DefaultTargetCellSize,
+      probeSupers: Int = 1, n: Long = -1L): DataFrame = {
+    val n0 = if (n >= 0) n else vectors.count()
+    val nlist = KMeansPortable.autoNlist(n0, targetCellSize)
+    if (nlist <= KMeansPortable.FlatAutoMaxNlist)
+      // probeSupers is moot on the flat side: the flat probe ranks
+      // ALL cells globally — at least the recall of any p — so a
+      // p > 1 policy set for growth is honored, not refused
+      topK(vectors, anchorPred, k, nlist, coarseIters, m, ksub,
+        subIters, nprobe, rerank, idCol, vecCol)
+    else
+      topKTwoLevel(vectors, anchorPred, k, nlist, coarseIters, m, ksub,
+        subIters, nprobe, rerank, idCol, vecCol,
+        probeSupers = probeSupers)
+  }
+
   /** The shared SQL back half of both oracle generators: residuals
     * against the assigned cell's centroid, per-subspace Lloyd chains
     * + PQ encode, reconstruction, the nprobe probe (the SAME

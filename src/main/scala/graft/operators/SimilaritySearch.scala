@@ -470,6 +470,34 @@ object SimilaritySearch {
     * (SIMILARITY-PLAN.md recall stage). `anchorPred` is evaluated
     * against the renamed `id` column (as in [[lshCosineTopK]]).
     */
+  /** AUTO-STRUCTURE front door for the native IVF tier (round 12 —
+    * VERDICT r11 item 4, the [[Dedup.semanticDedupAuto]] precedent
+    * at the ANN site): nlist sized to the corpus
+    * ([[KMeansPortable.autoNlist]]), structure dispatched at the
+    * measured crossover — [[ivfCosineTopK]]'s flat argmin at nlist ≤
+    * [[KMeansPortable.FlatAutoMaxNlist]], [[ivfCosineTopKTwoLevel]]
+    * past it. `probeSupers` applies on the two-level side (the flat
+    * probe already ranks all cells — at least any p's recall). Pass
+    * `n` when already counted; -1 counts here. Boundary and parity
+    * spec-pinned (SimilaritySpec).
+    */
+  def ivfCosineTopKAuto(vectors: DataFrame, anchorPred: Column, k: Int,
+      nprobe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42L,
+      trainFraction: Double = 1.0,
+      targetCellSize: Int = KMeansPortable.DefaultTargetCellSize,
+      probeSupers: Int = 1, n: Long = -1L): DataFrame = {
+    val n0 = if (n >= 0) n else vectors.count()
+    val nlist = KMeansPortable.autoNlist(n0, targetCellSize)
+    if (nlist <= KMeansPortable.FlatAutoMaxNlist)
+      // ML KMeans requires k >= 2 (the semanticDedup convention)
+      ivfCosineTopK(vectors, anchorPred, k, math.max(2, nlist), nprobe,
+        idCol, vecCol, seed, trainFraction)
+    else
+      ivfCosineTopKTwoLevel(vectors, anchorPred, k, nlist, nprobe,
+        idCol, vecCol, seed, trainFraction, probeSupers = probeSupers)
+  }
+
   def ivfCosineTopK(vectors: DataFrame, anchorPred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding", seed: Long = 42L,
@@ -1244,31 +1272,29 @@ object SimilaritySearch {
     a
   }
 
-  /** IVF+PQ QUERY path over [[TwoLevelIvfPqArtifacts]] — the
-    * [[ivfPqTopKScore]] statement with the O(2√nlist) route+assign
-    * map and the equi-join probe ([[ivfCosineTopKTwoLevel]]'s): the
-    * structural difference is confined to how a row finds its cell
-    * and how an anchor finds its probe cells; encode, ADC, shortlist
-    * and rerank are the shared flat machinery. supers = 1 is
-    * value-identical to the flat score path over
-    * [[trainIvfPqArtifacts]]'s artifacts (spec-pinned). */
-  def ivfPqTopKScoreTwoLevel(vectors: DataFrame, anchorPred: Column,
-      k: Int, artifacts: TwoLevelIvfPqArtifacts, nprobe: Int = 4,
-      rerank: Int = 32, idCol: String = "vec_id",
-      vecCol: String = "embedding", probeSupers: Int = 1): DataFrame = {
-    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
+  /** BUILD the stored two-level IVF-PQ index relation: route + assign
+    * + encode FUSED in one zero-shuffle pass (the flat path's
+    * discipline — per-row cost O(2√nlist), not O(nlist)), emitting
+    * (nid, code, cell) — the deployment artifact a query job reads
+    * instead of re-encoding the corpus per query (round 12: the
+    * train-once/ship split extended to the INDEX itself, which is
+    * what makes batch ADMISSION a per-batch cost — see
+    * [[admitIvfPqBatchTwoLevel]]). Store it bucketed by `cell`
+    * ([[graft.sources.Sinks.writeBucketed]]) and the probe's cell
+    * equi-join reads it without a corpus-side exchange (the q91
+    * bucketed-admission discipline at the ANN site; spec-asserted).
+    */
+  def encodeIvfPqTwoLevel(vectors: DataFrame,
+      artifacts: TwoLevelIvfPqArtifacts, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val residual = artifacts.residual
-    val coarse = artifacts.coarse
     val cbB = spark.sparkContext.broadcast(artifacts.codebooks)
-    val cB = spark.sparkContext.broadcast(coarse)
-    val childB = spark.sparkContext.broadcast(coarse.children)
-    val feat = vectors.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    // route+assign+encode FUSED in one zero-shuffle pass (the flat
-    // path's discipline) — per-row cost O(2√nlist), not O(nlist)
-    val encoded = feat.as[(Long, Array[Double])]
+    val cB = spark.sparkContext.broadcast(artifacts.coarse)
+    vectors.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
       .map { case (id, v) =>
         val cell = nearestChild(v, cB.value)
         val enc =
@@ -1282,6 +1308,74 @@ object SimilaritySearch {
           }
         (id, pqEncodeVec(enc, cbB.value), cell)
       }.toDF("nid", "code", "cell")
+  }
+
+  /** ADMIT a batch into a stored two-level IVF-PQ index WITHOUT
+    * retraining (round 12 — VERDICT r11 item 5, the q91 equivalence
+    * statement at the ANN site): assign + encode the batch against
+    * the FIXED artifacts and append. Under fixed quantizers the
+    * encoding is a pure per-row function, so the admitted index is
+    * VALUE-IDENTICAL to [[encodeIvfPqTwoLevel]] over corpus ∪ batch
+    * — and therefore every query over it is too (spec-pinned,
+    * SimilaritySpec). Nightly cost: O(|batch| · 2√nlist · dim) — the
+    * corpus is never re-encoded, never re-shuffled (append a new
+    * bucketed partition set alongside the stored index). Quantizer
+    * DRIFT is the documented operational bound: artifacts fixed at
+    * train time serve until the corpus distribution moves enough
+    * that measured recall ([[requireRecall]] on a sampled anchor
+    * set) breaches the contract floor — then retrain, rebuild,
+    * re-admit; the recall gate is what makes the degradation loud.
+    */
+  def admitIvfPqBatchTwoLevel(index: DataFrame, batch: DataFrame,
+      artifacts: TwoLevelIvfPqArtifacts, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    index.unionByName(
+      encodeIvfPqTwoLevel(batch, artifacts, idCol, vecCol))
+
+  /** IVF+PQ QUERY path over [[TwoLevelIvfPqArtifacts]] — the
+    * [[ivfPqTopKScore]] statement with the O(2√nlist) route+assign
+    * map and the equi-join probe ([[ivfCosineTopKTwoLevel]]'s): the
+    * structural difference is confined to how a row finds its cell
+    * and how an anchor finds its probe cells; encode, ADC, shortlist
+    * and rerank are the flat machinery. Encodes `vectors` inline —
+    * the one-shot convenience; deployments build the index once
+    * ([[encodeIvfPqTwoLevel]]) and query it via
+    * [[ivfPqTopKScoreTwoLevelIndexed]]. supers = 1 is
+    * value-identical to the flat score path over
+    * [[trainIvfPqArtifacts]]'s artifacts (spec-pinned). */
+  def ivfPqTopKScoreTwoLevel(vectors: DataFrame, anchorPred: Column,
+      k: Int, artifacts: TwoLevelIvfPqArtifacts, nprobe: Int = 4,
+      rerank: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding", probeSupers: Int = 1): DataFrame =
+    ivfPqTopKScoreTwoLevelIndexed(
+      encodeIvfPqTwoLevel(vectors, artifacts, idCol, vecCol),
+      vectors, anchorPred, k, artifacts, nprobe, rerank, idCol,
+      vecCol, probeSupers)
+
+  /** The QUERY half over a PREBUILT index relation (nid, code, cell —
+    * [[encodeIvfPqTwoLevel]]'s output, possibly grown by
+    * [[admitIvfPqBatchTwoLevel]]): anchors route + probe against the
+    * broadcast child-centroid relation, candidates arrive through
+    * the cell equi-join against the stored index (bucketed storage
+    * makes it exchange-free on the index side), ADC from the codes,
+    * exact rerank from `vectors` (the stored raw relation — rerank
+    * needs true vectors, the index carries codes only). */
+  def ivfPqTopKScoreTwoLevelIndexed(index: DataFrame,
+      vectors: DataFrame, anchorPred: Column,
+      k: Int, artifacts: TwoLevelIvfPqArtifacts, nprobe: Int = 4,
+      rerank: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding", probeSupers: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val residual = artifacts.residual
+    val coarse = artifacts.coarse
+    val cbB = spark.sparkContext.broadcast(artifacts.codebooks)
+    val cB = spark.sparkContext.broadcast(coarse)
+    val childB = spark.sparkContext.broadcast(coarse.children)
+    val feat = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val encoded = index
     val centDf = childCentDf(spark, coarse)
     // probeSupers > 1 fans each anchor across its top-p supers (the
     // ivfCosineTopKTwoLevel widening — the per-anchor topKByScore
@@ -1312,6 +1406,38 @@ object SimilaritySearch {
     * [[ivfPqTopKScore]]. nprobe = nlist degenerates to
     * [[pqCosineTopK]] exactly (spec-pinned). Deployments train once
     * and call the score path with saved artifacts (the q73 gate). */
+  /** AUTO-STRUCTURE front door for the native IVF-PQ tier — the
+    * [[ivfCosineTopKAuto]] dispatch over the artifact trainers:
+    * flat [[trainIvfPqArtifacts]]+[[ivfPqTopKScore]] at auto nlist ≤
+    * [[KMeansPortable.FlatAutoMaxNlist]],
+    * [[trainIvfPqArtifactsTwoLevel]]+[[ivfPqTopKScoreTwoLevel]] past
+    * it — GLOBAL codes both sides, matching [[ivfPqTopK]]'s flavor,
+    * so only the coarse structure changes across the boundary (a
+    * residual deployment trains artifacts manually — the flavor is a
+    * train-time choice). Deployments that train once and ship
+    * artifacts make the structural choice at TRAIN time too; this
+    * door is the inline-training convenience with the same crossover.
+    */
+  def ivfPqTopKAuto(vectors: DataFrame, anchorPred: Column, k: Int,
+      nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42L,
+      trainFraction: Double = 1.0,
+      targetCellSize: Int = KMeansPortable.DefaultTargetCellSize,
+      probeSupers: Int = 1, n: Long = -1L): DataFrame = {
+    val n0 = if (n >= 0) n else vectors.count()
+    val nlist = KMeansPortable.autoNlist(n0, targetCellSize)
+    if (nlist <= KMeansPortable.FlatAutoMaxNlist)
+      ivfPqTopK(vectors, anchorPred, k, math.max(2, nlist), nprobe, m,
+        ksub, rerank, idCol, vecCol, seed, trainFraction)
+    else {
+      val art = trainIvfPqArtifactsTwoLevel(vectors, nlist, m, ksub,
+        vecCol, seed, trainFraction, residual = false)
+      ivfPqTopKScoreTwoLevel(vectors, anchorPred, k, art, nprobe,
+        rerank, idCol, vecCol, probeSupers = probeSupers)
+    }
+  }
+
   def ivfPqTopK(vectors: DataFrame, anchorPred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
       rerank: Int = 32, idCol: String = "vec_id",

@@ -65,8 +65,14 @@ object ScaleProbe {
     //         ground truth on the same anchors, at the corpus-sized
     //         nlist — the SCALE.md round-12 evidence rows, and the
     //         numbers AnnRecallSpec's floors were pinned under
+    // ivfauto = the ANN auto-structure FRONT DOOR
+    //         (IvfPqPortable.topKAuto, round 12): sizes nlist itself
+    //         and dispatches flat/two-level at the crossover; at 100×
+    //         this must track the manual ivf2 choice (VERDICT r11
+    //         item 4, the autod statement at the ANN site)
     val twoLevel = args(1) == "auto2"
-    val ivfMode = args(1) == "ivf" || args(1) == "ivf2"
+    val ivfMode = args(1) == "ivf" || args(1) == "ivf2" ||
+      args(1) == "ivfauto"
     val dispatch = args(1) == "autod"
     val video = args(1) == "video"
     val videoWide = args(1) == "videowide"
@@ -122,7 +128,7 @@ object ScaleProbe {
     // a number from the wrong clamp (round-11 review); same for the
     // video mode, which has no quantizer at all
     val nlist =
-      if (dispatch || video || videoWide) -1
+      if (dispatch || video || videoWide || args(1) == "ivfauto") -1
       else if (args(1) == "auto" || twoLevel || ivfMode)
         graft.operators.KMeansPortable.nlistFor(
           graft.Tables(spark, dir).embeddings.count())
@@ -139,6 +145,10 @@ object ScaleProbe {
             if (args(1) == "ivf2")
               graft.operators.IvfPqPortable.topKTwoLevel(emb,
                 col("id") < 20, k = 5, nlist = nlist, coarseIters = 2,
+                m = 4, ksub = 8, subIters = 2, nprobe = 2, rerank = 16)
+            else if (args(1) == "ivfauto")
+              graft.operators.IvfPqPortable.topKAuto(emb,
+                col("id") < 20, k = 5, coarseIters = 2,
                 m = 4, ksub = 8, subIters = 2, nprobe = 2, rerank = 16)
             else
               graft.operators.IvfPqPortable.topK(emb,

@@ -104,4 +104,33 @@ class IvfPqPortableSpec extends SparkSpec {
       assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to 6))
     }
   }
+
+  test("topKAuto: flat at the dispatch boundary, two-level past it, door ≡ the manual calls (the semanticDedupAuto pattern at the ANN site)") {
+    val r = new scala.util.Random(17)
+    def bigCorpus(n: Int) = (0 until n).map(i =>
+      (i.toLong, Array.fill(4)(r.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("anchor_id", "rank").collect().map(_.toSeq).toSeq
+    val pred = col("id") < 5
+    // n = 512 at targetCellSize 4 → auto nlist 128 = the boundary →
+    // FLAT: the door must reproduce the manual flat call exactly
+    val at = bigCorpus(512).cache()
+    assert(rows(IvfPqPortable.topKAuto(at, pred, k = 3, coarseIters = 2,
+        m = 2, ksub = 4, subIters = 2, nprobe = 2, rerank = 8,
+        targetCellSize = 4))
+      === rows(IvfPqPortable.topK(at, pred, k = 3, nlist = 128,
+        coarseIters = 2, m = 2, ksub = 4, subIters = 2, nprobe = 2,
+        rerank = 8)))
+    // n = 520 → auto nlist 130 > 128 → TWO-LEVEL, probeSupers
+    // threaded through
+    val past = bigCorpus(520).cache()
+    assert(rows(IvfPqPortable.topKAuto(past, pred, k = 3,
+        coarseIters = 2, m = 2, ksub = 4, subIters = 2, nprobe = 2,
+        rerank = 8, targetCellSize = 4, probeSupers = 2))
+      === rows(IvfPqPortable.topKTwoLevel(past, pred, k = 3,
+        nlist = 130, coarseIters = 2, m = 2, ksub = 4, subIters = 2,
+        nprobe = 2, rerank = 8, probeSupers = 2)))
+    at.unpersist(); past.unpersist()
+  }
 }

@@ -621,6 +621,40 @@ class SimilaritySpec extends SparkSpec {
     assert(rAll >= r2, s"recall p=S ($rAll) must not lose to p=2 ($r2)")
   }
 
+  test("native auto front doors: flat at the boundary, two-level past it, door ≡ the manual calls") {
+    import graft.operators.SimilaritySearch
+    val r = new scala.util.Random(23)
+    def bigCorpus(n: Int) = (0 until n).map(i =>
+      (i.toLong, Array.fill(4)(r.nextDouble() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("anchor_id", "rank").collect().map(_.toSeq).toSeq
+    val pred = col("id") < 5
+    // boundary (auto nlist 128 at targetCellSize 4) → flat
+    val at = bigCorpus(512).cache()
+    assert(rows(SimilaritySearch.ivfCosineTopKAuto(at, pred, 3,
+        nprobe = 2, targetCellSize = 4))
+      === rows(SimilaritySearch.ivfCosineTopK(at, pred, 3,
+        nlist = 128, nprobe = 2)))
+    assert(rows(SimilaritySearch.ivfPqTopKAuto(at, pred, 3, nprobe = 2,
+        m = 2, ksub = 4, rerank = 8, targetCellSize = 4))
+      === rows(SimilaritySearch.ivfPqTopK(at, pred, 3, nlist = 128,
+        nprobe = 2, m = 2, ksub = 4, rerank = 8)))
+    // past it (auto nlist 130) → two-level, probeSupers threaded
+    val past = bigCorpus(520).cache()
+    assert(rows(SimilaritySearch.ivfCosineTopKAuto(past, pred, 3,
+        nprobe = 2, targetCellSize = 4, probeSupers = 2))
+      === rows(SimilaritySearch.ivfCosineTopKTwoLevel(past, pred, 3,
+        nlist = 130, nprobe = 2, probeSupers = 2)))
+    val art2 = SimilaritySearch.trainIvfPqArtifactsTwoLevel(past,
+      nlist = 130, m = 2, ksub = 4, residual = false)
+    assert(rows(SimilaritySearch.ivfPqTopKAuto(past, pred, 3,
+        nprobe = 2, m = 2, ksub = 4, rerank = 8, targetCellSize = 4))
+      === rows(SimilaritySearch.ivfPqTopKScoreTwoLevel(past, pred, 3,
+        art2, nprobe = 2, rerank = 8)))
+    at.unpersist(); past.unpersist()
+  }
+
   test("residual IVF+PQ (IVFADC): sharper codes at equal bits on clustered data") {
     import graft.operators.SimilaritySearch
     // 4 tight clusters at distant centers: a GLOBAL codebook of 4
