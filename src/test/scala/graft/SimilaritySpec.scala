@@ -655,6 +655,110 @@ class SimilaritySpec extends SparkSpec {
     at.unpersist(); past.unpersist()
   }
 
+  test("IVF-PQ admission: admitted index ≡ rebuilt over corpus ∪ batch under fixed artifacts; queries identical") {
+    import graft.operators.SimilaritySearch
+    // the q91 equivalence statement at the ANN site (VERDICT r11 item
+    // 5): under FIXED quantizers the encoding is a pure per-row
+    // function, so assign+encode+append must equal a full rebuild —
+    // value-for-value at the index AND at every query over it
+    val corpus = emb.filter($"vec_id" < 30)
+    val batch = emb.filter($"vec_id" >= 30)
+    val art = SimilaritySearch.trainIvfPqArtifactsTwoLevel(corpus,
+      nlist = 4, m = 2, ksub = 4, residual = true)
+    def idxRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1).toSeq, r.getInt(2))).toSet
+    val admitted = SimilaritySearch.admitIvfPqBatchTwoLevel(
+      SimilaritySearch.encodeIvfPqTwoLevel(corpus, art), batch, art)
+    val rebuilt = SimilaritySearch.encodeIvfPqTwoLevel(emb, art)
+    assert(idxRows(admitted) === idxRows(rebuilt))
+    // and therefore every query is too: the batch's planted dup
+    // (100≈101, both batch-side) is findable through the ADMITTED
+    // index exactly as through the rebuild
+    val pred = col("id") < 3 || col("id") === 100
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val viaAdmit = rows(SimilaritySearch.ivfPqTopKScoreTwoLevelIndexed(
+      admitted, emb, pred, k = 3, art, nprobe = 2, rerank = 8,
+      probeSupers = 2))
+    assert(viaAdmit === rows(SimilaritySearch.ivfPqTopKScoreTwoLevelIndexed(
+      rebuilt, emb, pred, k = 3, art, nprobe = 2, rerank = 8,
+      probeSupers = 2)))
+    assert(viaAdmit === rows(SimilaritySearch.ivfPqTopKScoreTwoLevel(
+      emb, pred, k = 3, art, nprobe = 2, rerank = 8, probeSupers = 2)))
+  }
+
+  test("stored bucketed IVF-PQ index: probe's cell join reads it with ZERO index-side exchanges") {
+    import graft.operators.SimilaritySearch
+    import graft.sources.Sinks
+    // the SinksSpec bucketed-corpus discipline at the ANN site: the
+    // index is built once (encodeIvfPqTwoLevel), stored bucketBy(cell),
+    // and a query job's candidate equi-join never moves it — only the
+    // anchor side shuffles
+    val t = "b_ivfpq_index"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (loc.exists()) rm(loc)
+    val art = SimilaritySearch.trainIvfPqArtifactsTwoLevel(emb,
+      nlist = 4, m = 2, ksub = 4, residual = true)
+    Sinks.writeBucketed(SimilaritySearch.encodeIvfPqTwoLevel(emb, art),
+      t, "cell", 4)
+    val pred = col("id") < 3 || col("id") === 100
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // storage layout, not semantics: stored-index query ≡ inline
+    val stored = SimilaritySearch.ivfPqTopKScoreTwoLevelIndexed(
+      spark.table(t), emb, pred, k = 3, art, nprobe = 2, rerank = 8)
+    assert(rows(stored) === rows(SimilaritySearch.ivfPqTopKScoreTwoLevel(
+      emb, pred, k = 3, art, nprobe = 2, rerank = 8)))
+    // plan: with broadcast off (the join would otherwise shuffle both
+    // sides) the candidate join's index subtree is the bucketed scan
+    // with NO shuffle exchange
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val q = SimilaritySearch.ivfPqTopKScoreTwoLevelIndexed(
+        spark.table(t), emb, pred, k = 3, art, nprobe = 2, rerank = 8)
+      def bucketed(p: SparkPlan): Boolean = p.collectFirst {
+        case s: FileSourceScanExec if s.bucketedScan => s
+      }.isDefined
+      val plan = q.queryExecution.executedPlan
+      // the CELL equi-join specifically — joins above it (rerank,
+      // anchor re-attach) transitively contain the scan but key on
+      // other columns and legitimately exchange their own inputs
+      def onCell(keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        keys.exists(_.references.exists(_.name == "cell"))
+      val idxJoins = plan.collect {
+        case j: SortMergeJoinExec
+          if onCell(j.leftKeys) && (bucketed(j.left) || bucketed(j.right)) => j
+        case j: ShuffledHashJoinExec
+          if onCell(j.leftKeys) && (bucketed(j.left) || bucketed(j.right)) => j
+      }
+      assert(idxJoins.nonEmpty,
+        s"expected a shuffled cell join over the bucketed index in:\n$plan")
+      idxJoins.foreach { j =>
+        val side = if (bucketed(j.left)) j.left else j.right
+        val ex = side.collect { case e: ShuffleExchangeExec => e }
+        assert(ex.isEmpty, s"index-side exchange:\n$side")
+      }
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("residual IVF+PQ (IVFADC): sharper codes at equal bits on clustered data") {
     import graft.operators.SimilaritySearch
     // 4 tight clusters at distant centers: a GLOBAL codebook of 4
