@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Parameterized scaling probe for the SemDeDup pipeline — the
   * SCALE.md evidence runner for the one knob the fixed-parameter q80
@@ -70,6 +70,60 @@ object ScaleProbe {
     //         and dispatches flat/two-level at the crossover; at 100×
     //         this must track the manual ivf2 choice (VERDICT r11
     //         item 4, the autod statement at the ANN site)
+    // ceiling = a measured point AT the two-level clamp (VERDICT r11
+    //         stretch): synthetic NATIVE artifacts at nlist =
+    //         MaxAutoNlistTwoLevel (262144, dim 64, S = 512), random
+    //         centroids (assignment cost is value-independent), the
+    //         fused route+assign+encode map (encodeIvfPqTwoLevel —
+    //         the deployment kernel) over args(2) synthetic rows
+    //         (default 1M). Measures the clamp's real costs: the
+    //         driver centroid state, shipping it to executors, and
+    //         the O(2√nlist·dim) per-row map. The PORTABLE decimal
+    //         path is NOT measured here by design: its literal-
+    //         expression route at S = 512 is outside its regime (a
+    //         50k-row route did not finish in 17 min — it is gate/
+    //         oracle machinery for gate-sized corpora; deployments at
+    //         the clamp ride the native artifacts)
+    if (args(1) == "ceiling") {
+      import graft.operators.{KMeansPortable, SimilaritySearch}
+      // args(2) is the shared RUNS knob (3 here measures warm-vs-cold
+      // honestly: run 1 pays JIT + the 128 MB broadcast ship);
+      // args(3) is the row count
+      val rows = if (args.length > 3) args(3).toLong else 1000000L
+      val nlist = KMeansPortable.MaxAutoNlistTwoLevel
+      val dim = 64
+      val s = math.ceil(math.sqrt(nlist.toDouble)).toInt
+      val per = nlist / s
+      val t0 = System.nanoTime()
+      val rnd = new scala.util.Random(7)
+      val children = Array.fill(nlist)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+      val supers = Array.tabulate(s)(i => children(i * per))
+      val groups = Array.tabulate(s)(i => Array.range(i * per, (i + 1) * per))
+      val m0 = 8; val ksub = 16; val dsub = dim / m0
+      val codebooks = Array.fill(m0)(Array.fill(ksub)(
+        Array.fill(dsub)(rnd.nextDouble() * 2 - 1)))
+      val art = SimilaritySearch.TwoLevelIvfPqArtifacts(codebooks,
+        SimilaritySearch.TwoLevelCoarse(supers, children, groups),
+        residual = false)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      println(f"[ceiling] nlist=$nlist supers=$s dim=$dim rows=$rows " +
+        f"centroid_state=${nlist.toLong * dim * 8 / (1 << 20)}MB " +
+        f"(built in $buildS%.1fs)")
+      val syn = spark.range(rows).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          "d -> sin((vec_id + 1) * (d + 3)))").as("embedding"))
+      (1 to runs).foreach { i =>
+        val a0 = System.nanoTime()
+        graft.Measure.force(
+          SimilaritySearch.encodeIvfPqTwoLevel(syn, art).select("cell"))
+        val bothS = (System.nanoTime() - a0) / 1e9
+        println(f"[ceiling] run $i: route+assign+encode $bothS%.1fs " +
+          f"(${rows / bothS / 1e6}%.2fM rows/s)")
+      }
+      graft.CacheScope.releaseAll(blocking = true)
+      spark.stop()
+      return
+    }
     val twoLevel = args(1) == "auto2"
     val ivfMode = args(1) == "ivf" || args(1) == "ivf2" ||
       args(1) == "ivfauto"

@@ -20,29 +20,33 @@ import org.apache.spark.sql.functions._
   * fraction (documented at the q73 fixture spec since round 9) — a
   * clustered production corpus sits higher at the same knobs.
   *
-  * THE TIER TABLE callers choose from (measured recall@10, anchors
-  * id % 50 = 0, nlist = corpus/256):
+  * THE TIER TABLE callers choose from (measured recall@10 via
+  * ScaleProbe `recall`, anchors id % 50 = 0, nlist = corpus/256;
+  * 1× = sf0.1 n=2000 nlist=8, 10× = n=20000 nlist=79 — the SCALE.md
+  * round-12 table):
   *   - exact cosineTopK: 1.0 by construction, O(n) per anchor.
-  *   - IVF flat nprobe=4: 0.76 at 1× — recall ∝ swept fraction
-  *     nprobe/nlist; hold it by scaling nprobe with nlist.
-  *   - IVF two-level p=1: 0.545 at 1× — the one-super routing LOSS
-  *     (−0.215 vs flat at equal nprobe) the multi-super probe exists
-  *     to recover; p=2 restores 0.73 of it at 2× probe cost. At
-  *     large nprobe, p must scale too: the union pool is ~p·nlist/S
-  *     cells, so p ≥ nprobe·S/nlist or the pool caps the probe
-  *     (measured: nprobe=15 at 10× — flat 0.63, p=2 0.46).
-  *   - IVF-PQ (+rerank): the code-resolution tiers — 0.455/0.48 at
-  *     the gate knobs; rerank recovers ranking within the swept set
-  *     but never neighbors outside it.
-  *   - LSH (random hyperplanes, 8 planes × 4 tables): recall on a
-  *     near-UNIFORM corpus is NOT boundable at useful levels (0.07
-  *     measured at 1×, 0.11 at 10×) — random planes cut uniform
-  *     mass evenly, so bucket collision ≈ random. The tier is for
-  *     CLUSTERED/near-dup data (its q23/q42 role: planted near-dups
-  *     collide reliably); a caller needing bulk recall on spread
-  *     data picks IVF and buys recall with nprobe. This documented
-  *     non-bound IS the tier's contract — asserted here as a
-  *     measured ceiling so the doc cannot silently rot.
+  *   - IVF flat nprobe=4: 0.775 at 1× — recall ∝ swept fraction
+  *     nprobe/nlist, so FIXED nprobe decays as nlist ∝ N grows
+  *     (0.29 at 10×); hold the fraction (nprobe=15 ≈ nlist/5 at
+  *     10×) and recall holds (0.63).
+  *   - IVF two-level p=1: 0.50 at 1× — the one-super routing LOSS
+  *     (−0.28 vs flat at equal nprobe) the multi-super probe exists
+  *     to recover; p=2 restores 0.87 of it (0.74) at 2× probe cost.
+  *     At large nprobe, p must scale too: the union pool is
+  *     ~p·nlist/S cells, so p ≥ nprobe·S/nlist or the pool caps the
+  *     probe (measured: nprobe=15 at 10× — flat 0.63, p=2 0.46).
+  *   - IVF-PQ (+rerank 64): the code-resolution tiers — flat 0.51,
+  *     two-level p=2 0.48 at the 1× knobs; rerank recovers ranking
+  *     within the swept set but never neighbors outside it.
+  *   - LSH (random hyperplanes): recall on a near-UNIFORM corpus is
+  *     NOT boundable at useful levels (0.07–0.09 measured at 1×,
+  *     0.11 at 10×) — random planes cut uniform mass evenly, so
+  *     bucket collision ≈ random. The tier is for CLUSTERED/near-dup
+  *     data (its q23/q42 role: planted near-dups collide reliably);
+  *     a caller needing bulk recall on spread data picks IVF and
+  *     buys recall with nprobe. This documented non-bound IS the
+  *     tier's contract — asserted here as a measured ceiling so the
+  *     doc cannot silently rot.
   */
 class AnnRecallSpec extends SparkSpec {
 
