@@ -486,6 +486,18 @@ object PlanAudit {
       // exchange FEWER than flat q85 (the probe's broadcast
       // candidate join replaces a rescore keying exchange)
       maxShuffleExchanges = Some(4)),
+    // q97: the q93 chain with the probe widened to the top-2 supers
+    // (probeChildrenMulti) — the widening is a per-anchor flatMap over
+    // the SAME broadcast candidate join, so the exchange set must
+    // stay q93's; a new exchange here would mean the multi-super
+    // union started shuffling anchors
+    Check("q97_ivfpq_multiprobe_oracle",
+      mustContain = Seq("BroadcastHashJoin", "InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // [MEASURED] 4 = the round-12 counted plan (sf0.001) — q93's
+      // count, unchanged by the probe widening
+      maxShuffleExchanges = Some(4)),
     // q92: the q86 statement at the two-level quantizer — the child
     // argmin's candidate arrays ride as BROADCASTS (never shuffles),
     // so the frame's exchange composition is identical to q86's
