@@ -1375,7 +1375,6 @@ object SimilaritySearch {
     val childB = spark.sparkContext.broadcast(coarse.children)
     val feat = vectors.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val encoded = index
     val centDf = childCentDf(spark, coarse)
     // probeSupers > 1 fans each anchor across its top-p supers (the
     // ivfCosineTopKTwoLevel widening — the per-anchor topKByScore
@@ -1394,7 +1393,7 @@ object SimilaritySearch {
     val cands = probeCells
       .join(anchors.select(col("id").as("anchor_id"), col("v").as("a_vec")),
         "anchor_id")
-      .join(encoded, "cell")
+      .join(index, "cell")
       .filter(col("anchor_id") =!= col("nid"))
     val approx =
       if (residual) adcScoresResidual(cands, cbB, childB)

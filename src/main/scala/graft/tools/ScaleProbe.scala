@@ -124,6 +124,47 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // admit = the ANN admission cost statement, measured (round 12 —
+    //         VERDICT r11 item 5's deployment arithmetic): train
+    //         two-level IVF-PQ artifacts ONCE on the corpus (all but
+    //         the last 1% of ids), build the stored index
+    //         (encodeIvfPqTwoLevel over the corpus), then ADMIT the
+    //         1% batch against the fixed artifacts — the nightly cost
+    //         — vs re-encoding corpus ∪ batch (what admission saves
+    //         every night; retraining would cost the train line again
+    //         on top)
+    if (args(1) == "admit") {
+      import graft.operators.{KMeansPortable, SimilaritySearch}
+      val emb = graft.CacheScope.track(
+        graft.Tables(spark, dir).embeddings.select(
+          col("vec_id"), col("embedding")))
+      val n = emb.count()
+      val cut = (n * 99) / 100
+      val corpus = graft.CacheScope.track(emb.filter(col("vec_id") < cut))
+      val batch = graft.CacheScope.track(emb.filter(col("vec_id") >= cut))
+      val nlist = KMeansPortable.nlistFor(cut)
+      println(s"[admit] n=$n corpus=$cut batch=${n - cut} nlist=$nlist")
+      val t0 = System.nanoTime()
+      val art = SimilaritySearch.trainIvfPqArtifactsTwoLevel(corpus,
+        nlist = nlist, m = 8, ksub = 16, residual = true)
+      println(f"[admit] train-once (two-level coarse + codebooks): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1fs")
+      (1 to runs).foreach { i =>
+        val b0 = System.nanoTime()
+        val index = SimilaritySearch.encodeIvfPqTwoLevel(corpus, art)
+        graft.Measure.force(index.select("cell"))
+        val buildS = (System.nanoTime() - b0) / 1e9
+        val a0 = System.nanoTime()
+        graft.Measure.force(
+          SimilaritySearch.encodeIvfPqTwoLevel(batch, art).select("cell"))
+        val admitS = (System.nanoTime() - a0) / 1e9
+        println(f"[admit] run $i: full index build $buildS%.1fs, " +
+          f"1%% batch admission $admitS%.2fs (${buildS / admitS}%.0fx)")
+      }
+      graft.CacheScope.releaseAll(blocking = true)
+      spark.stop()
+      return
+    }
     val twoLevel = args(1) == "auto2"
     val ivfMode = args(1) == "ivf" || args(1) == "ivf2" ||
       args(1) == "ivfauto"
