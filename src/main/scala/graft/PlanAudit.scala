@@ -498,6 +498,16 @@ object PlanAudit {
       // [MEASURED] 4 = the round-12 counted plan (sf0.001) — q93's
       // count, unchanged by the probe widening
       maxShuffleExchanges = Some(4)),
+    // q98: the q93 chain under the admission split (train on the
+    // corpus slice, index corpus ∪ batch against fixed state) — the
+    // split is a FILTER on the shared cached base plus the same
+    // broadcast candidate joins, so the exchange set must stay q93's
+    Check("q98_ivfpq_admission_oracle",
+      mustContain = Seq("BroadcastHashJoin", "InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // [MEASURED] 4 = the round-12 counted plan (sf0.001)
+      maxShuffleExchanges = Some(4)),
     // q92: the q86 statement at the two-level quantizer — the child
     // argmin's candidate arrays ride as BROADCASTS (never shuffles),
     // so the frame's exchange composition is identical to q86's

@@ -97,10 +97,15 @@ object IvfPqPortable {
     */
   private def encodeAndScore(base: DataFrame, withRes: DataFrame,
       centsLit: Column, probeCells: DataFrame, k: Int, m: Int,
-      ksub: Int, subIters: Int, rerank: Int, dsub: Int): DataFrame = {
+      ksub: Int, subIters: Int, rerank: Int, dsub: Int,
+      // the ADMISSION split (q98): codebooks train on the CORPUS
+      // rows' residuals while the encode projection covers the full
+      // relation — null (the default) trains on `withRes` itself
+      trainRes: DataFrame = null): DataFrame = {
+    val resForTraining = Option(trainRes).getOrElse(withRes)
     val codebooks = (0 until m).map { j =>
       KMeansPortable.trainModel(
-        withRes.select(col("id"),
+        resForTraining.select(col("id"),
           slice(col("rvec"), j * dsub + 1, dsub).as("svec")),
         ksub, subIters, "id", "svec").centroids
     }.toArray
@@ -243,6 +248,57 @@ object IvfPqPortable {
       subIters, rerank, dsub)
   }
 
+  /** [[topKTwoLevel]] under the ADMISSION split (round 12 — the q91
+    * equivalence statement at the ANN site, under a FULL oracle):
+    * EVERY trained artifact — super centroids, child allocation,
+    * child centroids, subspace codebooks — derives from the
+    * `trainPred` rows alone (the historical corpus), and the index —
+    * routing, child assignment, PQ codes — covers ALL rows (corpus ∪
+    * admitted batch) against that FIXED state. Under fixed quantizers
+    * encode is a pure per-row function, so this inline statement IS
+    * "build the index over the corpus, admit the batch without
+    * retraining, query" — the deployment split
+    * ([[SimilaritySearch.encodeIvfPqTwoLevel]] /
+    * [[SimilaritySearch.admitIvfPqBatchTwoLevel]]) made
+    * oracle-derivable: q98 re-derives train-on-corpus /
+    * apply-to-union value-for-value from the parquet bytes.
+    * `trainPred` ≡ all rows degenerates to [[topKTwoLevel]] exactly
+    * (spec-pinned). Batch rows routed to a CHILDLESS super (possible
+    * only off the training corpus) are dropped from the index — the
+    * oracle's centroid join drops them identically; anchors routed
+    * there probe nothing and vanish from the output (both sides).
+    */
+  def topKTwoLevelAdmit(vectors: DataFrame, trainPred: Column,
+      anchorPred: Column, k: Int,
+      nlist: Int, coarseIters: Int, m: Int, ksub: Int, subIters: Int,
+      nprobe: Int, rerank: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      supers: Int = 0): DataFrame = {
+    val (base, dim) = checkedBase(vectors, idCol, vecCol)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    // training reads ONLY the corpus slice of the shared cached base
+    val tl = KMeansPortable.trainTwoLevelFromBase(
+      base.filter(trainPred), nlist, coarseIters, supers)
+    val childLit = typedLit(tl.children.map(_.toSeq).toSeq)
+    // route + child-assign ALL rows against the fixed state (the
+    // admission pass — the corpus is assigned identically to a
+    // corpus-only build, per-row function of fixed centroids)
+    val routed = graft.CacheScope.track(base.withColumn("super",
+      KMeansPortable.cellExpr(col("vec"), col("n2"), tl.supers)))
+    val withRes = graft.CacheScope.track(
+      KMeansPortable.assignChildren(routed, tl.children, tl.groups)
+        .filter(col("cell") < lit(tl.children.length))
+        .withColumn("rvec", zip_with(col("vec"),
+          element_at(childLit, col("cell") + 1), (x, c) => x - c)))
+    val probeCells = KMeansPortable.probeChildren(
+        routed.filter(anchorPred), tl.children, tl.groups, nprobe)
+      .select(col("id").as("anchor_id"), col("vec").as("a_vec"),
+        col("cell"))
+    encodeAndScore(base, withRes, childLit, probeCells, k, m, ksub,
+      subIters, rerank, dsub, trainRes = withRes.filter(trainPred))
+  }
+
   /** AUTO-STRUCTURE front door for the portable IVF-PQ family (round
     * 12 — VERDICT r11 item 4, the [[Dedup.semanticDedupAuto]]
     * precedent at the ANN site): size the coarse quantizer to the
@@ -294,7 +350,15 @@ object IvfPqPortable {
       nprobe: Int, rerank: Int, k: Int, anchorPredSql: String,
       dimsRel: String, normsRel: String, vRel: String,
       centRel: String, assignRel: String, probeDotRel: String,
-      probeCnRel: String): String = {
+      probeCnRel: String,
+      // the ADMISSION split (round 12, q98): codebooks TRAIN on the
+      // corpus rows' residuals (trainDimsRel × trainAssignRel) while
+      // encode/probe/rerank run over the full relation (dimsRel …) —
+      // null (the default) keeps the one-domain text byte-identical
+      // for every existing oracle
+      trainDimsRel: String = null,
+      trainAssignRel: String = null): String = {
+    val split = trainDimsRel != null
     val sb = new StringBuilder
     sb ++=
       s"""rdims AS (
@@ -303,17 +367,39 @@ object IvfPqPortable {
          |  JOIN $assignRel a ON a.id = m.id
          |  JOIN $centRel cd ON cd.j = a.cell AND cd.d = m.d),
          |""".stripMargin
+    if (split) sb ++=
+      s"""rdimst AS (
+         |  SELECT m.id, m.d, m.x - cd.c AS x
+         |  FROM $trainDimsRel m
+         |  JOIN $trainAssignRel a ON a.id = m.id
+         |  JOIN $centRel cd ON cd.j = a.cell AND cd.d = m.d),
+         |""".stripMargin
     for (j <- 0 until m) {
       sb ++=
         s"""s${j}_src AS (
            |  SELECT id, list(x ORDER BY d) AS xs
-           |  FROM rdims WHERE d >= ${j * dsub} AND d < ${(j + 1) * dsub}
+           |  FROM ${if (split) "rdimst" else "rdims"} WHERE d >= ${j * dsub} AND d < ${(j + 1) * dsub}
            |  GROUP BY id),
            |""".stripMargin
       sb ++= KMeansPortable.lloydCtes(s"s${j}_src", "id", "xs", ksub,
         subIters, s"s${j}_")
-      sb ++= KMeansPortable.assignmentCtes(s"e$j",
-        s"s${j}_cd$subIters", s"s${j}_dims", s"s${j}_norms")
+      if (split) {
+        // the all-row residual slice, shaped exactly like the
+        // training slice (baseCtes with the slice as the vector) —
+        // the encode reads THESE against the corpus-trained codebook
+        sb ++=
+          s"""s${j}_asrc AS (
+             |  SELECT id, list(x ORDER BY d) AS xs
+             |  FROM rdims WHERE d >= ${j * dsub} AND d < ${(j + 1) * dsub}
+             |  GROUP BY id),
+             |""".stripMargin
+        sb ++= KMeansPortable.baseCtes(s"s${j}_asrc", "id", "xs",
+          s"s${j}_a")
+        sb ++= KMeansPortable.assignmentCtes(s"e$j",
+          s"s${j}_cd$subIters", s"s${j}_adims", s"s${j}_anorms")
+      } else
+        sb ++= KMeansPortable.assignmentCtes(s"e$j",
+          s"s${j}_cd$subIters", s"s${j}_dims", s"s${j}_norms")
     }
     val cwUnion = (0 until m).map { j =>
       s"""  SELECT e.id, ${j * dsub} + cb.d AS d, cb.c AS cw
@@ -428,6 +514,49 @@ object IvfPqPortable {
     sb ++= tailSql(m, dsub, ksub, subIters, nprobe, rerank, k,
       anchorPredSql, "dims", "norms", "v", s"ccd$coarseIters", "askf",
       if (probeSupers > 1) "dotp" else "dotkf", "cnkf")
+    sb.toString
+  }
+
+  /** The DuckDB re-derivation of [[topKTwoLevelAdmit]] — the q93
+    * statement under the ADMISSION split: the ENTIRE training chain
+    * ([[KMeansPortable.twoLevelCtes]]: super Lloyd, routing,
+    * allocation, child Lloyd) runs over `trn` (the `trainPredSql`
+    * rows), and a SECOND vector domain — the full relation, shaped by
+    * [[KMeansPortable.baseCtes]] under the `a` prefix — is routed
+    * (`asra`), child-assigned (`asaf`, with the childless-super
+    * fallback batch rows can hit) and encoded against the
+    * corpus-trained state. [[tailSql]]'s split mode trains each
+    * subspace codebook on the corpus residuals (`rdimst` =
+    * train dims × train assignment) while encoding all rows
+    * (`rdims`); rows in fallback pseudo-cells drop at the centroid
+    * join exactly as the Spark side filters them.
+    */
+  def oracleSqlTwoLevelAdmit(table: String, idCol: String,
+      vecCol: String, k: Int, nlist: Int, coarseIters: Int, m: Int,
+      ksub: Int, subIters: Int, nprobe: Int, rerank: Int, dim: Int,
+      anchorPredSql: String, trainPredSql: String,
+      supers: Int = 0): String = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val sb = new StringBuilder("WITH ")
+    sb ++=
+      s"""trn AS MATERIALIZED (
+         |  SELECT * FROM $table WHERE $trainPredSql),
+         |""".stripMargin
+    sb ++= KMeansPortable.twoLevelCtes("trn", idCol, vecCol, nlist,
+      coarseIters, supers)
+    // the application-side vector domain: the FULL relation
+    sb ++= KMeansPortable.baseCtes(table, idCol, vecCol, "a")
+    // route all rows to supers, then child-assign against the
+    // trained children (fallback pseudo-cells for childless supers)
+    sb ++= KMeansPortable.assignmentCtes("ra", s"cd$coarseIters",
+      "adims", "anorms")
+    sb ++= KMeansPortable.childAssignCtes("af", s"ccd$coarseIters",
+      "adims", "anorms", "asra", withFallback = true)
+    sb ++= tailSql(m, dsub, ksub, subIters, nprobe, rerank, k,
+      anchorPredSql, "adims", "anorms", "av", s"ccd$coarseIters",
+      "asaf", "dotaf", "cnaf",
+      trainDimsRel = "dims", trainAssignRel = "askf")
     sb.toString
   }
 }

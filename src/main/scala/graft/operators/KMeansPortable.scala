@@ -824,22 +824,36 @@ object KMeansPortable {
        |""".stripMargin
   }
 
+  /** The (v, dims, norms) relation triple over `table` — the shaped
+    * base every oracle reads vectors through. Factored from
+    * [[lloydCtes]] (byte-identical text) so a generator that needs a
+    * SECOND vector domain in one statement — the q98 admission split
+    * trains on the corpus rows but assigns/encodes the full relation
+    * — emits the application-side triple under its own prefix
+    * without a training chain attached. Trailing comma. */
+  def baseCtes(table: String, idCol: String, vecCol: String,
+      prefix: String = ""): String = {
+    val p = prefix
+    s"""${p}v AS MATERIALIZED (
+       |  SELECT $idCol AS id, [CAST(x AS DOUBLE) for x in $vecCol] AS xs
+       |  FROM $table),
+       |${p}dims AS MATERIALIZED (
+       |  SELECT id, generate_subscripts(xs, 1) - 1 AS d, unnest(xs) AS x
+       |  FROM ${p}v),
+       |${p}norms AS MATERIALIZED (
+       |  SELECT id, CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
+       |    AS DOUBLE) AS n2
+       |  FROM ${p}dims GROUP BY id),
+       |""".stripMargin
+  }
+
   def lloydCtes(table: String, idCol: String, vecCol: String,
       k: Int, iters: Int, prefix: String = ""): String = {
     val p = prefix
     val sb = new StringBuilder
+    sb ++= baseCtes(table, idCol, vecCol, prefix)
     sb ++=
-      s"""${p}v AS MATERIALIZED (
-         |  SELECT $idCol AS id, [CAST(x AS DOUBLE) for x in $vecCol] AS xs
-         |  FROM $table),
-         |${p}dims AS MATERIALIZED (
-         |  SELECT id, generate_subscripts(xs, 1) - 1 AS d, unnest(xs) AS x
-         |  FROM ${p}v),
-         |${p}norms AS MATERIALIZED (
-         |  SELECT id, CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12)))
-         |    AS DOUBLE) AS n2
-         |  FROM ${p}dims GROUP BY id),
-         |${p}seeds AS (
+      s"""${p}seeds AS (
          |  SELECT row_number() OVER (ORDER BY id) - 1 AS j, id
          |  FROM (SELECT id FROM ${p}v ORDER BY id LIMIT $k)),
          |${p}cd0 AS MATERIALIZED (

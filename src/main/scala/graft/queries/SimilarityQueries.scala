@@ -502,6 +502,43 @@ object SimilarityQueries {
     rerank = 16, dim = Q85Dim, anchorPredSql = "id < 20",
     probeSupers = 2)
 
+  /** ANN index ADMISSION under a FULL oracle (q98, round 12 — VERDICT
+    * r11 item 5 carried all the way to the gate): the q93 chain with
+    * EVERY trained artifact (supers, allocation, children, codebooks)
+    * derived from the CORPUS rows alone (`id % 10 < 8` — an
+    * SF-independent 80% slice) and the index — routing, child
+    * assignment, PQ codes — covering corpus ∪ batch against that
+    * fixed state. Under fixed quantizers encode is a pure per-row
+    * function, so this IS build-once/admit-the-batch/query, and the
+    * oracle re-derives the train/apply split from the parquet bytes:
+    * the training CTE chain reads the `trn` slice, a second shaped
+    * vector domain ([[graft.operators.KMeansPortable.baseCtes]], `a`
+    * prefix) carries the full relation through routing, the
+    * childless-super fallback, encoding and the probe. Anchors
+    * `id < 12` include batch-side rows (8, 9 — admitted vectors
+    * querying the admitted index). trainPred ≡ all ≡ q93 is
+    * spec-pinned (IvfPqPortableSpec).
+    */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val probed = emb.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
+    require(probed.nonEmpty && probed(0).getInt(0) == Q85Dim,
+      s"q98 oracle is generated for dim=$Q85Dim; data has " +
+        probed.headOption.map(_.getInt(0)).getOrElse(-1))
+    graft.operators.IvfPqPortable.topKTwoLevelAdmit(emb,
+        trainPred = col("id") % 10 < 8, anchorPred = col("id") < 12,
+        k = 5, nlist = 8, coarseIters = 2, m = 4,
+        ksub = 8, subIters = 2, nprobe = 2, rerank = 16)
+      .orderBy(col("anchor_id"), col("rank"))
+  }
+
+  private val q98Sql = graft.operators.IvfPqPortable.oracleSqlTwoLevelAdmit(
+    "embeddings", "vec_id", "embedding", k = 5, nlist = 8,
+    coarseIters = 2, m = 4, ksub = 8, subIters = 2, nprobe = 2,
+    rerank = 16, dim = Q85Dim, anchorPredSql = "id < 12",
+    trainPredSql = "vec_id % 10 < 8")
+
   val all: Seq[Q] = Seq(
     Q("q20_cosine_topk", q20, Some(q20Sql), headline = true),
     Q("q21_label_centroids", q21, Some(q21Sql)),
@@ -512,6 +549,7 @@ object SimilarityQueries {
     Q("q85_ivfpq_e2e_oracle", q85, Some(q85Sql), headline = true),
     Q("q93_ivfpq_twolevel_oracle", q93, Some(q93Sql)),
     Q("q97_ivfpq_multiprobe_oracle", q97, Some(q97Sql)),
+    Q("q98_ivfpq_admission_oracle", q98, Some(q98Sql)),
     Q("q31_group_scores", q31, Some(q31Sql), headline = true),
     Q("q32_cosine_pairs", q32, Some(q32Sql)),
     Q("q42_cosine_near_dup", q42, None),

@@ -105,6 +105,42 @@ class IvfPqPortableSpec extends SparkSpec {
     }
   }
 
+  test("topKTwoLevelAdmit: trainPred ≡ all degenerates to topKTwoLevel exactly; a corpus-trained index finds batch-side near-dups both ways") {
+    val r = new scala.util.Random(31)
+    val base = (0 until 120).map(i =>
+      (i.toLong, Array.fill(4)(r.nextDouble() * 2 - 1)))
+    // a batch-side near-dup pair: 118 ≈ 5 (batch echoes a corpus
+    // vector), plus 119 ≈ 118 (batch echoes batch)
+    val rows = base.map { case (i, v) =>
+      if (i == 118) (i, base(5)._2.map(_ + 1e-3))
+      else if (i == 119) (i, base(5)._2.map(_ + 2e-3))
+      else (i, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding").cache()
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("anchor_id", "rank").collect().map(_.toSeq).toSeq
+    // trainPred ≡ all rows: the admission statement degenerates to
+    // the one-domain operator value-for-value
+    assert(collect(IvfPqPortable.topKTwoLevelAdmit(emb, lit(true),
+        col("id") < 6, k = 3, nlist = 4, coarseIters = 2, m = 2,
+        ksub = 4, subIters = 2, nprobe = 2, rerank = 8))
+      === collect(IvfPqPortable.topKTwoLevel(emb, col("id") < 6, k = 3,
+        nlist = 4, coarseIters = 2, m = 2, ksub = 4, subIters = 2,
+        nprobe = 2, rerank = 8)))
+    // corpus-trained (id < 110), batch admitted (110+): a CORPUS
+    // anchor finds its admitted near-dup, and an ADMITTED anchor
+    // finds both its corpus original and its batch sibling — the
+    // admitted rows are full citizens of the index
+    val admit = IvfPqPortable.topKTwoLevelAdmit(emb, col("id") < 110,
+      col("id") === 5 || col("id") === 118, k = 2, nlist = 4,
+      coarseIters = 2, m = 2, ksub = 4, subIters = 2, nprobe = 2,
+      rerank = 8).collect()
+    val by = admit.groupBy(_.getAs[Long]("anchor_id"))
+    assert(by(5L).map(_.getAs[Long]("neighbor_id")).toSet === Set(118L, 119L))
+    assert(by(118L).map(_.getAs[Long]("neighbor_id")).toSet === Set(5L, 119L))
+    emb.unpersist()
+  }
+
   test("topKAuto: flat at the dispatch boundary, two-level past it, door ≡ the manual calls (the semanticDedupAuto pattern at the ANN site)") {
     val r = new scala.util.Random(17)
     def bigCorpus(n: Int) = (0 until n).map(i =>
