@@ -175,6 +175,17 @@ object SimilaritySearch {
     * had narrowed this to band columns; restored per ADVICE r7 via a
     * broadcast semi-join of the anchor ids, which the top-k use case
     * sizes small by contract).
+    *
+    * TIER CHOICE (measured, round 12 — AnnRecallSpec / SCALE.md):
+    * random-hyperplane LSH recall on a near-UNIFORM corpus is NOT
+    * boundable at useful levels (recall@10 ≈ 0.07–0.11 at the gate
+    * knobs, 1×/10×) — random planes cut uniform mass evenly, so
+    * bucket collision ≈ random. This tier is for CLUSTERED/near-dup
+    * data, where planted duplicates collide with prob ≈ 1; a caller
+    * needing bulk recall on spread data takes [[ivfCosineTopK]] (or
+    * the two-level/auto doors) and buys recall with nprobe — the
+    * swept fraction IS the recall knob there. [[requireRecall]] turns
+    * either choice into a tested floor.
     */
   def lshCosineTopK(vectors: DataFrame, anchorPred: Column, k: Int,
       numPlanes: Int = 8, numTables: Int = 4,
