@@ -607,6 +607,16 @@ object PlanAudit {
       // presentation sort alone — the admitted-id relation rides as
       // a broadcast
       maxShuffleExchanges = Some(1)),
+    // q99: media admission at the WIDE width — the identical
+    // admitTail (banding is a posexplode of the band-word array
+    // instead of four shifts; the verify a per-word popcount sum),
+    // so the plan must keep q94's shape exactly
+    Check("q99_media_admission_wide",
+      mustContain = Seq("BroadcastHashJoin"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // [MEASURED] 1 = the round-12 counted plan (sf0.001) — q94's
+      maxShuffleExchanges = Some(1)),
     // q89: video containment — frames reduce to (struct id, sig)
     // longs before the shared banded kernel; the containment
     // aggregation's two countDistincts compile to the two-phase

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.domain.Multimodal
 import graft.domain.Multimodal.{DecodedFrame, Decoder}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -534,6 +534,61 @@ object MediaDedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 15).bitwiseAND(32767)): _*))
         .as(Seq("band", "bv")))
+    admitTail(newSigs, idCol, fresh, corp, banded,
+      (a, b) => bit_count(a.bitwiseXOR(b)), maxHamming,
+      maxBucketSize, ccCollectThreshold)
+  }
+
+  /** [[admitIncremental]] at a WIDE [[SigSpec]] width (round 12 —
+    * the q89→q96 discipline applied to the admission grid's media
+    * cell, which otherwise saturates at the same ~2M signatures):
+    * `sigCol` carries [[dHashWide]]-shaped band-word arrays, banding
+    * is one posexplode, the verify is the per-word popcount sum, and
+    * the occupancy guard derives from `spec.bandBits`. Everything
+    * after banding is [[admitTail]] — single-sited with the 60-bit
+    * family, so the admission semantics (union-population cull,
+    * split new×new / new×corpus joins, negated corpus hashes,
+    * min-STRING-id election) cannot drift across widths.
+    */
+  def admitIncrementalWide(newSigs: DataFrame, corpusSigs: DataFrame,
+      spec: SigSpec = Sig120, maxHamming: Int = -1,
+      maxBucketSize: Int = 10000,
+      idCol: String = "media_id", sigCol: String = "sig",
+      maxExpectedOccupancy: Long = 64,
+      ccCollectThreshold: Long =
+        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
+    val ham = if (maxHamming < 0) spec.maxGuaranteedHamming else maxHamming
+    require(ham >= 0 && ham <= spec.bands - 1,
+      s"${spec.bands} x ${spec.bandBits}-bit bands pigeonhole " +
+        s"${spec.sigBits} bits at hamming <= ${spec.bands - 1} (got $ham)")
+    val fresh = graft.CacheScope.track(newSigs.select(
+      col(idCol).cast("string").as("id"),
+      col(sigCol).cast("array<bigint>").as("sig")))
+    val corp = graft.CacheScope.track(corpusSigs.select(
+      col(idCol).cast("string").as("id"),
+      col(sigCol).cast("array<bigint>").as("sig")))
+    Lsh.requireBoundedBuckets("MediaDedup.admitIncrementalWide",
+      fresh.count() + corp.count(), maxExpectedOccupancy, spec.bandBits)
+    def banded(df: DataFrame): DataFrame = df.select(col("id"),
+      posexplode(col("sig")).as(Seq("band", "bv")))
+    def hamSum(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
+      lit(0), (acc, x) => acc + x)
+    admitTail(newSigs, idCol, fresh, corp, banded, hamSum, ham,
+      maxBucketSize, ccCollectThreshold)
+  }
+
+  /** The shared admission machinery after signature shaping — the
+    * [[containmentTail]] discipline at the admission site: both
+    * widths ride ONE implementation of the union-population cull,
+    * the split new×new / new×corpus candidate joins, the popcount
+    * verify (`ham`, width-specific), the negated-corpus-hash
+    * closure and the min-STRING-id election. */
+  private def admitTail(newSigs: DataFrame, idCol: String,
+      fresh: DataFrame, corp: DataFrame,
+      banded: DataFrame => DataFrame, ham: (Column, Column) => Column,
+      maxHamming: Int, maxBucketSize: Int,
+      ccCollectThreshold: Long): DataFrame = {
     val fb = banded(fresh)
     val cb = banded(corp)
     // union-population cull as per-side count sum (the Dedup
@@ -552,7 +607,7 @@ object MediaDedup {
     def verified(cands: DataFrame, bSide: DataFrame): DataFrame = cands
       .join(fresh.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
       .join(bSide.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
-      .filter(bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= maxHamming)
+      .filter(ham(col("a_sig"), col("b_sig")) <= maxHamming)
       .select(col("a_id"), col("b_id"))
     val nn = verified(
       fs.as("x").join(fs.as("y"),
@@ -587,7 +642,11 @@ object MediaDedup {
         .join(mins.hint("shuffle_hash"), Seq("component"))
         .filter(col("id") === col("__gmin")).select(col("id")))
       .withColumnRenamed("id", "__admitted_id")
-    newSigs.join(admitted,
+    // admitted ⊆ the nightly batch — small by the operator's
+    // contract, so the semi-join back is an EXPLICIT broadcast (the
+    // static planner's size estimate for the wide array-sig lineage
+    // otherwise tips this into a sort-merge join at plan time)
+    newSigs.join(broadcast(admitted),
       col(idCol).cast("string") === col("__admitted_id"), "left_semi")
   }
 
@@ -706,6 +765,24 @@ object MediaDedup {
     * 128 digests — the wide gate's frame dimensions. */
   val WideFrameW = 64
   val WideFrameH = 32
+
+  /** [[syntheticFrameCorpus]] at the WIDE frame size — same media
+    * universe (parents + md5-gated "~v" variants, same `:px:`/`:pt:`
+    * seed scheme), 64×32 frames for [[Sig120]]'s 16×8 grid — the
+    * q99 wide-admission gate's input. */
+  def syntheticFrameCorpusWide(ids: Dataset[String]): Dataset[DecodedFrame] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val npx = WideFrameW * WideFrameH
+    ids.flatMap { id =>
+      val parent = DecodedFrame(id, 0, WideFrameW, WideFrameH,
+        syntheticPixelsSized(id, npx))
+      if (hasVariant(id))
+        Seq(parent, DecodedFrame(s"$id~v", 0, WideFrameW, WideFrameH,
+          perturbedPixelsSized(id, s"$id~v", npx)))
+      else Seq(parent)
+    }
+  }
 
   /** [[syntheticVideoCorpus]] at the WIDE frame size — same media
     * universe (ids, variant rate, 6 parent frames, 4-frame trimmed+

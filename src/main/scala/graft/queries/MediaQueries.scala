@@ -544,11 +544,134 @@ object MediaQueries {
       |  CAST(b_matched AS DOUBLE) / cb.nfr) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** q99: MEDIA ADMISSION AT THE WIDE SIGNATURE WIDTH (round 12 —
+    * the q96 discipline carried to the admission grid's media cell,
+    * which at 60 bits saturates at the same ~2M signatures the q89
+    * outage measured): the q94 statement over
+    * [[MediaDedup.syntheticFrameCorpusWide]] (64×32 frames, same
+    * `:px:`/`:pt:` seed universe) → [[MediaDedup.imageDHashWide]]
+    * ([[MediaDedup.Sig120]]: 16×8 grid, 120 gradient bits, 6 ×
+    * 20-bit band words) → [[MediaDedup.admitIncrementalWide]] —
+    * banding is one posexplode of the word array, the verify a
+    * per-word popcount sum at the pigeonhole bound (hamming ≤ 5),
+    * everything after banding the SAME [[MediaDedup]] admitTail the
+    * 60-bit q94 runs. The oracle re-derives every pixel, tile,
+    * gradient bit, band word, union-population cull, split candidate
+    * join, popcount sum, recursive closure and the min-STRING-id
+    * admission rule from the parquet bytes.
+    */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables(s, dir).documents
+      .select(col("doc_id").cast("string")).as[String]
+    val sigs = graft.CacheScope.track(
+      MediaDedup.imageDHashWide(MediaDedup.syntheticFrameCorpusWide(ids))
+        .select(col("media_id"), col("sig")))
+    MediaDedup.admitIncrementalWide(
+        sigs.filter(col("media_id").endsWith("~v")),
+        sigs.filter(!col("media_id").endsWith("~v")))
+      .select(col("media_id")).orderBy(col("media_id"))
+  }
+
+  private val q99Sql = {
+    def h(c: String) =
+      s"CAST(('0x' || substring(md5($c), 1, 15)) AS BIGINT)"
+    s"""WITH RECURSIVE wmedia AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS media_id, CAST(NULL AS VARCHAR) AS parent
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS VARCHAR) || '~v', CAST(doc_id AS VARCHAR)
+       |  FROM documents
+       |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':var'),
+       |    1, 2)) AS INTEGER) < 48),
+       |wpx AS (
+       |  SELECT media_id,
+       |    [least(255,
+       |       CAST(('0x' || substring(md5(coalesce(parent, media_id) || ':px:' ||
+       |         CAST((i-1)//16 AS VARCHAR)), 1 + 2*((i-1)%16), 2)) AS INTEGER)
+       |       + CASE WHEN parent IS NOT NULL AND
+       |           CAST(('0x' || substring(md5(media_id || ':pt:' ||
+       |             CAST((i-1)//16 AS VARCHAR)), 1 + 2*((i-1)%16), 2)) AS INTEGER) < 3
+       |         THEN 80 ELSE 0 END)
+       |     for i in generate_series(1, 2048)] AS p
+       |  FROM wmedia),
+       |wtiles AS (
+       |  SELECT media_id,
+       |    [list_sum(flatten([[p[(((t-1)//16)*4 + dy)*64 + ((t-1)%16)*4 + dx + 1]
+       |        for dx in generate_series(0,3)] for dy in generate_series(0,3)])) // 16
+       |     for t in generate_series(1, 128)] AS avgs
+       |  FROM wpx),
+       |wsigs AS MATERIALIZED (
+       |  SELECT media_id,
+       |    [CAST(list_sum([CASE WHEN
+       |          avgs[(((b-1)*20 + j - 1)//15)*16 + ((b-1)*20 + j - 1)%15 + 2] >
+       |          avgs[(((b-1)*20 + j - 1)//15)*16 + ((b-1)*20 + j - 1)%15 + 1]
+       |        THEN CAST(1 AS BIGINT) << (j-1) ELSE CAST(0 AS BIGINT) END
+       |        for j in generate_series(1, 20)]) AS BIGINT)
+       |     for b in generate_series(1, 6)] AS sig
+       |  FROM wtiles),
+       |fsig AS MATERIALIZED (
+       |  SELECT media_id, sig FROM wsigs WHERE media_id LIKE '%~v'),
+       |csig AS MATERIALIZED (
+       |  SELECT media_id, sig FROM wsigs WHERE media_id NOT LIKE '%~v'),
+       |fband AS (SELECT media_id, b - 1 AS band, sig[b] AS bv
+       |  FROM fsig, generate_series(1, 6) AS g(b)),
+       |cband AS (SELECT media_id, b - 1 AS band, sig[b] AS bv
+       |  FROM csig, generate_series(1, 6) AS g(b)),
+       |obkt AS (SELECT band, bv FROM (
+       |    SELECT band, bv, count(*) AS n FROM (
+       |      SELECT band, bv FROM fband
+       |      UNION ALL SELECT band, bv FROM cband) u
+       |    GROUP BY 1, 2) WHERE n > 10000),
+       |fsz AS (SELECT f.* FROM fband f
+       |  LEFT JOIN obkt o ON o.band = f.band AND o.bv = f.bv
+       |  WHERE o.band IS NULL),
+       |csz AS (SELECT c.* FROM cband c
+       |  LEFT JOIN obkt o ON o.band = c.band AND o.bv = c.bv
+       |  WHERE o.band IS NULL),
+       |nn AS (SELECT c2.a_id, c2.b_id FROM (
+       |    SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id
+       |    FROM fsz x JOIN fsz y
+       |      ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id) c2
+       |  JOIN fsig a ON a.media_id = c2.a_id
+       |  JOIN fsig b ON b.media_id = c2.b_id
+       |  WHERE list_sum([bit_count(xor(a.sig[i], b.sig[i]))
+       |    for i in generate_series(1, 6)]) <= 5),
+       |nc AS (SELECT c2.a_id, c2.b_id FROM (
+       |    SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id
+       |    FROM fsz x JOIN csz y ON x.band = y.band AND x.bv = y.bv) c2
+       |  JOIN fsig a ON a.media_id = c2.a_id
+       |  JOIN csig b ON b.media_id = c2.b_id
+       |  WHERE list_sum([bit_count(xor(a.sig[i], b.sig[i]))
+       |    for i in generate_series(1, 6)]) <= 5),
+       |aedges AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+       |  SELECT ${h("a_id")} AS a, ${h("b_id")} AS b FROM nn
+       |  UNION ALL SELECT ${h("b_id")}, ${h("a_id")} FROM nn
+       |  UNION ALL SELECT ${h("a_id")}, -${h("b_id")} - 1 FROM nc
+       |  UNION ALL SELECT -${h("b_id")} - 1, ${h("a_id")} FROM nc)),
+       |awalk(node, label) AS (
+       |  SELECT a, a FROM aedges
+       |  UNION
+       |  SELECT e.b, w.label FROM awalk w JOIN aedges e ON e.a = w.node),
+       |acomp AS MATERIALIZED (
+       |  SELECT node, min(label) AS component FROM awalk GROUP BY node),
+       |lab AS (SELECT f.media_id, c.component
+       |  FROM fsig f LEFT JOIN acomp c ON c.node = ${h("f.media_id")}),
+       |gmins AS (SELECT component, min(media_id) AS gmin FROM lab
+       |  WHERE component IS NOT NULL AND component >= 0 GROUP BY 1)
+       |SELECT l.media_id FROM lab l
+       |LEFT JOIN gmins g ON g.component = l.component
+       |WHERE l.component IS NULL
+       |   OR (l.component >= 0 AND l.media_id = g.gmin)
+       |ORDER BY media_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q83_image_near_dup", q83, Some(q83Sql)),
     Q("q84_audio_near_dup", q84, Some(q84Sql)),
     Q("q88_media_pipeline", q88, Some(q88Sql)),
     Q("q89_video_containment", q89, Some(q89Sql)),
     Q("q94_media_admission_oracle", q94, Some(q94Sql)),
-    Q("q96_video_containment_wide", q96, Some(q96Sql)))
+    Q("q96_video_containment_wide", q96, Some(q96Sql)),
+    Q("q99_media_admission_wide", q99, Some(q99Sql)))
 }

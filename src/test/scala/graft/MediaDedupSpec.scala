@@ -320,6 +320,48 @@ class MediaDedupSpec extends SparkSpec {
     assert((variants -- got).size >= (variants.size * 7) / 10,
       "most planted variants must reject against the corpus")
   }
+  test("admitIncrementalWide: the q94 statement at Sig120 — variants reject, novels admit, guard derives from the band width") {
+    // the admission grid's media cell at the WIDE width (round 12 —
+    // the q96 discipline; everything after banding is the SAME
+    // admitTail as the 60-bit path, so this pins the width-specific
+    // pieces: array banding, per-word popcount verify, 20-bit guard)
+    val ids = (0 until 150).map(_.toString)
+    def sigsOf(ds: org.apache.spark.sql.Dataset[String],
+        variants: Boolean) =
+      MediaDedup.imageDHashWide(MediaDedup.syntheticFrameCorpusWide(ds)
+          .filter((f: DecodedFrame) => f.media_id.endsWith("~v") == variants))
+        .select(col("media_id"), col("sig"))
+    val parentSigs = sigsOf(ids.toDS(), variants = false)
+    val batchSigs = sigsOf(ids.toDS(), variants = true)
+      .unionByName(sigsOf((1000 until 1020).map(_.toString).toDS(),
+        variants = false))
+    val got = MediaDedup.admitIncrementalWide(batchSigs, parentSigs)
+      .select("media_id").as[String].collect().toSet
+    // novel ids never pair with the corpus — always admitted
+    val novel = (1000 until 1020).map(_.toString).toSet
+    assert(novel.subsetOf(got))
+    // most planted variants reject against their parent at the wide
+    // pigeonhole bound (hamming <= 5 over 120 bits)
+    val variants = ids.filter(MediaDedup.hasVariant).map(i => s"$i~v").toSet
+    assert((variants -- got).size >= (variants.size * 7) / 10,
+      "most planted variants must reject against the corpus")
+    // the occupancy guard reads the ACTUAL band space: a corpus that
+    // saturates 15-bit bands (n >> 15 > bound) sits far inside the
+    // 20-bit space (n >> 20 = 0 here) — same rows, no guard trip
+    val many = spark.range(40000).select(
+      concat(lit("s"), $"id").as("media_id"),
+      array($"id", $"id" + 1, $"id" + 2, $"id" + 3, $"id" + 4, $"id" + 5)
+        .as("sig"))
+    intercept[IllegalArgumentException] {
+      MediaDedup.admitIncremental(
+        many.select($"media_id", $"sig"(0).as("sig")),
+        many.select($"media_id", $"sig"(0).as("sig")),
+        maxExpectedOccupancy = 1)
+    }
+    assert(MediaDedup.admitIncrementalWide(many, many,
+      maxExpectedOccupancy = 1).columns.nonEmpty)
+  }
+
   test("band-occupancy guard: signature-space saturation fails loudly, in-regime corpora pass") {
     // the fixed-signature scale contract (SCALE.md round 11): 60-bit
     // bands saturate at occupancy n/2^15 >> 1 — candidates grow
