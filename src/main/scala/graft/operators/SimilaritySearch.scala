@@ -467,20 +467,6 @@ object SimilaritySearch {
     rankTopK(scored, k)
   }
 
-  /** IVF-flat approximate top-k — the second scale path beside LSH:
-    * a coarse k-means quantizer (Spark ML, fixed seed) partitions the
-    * corpus into `nlist` cells; each anchor probes its `nprobe`
-    * nearest cells and exact-reranks only those candidates. At scale
-    * the candidate join is a hash-partitioned equi-join on the cell
-    * id (vectors cluster by content, so cells ARE the partitioning),
-    * centroids broadcast (nlist ≪ N), and both rankings use the
-    * bounded [[org.apache.spark.sql.graft.TopKByScore]] aggregate.
-    * `nprobe = nlist` degenerates to exact search (spec-pinned
-    * against [[cosineTopK]]); recall/cost scales with nprobe/nlist
-    * exactly like the reference's IVF sizing discussion
-    * (SIMILARITY-PLAN.md recall stage). `anchorPred` is evaluated
-    * against the renamed `id` column (as in [[lshCosineTopK]]).
-    */
   /** AUTO-STRUCTURE front door for the native IVF tier (round 12 —
     * VERDICT r11 item 4, the [[Dedup.semanticDedupAuto]] precedent
     * at the ANN site): nlist sized to the corpus
@@ -509,6 +495,20 @@ object SimilaritySearch {
         idCol, vecCol, seed, trainFraction, probeSupers = probeSupers)
   }
 
+  /** IVF-flat approximate top-k — the second scale path beside LSH:
+    * a coarse k-means quantizer (Spark ML, fixed seed) partitions the
+    * corpus into `nlist` cells; each anchor probes its `nprobe`
+    * nearest cells and exact-reranks only those candidates. At scale
+    * the candidate join is a hash-partitioned equi-join on the cell
+    * id (vectors cluster by content, so cells ARE the partitioning),
+    * centroids broadcast (nlist ≪ N), and both rankings use the
+    * bounded [[org.apache.spark.sql.graft.TopKByScore]] aggregate.
+    * `nprobe = nlist` degenerates to exact search (spec-pinned
+    * against [[cosineTopK]]); recall/cost scales with nprobe/nlist
+    * exactly like the reference's IVF sizing discussion
+    * (SIMILARITY-PLAN.md recall stage). `anchorPred` is evaluated
+    * against the renamed `id` column (as in [[lshCosineTopK]]).
+    */
   def ivfCosineTopK(vectors: DataFrame, anchorPred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding", seed: Long = 42L,
@@ -1412,10 +1412,6 @@ object SimilaritySearch {
     rerankTopK(approx, anchors, vectors, k, rerank, idCol, vecCol)
   }
 
-  /** IVF+PQ fusion, training inline — [[trainIvfPqArtifacts]] then
-    * [[ivfPqTopKScore]]. nprobe = nlist degenerates to
-    * [[pqCosineTopK]] exactly (spec-pinned). Deployments train once
-    * and call the score path with saved artifacts (the q73 gate). */
   /** AUTO-STRUCTURE front door for the native IVF-PQ tier — the
     * [[ivfCosineTopKAuto]] dispatch over the artifact trainers:
     * flat [[trainIvfPqArtifacts]]+[[ivfPqTopKScore]] at auto nlist ≤
@@ -1448,6 +1444,10 @@ object SimilaritySearch {
     }
   }
 
+  /** IVF+PQ fusion, training inline — [[trainIvfPqArtifacts]] then
+    * [[ivfPqTopKScore]]. nprobe = nlist degenerates to
+    * [[pqCosineTopK]] exactly (spec-pinned). Deployments train once
+    * and call the score path with saved artifacts (the q73 gate). */
   def ivfPqTopK(vectors: DataFrame, anchorPred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
       rerank: Int = 32, idCol: String = "vec_id",

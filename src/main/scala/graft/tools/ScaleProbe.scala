@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions.{col, expr}
   * corpus can be run at 10× nlist and the restored ~linearity is a
   * measured number, not prose.
   *
-  * Run: sbt "runMain graft.tools.ScaleProbe <sfDir> <nlist|auto> [runs]"
+  * Run: sbt "runMain graft.tools.ScaleProbe <sfDir> <mode> [runs] [rows]"
+  * where <mode> is a literal nlist, or one of: auto, auto2, autod,
+  * ivf, ivf2, ivfauto, video, videowide, recall, admit, ceiling
+  * (each documented at its branch below; [rows] applies to ceiling).
   *
   * `auto` sizes the quantizer with [[graft.operators.KMeansPortable
   * .nlistFor]] — the round-10 default-contract check: the auto
