@@ -530,6 +530,22 @@ object KMeansPortable {
       .drop("cands", "__pc")
   }
 
+  /** The multi-super probe's OPERATING RULE as code (round 12 — the
+    * measured recall table's arithmetic, SCALE.md): a top-p probe
+    * can only rank the ~p·nlist/S children under its supers, so once
+    * nprobe exceeds that pool the probe is CAPPED regardless of
+    * nprobe — p must satisfy p ≥ nprobe·S/nlist. Measured at both
+    * violations (nprobe = nlist/5 held across scale): p = 2 reads
+    * 0.459 vs flat 0.630 at 10× and 0.306 vs 0.817 at 100×, where
+    * this rule picks p = 6. Callers holding the swept fraction as
+    * nlist ∝ N grows should size p with it. */
+  def autoProbeSupers(nprobe: Int, nlist: Int, supers: Int): Int = {
+    require(nprobe >= 1 && nlist >= 1 && supers >= 1,
+      s"need nprobe/nlist/supers >= 1; got $nprobe/$nlist/$supers")
+    math.min(supers,
+      math.max(1, math.ceil(nprobe.toDouble * supers / nlist).toInt))
+  }
+
   /** MULTI-SUPER probe (round 12 — VERDICT r11 item 2): rank the
     * UNION of the top-`probeSupers` supers' children under the same
     * (d, j) struct order, take the top `nprobe`. One-super routing

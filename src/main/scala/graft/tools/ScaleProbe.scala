@@ -210,6 +210,17 @@ object ScaleProbe {
         emb, pred, k, nlist = nlist, nprobe = npScaled))
       row(s"ivf2_np${npScaled}_p2", SimilaritySearch.ivfCosineTopKTwoLevel(
         emb, pred, k, nlist = nlist, nprobe = npScaled, probeSupers = 2))
+      // the operating rule p >= nprobe*S/nlist as a measured row: at
+      // a held swept fraction the pool must widen with nprobe, and
+      // autoProbeSupers is that arithmetic as code
+      val sCount = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+      val pAuto = graft.operators.KMeansPortable.autoProbeSupers(
+        npScaled, nlist, sCount)
+      if (pAuto > 2)
+        row(s"ivf2_np${npScaled}_pauto$pAuto",
+          SimilaritySearch.ivfCosineTopKTwoLevel(
+            emb, pred, k, nlist = nlist, nprobe = npScaled,
+            probeSupers = pAuto))
       row("ivfpq_np4", SimilaritySearch.ivfPqTopK(emb, pred, k,
         nlist = nlist, nprobe = 4, m = 8, ksub = 16, rerank = 64))
       val art2 = SimilaritySearch.trainIvfPqArtifactsTwoLevel(emb,

@@ -226,4 +226,20 @@ class KMeansPortableSpec extends SparkSpec {
     assert(m1.centroids.flatten[Double].toSeq !=
       m3.centroids.flatten[Double].toSeq)
   }
+
+  test("autoProbeSupers: the p >= nprobe*S/nlist operating rule, clamped to [1, S]") {
+    import KMeansPortable.autoProbeSupers
+    // small nprobe: one super's pool suffices
+    assert(autoProbeSupers(2, 8, 3) === 1)
+    // the measured 100x held-fraction point: nprobe=156, nlist=782,
+    // S=28 -> ceil(156*28/782) = 6 (SCALE.md round 12: p=2 reads
+    // 0.306 vs flat 0.817 there — the capped-pool violation)
+    assert(autoProbeSupers(156, 782, 28) === 6)
+    // the 10x point: nprobe=15, nlist=79, S=9 -> 2 is already tight
+    assert(autoProbeSupers(15, 79, 9) === 2)
+    // nprobe = nlist wants every super
+    assert(autoProbeSupers(8, 8, 3) === 3)
+    // clamped at S even when the arithmetic asks for more
+    assert(autoProbeSupers(100, 10, 4) === 4)
+  }
 }
