@@ -311,14 +311,19 @@ object IvfPqPortable {
     * counted passes `n`; -1 counts here. The dispatch boundary and
     * both-sides parity with the manual calls are spec-pinned
     * (IvfPqPortableSpec); the front door tracks the manual choice at
-    * 100× (ScaleProbe `ivfauto`, SCALE.md round 12).
+    * 100× (ScaleProbe `ivfauto`, SCALE.md round 12). `probeSupers =
+    * -1` (default) resolves by the measured pool rule
+    * ([[KMeansPortable.autoProbeSupers]] at [[KMeansPortable
+    * .defaultSupers]]'s S) on the two-level side — p = 1 at small
+    * nprobe, growing with nprobe·S/nlist so the door cannot silently
+    * cap its own recall when a caller holds the swept fraction.
     */
   def topKAuto(vectors: DataFrame, anchorPred: Column, k: Int,
       coarseIters: Int, m: Int, ksub: Int, subIters: Int,
       nprobe: Int, rerank: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       targetCellSize: Int = KMeansPortable.DefaultTargetCellSize,
-      probeSupers: Int = 1, n: Long = -1L): DataFrame = {
+      probeSupers: Int = -1, n: Long = -1L): DataFrame = {
     val n0 = if (n >= 0) n else vectors.count()
     val nlist = KMeansPortable.autoNlist(n0, targetCellSize)
     if (nlist <= KMeansPortable.FlatAutoMaxNlist)
@@ -330,7 +335,10 @@ object IvfPqPortable {
     else
       topKTwoLevel(vectors, anchorPred, k, nlist, coarseIters, m, ksub,
         subIters, nprobe, rerank, idCol, vecCol,
-        probeSupers = probeSupers)
+        probeSupers =
+          if (probeSupers > 0) probeSupers
+          else KMeansPortable.autoProbeSupers(nprobe, nlist,
+            KMeansPortable.defaultSupers(nlist)))
   }
 
   /** The shared SQL back half of both oracle generators: residuals

@@ -397,8 +397,7 @@ object KMeansPortable {
     // supers = 1 degenerates to the flat trainModel EXACTLY (same
     // seeds, same argmin, same means — spec-pinned), which is what
     // lets the gates stay flat while the scale path goes two-level
-    val s = if (supers > 0) supers
-      else math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val s = if (supers > 0) supers else defaultSupers(nlist)
     // the reclaim guarantee below (Σ children = nlist) needs every
     // populated super's ≥1 floor to fit inside nlist
     require(s <= nlist, s"supers=$s must not exceed nlist=$nlist")
@@ -544,6 +543,17 @@ object KMeansPortable {
       s"need nprobe/nlist/supers >= 1; got $nprobe/$nlist/$supers")
     math.min(supers,
       math.max(1, math.ceil(nprobe.toDouble * supers / nlist).toInt))
+  }
+
+  /** The two-level trainers' auto super count — ⌈√nlist⌉, the
+    * balanced split that makes both routing stages O(√nlist). ONE
+    * site (round 12 — it was inlined at three: both trainers and the
+    * native coarse trainer), because the auto front doors' default
+    * [[autoProbeSupers]] resolution must see the SAME S the trainer
+    * they dispatch to will build. */
+  def defaultSupers(nlist: Int): Int = {
+    require(nlist >= 1, s"nlist must be >= 1; got $nlist")
+    math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
   }
 
   /** MULTI-SUPER probe (round 12 — VERDICT r11 item 2): rank the
@@ -695,8 +705,7 @@ object KMeansPortable {
   def twoLevelCtes(table: String, idCol: String, vecCol: String,
       nlist: Int, iters: Int, supers: Int = 0,
       probeSupers: Int = 1): String = {
-    val s = if (supers > 0) supers
-      else math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val s = if (supers > 0) supers else defaultSupers(nlist)
     val sb = new StringBuilder
     sb ++= lloydCtes(table, idCol, vecCol, s, iters)
     sb ++= assignmentCtes("r", s"cd$iters")

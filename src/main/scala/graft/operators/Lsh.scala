@@ -77,19 +77,6 @@ object Lsh {
         "intended and provisioned for.")
   }
 
-  /** Banded near-dup pairing over 60-bit signatures — the shared
-    * back half of every 60-bit hamming family (portable SimHash q70,
-    * perceptual image dHash q83, audio envelope signatures): 4 ×
-    * 15-bit pigeonhole bands (any pair within hamming 3 shares at
-    * least one band exactly — guaranteed recall to 3), oversized-
-    * bucket cull, id-only candidate exchange, popcount verify. Every
-    * step is integer arithmetic a SQL engine reproduces, so callers
-    * whose signatures are themselves engine-portable sit under full
-    * value oracles. `base` must carry (`id`, `sig`) and should be
-    * cached by the caller — the banding and both verify joins read
-    * it (the occupancy guard's count materializes that cache).
-    * Returns (a_id, b_id, hamming ≤ maxHamming), a_id < b_id.
-    */
   /** Banded near-dup pairing over WIDE signatures — the
     * [[hamming60Pairs]] kernel with the signature width freed (round
     * 12, the q89 fix): `base` carries (`id`, `sig` = array of
@@ -131,6 +118,19 @@ object Lsh {
         col("hamming").cast("int").as("hamming"))
   }
 
+  /** Banded near-dup pairing over 60-bit signatures — the shared
+    * back half of every 60-bit hamming family (portable SimHash q70,
+    * perceptual image dHash q83, audio envelope signatures): 4 ×
+    * 15-bit pigeonhole bands (any pair within hamming 3 shares at
+    * least one band exactly — guaranteed recall to 3), oversized-
+    * bucket cull, id-only candidate exchange, popcount verify. Every
+    * step is integer arithmetic a SQL engine reproduces, so callers
+    * whose signatures are themselves engine-portable sit under full
+    * value oracles. `base` must carry (`id`, `sig`) and should be
+    * cached by the caller — the banding and both verify joins read
+    * it (the occupancy guard's count materializes that cache).
+    * Returns (a_id, b_id, hamming ≤ maxHamming), a_id < b_id.
+    */
   private[graft] def hamming60Pairs(base: DataFrame, maxHamming: Int,
       maxBucketSize: Int, maxExpectedOccupancy: Long = 64): DataFrame = {
     // the 4 x 15 pigeonhole guarantees recall UP TO hamming 3, so any

@@ -474,16 +474,22 @@ object SimilaritySearch {
     * measured crossover — [[ivfCosineTopK]]'s flat argmin at nlist ≤
     * [[KMeansPortable.FlatAutoMaxNlist]], [[ivfCosineTopKTwoLevel]]
     * past it. `probeSupers` applies on the two-level side (the flat
-    * probe already ranks all cells — at least any p's recall). Pass
-    * `n` when already counted; -1 counts here. Boundary and parity
-    * spec-pinned (SimilaritySpec).
+    * probe already ranks all cells — at least any p's recall); the
+    * default -1 resolves it by the measured pool rule
+    * ([[KMeansPortable.autoProbeSupers]] at the S the dispatched
+    * trainer will build — p ≥ nprobe·S/nlist, so the door cannot
+    * silently cap its own recall when a caller holds the swept
+    * fraction by scaling nprobe with nlist; at small nprobe the rule
+    * IS p = 1). Pass `n` when already counted; -1 counts here.
+    * Boundary, parity and the default-p resolution spec-pinned
+    * (SimilaritySpec).
     */
   def ivfCosineTopKAuto(vectors: DataFrame, anchorPred: Column, k: Int,
       nprobe: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding", seed: Long = 42L,
       trainFraction: Double = 1.0,
       targetCellSize: Int = KMeansPortable.DefaultTargetCellSize,
-      probeSupers: Int = 1, n: Long = -1L): DataFrame = {
+      probeSupers: Int = -1, n: Long = -1L): DataFrame = {
     val n0 = if (n >= 0) n else vectors.count()
     val nlist = KMeansPortable.autoNlist(n0, targetCellSize)
     if (nlist <= KMeansPortable.FlatAutoMaxNlist)
@@ -492,8 +498,20 @@ object SimilaritySearch {
         idCol, vecCol, seed, trainFraction)
     else
       ivfCosineTopKTwoLevel(vectors, anchorPred, k, nlist, nprobe,
-        idCol, vecCol, seed, trainFraction, probeSupers = probeSupers)
+        idCol, vecCol, seed, trainFraction,
+        probeSupers = resolveProbeSupers(probeSupers, nprobe, nlist))
   }
+
+  /** The auto doors' `probeSupers = -1` resolution: the measured pool
+    * rule [[KMeansPortable.autoProbeSupers]] at the ⌈√nlist⌉ supers
+    * the dispatched two-level trainer builds ([[KMeansPortable
+    * .defaultSupers]] — the same ONE site). Explicit p passes
+    * through. */
+  private def resolveProbeSupers(probeSupers: Int, nprobe: Int,
+      nlist: Int): Int =
+    if (probeSupers > 0) probeSupers
+    else KMeansPortable.autoProbeSupers(nprobe, nlist,
+      KMeansPortable.defaultSupers(nlist))
 
   /** IVF-flat approximate top-k — the second scale path beside LSH:
     * a coarse k-means quantizer (Spark ML, fixed seed) partitions the
@@ -1007,7 +1025,7 @@ object SimilaritySearch {
     import spark.implicits._
     require(nlist > 0, s"nlist must be positive; got $nlist")
     val s = if (supers > 0) supers
-      else math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+      else KMeansPortable.defaultSupers(nlist)
     require(s <= nlist, s"supers=$s must not exceed nlist=$nlist")
     val dv = graft.CacheScope.track {
       val raw = vectors.select(col(vecCol).cast("array<double>").as("v"))
@@ -1423,6 +1441,9 @@ object SimilaritySearch {
     * train-time choice). Deployments that train once and ship
     * artifacts make the structural choice at TRAIN time too; this
     * door is the inline-training convenience with the same crossover.
+    * `probeSupers = -1` (default) resolves by the measured pool rule
+    * on the two-level side ([[resolveProbeSupers]] — p = 1 at small
+    * nprobe, grows when a caller holds the swept fraction).
     */
   def ivfPqTopKAuto(vectors: DataFrame, anchorPred: Column, k: Int,
       nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
@@ -1430,7 +1451,7 @@ object SimilaritySearch {
       vecCol: String = "embedding", seed: Long = 42L,
       trainFraction: Double = 1.0,
       targetCellSize: Int = KMeansPortable.DefaultTargetCellSize,
-      probeSupers: Int = 1, n: Long = -1L): DataFrame = {
+      probeSupers: Int = -1, n: Long = -1L): DataFrame = {
     val n0 = if (n >= 0) n else vectors.count()
     val nlist = KMeansPortable.autoNlist(n0, targetCellSize)
     if (nlist <= KMeansPortable.FlatAutoMaxNlist)
@@ -1440,7 +1461,8 @@ object SimilaritySearch {
       val art = trainIvfPqArtifactsTwoLevel(vectors, nlist, m, ksub,
         vecCol, seed, trainFraction, residual = false)
       ivfPqTopKScoreTwoLevel(vectors, anchorPred, k, art, nprobe,
-        rerank, idCol, vecCol, probeSupers = probeSupers)
+        rerank, idCol, vecCol,
+        probeSupers = resolveProbeSupers(probeSupers, nprobe, nlist))
     }
   }
 

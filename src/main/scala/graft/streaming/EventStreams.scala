@@ -611,24 +611,117 @@ object EventStreams {
       watermarkDelay: String = "10 minutes"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4 x 15-bit bands pigeonhole 60 bits at hamming <= 3 (got $maxHamming)")
-    def band(c: Column, b: Int): Column =
-      shiftright(c, b * 15).bitwiseAND(32767)
     val fresh = sigs
       .select(col(idCol).as("id"), col(tsCol).as("ts"),
         col(sigCol).as("sig"))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("sig")
-    (0 until 4).foldLeft(fresh) { (s, b) =>
+    bandAntiChain(fresh, corpusSigs, sigCol, bands = 4,
+      (c, b) => shiftright(c, b * 15).bitwiseAND(32767),
+      (a, b) => bit_count(a.bitwiseXOR(b)), maxHamming)
+  }
+
+  /** The chained stream-static LEFT ANTI corpus check shared by both
+    * signature widths ([[mediaAdmittedStream]] /
+    * [[mediaAdmittedStreamWide]]) — the streaming analog of
+    * [[graft.operators.MediaDedup]]'s single-sited `admitTail`: one
+    * anti-join per band (equi on the band value, the exact hamming
+    * verify as the residual condition), every join stateless.
+    * Single-sited so the admission semantics cannot drift across
+    * widths here either. */
+  private def bandAntiChain(fresh: DataFrame, corpusSigs: DataFrame,
+      sigCol: String, bands: Int, bandOf: (Column, Int) => Column,
+      ham: (Column, Column) => Column, maxHamming: Int): DataFrame =
+    (0 until bands).foldLeft(fresh) { (s, b) =>
       // static side renamed per band: no column of the stream side is
-      // shadowed, so the mixed equi + popcount condition is unambiguous
+      // shadowed, so the mixed equi + hamming condition is unambiguous
       val cb = corpusSigs.select(col(sigCol).as(s"__c_sig$b"),
-        band(col(sigCol), b).as(s"__c_bv$b"))
+        bandOf(col(sigCol), b).as(s"__c_bv$b"))
       s.join(cb,
-        band(col("sig"), b) === col(s"__c_bv$b") &&
-          bit_count(col("sig").bitwiseXOR(col(s"__c_sig$b")))
-            <= lit(maxHamming),
+        bandOf(col("sig"), b) === col(s"__c_bv$b") &&
+          ham(col("sig"), col(s"__c_sig$b")) <= lit(maxHamming),
         "left_anti")
     }
+
+  /** [[mediaAdmittedStream]] at a WIDE [[graft.operators.MediaDedup
+    * .SigSpec]] width — the streaming cell of the round-12 q89→q96
+    * discipline (the batch side is [[graft.operators.MediaDedup
+    * .admitIncrementalWide]], gated by q99): past ~2M frames the
+    * 60-bit family's fixed band space saturates, and an ingest
+    * stream admitting against a frame corpus of that size needs the
+    * wider signature exactly as the batch compaction does.
+    *
+    * `sigCol` carries [[graft.operators.MediaDedup.dHashWide]]-shaped
+    * band-word arrays (`spec.bands` words of `spec.bandBits` bits);
+    * banding is `element_at`, the verify is the per-word popcount
+    * sum, and the pigeonhole guarantees recall to hamming ≤
+    * `spec.bands − 1` (`maxHamming < 0` picks
+    * `spec.maxGuaranteedHamming`). The corpus check is the same
+    * chained stream-static LEFT ANTI equi-join per band
+    * ([[bandAntiChain]] — stateless, the compact corpus relation
+    * keyed per band like any stream-static join); the in-stream
+    * self-check is signature-EXACT within the watermark window, the
+    * same first-arrival-wins trade as the 60-bit twin, with the
+    * batch compaction ([[graft.operators.MediaDedup
+    * .hammingPairsWide]]) as the backstop. Note the occupancy guard
+    * is a BATCH-side contract (it counts the corpus); a stream has
+    * no corpus count to guard, so the bound is enforced where the
+    * corpus is built.
+    *
+    * `sigs` must carry (idCol, tsCol, sigCol); `corpusSigs` carries
+    * sigCol. Emits the admitted (id, ts, sig). */
+  def mediaAdmittedStreamWide(sigs: DataFrame, corpusSigs: DataFrame,
+      spec: graft.operators.MediaDedup.SigSpec =
+        graft.operators.MediaDedup.Sig120,
+      maxHamming: Int = -1, idCol: String = "media_id",
+      sigCol: String = "sig", tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val ham = if (maxHamming < 0) spec.maxGuaranteedHamming else maxHamming
+    require(ham >= 0 && ham <= spec.bands - 1,
+      s"${spec.bands} x ${spec.bandBits}-bit bands pigeonhole " +
+        s"${spec.sigBits} bits at hamming <= ${spec.bands - 1} (got $ham)")
+    def hamSum(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
+      lit(0), (acc, x) => acc + x)
+    val fresh = sigs
+      .select(col(idCol).as("id"), col(tsCol).as("ts"),
+        col(sigCol).cast("array<bigint>").as("sig"))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("sig")
+    bandAntiChain(fresh,
+      corpusSigs.select(col(sigCol).cast("array<bigint>").as(sigCol)),
+      sigCol, spec.bands, (c, b) => element_at(c, b + 1), hamSum, ham)
+  }
+
+  /** STREAMING maintenance of the stored two-level IVF-PQ index —
+    * the streaming cell of the ANN admission grid (the batch side is
+    * [[graft.operators.SimilaritySearch.admitIvfPqBatchTwoLevel]],
+    * round 12). The encode itself ([[graft.operators
+    * .SimilaritySearch.encodeIvfPqTwoLevel]]) is a pure stateless
+    * per-row map against FIXED broadcast artifacts, so it runs
+    * unchanged on a streaming vector feed; what a stream adds is the
+    * at-least-once concern — a file/queue source re-delivers, and a
+    * stored index must not hold duplicate `nid` rows — so the one
+    * stateful piece here is `dropDuplicatesWithinWatermark(id)`
+    * before the encode. Emitted (nid, code, cell) append-rows land
+    * in the same bucketed storage the batch admission writes
+    * ([[graft.sources.Sinks.writeBucketed]] on `cell`), and the
+    * query half ([[graft.operators.SimilaritySearch
+    * .ivfPqTopKScoreTwoLevelIndexed]]) reads them identically —
+    * under fixed quantizers streamed-in rows are VALUE-IDENTICAL to
+    * a batch re-encode (spec-pinned). Quantizer drift remains the
+    * documented operational bound, exactly as on the batch path. */
+  def ivfPqIndexStream(vectors: DataFrame,
+      artifacts: graft.operators.SimilaritySearch.TwoLevelIvfPqArtifacts,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val fresh = vectors
+      .select(col(idCol), col(tsCol).as("ts"), col(vecCol))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
+    graft.operators.SimilaritySearch.encodeIvfPqTwoLevel(
+      fresh, artifacts, idCol, vecCol)
   }
 
   /** Drive a streaming DataFrame synchronously into a memory table

@@ -167,6 +167,19 @@ class IvfPqPortableSpec extends SparkSpec {
       === rows(IvfPqPortable.topKTwoLevel(past, pred, k = 3,
         nlist = 130, coarseIters = 2, m = 2, ksub = 4, subIters = 2,
         nprobe = 2, rerank = 8, probeSupers = 2)))
+    // default probeSupers = -1 resolves by the POOL RULE at the S
+    // the dispatched trainer builds: nlist = 130 → S = ⌈√130⌉ = 12;
+    // nprobe = 22 → p = ⌈22·12/130⌉ = 3 — the door must equal the
+    // manual p = 3 call (and NOT the p = 1 it would silently cap at
+    // before round 12's rule became the default)
+    assert(graft.operators.KMeansPortable.autoProbeSupers(22, 130,
+      graft.operators.KMeansPortable.defaultSupers(130)) === 3)
+    assert(rows(IvfPqPortable.topKAuto(past, pred, k = 3,
+        coarseIters = 2, m = 2, ksub = 4, subIters = 2, nprobe = 22,
+        rerank = 8, targetCellSize = 4))
+      === rows(IvfPqPortable.topKTwoLevel(past, pred, k = 3,
+        nlist = 130, coarseIters = 2, m = 2, ksub = 4, subIters = 2,
+        nprobe = 22, rerank = 8, probeSupers = 3)))
     at.unpersist(); past.unpersist()
   }
 }

@@ -652,6 +652,13 @@ class SimilaritySpec extends SparkSpec {
         nprobe = 2, m = 2, ksub = 4, rerank = 8, targetCellSize = 4))
       === rows(SimilaritySearch.ivfPqTopKScoreTwoLevel(past, pred, 3,
         art2, nprobe = 2, rerank = 8)))
+    // default probeSupers = -1 resolves by the pool rule: nlist 130
+    // → S = ⌈√130⌉ = 12, nprobe = 22 → p = ⌈22·12/130⌉ = 3 — the
+    // door must equal the manual p = 3 call, not silently cap at 1
+    assert(rows(SimilaritySearch.ivfCosineTopKAuto(past, pred, 3,
+        nprobe = 22, targetCellSize = 4))
+      === rows(SimilaritySearch.ivfCosineTopKTwoLevel(past, pred, 3,
+        nlist = 130, nprobe = 22, probeSupers = 3)))
     at.unpersist(); past.unpersist()
   }
 

@@ -580,5 +580,94 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet
     assert(got === expected)
   }
+
+  test("streaming media admission at Sig120: wide banded corpus check exact to hamming 5, popcount-sum residual, exact-sig window dedup") {
+    import spark.implicits._
+    import graft.operators.MediaDedup.Sig120
+    val dir = java.nio.file.Files.createTempDirectory("graft-mediaadmw").toString
+    // corpus signatures (6 x 20-bit band words): A = all-zero,
+    // B = band-1 all-ones
+    val A = Seq.fill(6)(0L)
+    val B = Seq(0L, 0xFFFFFL, 0L, 0L, 0L, 0L)
+    val corpus = Seq(("cA", A), ("cB", B)).toDF("media_id", "sig")
+    // feed, each row one admission path (the 60-bit twin's fixture
+    // at the wide width — pigeonhole recall is bands − 1 = 5 here):
+    //  f1 = exact corpus sig             -> rejected (hamming 0)
+    //  f2 = hamming 5 of A               -> rejected (pigeonhole recall)
+    //  f3 = hamming 6 of A, all six
+    //       flipped bits inside band 0   -> bands 1-5 still match A, but
+    //       the popcount-sum residual keeps it: ADMITTED (the band join
+    //       alone would wrongly drop it)
+    //  f4 = f3's sig again, later ts     -> dropped (exact-sig window dedup)
+    //  f5 = hamming 2 of B (flips in
+    //       bands 1 and 2)               -> rejected via bands 0/3/4/5
+    //  f6 = far from both                -> admitted
+    val feed = Seq(
+      ("f1", "2026-01-01 10:00:00", A),
+      ("f2", "2026-01-01 10:00:01", Seq(31L, 0L, 0L, 0L, 0L, 0L)),
+      ("f3", "2026-01-01 10:00:02", Seq(63L, 0L, 0L, 0L, 0L, 0L)),
+      ("f4", "2026-01-01 10:00:03", Seq(63L, 0L, 0L, 0L, 0L, 0L)),
+      ("f5", "2026-01-01 10:00:04",
+        Seq(0L, 0xFFFFFL ^ 2L, 4L, 0L, 0L, 0L)),
+      ("f6", "2026-01-01 10:00:05", Seq.fill(6)(0xAAAAAL)))
+      .toDF("media_id", "ts_s", "sig")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    // spec-side ground truth by brute-force popcount sum (independent
+    // of the banded implementation): admitted = first-per-sig feed
+    // rows farther than hamming 5 from every corpus signature
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val expected = feed.select("media_id", "sig")
+      .as[(String, Seq[Long])].collect().toSeq
+      .groupBy(_._2).map { case (_, rs) => rs.minBy(_._1) }.toSeq
+      .filter { case (_, s) => Seq(A, B).forall(c => ham(s, c) > 5) }
+      .map(_._1).toSet
+    assert(expected === Set("f3", "f6"), "fixture sanity")
+    feed.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(feed.schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.mediaAdmittedStreamWide(stream, corpus, Sig120),
+      "mediaadmw_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("mediaadmw_out").select("id").as[String]
+      .collect().toSet
+    assert(got === expected)
+  }
+
+  test("streaming IVF-PQ index maintenance: streamed rows ≡ batch encode under fixed artifacts; re-delivered ids insert once") {
+    import spark.implicits._
+    import graft.operators.SimilaritySearch
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val art = SimilaritySearch.trainIvfPqArtifactsTwoLevel(
+      emb.filter($"vec_id" < 30), nlist = 4, m = 2, ksub = 4,
+      residual = true)
+    val slice = emb.filter($"vec_id" < 40)
+      .withColumn("ts", to_timestamp(lit("2026-01-01 10:00:00")))
+      .select("vec_id", "ts", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    // the same rows delivered TWICE in two files (at-least-once
+    // re-delivery); maxFilesPerTrigger=1 makes them distinct
+    // micro-batches inside the watermark window
+    slice.coalesce(1).write.mode("overwrite").parquet(s"$dir/d1")
+    slice.coalesce(1).write.mode("overwrite").parquet(s"$dir/d2")
+    val flat = slice.sparkSession.read.parquet(s"$dir/d1", s"$dir/d2")
+    flat.write.mode("overwrite").parquet(s"$dir/all")
+    val stream = spark.readStream.schema(slice.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/all")
+    EventStreams.runToMemory(
+      EventStreams.ivfPqIndexStream(stream, art),
+      "ivfidx_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    def idxRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1).toSeq, r.getInt(2))).toSet
+    val streamed = spark.table("ivfidx_out")
+    // exactly one index row per id despite double delivery
+    assert(streamed.count() === slice.count())
+    // and value-identical to the batch encode — the admission
+    // equivalence (admitted ≡ rebuilt) therefore carries over:
+    // a stored index grown by this stream serves
+    // ivfPqTopKScoreTwoLevelIndexed exactly as a batch re-encode
+    assert(idxRows(streamed)
+      === idxRows(SimilaritySearch.encodeIvfPqTwoLevel(slice, art)))
+  }
 }
 
