@@ -566,6 +566,19 @@ object PlanAudit {
       // media-keyed envelope window + the four q83-family pairing
       // exchanges, all real keyed shuffles
       maxShuffleExchanges = Some(5)),
+    // q100: q84 at the WIDE signature width — the envelope window is
+    // the same ONE media-keyed window (the band words are conditional
+    // sums of the same aggregation pass, not extra exchanges); the
+    // pairing is the shared wide kernel, so the plan must keep q84's
+    // shape exactly
+    Check("q100_audio_near_dup_wide",
+      mustContain = Seq("Window", "hashpartitioning", "InMemoryTableScan",
+        "LeftAnti"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // [MEASURED] 5 = the round-12 counted plan (sf0.001) — q84's
+      // count, unchanged by the width
+      maxShuffleExchanges = Some(5)),
     // q88: the composed multimodal pipeline — per-modality pairing is
     // the shared q83/q84 machinery (verified edges feed the bounded
     // local closure, so the closure work is outside this frame); the

@@ -37,7 +37,12 @@ import org.apache.spark.sql.functions._
 object DedupPipeline {
 
   /** Bucket key: first two tokens of the normalized text. */
-  private def bucketKey(text: org.apache.spark.sql.Column) =
+  /** The near-dup candidate key (first two normalized tokens — the
+    * reference's prefix-pairing scheme). private[graft]: the
+    * streaming admission twin ([[graft.streaming.EventStreams
+    * .textAdmittedStream]]) must bucket with the SAME key or the
+    * batch/stream recall contracts drift. */
+  private[graft] def bucketKey(text: org.apache.spark.sql.Column) =
     concat_ws("|", split_part(normalized(text), lit(" "), lit(1)),
       split_part(normalized(text), lit(" "), lit(2)))
 

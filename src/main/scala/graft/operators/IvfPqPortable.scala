@@ -263,17 +263,22 @@ object IvfPqPortable {
     * oracle-derivable: q98 re-derives train-on-corpus /
     * apply-to-union value-for-value from the parquet bytes.
     * `trainPred` ≡ all rows degenerates to [[topKTwoLevel]] exactly
-    * (spec-pinned). Batch rows routed to a CHILDLESS super (possible
-    * only off the training corpus) are dropped from the index — the
-    * oracle's centroid join drops them identically; anchors routed
-    * there probe nothing and vanish from the output (both sides).
+    * (spec-pinned, including at `probeSupers` > 1 — the multi-super
+    * knob threads through the admission split like every other
+    * two-level query path). Batch rows routed to a CHILDLESS super
+    * (possible only off the training corpus) are dropped from the
+    * index — the oracle's centroid join drops them identically;
+    * anchors routed there probe nothing and vanish from the output
+    * (both sides; at `probeSupers` > 1 a childless super simply
+    * contributes zero candidates to the union — `childCands` emits a
+    * row per super index, so the probe join never drops an anchor).
     */
   def topKTwoLevelAdmit(vectors: DataFrame, trainPred: Column,
       anchorPred: Column, k: Int,
       nlist: Int, coarseIters: Int, m: Int, ksub: Int, subIters: Int,
       nprobe: Int, rerank: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      supers: Int = 0): DataFrame = {
+      supers: Int = 0, probeSupers: Int = 1): DataFrame = {
     val (base, dim) = checkedBase(vectors, idCol, vecCol)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val dsub = dim / m
@@ -291,8 +296,13 @@ object IvfPqPortable {
         .filter(col("cell") < lit(tl.children.length))
         .withColumn("rvec", zip_with(col("vec"),
           element_at(childLit, col("cell") + 1), (x, c) => x - c)))
-    val probeCells = KMeansPortable.probeChildren(
-        routed.filter(anchorPred), tl.children, tl.groups, nprobe)
+    val probeCells = (if (probeSupers == 1)
+        KMeansPortable.probeChildren(
+          routed.filter(anchorPred), tl.children, tl.groups, nprobe)
+      else
+        KMeansPortable.probeChildrenMulti(
+          routed.filter(anchorPred), tl.supers, tl.children, tl.groups,
+          nprobe, probeSupers))
       .select(col("id").as("anchor_id"), col("vec").as("a_vec"),
         col("cell"))
     encodeAndScore(base, withRes, childLit, probeCells, k, m, ksub,

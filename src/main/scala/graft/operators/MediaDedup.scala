@@ -309,6 +309,48 @@ object MediaDedup {
       maxHamming = maxHamming, maxBucketSize = maxBucketSize,
       maxExpectedOccupancy = maxExpectedOccupancy)
 
+  /** [[audioEnvelopeSig]] at a freed signature width (round 12 — the
+    * q89→q96 width discipline carried to the AUDIO modality, which
+    * saturates its 15-bit band space at the same ~2M signatures):
+    * bit k = rms(window k+1) > rms(window k) for k < `spec.sigBits`,
+    * emitted as `spec.bands` band words ([[dHashWide]]'s layout —
+    * word b carries bits [b·bandBits, (b+1)·bandBits)). Media
+    * shorter than 2 windows yield no signature (the skip contract);
+    * media shorter than `spec.sigBits + 1` windows leave their upper
+    * bits 0, exactly as the 60-bit family does. One media-keyed
+    * window + ONE partial-agg aggregation (the band words are
+    * `bands` conditional sums of the same pass); per-media state is
+    * `bands` longs. */
+  def audioEnvelopeSigWide(rms: DataFrame,
+      spec: SigSpec = Sig120): DataFrame = {
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frameIdx"))
+    val bits = spec.bandBits
+    rms.withColumn("__nxt", lead(col("rms"), 1).over(w))
+      .filter(col("frameIdx") < spec.sigBits && col("__nxt").isNotNull)
+      .groupBy(col("media_id"))
+      .agg(array((0 until spec.bands).map(b =>
+        coalesce(sum(when(col("__nxt") > col("rms") &&
+            col("frameIdx") >= b * bits && col("frameIdx") < (b + 1) * bits,
+          expr(s"shiftleft(CAST(1 AS BIGINT), " +
+            s"CAST(frameIdx AS INT) - ${b * bits})")).otherwise(0L)),
+          lit(0L)).cast("long")): _*).as("sig"))
+  }
+
+  /** End-to-end audio near-dup at a WIDE [[SigSpec]] width: decode
+    * PCM → RMS envelope → [[audioEnvelopeSigWide]] →
+    * [[hammingPairsWide]]. The wide sibling of
+    * [[audioNearDupPairs]]; `maxHamming` defaults to the spec's
+    * pigeonhole guarantee. */
+  def audioNearDupPairsWide(media: DataFrame,
+      samplesPerFrame: Int = 1024, spec: SigSpec = Sig120,
+      maxHamming: Int = -1, maxBucketSize: Int = 10000,
+      maxExpectedOccupancy: Long = 64): DataFrame =
+    hammingPairsWide(
+      audioEnvelopeSigWide(Multimodal.audioRms(Multimodal.decodeFrames(
+        media, new Multimodal.WavDecoder(samplesPerFrame))), spec),
+      spec, maxHamming = maxHamming, maxBucketSize = maxBucketSize,
+      maxExpectedOccupancy = maxExpectedOccupancy)
+
   /** VIDEO-shaped near-dup: per-frame 60-bit signatures → banded
     * FRAME-level pairing (the shared pigeonhole kernel over
     * struct(media, frame) ids — struct ordering keeps every
@@ -447,6 +489,42 @@ object MediaDedup {
           maxExpectedOccupancy = maxExpectedOccupancy)
           .select(col("a_id"), col("b_id")))
       .reduce(_.unionByName(_))
+    dupGroupsTail(sets, edges, ccCollectThreshold)
+  }
+
+  /** [[crossModalDupGroups]] at a WIDE [[SigSpec]] width — the
+    * composed multimodal pipeline past the 60-bit family's ~2M-
+    * signature band-space ceiling: every modality relation carries
+    * [[dHashWide]]/[[audioEnvelopeSigWide]]-shaped band-word arrays
+    * at ONE shared `spec` (signature spaces still never compare
+    * across modalities — only within each set), pairing is
+    * [[hammingPairsWide]], and everything after the edge union is
+    * the SAME [[dupGroupsTail]] the 60-bit pipeline runs — closure
+    * nodes, survivor election and group identity cannot drift across
+    * widths. At `Sig60` (with sigs word-ized 4 × 15) the groups are
+    * value-identical to the legacy pipeline (spec-pinned). */
+  def crossModalDupGroupsWide(sigSets: Seq[DataFrame],
+      spec: SigSpec = Sig120, maxHamming: Int = -1,
+      maxBucketSize: Int = 10000,
+      maxExpectedOccupancy: Long = 64,
+      ccCollectThreshold: Long =
+        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
+    require(sigSets.nonEmpty, "need at least one modality signature set")
+    val sets = sigSets.map(graft.CacheScope.track)
+    val edges = sets.map(s =>
+        hammingPairsWide(s, spec, maxHamming = maxHamming,
+          maxBucketSize = maxBucketSize,
+          maxExpectedOccupancy = maxExpectedOccupancy)
+          .select(col("a_id"), col("b_id")))
+      .reduce(_.unionByName(_))
+    dupGroupsTail(sets, edges, ccCollectThreshold)
+  }
+
+  /** The shared back half of both cross-modal pipelines (closure +
+    * election) — single-sited so the widths cannot drift, exactly as
+    * [[containmentTail]]/`admitTail` single-site their families. */
+  private def dupGroupsTail(sets: Seq[DataFrame], edges: DataFrame,
+      ccCollectThreshold: Long): DataFrame = {
     val universe = sets.map(_.select(col("media_id")))
       .reduce(_.unionByName(_)).distinct()
     val comps = ConnectedComponents.components(

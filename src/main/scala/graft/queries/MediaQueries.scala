@@ -153,7 +153,8 @@ object MediaQueries {
     * per media (parents + "~a" loudness-perturbed variants), shared
     * by the q84 single-stage gate and the q88 composed pipeline so
     * the generated corpus cannot drift between them. */
-  private def syntheticEnvelope(s: SparkSession, dir: String): DataFrame = {
+  private def syntheticEnvelope(s: SparkSession, dir: String,
+      windows: Int = 61, perturbBar: Int = 24): DataFrame = {
     val ids = Tables(s, dir).documents
       .select(col("doc_id").cast("string").as("pid"))
     def hexByte(c: org.apache.spark.sql.Column) =
@@ -166,13 +167,13 @@ object MediaQueries {
         col("pid").as("parent"))
     parents.unionByName(variants)
       .select(col("media_id"), col("parent"),
-        explode(sequence(lit(0), lit(60))).as("frameIdx"))
+        explode(sequence(lit(0), lit(windows - 1))).as("frameIdx"))
       .withColumn("rms",
         (hexByte(concat(coalesce(col("parent"), col("media_id")),
           lit(":env:"), col("frameIdx").cast("string")))
           + when(col("parent").isNotNull &&
               hexByte(concat(col("media_id"), lit(":pt:"),
-                col("frameIdx").cast("string"))) < 24, 32)
+                col("frameIdx").cast("string"))) < perturbBar, 32)
             .otherwise(0)) / lit(256.0))
       .select(col("media_id"), col("frameIdx"), col("rms"))
   }
@@ -666,6 +667,107 @@ object MediaQueries {
        |ORDER BY media_id""".stripMargin
   }
 
+  /** Wide-width audio sig fragment: media universe (parents + "~a"
+    * variants at a GENTLER perturbation — `:pt:` byte < 8 vs q84's
+    * 24, because at 120 bits and the hamming ≤ 5 pigeonhole bound a
+    * 9.4%-per-window perturbation would push every variant beyond
+    * the cut and the gate would pair nothing) → md5-derived RMS
+    * envelope (121 windows) → [[MediaDedup.audioEnvelopeSigWide]]'s
+    * 6 × 20-bit band words. Emits `<p>media`, `<p>env`, `<p>steps`,
+    * `<p>words`, `<p>sigs` (media_id, sig LIST), trailing comma. */
+  private def audioSigCtesWide(p: String): String =
+    s"""${p}media AS (
+       |  SELECT CAST(doc_id AS VARCHAR) AS media_id, CAST(NULL AS VARCHAR) AS parent
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS VARCHAR) || '~a', CAST(doc_id AS VARCHAR)
+       |  FROM documents
+       |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':var'),
+       |    1, 2)) AS INTEGER) < 48),
+       |${p}env AS (
+       |  SELECT media_id, k AS frameIdx,
+       |    (CAST(('0x' || substring(md5(coalesce(parent, media_id) || ':env:' ||
+       |       CAST(k AS VARCHAR)), 1, 2)) AS INTEGER)
+       |     + CASE WHEN parent IS NOT NULL AND
+       |         CAST(('0x' || substring(md5(media_id || ':pt:' ||
+       |           CAST(k AS VARCHAR)), 1, 2)) AS INTEGER) < 8
+       |       THEN 32 ELSE 0 END) / 256.0 AS rms
+       |  FROM ${p}media, generate_series(0, 120) AS g(k)),
+       |${p}steps AS (
+       |  SELECT media_id, frameIdx, rms,
+       |    lead(rms) OVER (PARTITION BY media_id ORDER BY frameIdx) AS nxt
+       |  FROM ${p}env),
+       |-- every media here has all 121 windows, so all 6 bands GROUP;
+       |-- the Spark side's all-bands-always contract holds trivially
+       |${p}words AS (
+       |  SELECT media_id, frameIdx // 20 AS band,
+       |    CAST(sum(CASE WHEN nxt > rms
+       |      THEN CAST(1 AS BIGINT) << (frameIdx % 20)
+       |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS word
+       |  FROM ${p}steps WHERE frameIdx < 120 AND nxt IS NOT NULL
+       |  GROUP BY 1, 2),
+       |${p}sigs AS MATERIALIZED (
+       |  SELECT media_id, list(word ORDER BY band) AS sig
+       |  FROM ${p}words GROUP BY media_id),
+       |""".stripMargin
+
+  /** The wide pigeonhole pairing over a `<p>sigs` band-word LIST
+    * relation ([[pairCtes]] at [[MediaDedup.Sig120]]'s 6 × 20-bit
+    * banding): band b = sig[b], bucket cull at 10 000, distinct
+    * candidate pairs, per-word popcount-sum verify at hamming ≤ 5.
+    * Emits `<p>banded`, `<p>sized`, `<p>pairs`, trailing comma. */
+  private def pairCtesWide(p: String): String =
+    s"""${p}banded AS (
+       |  SELECT media_id, b - 1 AS band, sig[b] AS bv
+       |  FROM ${p}sigs, generate_series(1, 6) AS g(b)),
+       |${p}sized AS (
+       |  SELECT media_id, band, bv FROM ${p}banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, bv) <= 10000),
+       |${p}pairs AS (
+       |  SELECT c.a_id, c.b_id,
+       |    CAST(list_sum([bit_count(xor(a.sig[i], b.sig[i]))
+       |      for i in generate_series(1, 6)]) AS INTEGER) AS hamming
+       |  FROM (
+       |    SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id
+       |    FROM ${p}sized x JOIN ${p}sized y
+       |      ON x.band = y.band AND x.bv = y.bv AND x.media_id < y.media_id) c
+       |  JOIN ${p}sigs a ON a.media_id = c.a_id
+       |  JOIN ${p}sigs b ON b.media_id = c.b_id
+       |  WHERE list_sum([bit_count(xor(a.sig[i], b.sig[i]))
+       |    for i in generate_series(1, 6)]) <= 5),
+       |""".stripMargin
+
+  /** q100: audio-envelope near-dup at the WIDE signature width
+    * (round 12 — the q89→q96 width discipline carried to the AUDIO
+    * modality, whose 60-bit family saturates its band space at the
+    * same ~2M signatures): 121-window md5-derived envelopes →
+    * [[MediaDedup.audioEnvelopeSigWide]] ([[MediaDedup.Sig120]]:
+    * 120 gradient bits as 6 × 20-bit band words) →
+    * [[MediaDedup.hammingPairsWide]] at the pigeonhole bound
+    * (hamming ≤ 5). Variants are perturbed at a 3%-per-window rate
+    * (q84 uses 9.4% — see [[audioSigCtesWide]]) so the planted pairs
+    * mostly land within the wider cut with a handful honestly
+    * beyond, the q83 shape. The oracle re-derives every envelope
+    * byte, gradient bit, band word, bucket cull, candidate join and
+    * popcount sum. The composed wide pipeline
+    * ([[MediaDedup.crossModalDupGroupsWide]] — image + audio wide
+    * sets through the shared `dupGroupsTail`) is spec-pinned
+    * (MediaDedupSpec: Sig60 word-ized parity with the legacy q88
+    * operator, plus a planted wide fixture), with this gate pinning
+    * the audio-wide arithmetic value-for-value.
+    */
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    MediaDedup.hammingPairsWide(
+        MediaDedup.audioEnvelopeSigWide(
+          syntheticEnvelope(s, dir, windows = 121, perturbBar = 8)))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private val q100Sql =
+    s"""WITH ${audioSigCtesWide("")}${pairCtesWide("")}
+       |fin AS (SELECT a_id, b_id, hamming FROM pairs)
+       |SELECT a_id, b_id, hamming FROM fin
+       |ORDER BY a_id, b_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q83_image_near_dup", q83, Some(q83Sql)),
     Q("q84_audio_near_dup", q84, Some(q84Sql)),
@@ -673,5 +775,6 @@ object MediaQueries {
     Q("q89_video_containment", q89, Some(q89Sql)),
     Q("q94_media_admission_oracle", q94, Some(q94Sql)),
     Q("q96_video_containment_wide", q96, Some(q96Sql)),
-    Q("q99_media_admission_wide", q99, Some(q99Sql)))
+    Q("q99_media_admission_wide", q99, Some(q99Sql)),
+    Q("q100_audio_near_dup_wide", q100, Some(q100Sql)))
 }

@@ -724,6 +724,248 @@ object EventStreams {
       fresh, artifacts, idCol, vecCol)
   }
 
+  case class TextArrival(id: Long, ts: java.sql.Timestamp, fp: String,
+      bkey: String, toks: Seq[String])
+  case class TextEntry(ts_ms: Long, id: Long, fp: String,
+      toks: Seq[String])
+  case class BucketState(admitted: List[TextEntry])
+  case class TextAdmitted(id: Long, ts: java.sql.Timestamp)
+
+  /** Streaming TEXT near-dup admission — the Jaccard sibling of
+    * [[semanticAdmittedStream]] / [[mediaAdmittedStream]], and the
+    * ingest-time twin of [[graft.operators.DedupPipeline
+    * .admitIncremental]] (the admission grid's text × streaming
+    * cell beyond [[bloomAdmittedStream]]'s EXACT membership): admit
+    * only incoming documents that are not exact or Jaccard near-dups
+    * of the committed corpus OR of earlier stream arrivals.
+    *
+    *   1. exact corpus check — stream-static LEFT ANTI on the
+    *      normalized fingerprint (the batch pipeline's exact stage);
+    *   2. near corpus check — stream-static LEFT ANTI equi-keyed on
+    *      the SHARED candidate bucket ([[graft.operators
+    *      .DedupPipeline.bucketKey]] — first two normalized tokens,
+    *      single-sited so batch and stream recall cannot drift) with
+    *      the division-form token-set Jaccard ≥ `threshold` as the
+    *      residual condition — only same-bucket corpus docs are ever
+    *      scored, the batch operator's own candidate contract;
+    *   3. in-stream check — per-BUCKET watermark-bounded state
+    *      ([[semanticAdmittedStream]]'s mechanics exactly: (ts, id)
+    *      micro-batch order, retention to watermark − delay, the
+    *      `maxRetainedPerBucket` cap with newest kept, EventTime
+    *      timeout eviction): an arrival is rejected on an exact
+    *      fingerprint match or a Jaccard ≥ threshold against the
+    *      bucket's retained admissions — the same arithmetic as the
+    *      static join (sorted-distinct token intersection, division
+    *      form), so the two tiers cannot disagree at boundaries.
+    *
+    * Batch-parity caveat (spec-pinned, the [[semanticAdmittedStream]]
+    * contract verbatim): the batch twin elects the MIN-ID member of
+    * each near-dup group; the stream admits the FIRST ARRIVAL
+    * greedily — identical on id-ordered feeds with a chain-free
+    * near-dup graph, the honest online contract otherwise; near-dups
+    * farther apart than the retention re-emit and fall to the batch
+    * compaction backstop.
+    *
+    * `corpus` is the already-deduplicated corpus (idCol, textCol) —
+    * compact, broadcast-joined. Emits admitted (id, ts).
+    */
+  def textAdmittedStream(docs: DataFrame, corpus: DataFrame,
+      threshold: Double, idCol: String = "doc_id",
+      textCol: String = "text", tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes",
+      maxRetainedPerBucket: Int = 10000): DataFrame = {
+    import graft.functions.TextFunctions
+    import org.apache.spark.sql.graft.ArrayExpressions.sortedIntersectCount
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1]; got $threshold")
+    def keyed(df: DataFrame, ts: Option[Column]): DataFrame = df.select(
+      (Seq(col(idCol).cast("long").as("id")) ++ ts.toSeq ++ Seq(
+        TextFunctions.fingerprint(col(textCol)).as("fp"),
+        graft.operators.DedupPipeline.bucketKey(col(textCol)).as("bkey"),
+        array_sort(TextFunctions.tokenSet(
+          TextFunctions.normalized(col(textCol)))).as("toks"))): _*)
+    val fresh0 = keyed(docs, Some(col(tsCol).as("ts")))
+      .withWatermark("ts", watermarkDelay)
+    val corpusKeyed = keyed(corpus, None)
+    val exactDropped = fresh0.join(
+      corpusKeyed.select(col("fp").as("c_fp")),
+      col("fp") === col("c_fp"), "left_anti")
+    val inter = sortedIntersectCount(col("toks"), col("c_toks"))
+    val jac = inter.cast("double") /
+      (size(col("toks")) + size(col("c_toks")) - inter).cast("double")
+    val fresh = exactDropped.join(
+      corpusKeyed.select(col("bkey").as("c_bkey"), col("toks").as("c_toks")),
+      col("bkey") === col("c_bkey") && jac >= lit(threshold), "left_anti")
+    val delayMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .getDuration(org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types
+          .UTF8String.fromString(watermarkDelay)),
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    // the in-state twin of the join's jaccard: the same DISTINCT
+    // intersection count and division form, so the two tiers agree
+    // at boundary pairs (16/20 vs 0.8-style) by construction. Set
+    // intersection, NOT a sorted-merge walk: toks arrive sorted by
+    // Spark's UTF8 binary order, which Scala's String ordering does
+    // not reproduce for every codepoint — a count must not depend on
+    // agreeing sort orders
+    def jacScala(a: Seq[String], b: Seq[String]): Double = {
+      val n = a.toSet.intersect(b.toSet).size
+      n.toDouble / (a.length + b.length - n).toDouble
+    }
+    fresh.select(col("id"), col("ts"), col("fp"), col("bkey"), col("toks"))
+      .as[TextArrival]
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState[BucketState, TextAdmitted](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[TextArrival],
+            state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = it.toSeq.sortBy(a => (a.ts.getTime, a.id))
+            val wm = state.getCurrentWatermarkMs()
+            var admitted = state.getOption.map(_.admitted).getOrElse(Nil)
+              .filter(_.ts_ms >= wm - delayMs)
+            def near(a: TextArrival): Boolean = admitted.exists(e =>
+              e.fp == a.fp || jacScala(a.toks, e.toks) >= threshold)
+            val out = scala.collection.mutable.ArrayBuffer.empty[TextAdmitted]
+            sorted.foreach { a =>
+              if (!near(a)) {
+                admitted = TextEntry(a.ts.getTime, a.id, a.fp, a.toks) :: admitted
+                out += TextAdmitted(a.id, a.ts)
+              }
+            }
+            if (admitted.length > maxRetainedPerBucket)
+              admitted = admitted.sortBy(e => (-e.ts_ms, e.id))
+                .take(maxRetainedPerBucket)
+            if (admitted.nonEmpty) {
+              state.update(BucketState(admitted))
+              state.setTimeoutTimestamp(math.max(
+                admitted.map(_.ts_ms).max + delayMs,
+                state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            out.iterator
+          }
+      }.toDF()
+  }
+
+  case class OpenBin(bin: Int, fill: Int, docs: List[(Long, Int)])
+  case class PackState(nextBin: Int, lastTsMs: Long, bins: List[OpenBin])
+  case class PackedOut(doc_id: Long, shard: Int, bin: Int, weight: Int,
+      bin_fill: Int, oversize: Boolean)
+
+  /** STREAMING sequence packing — the continuous-ingest twin of
+    * [[graft.operators.Packing.packSequencesPortable]] (q47/q79):
+    * pack arriving documents into fixed-capacity training sequences
+    * with BOUNDED open state. Same two-level shape as the batch
+    * operator — the md5-prefix shard hash bounds each key's working
+    * set — but the within-shard policy is necessarily ONLINE
+    * first-fit in arrival order: FFD's decreasing sort needs the
+    * full multiset, which a stream never has. The utilization trade
+    * is the family's standard one (first-fit online ≤ 1.7·OPT vs
+    * FFD's 11/9·OPT; Johnson 1974) and the batch compaction (q47)
+    * is the repack backstop, exactly as batch hamming compaction
+    * backstops every admission stream in this file.
+    *
+    * Mechanics, per shard ([[OpenBin]] list in creation order):
+    *   - oversize docs (w > maxTokens) emit immediately as their own
+    *     closed bin, flagged — the batch contract;
+    *   - a doc joins the FIRST open bin it fits; an exactly-full bin
+    *     closes and emits at once;
+    *   - no fit → a new bin opens; if `maxOpenBins` are already open
+    *     the OLDEST closes (emits) to make room — the state bound;
+    *   - a bin reaching `maxDocsPerBin` members closes regardless of
+    *     fill (the zero/tiny-weight flood bound — state per shard is
+    *     ≤ maxOpenBins · maxDocsPerBin doc entries by construction);
+    *   - open bins flush (emit, state removed) once the event-time
+    *     watermark passes `flushAfterMs` beyond the shard's last
+    *     arrival — the ever-open-tail bound.
+    *
+    * Emission happens at bin CLOSE (a doc's `bin_fill` is its bin's
+    * FINAL payload, the batch semantics — unknowable before close),
+    * so rows arrive per closed bin, schema-identical to
+    * [[graft.operators.Packing.Packed]]. Within a micro-batch docs
+    * process in (ts, id) order; across batches the packing is a
+    * function of arrival order — the online contract.
+    *
+    * `docs` must carry (idCol LONG-castable, tsCol, weightCol). */
+  def packedStream(docs: DataFrame, idCol: String, weightCol: String,
+      maxTokens: Int, tsCol: String = "ts", numShards: Int = 16,
+      maxOpenBins: Int = 8, maxDocsPerBin: Int = 1024,
+      watermarkDelay: String = "10 minutes",
+      flushAfterMs: Long = 30L * 60 * 1000): DataFrame = {
+    require(maxTokens > 0 && numShards > 0 && maxOpenBins >= 1 &&
+      maxDocsPerBin >= 1, "packedStream: all bounds must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shardExpr = conv(substring(
+      md5(col(idCol).cast("long").cast("string")), 1, 8), 16, 10)
+      .cast("long") % numShards
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).as("ts"), col(weightCol).cast("int").as("weight"),
+        shardExpr.cast("int").as("shard"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Int, Int)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[PackState, PackedOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (shard: Int, it: Iterator[(Long, java.sql.Timestamp, Int, Int)],
+            state: GroupState[PackState]) =>
+          def emitBin(b: OpenBin): Iterator[PackedOut] =
+            b.docs.reverseIterator.map { case (id, w) =>
+              PackedOut(id, shard, b.bin, w, b.fill, oversize = false) }
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            s.bins.reverseIterator.flatMap(emitBin)
+          } else {
+            val sorted = it.toSeq.sortBy(d => (d._2.getTime, d._1))
+            var s = state.getOption.getOrElse(PackState(0, 0L, Nil))
+            val out = scala.collection.mutable.ArrayBuffer.empty[PackedOut]
+            for ((id, ts, w, _) <- sorted) {
+              s = s.copy(lastTsMs = math.max(s.lastTsMs, ts.getTime))
+              if (w > maxTokens) {
+                out += PackedOut(id, shard, s.nextBin, w, w, oversize = true)
+                s = s.copy(nextBin = s.nextBin + 1)
+              } else {
+                // bins list is newest-first; fit scan walks creation
+                // order (oldest first)
+                val inOrder = s.bins.reverse
+                inOrder.find(b => b.fill + w <= maxTokens &&
+                    b.docs.length < maxDocsPerBin) match {
+                  case Some(b) =>
+                    val nb = OpenBin(b.bin, b.fill + w, (id, w) :: b.docs)
+                    if (nb.fill == maxTokens ||
+                        nb.docs.length == maxDocsPerBin) {
+                      out ++= emitBin(nb)
+                      s = s.copy(bins = s.bins.filterNot(_.bin == b.bin))
+                    } else
+                      s = s.copy(bins =
+                        s.bins.map(x => if (x.bin == b.bin) nb else x))
+                  case None =>
+                    if (s.bins.length == maxOpenBins) {
+                      val oldest = s.bins.last
+                      out ++= emitBin(oldest)
+                      s = s.copy(bins = s.bins.init)
+                    }
+                    s = s.copy(nextBin = s.nextBin + 1,
+                      bins = OpenBin(s.nextBin, w, List((id, w))) :: s.bins)
+                }
+              }
+            }
+            if (s.bins.isEmpty) state.remove()
+            else {
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(s.lastTsMs + flushAfterMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** Drive a streaming DataFrame synchronously into a memory table
     * (test/smoke harness — processes everything currently available).
     * The mode is REQUIRED, not defaulted: the

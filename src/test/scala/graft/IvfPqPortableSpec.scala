@@ -127,6 +127,16 @@ class IvfPqPortableSpec extends SparkSpec {
       === collect(IvfPqPortable.topKTwoLevel(emb, col("id") < 6, k = 3,
         nlist = 4, coarseIters = 2, m = 2, ksub = 4, subIters = 2,
         nprobe = 2, rerank = 8)))
+    // and the degeneracy holds at probeSupers > 1 — the multi-super
+    // knob threads the admission split like every other two-level
+    // query path
+    assert(collect(IvfPqPortable.topKTwoLevelAdmit(emb, lit(true),
+        col("id") < 6, k = 3, nlist = 4, coarseIters = 2, m = 2,
+        ksub = 4, subIters = 2, nprobe = 2, rerank = 8,
+        probeSupers = 2))
+      === collect(IvfPqPortable.topKTwoLevel(emb, col("id") < 6, k = 3,
+        nlist = 4, coarseIters = 2, m = 2, ksub = 4, subIters = 2,
+        nprobe = 2, rerank = 8, probeSupers = 2)))
     // corpus-trained (id < 110), batch admitted (110+): a CORPUS
     // anchor finds its admitted near-dup, and an ADMITTED anchor
     // finds both its corpus original and its batch sibling — the

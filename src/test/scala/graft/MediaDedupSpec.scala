@@ -474,4 +474,95 @@ class MediaDedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("pigeonhole"))
   }
+
+  test("audioEnvelopeSigWide: Sig60 word-splits audioEnvelopeSig exactly; Sig120 words match brute-force gradients; skip contract holds") {
+    // deterministic envelopes: m1 has all 121 windows (the full
+    // Sig120 domain), m2 only 61 (upper bits must stay 0 — the
+    // 60-bit family's own short-media behavior), s1 one window
+    // (skipped: nothing to compare)
+    def rms(id: String, n: Int) = (0 until n).map(k =>
+      (id, k, ((k * 37 + 11 * id.hashCode.abs % 13) % 97) / 100.0))
+    val env = (rms("m1", 121) ++ rms("m2", 61) ++ rms("s1", 1))
+      .toDF("media_id", "frameIdx", "rms")
+    // Sig60 parity: the wide sig at the legacy spec IS the legacy
+    // long, word-split 4 x 15
+    val legacy = MediaDedup.audioEnvelopeSig(env)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wide60 = MediaDedup.audioEnvelopeSigWide(env, MediaDedup.Sig60)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(wide60.keySet === legacy.keySet)
+    wide60.foreach { case (id, words) =>
+      assert(words === (0 until 4).map(b => (legacy(id) >> (b * 15)) & 32767),
+        s"$id: Sig60 words must split the legacy long")
+    }
+    // Sig120: brute force from the same envelope values
+    val wide = MediaDedup.audioEnvelopeSigWide(env, MediaDedup.Sig120)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(wide.keySet === Set("m1", "m2"), "s1 has nothing to compare")
+    def brute(id: String, n: Int): Seq[Long] = {
+      val v = rms(id, n).map(_._3)
+      val words = Array.fill(6)(0L)
+      (0 until math.min(120, n - 1)).foreach { k =>
+        if (v(k + 1) > v(k)) words(k / 20) |= 1L << (k % 20)
+      }
+      words.toSeq
+    }
+    assert(wide("m1") === brute("m1", 121))
+    assert(wide("m2") === brute("m2", 61))
+    assert(wide("m2").drop(3).forall(_ === 0L),
+      "a 61-window media leaves its upper bands 0")
+  }
+
+  test("crossModalDupGroupsWide: Sig60 word-ized ≡ the legacy pipeline; Sig120 closes cross-modal chains through the shared tail") {
+    // the legacy q88 fixture, word-ized: groups must be value-equal
+    val imgSigs = Seq(
+      ("A", 0x0F0FL), ("Av", 0x0F0EL),
+      ("B", 0x7AAA900000000L)).toDF("media_id", "sig")
+    val audSigs = Seq(
+      ("A", 0x333CL), ("Aa", 0x333DL),
+      ("C", 0x5AA5A5000000L)).toDF("media_id", "sig")
+    def wordize(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("media_id"),
+      array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 15).bitwiseAND(32767)): _*).as("sig"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+    assert(m(MediaDedup.crossModalDupGroupsWide(
+        Seq(wordize(imgSigs), wordize(audSigs)), MediaDedup.Sig60))
+      === m(MediaDedup.crossModalDupGroups(Seq(imgSigs, audSigs))))
+    // the planted Sig120 fixture: image A~Av (hamming 1), audio A~Aa
+    // (hamming 1) — the union closure collapses {A, Av, Aa} even
+    // though Av and Aa never pair in any single modality; B/C pair
+    // with nothing (every band word distinct from A's)
+    val imgW = Seq(
+      ("A", Seq(0x0F0FL, 0L, 0L, 0L, 0L, 0L)),
+      ("Av", Seq(0x0F0EL, 0L, 0L, 0L, 0L, 0L)),
+      ("B", Seq(0x12345L, 0x23456L, 0x34567L, 0x45678L, 0x56789L,
+        0x6789AL))).toDF("media_id", "sig")
+    val audW = Seq(
+      ("A", Seq(0x333CL, 0L, 0L, 0L, 0L, 0L)),
+      ("Aa", Seq(0x333DL, 0L, 0L, 0L, 0L, 0L)),
+      ("C", Seq(0x9ABCDL, 0x8BCDEL, 0x7CDEFL, 0x6DEF0L, 0x5EF01L,
+        0x4F012L))).toDF("media_id", "sig")
+    val out = m(MediaDedup.crossModalDupGroupsWide(Seq(imgW, audW)))
+    assert(out.keySet === Set("A", "Av", "Aa", "B", "C"))
+    assert(out("A") === (("A", 3L, true)))
+    assert(out("Av") === (("A", 3L, false)))
+    assert(out("Aa") === (("A", 3L, false)))
+    assert(out("B") === (("B", 1L, true)) && out("C") === (("C", 1L, true)))
+  }
+
+  test("audioNearDupPairsWide pairs the gained+shifted WAV re-encode end-to-end (codec → envelope → wide sig → wide kernel)") {
+    val media = Multimodal.asMediaTable(
+      Seq(("wau_a", wavBytes(130, 1.0, 0)),
+        ("wau_a2", wavBytes(130, 0.5, 100)),
+        ("wau_b", wavBytes(130, 1.0, 0, phase = 2.3)))
+        .toDF("id", "bytes"),
+      "id", "bytes", "audio/wav")
+    val pairs = MediaDedup.audioNearDupPairsWide(media)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq(("wau_a", "wau_a2")))
+    assert(pairs.head._3 <= 5)
+  }
 }

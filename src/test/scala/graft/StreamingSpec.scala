@@ -669,5 +669,115 @@ class StreamingSpec extends SparkSpec {
     assert(idxRows(streamed)
       === idxRows(SimilaritySearch.encodeIvfPqTwoLevel(slice, art)))
   }
+
+  test("streaming packing: online first-fit — exact-full close, oversize own-bin, open bins withheld, oldest-bin eviction") {
+    import spark.implicits._
+    def docRows(rows: Seq[(Long, Int, Int)]) = rows.map { case (id, sec, w) =>
+      (id, s"2026-01-01 10:00:${"%02d".format(sec)}", w) }
+      .toDF("doc_id", "ts_s", "weight")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    def run(rows: Seq[(Long, Int, Int)], maxOpenBins: Int,
+        table: String): Map[Long, (Int, Int, Int, Boolean)] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pack").toString
+      val df = docRows(rows)
+      df.coalesce(1).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream.schema(df.schema).parquet(dir)
+      EventStreams.runToMemory(
+        EventStreams.packedStream(stream, "doc_id", "weight",
+          maxTokens = 100, numShards = 1, maxOpenBins = maxOpenBins),
+        table, org.apache.spark.sql.streaming.OutputMode.Append())
+      spark.table(table).collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))).toMap
+    }
+    // arrival order (ts): 60 opens bin0; 50 can't fit → bin1; 40
+    // fills bin0 EXACTLY → bin0 closes (emits 1 and 3 at fill 100);
+    // 30 joins bin1; 120 is oversize (own closed bin2); 10 joins
+    // bin1 — bin1 (docs 2,4,6 at fill 90) stays OPEN: withheld,
+    // because a doc's bin_fill is its bin's FINAL payload
+    val got = run(Seq((1L, 0, 60), (2L, 1, 50), (3L, 2, 40),
+      (4L, 3, 30), (5L, 4, 120), (6L, 5, 10)), 8, "pack_out")
+    assert(got.keySet === Set(1L, 3L, 5L))
+    assert(got(1L) === ((0, 60, 100, false)))
+    assert(got(3L) === ((0, 40, 100, false)))
+    assert(got(5L) === ((2, 120, 120, true)))
+    // maxOpenBins = 1: 50 can't fit the open bin and no slot is
+    // free → the OLDEST bin closes (emits 11 at fill 60) to make
+    // room; 30 then joins the new bin (open, withheld)
+    val ev = run(Seq((11L, 0, 60), (12L, 1, 50), (13L, 2, 30)),
+      1, "pack_evict_out")
+    assert(ev.keySet === Set(11L))
+    assert(ev(11L) === ((0, 60, 60, false)))
+  }
+
+  test("streaming packing: idle shards flush their open bins once the watermark passes (the ever-open-tail bound)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-packfl").toString
+    def doc(id: Long, ts: String, w: Int) =
+      Seq((id, ts, w)).toDF("doc_id", "ts_s", "weight")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    // id 1 → shard 0, id 2 → shard 1 (md5-prefix % 2). Batch 2's
+    // shard-1 doc advances the watermark two hours; shard 0 (no new
+    // data) passes its 1-minute flush bound and emits its open bin.
+    val b1 = doc(1L, "2026-01-01 10:00:00", 30)
+    val b2 = doc(2L, "2026-01-01 12:00:00", 30)
+    // two sequential appends → two files in arrival order (the file
+    // source processes oldest-modified first), so the early shard-0
+    // doc is batch 1 and the watermark-advancing shard-1 doc batch 2
+    b1.coalesce(1).write.mode("append").parquet(s"$dir/all")
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(s"$dir/all")
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/all")
+    EventStreams.runToMemory(
+      EventStreams.packedStream(stream, "doc_id", "weight",
+        maxTokens = 100, numShards = 2, flushAfterMs = 60000L),
+      "packfl_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("packfl_out").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(3), r.getInt(4)))).toMap
+    // shard 0's bin flushed; shard 1's (fresh within its bound) is
+    // still open and withheld
+    assert(got.keySet === Set(1L), s"got $got")
+    assert(got(1L) === ((0, 30, 30)))
+  }
+
+  test("streaming text admission: exact + same-bucket jaccard corpus checks, in-stream near/exact state — equals the batch admitIncremental set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-textadm").toString
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    // each row one admission path (threshold 0.6):
+    //  f10 = exact corpus text (case/space variant) -> rejected (fingerprint)
+    //  f11 = jaccard 4/6 = 0.67 vs corpus, same "alpha|beta" bucket
+    //        -> rejected (near-corpus)
+    //  f12 = jaccard 2/9 vs corpus                  -> admitted
+    //  f13 = novel bucket                           -> admitted
+    //  f14 = jaccard 4/6 = 0.67 vs retained f13     -> rejected (in-stream near)
+    //  f15 = f13's text again, later ts             -> rejected (in-stream exact)
+    val feed = Seq(
+      (10L, 0, "Alpha  beta GAMMA delta epsilon"),
+      (11L, 1, "alpha beta gamma delta zeta"),
+      (12L, 2, "alpha beta one two three four"),
+      (13L, 3, "totally different words over here"),
+      (14L, 4, "totally different words over there"),
+      (15L, 5, "totally different words over here"))
+      .map { case (id, sec, t) => (id, s"2026-01-01 10:00:0$sec", t) }
+      .toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    feed.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(feed.schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.textAdmittedStream(stream, corpus, threshold = 0.6),
+      "textadm_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("textadm_out").select("id").as[Long]
+      .collect().toSet
+    assert(got === Set(12L, 13L))
+    // batch parity on this id-ordered, chain-free feed: the stream's
+    // greedy first-arrival set IS the batch min-id election
+    val batchAdmitted = graft.operators.DedupPipeline.admitIncremental(
+        feed.select("doc_id", "text"), corpus, "doc_id", "text",
+        threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === batchAdmitted)
+  }
 }
 
