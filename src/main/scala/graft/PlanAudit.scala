@@ -607,6 +607,18 @@ object PlanAudit {
       // all real keyed shuffles (no ensureWide in this lineage); +2
       // vs round 10 is the window→agg+SHJ de-skew trade, deliberate
       maxShuffleExchanges = Some(7)),
+    // q101: q88 at the WIDE signature width — the per-modality
+    // pairing rides the wide kernel (posexplode banding, per-word
+    // popcount-sum verify — projections, not exchanges), so the
+    // composed frame must keep q88's shape
+    Check("q101_media_pipeline_wide",
+      mustContain = Seq("BroadcastHashJoin", "ShuffledHashJoin",
+        "Window", "InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+        "SortMergeJoin"),
+      // [MEASURED] 7 = the round-12 counted plan (sf0.001) — q88's
+      // count, unchanged by the width
+      maxShuffleExchanges = Some(7)),
     // q94: batch media admission — banding/cull/pair/closure all run
     // inside the bounded local closure before the final frame exists;
     // the frame is the admitted-id broadcast semi-join back onto the

@@ -59,10 +59,17 @@ object Packing {
       weight: org.apache.spark.sql.Column, maxTokens: Int,
       numShards: Int = 256): Dataset[Packed] = {
     require(numShards > 0)
-    pack(docs, idCol, weight, maxTokens,
-      conv(substring(md5(col(idCol).cast("long").cast("string")), 1, 8),
-        16, 10).cast("long") % numShards)
+    pack(docs, idCol, weight, maxTokens, portableShard(col(idCol), numShards))
   }
+
+  /** The portable shard hash, single-sited (round 12): this operator,
+    * the streaming twin ([[graft.streaming.EventStreams
+    * .packedStream]]) and the utilization probe must shard
+    * identically or their comparisons stop meaning anything. */
+  private[graft] def portableShard(id: org.apache.spark.sql.Column,
+      numShards: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("long").cast("string")), 1, 8), 16, 10)
+      .cast("long") % numShards
 
   private def pack(docs: DataFrame, idCol: String,
       weight: org.apache.spark.sql.Column, maxTokens: Int,

@@ -574,10 +574,14 @@ object MediaQueries {
       .select(col("media_id")).orderBy(col("media_id"))
   }
 
-  private val q99Sql = {
-    def h(c: String) =
-      s"CAST(('0x' || substring(md5($c), 1, 15)) AS BIGINT)"
-    s"""WITH RECURSIVE wmedia AS (
+  /** Wide-width SINGLE-FRAME image sig fragment — the q99/q101
+    * shared front: media universe (parents + "~v" variants) →
+    * md5-derived 64×32 pixels → 16×8 tile means →
+    * [[MediaDedup.Sig120]]'s 120 gradient bits as 6 × 20-bit band
+    * words. Emits `<p>media`, `<p>px`, `<p>tiles`, `<p>sigs`
+    * (media_id, sig LIST), trailing comma. */
+  private def imageSigCtesWide(p: String): String =
+    s"""${p}media AS (
        |  SELECT CAST(doc_id AS VARCHAR) AS media_id, CAST(NULL AS VARCHAR) AS parent
        |  FROM documents
        |  UNION ALL
@@ -585,7 +589,7 @@ object MediaQueries {
        |  FROM documents
        |  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':var'),
        |    1, 2)) AS INTEGER) < 48),
-       |wpx AS (
+       |${p}px AS (
        |  SELECT media_id,
        |    [least(255,
        |       CAST(('0x' || substring(md5(coalesce(parent, media_id) || ':px:' ||
@@ -595,14 +599,14 @@ object MediaQueries {
        |             CAST((i-1)//16 AS VARCHAR)), 1 + 2*((i-1)%16), 2)) AS INTEGER) < 3
        |         THEN 80 ELSE 0 END)
        |     for i in generate_series(1, 2048)] AS p
-       |  FROM wmedia),
-       |wtiles AS (
+       |  FROM ${p}media),
+       |${p}tiles AS (
        |  SELECT media_id,
        |    [list_sum(flatten([[p[(((t-1)//16)*4 + dy)*64 + ((t-1)%16)*4 + dx + 1]
        |        for dx in generate_series(0,3)] for dy in generate_series(0,3)])) // 16
        |     for t in generate_series(1, 128)] AS avgs
-       |  FROM wpx),
-       |wsigs AS MATERIALIZED (
+       |  FROM ${p}px),
+       |${p}sigs AS MATERIALIZED (
        |  SELECT media_id,
        |    [CAST(list_sum([CASE WHEN
        |          avgs[(((b-1)*20 + j - 1)//15)*16 + ((b-1)*20 + j - 1)%15 + 2] >
@@ -610,8 +614,13 @@ object MediaQueries {
        |        THEN CAST(1 AS BIGINT) << (j-1) ELSE CAST(0 AS BIGINT) END
        |        for j in generate_series(1, 20)]) AS BIGINT)
        |     for b in generate_series(1, 6)] AS sig
-       |  FROM wtiles),
-       |fsig AS MATERIALIZED (
+       |  FROM ${p}tiles),
+       |""".stripMargin
+
+  private val q99Sql = {
+    def h(c: String) =
+      s"CAST(('0x' || substring(md5($c), 1, 15)) AS BIGINT)"
+    s"""WITH RECURSIVE ${imageSigCtesWide("w")}fsig AS MATERIALIZED (
        |  SELECT media_id, sig FROM wsigs WHERE media_id LIKE '%~v'),
        |csig AS MATERIALIZED (
        |  SELECT media_id, sig FROM wsigs WHERE media_id NOT LIKE '%~v'),
@@ -768,6 +777,73 @@ object MediaQueries {
        |SELECT a_id, b_id, hamming FROM fin
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** q101: the COMPOSED multimodal pipeline at the WIDE signature
+    * width — the q88 statement past the 60-bit band-space ceiling
+    * ([[MediaDedup.crossModalDupGroupsWide]] under ONE oracle):
+    * wide image dHash (64×32 single frames, "~v" variants — the q99
+    * corpus) + wide audio envelope signatures (121 windows, "~a"
+    * variants — the q100 corpus) over the same underlying documents
+    * → per-modality wide banded near-dup ([[pairCtesWide]]) → union
+    * edge set → transitive closure → min-media_id survivor → catalog
+    * join. A parent, its "~v" image variant and its "~a" audio
+    * variant collapse into ONE group exactly as in q88 — the
+    * cross-modal composition, now at the width a >2M-frame corpus
+    * needs. Every fragment is shared: the image front with q99, the
+    * audio front with q100, the closure/election tail with q88.
+    */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables(s, dir).documents
+      .select(col("doc_id").cast("string")).as[String]
+    val imageSigs = MediaDedup.imageDHashWide(
+        MediaDedup.syntheticFrameCorpusWide(ids))
+      .select(col("media_id"), col("sig"))
+    val audioSigs = MediaDedup.audioEnvelopeSigWide(
+      syntheticEnvelope(s, dir, windows = 121, perturbBar = 8))
+    MediaDedup.crossModalDupGroupsWide(Seq(imageSigs, audioSigs))
+      .withColumn("parent_doc",
+        substring_index(col("media_id"), "~", 1).cast("long"))
+      .join(Tables(s, dir).documents
+        .select(col("doc_id").as("parent_doc"), col("lang"), col("source")),
+        Seq("parent_doc"))
+      .select(col("media_id"), col("parent_doc"), col("lang"),
+        col("source"), col("group_id"), col("group_size"), col("keep"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q101Sql =
+    s"""WITH RECURSIVE ${imageSigCtesWide("wim_")}${pairCtesWide("wim_")}${audioSigCtesWide("wau_")}${pairCtesWide("wau_")}
+       |edges AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a_id AS a, b_id AS b FROM wim_pairs
+       |    UNION ALL SELECT b_id, a_id FROM wim_pairs
+       |    UNION ALL SELECT a_id, b_id FROM wau_pairs
+       |    UNION ALL SELECT b_id, a_id FROM wau_pairs)),
+       |walk(node, label) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node),
+       |comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+       |-- DISTINCT explicit: the q88 DuckDB recursive-sibling lesson
+       |universe AS (
+       |  SELECT DISTINCT media_id FROM (
+       |    SELECT media_id FROM wim_sigs
+       |    UNION ALL SELECT media_id FROM wau_sigs)),
+       |assigned AS (
+       |  SELECT u.media_id,
+       |    coalesce(c.component, u.media_id) AS group_id
+       |  FROM universe u LEFT JOIN comp c ON c.node = u.media_id),
+       |gsz AS (SELECT group_id, count(*) AS group_size
+       |  FROM assigned GROUP BY 1)
+       |SELECT a.media_id,
+       |  CAST(split_part(a.media_id, '~', 1) AS BIGINT) AS parent_doc,
+       |  d.lang, d.source, a.group_id, z.group_size,
+       |  a.media_id = a.group_id AS keep
+       |FROM assigned a
+       |JOIN gsz z USING (group_id)
+       |JOIN documents d ON d.doc_id = CAST(split_part(a.media_id, '~', 1) AS BIGINT)
+       |ORDER BY a.media_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q83_image_near_dup", q83, Some(q83Sql)),
     Q("q84_audio_near_dup", q84, Some(q84Sql)),
@@ -776,5 +852,6 @@ object MediaQueries {
     Q("q94_media_admission_oracle", q94, Some(q94Sql)),
     Q("q96_video_containment_wide", q96, Some(q96Sql)),
     Q("q99_media_admission_wide", q99, Some(q99Sql)),
-    Q("q100_audio_near_dup_wide", q100, Some(q100Sql)))
+    Q("q100_audio_near_dup_wide", q100, Some(q100Sql)),
+    Q("q101_media_pipeline_wide", q101, Some(q101Sql)))
 }

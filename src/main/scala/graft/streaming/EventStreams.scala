@@ -768,6 +768,16 @@ object EventStreams {
     *
     * `corpus` is the already-deduplicated corpus (idCol, textCol) —
     * compact, broadcast-joined. Emits admitted (id, ts).
+    *
+    * Deployment shape at corpus scale: the static side re-evaluates
+    * per micro-batch, and unlike the media twin's 16-byte signatures
+    * the text side carries token arrays — so a large deployment
+    * PRECOMPUTES the two compact corpus relations ((fp) and
+    * (bkey, toks)) and stores them bucketed on their join keys
+    * ([[graft.sources.Sinks.writeBucketed]] — the q91/ANN-index
+    * discipline), so each micro-batch's anti-joins read buckets in
+    * place instead of re-shuffling the corpus nightly; passing raw
+    * (id, text) here re-derives both per batch, fine at test scale.
     */
   def textAdmittedStream(docs: DataFrame, corpus: DataFrame,
       threshold: Double, idCol: String = "doc_id",
@@ -899,9 +909,8 @@ object EventStreams {
       maxDocsPerBin >= 1, "packedStream: all bounds must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val shardExpr = conv(substring(
-      md5(col(idCol).cast("long").cast("string")), 1, 8), 16, 10)
-      .cast("long") % numShards
+    val shardExpr =
+      graft.operators.Packing.portableShard(col(idCol), numShards)
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         col(tsCol).as("ts"), col(weightCol).cast("int").as("weight"),
@@ -913,47 +922,19 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (shard: Int, it: Iterator[(Long, java.sql.Timestamp, Int, Int)],
             state: GroupState[PackState]) =>
-          def emitBin(b: OpenBin): Iterator[PackedOut] =
-            b.docs.reverseIterator.map { case (id, w) =>
-              PackedOut(id, shard, b.bin, w, b.fill, oversize = false) }
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            s.bins.reverseIterator.flatMap(emitBin)
+            s.bins.reverseIterator.flatMap(emitPackedBin(shard, _))
           } else {
             val sorted = it.toSeq.sortBy(d => (d._2.getTime, d._1))
             var s = state.getOption.getOrElse(PackState(0, 0L, Nil))
             val out = scala.collection.mutable.ArrayBuffer.empty[PackedOut]
             for ((id, ts, w, _) <- sorted) {
-              s = s.copy(lastTsMs = math.max(s.lastTsMs, ts.getTime))
-              if (w > maxTokens) {
-                out += PackedOut(id, shard, s.nextBin, w, w, oversize = true)
-                s = s.copy(nextBin = s.nextBin + 1)
-              } else {
-                // bins list is newest-first; fit scan walks creation
-                // order (oldest first)
-                val inOrder = s.bins.reverse
-                inOrder.find(b => b.fill + w <= maxTokens &&
-                    b.docs.length < maxDocsPerBin) match {
-                  case Some(b) =>
-                    val nb = OpenBin(b.bin, b.fill + w, (id, w) :: b.docs)
-                    if (nb.fill == maxTokens ||
-                        nb.docs.length == maxDocsPerBin) {
-                      out ++= emitBin(nb)
-                      s = s.copy(bins = s.bins.filterNot(_.bin == b.bin))
-                    } else
-                      s = s.copy(bins =
-                        s.bins.map(x => if (x.bin == b.bin) nb else x))
-                  case None =>
-                    if (s.bins.length == maxOpenBins) {
-                      val oldest = s.bins.last
-                      out ++= emitBin(oldest)
-                      s = s.copy(bins = s.bins.init)
-                    }
-                    s = s.copy(nextBin = s.nextBin + 1,
-                      bins = OpenBin(s.nextBin, w, List((id, w))) :: s.bins)
-                }
-              }
+              val (ns, emitted) = packStep(s, shard, id, ts.getTime, w,
+                maxTokens, maxOpenBins, maxDocsPerBin)
+              s = ns
+              out ++= emitted
             }
             if (s.bins.isEmpty) state.remove()
             else {
@@ -964,6 +945,49 @@ object EventStreams {
             out.iterator
           }
       }.toDF()
+  }
+
+  private def emitPackedBin(shard: Int, b: OpenBin): Iterator[PackedOut] =
+    b.docs.reverseIterator.map { case (id, w) =>
+      PackedOut(id, shard, b.bin, w, b.fill, oversize = false) }
+
+  /** ONE per-doc step of the online first-fit policy — single-sited
+    * so the stream closure above and the measurement harness
+    * ([[graft.tools.ScaleProbe]]'s `packing` mode, which folds the
+    * SAME function over a batch corpus to price the online-vs-FFD
+    * utilization trade) cannot drift. Pure: (state, doc) →
+    * (state', emitted rows). */
+  private[graft] def packStep(s0: PackState, shard: Int, id: Long,
+      tsMs: Long, w: Int, maxTokens: Int, maxOpenBins: Int,
+      maxDocsPerBin: Int): (PackState, Seq[PackedOut]) = {
+    var s = s0.copy(lastTsMs = math.max(s0.lastTsMs, tsMs))
+    val out = scala.collection.mutable.ArrayBuffer.empty[PackedOut]
+    if (w > maxTokens) {
+      out += PackedOut(id, shard, s.nextBin, w, w, oversize = true)
+      s = s.copy(nextBin = s.nextBin + 1)
+    } else {
+      // bins list is newest-first; fit scan walks creation order
+      // (oldest first)
+      val inOrder = s.bins.reverse
+      inOrder.find(b => b.fill + w <= maxTokens &&
+          b.docs.length < maxDocsPerBin) match {
+        case Some(b) =>
+          val nb = OpenBin(b.bin, b.fill + w, (id, w) :: b.docs)
+          if (nb.fill == maxTokens || nb.docs.length == maxDocsPerBin) {
+            out ++= emitPackedBin(shard, nb)
+            s = s.copy(bins = s.bins.filterNot(_.bin == b.bin))
+          } else
+            s = s.copy(bins = s.bins.map(x => if (x.bin == b.bin) nb else x))
+        case None =>
+          if (s.bins.length == maxOpenBins) {
+            out ++= emitPackedBin(shard, s.bins.last)
+            s = s.copy(bins = s.bins.init)
+          }
+          s = s.copy(nextBin = s.nextBin + 1,
+            bins = OpenBin(s.nextBin, w, List((id, w))) :: s.bins)
+      }
+    }
+    (s, out.toSeq)
   }
 
   /** Drive a streaming DataFrame synchronously into a memory table

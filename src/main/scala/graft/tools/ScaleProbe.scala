@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions.{col, expr}
   *
   * Run: sbt "runMain graft.tools.ScaleProbe <sfDir> <mode> [runs] [rows]"
   * where <mode> is a literal nlist, or one of: auto, auto2, autod,
-  * ivf, ivf2, ivfauto, video, videowide, recall, admit, ceiling
-  * (each documented at its branch below; [rows] applies to ceiling).
+  * ivf, ivf2, ivfauto, video, videowide, recall, admit, ceiling,
+  * packing (each documented at its branch below; [rows] applies to
+  * ceiling).
   *
   * `auto` sizes the quantizer with [[graft.operators.KMeansPortable
   * .nlistFor]] — the round-10 default-contract check: the auto
@@ -124,6 +125,58 @@ object ScaleProbe {
           f"(${rows / bothS / 1e6}%.2fM rows/s)")
       }
       graft.CacheScope.releaseAll(blocking = true)
+      spark.stop()
+      return
+    }
+    // packing = the streaming twin's utilization trade, measured
+    //         (round 12 — packedStream documents "online first-fit
+    //         ≤ 1.7·OPT vs FFD's 11/9·OPT"; this prices it on REAL
+    //         weights at q47's knobs): batch FFD bins
+    //         (packSequencesPortable, 512 tokens, 16 shards) vs the
+    //         stream's ONLINE policy — EventStreams.packStep, the
+    //         single-sited per-doc step, folded per shard over the
+    //         same docs in id (arrival) order — at several
+    //         maxOpenBins, against the ideal lower bound
+    //         Σ⌈fill/cap⌉ + oversize
+    if (args(1) == "packing") {
+      import graft.streaming.EventStreams
+      val docs = graft.Tables(spark, dir).documents
+      val maxTokens = 512; val numShards = 16
+      val rows = docs.select(col("doc_id").cast("long").as("id"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("int").as("w"),
+          graft.operators.Packing.portableShard(col("doc_id"), numShards)
+            .cast("int").as("shard"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      val ffdBins = graft.operators.Packing.packSequencesPortable(
+          docs, "doc_id", graft.functions.TextFunctions
+            .tokenCount(col("text")), maxTokens, numShards)
+        .toDF().select(col("shard"), col("bin")).distinct().count()
+      val byShard = rows.groupBy(_._3)
+      val ideal = byShard.values.map { ds =>
+        val (over, normal) = ds.partition(_._2 > maxTokens)
+        over.size + math.ceil(normal.map(_._2.toLong).sum
+          .toDouble / maxTokens).toLong
+      }.sum
+      println(s"[packing] n=${rows.length} shards=$numShards " +
+        s"cap=$maxTokens ideal_bins=$ideal ffd_bins=$ffdBins " +
+        f"(ffd/ideal ${ffdBins.toDouble / ideal}%.4f)")
+      Seq(1, 4, 8, 32).foreach { mob =>
+        val online = byShard.map { case (shard, ds) =>
+          // id order IS the synthetic feed's arrival order — the
+          // online policy sees docs as a stream would
+          val sorted = ds.sortBy(_._1)
+          var s = EventStreams.PackState(0, 0L, Nil)
+          sorted.foreach { case (id, w, _) =>
+            s = EventStreams.packStep(s, shard, id, 0L, w, maxTokens,
+              mob, 1024)._1
+          }
+          s.nextBin.toLong // bins OPENED = closed + still-open
+        }.sum
+        println(f"[packing] online maxOpenBins=$mob%-3d bins=$online " +
+          f"(online/ffd ${online.toDouble / ffdBins}%.4f, " +
+          f"online/ideal ${online.toDouble / ideal}%.4f)")
+      }
       spark.stop()
       return
     }
