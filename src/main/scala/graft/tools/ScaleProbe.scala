@@ -96,7 +96,7 @@ object ScaleProbe {
       val rows = if (args.length > 3) args(3).toLong else 1000000L
       val nlist = KMeansPortable.MaxAutoNlistTwoLevel
       val dim = 64
-      val s = math.ceil(math.sqrt(nlist.toDouble)).toInt
+      val s = KMeansPortable.defaultSupers(nlist)
       val per = nlist / s
       val t0 = System.nanoTime()
       val rnd = new scala.util.Random(7)
@@ -266,7 +266,7 @@ object ScaleProbe {
       // the operating rule p >= nprobe*S/nlist as a measured row: at
       // a held swept fraction the pool must widen with nprobe, and
       // autoProbeSupers is that arithmetic as code
-      val sCount = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+      val sCount = graft.operators.KMeansPortable.defaultSupers(nlist)
       val pAuto = graft.operators.KMeansPortable.autoProbeSupers(
         npScaled, nlist, sCount)
       if (pAuto > 2)
