@@ -94,6 +94,22 @@ object Lsh {
     * cached by the caller. Returns (a_id, b_id, hamming ≤
     * `maxHamming`), a_id < b_id.
     */
+  /** Per-row width guard for wide band-word arrays — a sig whose
+    * array length does not match the family's `bands` must FAIL
+    * LOUDLY, not degrade: a mismatched width (a 60-bit relation
+    * reaching a Sig120 entry, a truncated array) makes the per-word
+    * `zip_with` hamming NULL, which silently turns verify filters
+    * into row drops and stream-side anti-join conditions into
+    * admit-everything. Zero happy-path cost (the `admitIncremental`
+    * non-negative-id precedent). */
+  private[graft] def sigWidthChecked(sig: Column, bands: Int,
+      site: String): Column =
+    when(size(sig) === bands, sig).otherwise(raise_error(concat(
+      lit(s"$site: sig must carry exactly $bands band words "),
+      lit("(SigSpec width mismatch — a different-width signature "),
+      lit("relation reached this wide entry); got length "),
+      size(sig).cast("string"))).cast("array<bigint>"))
+
   private[graft] def hammingWidePairs(base: DataFrame, bands: Int,
       bandBits: Int, maxHamming: Int, maxBucketSize: Int,
       maxExpectedOccupancy: Long): DataFrame = {
@@ -104,14 +120,16 @@ object Lsh {
         s"${bands - 1} (got $maxHamming)")
     requireBoundedBuckets("hammingWidePairs", base.count(),
       maxExpectedOccupancy, bandBits)
-    val banded = base.select(col("id"),
+    val checked = base.select(col("id"),
+      sigWidthChecked(col("sig"), bands, "hammingWidePairs").as("sig"))
+    val banded = checked.select(col("id"),
       posexplode(col("sig")).as(Seq("band", "bv")))
     def ham(a: Column, b: Column): Column = aggregate(
       zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
       lit(0), (acc, x) => acc + x)
     bandedCandidatePairs(banded, Seq("band", "bv"), maxBucketSize)
-      .join(base.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
-      .join(base.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
+      .join(checked.select(col("id").as("a_id"), col("sig").as("a_sig")), "a_id")
+      .join(checked.select(col("id").as("b_id"), col("sig").as("b_sig")), "b_id")
       .withColumn("hamming", ham(col("a_sig"), col("b_sig")))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"),

@@ -476,20 +476,11 @@ object MediaDedup {
       maxExpectedOccupancy: Long = 64,
       ccCollectThreshold: Long =
         ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
-    require(sigSets.nonEmpty, "need at least one modality signature set")
-    // each modality relation is tracked ONCE and feeds both the
-    // pairing and the universe: the raw relation's lineage is the
-    // full signature derivation (pixels/envelopes), and reading it
-    // twice through two different projections would derive it twice
-    // (round-10 review)
-    val sets = sigSets.map(graft.CacheScope.track)
-    val edges = sets.map(s =>
-        hammingPairs(s, maxHamming = maxHamming,
-          maxBucketSize = maxBucketSize,
-          maxExpectedOccupancy = maxExpectedOccupancy)
-          .select(col("a_id"), col("b_id")))
-      .reduce(_.unionByName(_))
-    dupGroupsTail(sets, edges, ccCollectThreshold)
+    crossModalBody(sigSets,
+      s => hammingPairs(s, maxHamming = maxHamming,
+        maxBucketSize = maxBucketSize,
+        maxExpectedOccupancy = maxExpectedOccupancy),
+      ccCollectThreshold)
   }
 
   /** [[crossModalDupGroups]] at a WIDE [[SigSpec]] width — the
@@ -508,14 +499,28 @@ object MediaDedup {
       maxBucketSize: Int = 10000,
       maxExpectedOccupancy: Long = 64,
       ccCollectThreshold: Long =
-        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
+        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame =
+    crossModalBody(sigSets,
+      s => hammingPairsWide(s, spec, maxHamming = maxHamming,
+        maxBucketSize = maxBucketSize,
+        maxExpectedOccupancy = maxExpectedOccupancy),
+      ccCollectThreshold)
+
+  /** The shared FRONT half of both cross-modal pipelines — only the
+    * per-modality pairing kernel comes in as a function, so the
+    * track-once discipline and the edge union cannot drift across
+    * widths any more than the tail can (round-12 review: the first
+    * wide cut duplicated this block). Each modality relation is
+    * tracked ONCE and feeds both the pairing and the universe: the
+    * raw relation's lineage is the full signature derivation
+    * (pixels/envelopes), and reading it twice through two different
+    * projections would derive it twice (round-10 review). */
+  private def crossModalBody(sigSets: Seq[DataFrame],
+      pair: DataFrame => DataFrame,
+      ccCollectThreshold: Long): DataFrame = {
     require(sigSets.nonEmpty, "need at least one modality signature set")
     val sets = sigSets.map(graft.CacheScope.track)
-    val edges = sets.map(s =>
-        hammingPairsWide(s, spec, maxHamming = maxHamming,
-          maxBucketSize = maxBucketSize,
-          maxExpectedOccupancy = maxExpectedOccupancy)
-          .select(col("a_id"), col("b_id")))
+    val edges = sets.map(s => pair(s).select(col("a_id"), col("b_id")))
       .reduce(_.unionByName(_))
     dupGroupsTail(sets, edges, ccCollectThreshold)
   }
@@ -641,10 +646,12 @@ object MediaDedup {
         s"${spec.sigBits} bits at hamming <= ${spec.bands - 1} (got $ham)")
     val fresh = graft.CacheScope.track(newSigs.select(
       col(idCol).cast("string").as("id"),
-      col(sigCol).cast("array<bigint>").as("sig")))
+      Lsh.sigWidthChecked(col(sigCol).cast("array<bigint>"), spec.bands,
+        "admitIncrementalWide(new)").as("sig")))
     val corp = graft.CacheScope.track(corpusSigs.select(
       col(idCol).cast("string").as("id"),
-      col(sigCol).cast("array<bigint>").as("sig")))
+      Lsh.sigWidthChecked(col(sigCol).cast("array<bigint>"), spec.bands,
+        "admitIncrementalWide(corpus)").as("sig")))
     Lsh.requireBoundedBuckets("MediaDedup.admitIncrementalWide",
       fresh.count() + corp.count(), maxExpectedOccupancy, spec.bandBits)
     def banded(df: DataFrame): DataFrame = df.select(col("id"),

@@ -683,13 +683,22 @@ object EventStreams {
     def hamSum(a: Column, b: Column): Column = aggregate(
       zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
       lit(0), (acc, x) => acc + x)
+    // width-guarded on BOTH sides (graft.operators.Lsh
+    // .sigWidthChecked): a mismatched array makes the per-word
+    // hamming NULL, which would silently turn the LEFT ANTI
+    // condition into admit-everything — the exact failure a
+    // streaming admission path must never have quietly
     val fresh = sigs
       .select(col(idCol).as("id"), col(tsCol).as("ts"),
-        col(sigCol).cast("array<bigint>").as("sig"))
+        graft.operators.Lsh.sigWidthChecked(
+          col(sigCol).cast("array<bigint>"), spec.bands,
+          "mediaAdmittedStreamWide(stream)").as("sig"))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("sig")
     bandAntiChain(fresh,
-      corpusSigs.select(col(sigCol).cast("array<bigint>").as(sigCol)),
+      corpusSigs.select(graft.operators.Lsh.sigWidthChecked(
+        col(sigCol).cast("array<bigint>"), spec.bands,
+        "mediaAdmittedStreamWide(corpus)").as(sigCol)),
       sigCol, spec.bands, (c, b) => element_at(c, b + 1), hamSum, ham)
   }
 
@@ -924,7 +933,12 @@ object EventStreams {
             state: GroupState[PackState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
+            // KEEP nextBin through the flush (state shrinks to three
+            // scalars, bounded by numShards keys total): removing it
+            // would restart bin numbering at 0 and collide the
+            // (shard, bin) training-sequence key across flushes. No
+            // new timeout: nothing is open.
+            state.update(PackState(s.nextBin, s.lastTsMs, Nil))
             s.bins.reverseIterator.flatMap(emitPackedBin(shard, _))
           } else {
             val sorted = it.toSeq.sortBy(d => (d._2.getTime, d._1))
@@ -936,12 +950,13 @@ object EventStreams {
               s = ns
               out ++= emitted
             }
-            if (s.bins.isEmpty) state.remove()
-            else {
-              state.update(s)
+            // always update (never remove — nextBin must survive an
+            // all-bins-closed batch for the same key-collision
+            // reason); arm the flush timer only while bins are open
+            state.update(s)
+            if (s.bins.nonEmpty)
               state.setTimeoutTimestamp(math.max(s.lastTsMs + flushAfterMs,
                 state.getCurrentWatermarkMs() + 1))
-            }
             out.iterator
           }
       }.toDF()
@@ -979,12 +994,22 @@ object EventStreams {
           } else
             s = s.copy(bins = s.bins.map(x => if (x.bin == b.bin) nb else x))
         case None =>
-          if (s.bins.length == maxOpenBins) {
-            out ++= emitPackedBin(shard, s.bins.last)
-            s = s.copy(bins = s.bins.init)
+          val nb = OpenBin(s.nextBin, w, List((id, w)))
+          s = s.copy(nextBin = s.nextBin + 1)
+          // a NEW bin that is already exactly full (w == maxTokens —
+          // common when docs are truncated to max length) or at the
+          // doc cap closes and emits at once, same as the join path:
+          // leaving it open would withhold the doc until the flush
+          // AND burn an open-bin slot on a bin nothing can join
+          if (nb.fill == maxTokens || nb.docs.length == maxDocsPerBin)
+            out ++= emitPackedBin(shard, nb)
+          else {
+            if (s.bins.length == maxOpenBins) {
+              out ++= emitPackedBin(shard, s.bins.last)
+              s = s.copy(bins = s.bins.init)
+            }
+            s = s.copy(bins = nb :: s.bins)
           }
-          s = s.copy(nextBin = s.nextBin + 1,
-            bins = OpenBin(s.nextBin, w, List((id, w))) :: s.bins)
       }
     }
     (s, out.toSeq)

@@ -473,6 +473,18 @@ class MediaDedupSpec extends SparkSpec {
       MediaDedup.hammingPairsWide(sigs, MediaDedup.Sig120, maxHamming = 6)
     }
     assert(e.getMessage.contains("pigeonhole"))
+    // width mismatch FAILS LOUDLY (round-12 review): a 4-word
+    // (Sig60-shaped) relation reaching a Sig120 entry would
+    // otherwise make the per-word hamming NULL — verify filters
+    // silently drop pairs, stream anti-joins admit everything
+    val narrow = spark.range(10).select(
+      concat(lit("n"), $"id").as("media_id"),
+      array($"id", $"id" + 1, $"id" + 2, $"id" + 3).as("sig"))
+    val we = intercept[Exception] {
+      MediaDedup.hammingPairsWide(narrow, MediaDedup.Sig120,
+        maxExpectedOccupancy = 64).count()
+    }
+    assert(we.getMessage.contains("band words"), we.getMessage)
   }
 
   test("audioEnvelopeSigWide: Sig60 word-splits audioEnvelopeSig exactly; Sig120 words match brute-force gradients; skip contract holds") {

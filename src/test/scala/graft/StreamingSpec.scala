@@ -707,6 +707,34 @@ class StreamingSpec extends SparkSpec {
       1, "pack_evict_out")
     assert(ev.keySet === Set(11L))
     assert(ev(11L) === ((0, 60, 60, false)))
+    // exactly-full NEW bins (w == maxTokens — truncated-to-max docs)
+    // close and emit AT ONCE instead of being withheld and burning
+    // an open-bin slot — and bin numbering SURVIVES an
+    // all-bins-closed MICRO-BATCH: the two max-weight docs arrive in
+    // separate batches, so batch 1 ends with zero open bins and a
+    // state reset there would re-issue bin 0 and collide the
+    // (shard, bin) training-sequence key (round-12 review, both
+    // findings)
+    val fdir = java.nio.file.Files.createTempDirectory("graft-packfull")
+      .toString
+    docRows(Seq((21L, 0, 100))).coalesce(1)
+      .write.mode("append").parquet(s"$fdir/all")
+    Thread.sleep(1100)
+    docRows(Seq((22L, 1, 100))).coalesce(1)
+      .write.mode("append").parquet(s"$fdir/all")
+    val fstream = spark.readStream
+      .schema(docRows(Seq((21L, 0, 100))).schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$fdir/all")
+    EventStreams.runToMemory(
+      EventStreams.packedStream(fstream, "doc_id", "weight",
+        maxTokens = 100, numShards = 1, maxOpenBins = 8),
+      "pack_full_out", org.apache.spark.sql.streaming.OutputMode.Append())
+    val fl = spark.table("pack_full_out").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))).toMap
+    assert(fl.keySet === Set(21L, 22L))
+    assert(fl(21L) === ((0, 100, 100, false)))
+    assert(fl(22L) === ((1, 100, 100, false)))
   }
 
   test("streaming packing: idle shards flush their open bins once the watermark passes (the ever-open-tail bound)") {
@@ -715,17 +743,25 @@ class StreamingSpec extends SparkSpec {
     def doc(id: Long, ts: String, w: Int) =
       Seq((id, ts, w)).toDF("doc_id", "ts_s", "weight")
         .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
-    // id 1 → shard 0, id 2 → shard 1 (md5-prefix % 2). Batch 2's
-    // shard-1 doc advances the watermark two hours; shard 0 (no new
-    // data) passes its 1-minute flush bound and emits its open bin.
+    // ids 1, 3 → shard 0; id 2 → shard 1 (md5-prefix % 2). The data
+    // batches run back-to-back (all files already available), so the
+    // one no-data batch runs at the END with watermark 13:50:
+    // shard 1 (last arrival 12:00, deadline 12:01) flushes its open
+    // bin; shard 0's OLD bin is withheld — its deadline tracks the
+    // shard's NEWEST arrival (14:00 → 14:01 > 13:50), the documented
+    // per-shard flush semantics. Batch 3's max-weight shard-0 doc
+    // must land in bin 1 — numbering never resets while bin 0 is
+    // pending (round-12 review).
     val b1 = doc(1L, "2026-01-01 10:00:00", 30)
     val b2 = doc(2L, "2026-01-01 12:00:00", 30)
-    // two sequential appends → two files in arrival order (the file
-    // source processes oldest-modified first), so the early shard-0
-    // doc is batch 1 and the watermark-advancing shard-1 doc batch 2
+    val b3 = doc(3L, "2026-01-01 14:00:00", 100)
+    // sequential appends → files in arrival order (the file source
+    // processes oldest-modified first)
     b1.coalesce(1).write.mode("append").parquet(s"$dir/all")
     Thread.sleep(1100)
     b2.coalesce(1).write.mode("append").parquet(s"$dir/all")
+    Thread.sleep(1100)
+    b3.coalesce(1).write.mode("append").parquet(s"$dir/all")
     val stream = spark.readStream.schema(b1.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/all")
     EventStreams.runToMemory(
@@ -733,11 +769,14 @@ class StreamingSpec extends SparkSpec {
         maxTokens = 100, numShards = 2, flushAfterMs = 60000L),
       "packfl_out", org.apache.spark.sql.streaming.OutputMode.Append())
     val got = spark.table("packfl_out").collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(3), r.getInt(4)))).toMap
-    // shard 0's bin flushed; shard 1's (fresh within its bound) is
-    // still open and withheld
-    assert(got.keySet === Set(1L), s"got $got")
-    assert(got(1L) === ((0, 30, 30)))
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))).toMap
+    // shard 1's idle bin flushed; shard 0's old bin withheld (its
+    // shard saw newer data); the full doc emits as bin 1, never a
+    // colliding bin 0
+    assert(got.keySet === Set(2L, 3L), s"got $got")
+    assert(got(2L) === ((1, 0, 30, 30)))
+    assert(got(3L) === ((0, 1, 100, 100)))
   }
 
   test("streaming text admission: exact + same-bucket jaccard corpus checks, in-stream near/exact state — equals the batch admitIncremental set") {
