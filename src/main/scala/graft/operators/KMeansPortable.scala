@@ -706,6 +706,13 @@ object KMeansPortable {
       nlist: Int, iters: Int, supers: Int = 0,
       probeSupers: Int = 1): String = {
     val s = if (supers > 0) supers else defaultSupers(nlist)
+    // the ONE probeSupers contract (round-12 review): without this,
+    // p > S silently capped (psup's rn ranking runs out of supers)
+    // and p ≤ 0 silently degenerated to the p = 1 relation, while
+    // the Spark twins throw — a gate pairing oracle and operator at
+    // an out-of-range p would crash on one side only
+    require(probeSupers >= 1 && probeSupers <= s,
+      s"probeSupers must be 1..$s; got $probeSupers")
     val sb = new StringBuilder
     sb ++= lloydCtes(table, idCol, vecCol, s, iters)
     sb ++= assignmentCtes("r", s"cd$iters")
@@ -778,7 +785,12 @@ object KMeansPortable {
     // exist ONLY for a row's top-p supers' children, so the caller's
     // rn <= nprobe over (dotp, cnkf) IS the union probe,
     // structurally. p = 1 callers keep reading dotkf (byte-identical
-    // oracle text).
+    // oracle text). KNOWN COST (round-12 review): psup/dotp cover
+    // EVERY id although the consumer filters to anchors — restricting
+    // them needs the anchor-id relation threaded in ahead of these
+    // fragments (tailSql defines it later in the statement). Oracle
+    // machinery runs at gate scale where the factor is small; the
+    // Spark operators probe anchors only.
     if (probeSupers > 1) sb ++=
       s"""psup AS MATERIALIZED (
          |  SELECT id, j AS super FROM (

@@ -611,15 +611,16 @@ object MediaDedup {
       col(idCol).cast("string").as("id"), col(sigCol).cast("long").as("sig")))
     val corp = graft.CacheScope.track(corpusSigs.select(
       col(idCol).cast("string").as("id"), col(sigCol).cast("long").as("sig")))
+    val freshN = fresh.count()
     Lsh.requireBoundedBuckets("MediaDedup.admitIncremental",
-      fresh.count() + corp.count(), maxExpectedOccupancy)
+      freshN + corp.count(), maxExpectedOccupancy)
     def banded(df: DataFrame): DataFrame = df.select(col("id"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 15).bitwiseAND(32767)): _*))
         .as(Seq("band", "bv")))
     admitTail(newSigs, idCol, fresh, corp, banded,
       (a, b) => bit_count(a.bitwiseXOR(b)), maxHamming,
-      maxBucketSize, ccCollectThreshold)
+      maxBucketSize, ccCollectThreshold, freshN)
   }
 
   /** [[admitIncremental]] at a WIDE [[SigSpec]] width (round 12 —
@@ -652,15 +653,16 @@ object MediaDedup {
       col(idCol).cast("string").as("id"),
       Lsh.sigWidthChecked(col(sigCol).cast("array<bigint>"), spec.bands,
         "admitIncrementalWide(corpus)").as("sig")))
+    val freshN = fresh.count()
     Lsh.requireBoundedBuckets("MediaDedup.admitIncrementalWide",
-      fresh.count() + corp.count(), maxExpectedOccupancy, spec.bandBits)
+      freshN + corp.count(), maxExpectedOccupancy, spec.bandBits)
     def banded(df: DataFrame): DataFrame = df.select(col("id"),
       posexplode(col("sig")).as(Seq("band", "bv")))
     def hamSum(a: Column, b: Column): Column = aggregate(
       zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
       lit(0), (acc, x) => acc + x)
     admitTail(newSigs, idCol, fresh, corp, banded, hamSum, ham,
-      maxBucketSize, ccCollectThreshold)
+      maxBucketSize, ccCollectThreshold, freshN)
   }
 
   /** The shared admission machinery after signature shaping — the
@@ -673,7 +675,7 @@ object MediaDedup {
       fresh: DataFrame, corp: DataFrame,
       banded: DataFrame => DataFrame, ham: (Column, Column) => Column,
       maxHamming: Int, maxBucketSize: Int,
-      ccCollectThreshold: Long): DataFrame = {
+      ccCollectThreshold: Long, freshN: Long): DataFrame = {
     val fb = banded(fresh)
     val cb = banded(corp)
     // union-population cull as per-side count sum (the Dedup
@@ -727,13 +729,26 @@ object MediaDedup {
         .join(mins.hint("shuffle_hash"), Seq("component"))
         .filter(col("id") === col("__gmin")).select(col("id")))
       .withColumnRenamed("id", "__admitted_id")
-    // admitted ⊆ the nightly batch — small by the operator's
-    // contract, so the semi-join back is an EXPLICIT broadcast (the
-    // static planner's size estimate for the wide array-sig lineage
-    // otherwise tips this into a sort-merge join at plan time)
-    newSigs.join(broadcast(admitted),
+    // admitted ⊆ the nightly batch, so the BATCH count (already
+    // materialized by the occupancy guard) bounds the broadcast —
+    // which must be explicit when small (the static planner's size
+    // estimate for the wide array-sig lineage otherwise tips this
+    // into a sort-merge join at plan time) but must NOT be forced
+    // on a multi-million-row batch: an unconditional hint collects
+    // the admitted ids to the driver regardless of size (round-12
+    // review — 'small by contract' was asserted, not enforced).
+    // Past the cap the planner decides; correctness is unchanged.
+    val semiSide =
+      if (freshN <= AdmitBroadcastMaxIds) broadcast(admitted) else admitted
+    newSigs.join(semiSide,
       col(idCol).cast("string") === col("__admitted_id"), "left_semi")
   }
+
+  /** Bound for the admitted-id semi-join broadcast in `admitTail`:
+    * ~1M string ids ≈ tens of MB shipped — comfortably inside a
+    * driver/executor broadcast budget; larger nightly batches fall
+    * back to a planner-chosen join. */
+  private[graft] val AdmitBroadcastMaxIds: Long = 1L << 20
 
   // ---------------------------------------------------------------
   // Deterministic synthetic frame corpus — the q83 gate's input and
@@ -846,14 +861,14 @@ object MediaDedup {
     }
   }
 
-  /** 64×32: [[Sig120]]'s 16×8 grid in exact 4×4 tiles, 2048 px =
+  /** 64×32: [[Sig120]]'s 8×16 (rows × cols) grid in exact 4×4 tiles, 2048 px =
     * 128 digests — the wide gate's frame dimensions. */
   val WideFrameW = 64
   val WideFrameH = 32
 
   /** [[syntheticFrameCorpus]] at the WIDE frame size — same media
     * universe (parents + md5-gated "~v" variants, same `:px:`/`:pt:`
-    * seed scheme), 64×32 frames for [[Sig120]]'s 16×8 grid — the
+    * seed scheme), 64×32 frames for [[Sig120]]'s 8×16 (rows × cols) grid — the
     * q99 wide-admission gate's input. */
   def syntheticFrameCorpusWide(ids: Dataset[String]): Dataset[DecodedFrame] = {
     val spark = ids.sparkSession

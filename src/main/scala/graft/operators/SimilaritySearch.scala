@@ -1120,7 +1120,12 @@ object SimilaritySearch {
     * anchors only, never the corpus. */
   private def routeSupersTopP(v: Array[Double], c: TwoLevelCoarse,
       p: Int): Array[Int] = {
-    require(p >= 1, s"probeSupers must be >= 1; got $p")
+    // the ONE probeSupers contract (round-12 review): 1 ≤ p ≤ S at
+    // every tier — the portable probeChildrenMulti and the oracle
+    // generators enforce the same range, so no tier silently caps
+    // or degenerates where a sibling throws
+    require(p >= 1 && p <= c.supers.length,
+      s"probeSupers must be 1..${c.supers.length}; got $p")
     if (p == 1) return Array(routeSuper(v, c))
     c.populated.map { i =>
       val cc = c.supers(i)

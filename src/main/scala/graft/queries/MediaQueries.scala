@@ -446,7 +446,7 @@ object MediaQueries {
   /** q96: video containment at the WIDE signature width (round 12 —
     * the q89 fix demonstrated end-to-end): the SAME media universe
     * as q89 (6 parent frames per doc, ~19% 4-frame trimmed+perturbed
-    * clips) at [[MediaDedup.Sig120]]'s 64×32 frames → 16×8 grid →
+    * clips) at [[MediaDedup.Sig120]]'s 64×32 frames → 8×16 (rows × cols) grid →
     * 120 gradient bits as 6 × 20-bit band words → wide pigeonhole
     * pairing at hamming ≤ 5 (the spec's guarantee) → the shared
     * containment tail. The oracle re-derives every pixel, tile,
@@ -551,7 +551,7 @@ object MediaQueries {
     * outage measured): the q94 statement over
     * [[MediaDedup.syntheticFrameCorpusWide]] (64×32 frames, same
     * `:px:`/`:pt:` seed universe) → [[MediaDedup.imageDHashWide]]
-    * ([[MediaDedup.Sig120]]: 16×8 grid, 120 gradient bits, 6 ×
+    * ([[MediaDedup.Sig120]]: 8×16 (rows × cols) grid, 120 gradient bits, 6 ×
     * 20-bit band words) → [[MediaDedup.admitIncrementalWide]] —
     * banding is one posexplode of the word array, the verify a
     * per-word popcount sum at the pigeonhole bound (hamming ≤ 5),
@@ -576,7 +576,7 @@ object MediaQueries {
 
   /** Wide-width SINGLE-FRAME image sig fragment — the q99/q101
     * shared front: media universe (parents + "~v" variants) →
-    * md5-derived 64×32 pixels → 16×8 tile means →
+    * md5-derived 64×32 pixels → 8×16 (rows × cols) tile means →
     * [[MediaDedup.Sig120]]'s 120 gradient bits as 6 × 20-bit band
     * words. Emits `<p>media`, `<p>px`, `<p>tiles`, `<p>sigs`
     * (media_id, sig LIST), trailing comma. */

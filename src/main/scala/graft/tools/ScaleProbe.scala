@@ -250,7 +250,11 @@ object ScaleProbe {
         nlist = nlist, nprobe = 2))
       row("ivf_flat_np4", SimilaritySearch.ivfCosineTopK(emb, pred, k,
         nlist = nlist, nprobe = 4))
-      Seq(1, 2, 4).foreach { p =>
+      // p clamped to S explicitly: the tiers now REFUSE p > S (the
+      // one probeSupers contract, round-12 review) instead of
+      // silently capping, so the probe says what it actually ran
+      val sAll = graft.operators.KMeansPortable.defaultSupers(nlist)
+      Seq(1, 2, 4).map(math.min(_, sAll)).distinct.foreach { p =>
         row(s"ivf2_np4_p$p", SimilaritySearch.ivfCosineTopKTwoLevel(
           emb, pred, k, nlist = nlist, nprobe = 4, probeSupers = p))
       }

@@ -757,15 +757,6 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
-    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   test("residual IVF+PQ (IVFADC): sharper codes at equal bits on clustered data") {
     import graft.operators.SimilaritySearch
     // 4 tight clusters at distant centers: a GLOBAL codebook of 4
