@@ -457,13 +457,15 @@ object IvfPqPortable {
       s"ccd$coarseIters", "askf")
     sb ++=
       s"""aset AS (SELECT id FROM v WHERE $anchorPredSql),
+         |exadims AS MATERIALIZED (
+         |  SELECT id, d, x FROM dims
+         |  WHERE id IN (SELECT id FROM aset)),
          |exdote AS (
          |  SELECT da.id AS anchor_id, db.id AS neighbor_id,
          |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
          |      AS DOUBLE) AS dot
-         |  FROM dims da
+         |  FROM exadims da
          |  JOIN dims db ON db.d = da.d AND db.id <> da.id
-         |  WHERE da.id IN (SELECT id FROM aset)
          |  GROUP BY 1, 2),
          |exscored AS (
          |  SELECT d.anchor_id, d.neighbor_id,
