@@ -101,6 +101,52 @@ object MediaDedup {
     * sits at occupancy 3). */
   val Sig120: SigSpec = SigSpec(8, 16, 20)
 
+  /** The next width past [[Sig120]]'s documented ~67M-frame ceiling
+    * (round 13 — VERDICT r12 item 2 named the cliff): 16×16 grid →
+    * 240 gradient bits, 10 × 24-bit bands — recall guaranteed to
+    * hamming 9 (1-per-24-bits, the family's held relative threshold)
+    * and a 2²⁴ band space good to ~10⁹ signatures at the default
+    * occupancy bound. Needs frames ≥ 16 px in each dimension (the
+    * integer tile rule). */
+  val Sig240: SigSpec = SigSpec(16, 16, 24)
+
+  /** The WIDTH LADDER the auto-width door climbs — narrowest first,
+    * each rung covering ~32–16× the previous one's corpus at the
+    * same occupancy bound. A corpus past [[Sig240]]'s reach needs a
+    * caller-built [[SigSpec]] (the knobs are free) and an explicit
+    * occupancy bound — [[sigSpecFor]] refuses it loudly rather than
+    * hand back a saturating width. */
+  val SigLadder: Seq[SigSpec] = Seq(Sig60, Sig120, Sig240)
+
+  /** AUTO-WIDTH sizing for the signature family (round 13 — the
+    * [[KMeansPortable.autoNlist]] precedent at the media site): the
+    * NARROWEST ladder width whose per-band expected occupancy
+    * n/2^bandBits stays within `maxExpectedOccupancy` — the same
+    * arithmetic [[Lsh.requireBoundedBuckets]] enforces downstream,
+    * so a door-sized run can never trip its own guard. Narrowest
+    * wins because band width is the OCCUPANCY knob, not a quality
+    * knob: more bits buy bucket sparsity (candidate cost), while the
+    * family's relative recall threshold (~1 bit per 20–24) is held
+    * across the ladder by construction. Fails loudly past the
+    * ladder (n > bound·2²⁴ ≈ 10⁹ at the default): the caller must
+    * choose a wider custom spec AND the provisioned candidate cost
+    * explicitly. Pure arithmetic — boundary spec-pinned
+    * (MediaDedupSpec).
+    */
+  def sigSpecFor(n: Long, maxExpectedOccupancy: Long = 64): SigSpec = {
+    require(n >= 0, s"signature count must be non-negative; got $n")
+    require(maxExpectedOccupancy >= 1 &&
+      maxExpectedOccupancy <= (1L << 30),
+      s"maxExpectedOccupancy must be 1..2^30; got $maxExpectedOccupancy")
+    SigLadder.find(s => n <= (maxExpectedOccupancy << s.bandBits))
+      .getOrElse(throw new IllegalArgumentException(
+        s"sigSpecFor: $n signatures exceed the widest ladder width " +
+          s"(${SigLadder.last.sigBits}-bit, band space " +
+          s"2^${SigLadder.last.bandBits}) at occupancy bound " +
+          s"$maxExpectedOccupancy — build a wider SigSpec and pass " +
+          "the provisioned occupancy bound explicitly"))
+  }
+
   /** ITU-R BT.601 integer luma (the JPEG convention), exact: no
     * floats anywhere in the signature path. */
   def luma(r: Int, g: Int, b: Int): Int = (r * 299 + g * 587 + b * 114) / 1000
@@ -281,6 +327,30 @@ object MediaDedup {
       maxHamming = maxHamming, maxBucketSize = maxBucketSize,
       maxExpectedOccupancy = maxExpectedOccupancy)
 
+  /** AUTO-WIDTH image near-dup (round 13 — the door threaded through
+    * the end-to-end entry): size the signature width to the corpus
+    * ([[sigSpecFor]]) and run the wide kernel at it. One decode, one
+    * dHash pass, one pairing — the width choice costs a count (pass
+    * `n` when already known; image corpora sign frame 0 only, so n =
+    * media count). At gate corpora the door picks [[Sig60]], whose
+    * wide-kernel output ≡ the legacy [[imageNearDupPairs]] (the
+    * round-12 Sig60-parity, re-pinned at the door in MediaDedupSpec);
+    * past the 60-bit ceiling it picks [[Sig120]] ≡ the manual wide
+    * call — the topKAuto dispatch discipline at the media site.
+    * `maxHamming` follows the chosen spec's pigeonhole guarantee
+    * (the width-relative threshold the family holds). */
+  def imageNearDupPairsAuto(media: DataFrame, decoder: Decoder,
+      maxBucketSize: Int = 10000, maxExpectedOccupancy: Long = 64,
+      n: Long = -1L): DataFrame = {
+    val n0 = if (n >= 0) n else media.count()
+    val spec = sigSpecFor(n0, maxExpectedOccupancy)
+    hammingPairsWide(
+      imageDHashWide(Multimodal.decodeFrames(media, decoder), spec)
+        .filter(col("frameIdx") === 0), spec,
+      maxBucketSize = maxBucketSize,
+      maxExpectedOccupancy = maxExpectedOccupancy)
+  }
+
   /** Gain-invariant 60-bit envelope signature per audio media over
     * [[Multimodal.audioRms]] rows: bit k = rms(window k+1) >
     * rms(window k), k < 60. Media shorter than 2 windows yield no
@@ -351,6 +421,19 @@ object MediaDedup {
       spec, maxHamming = maxHamming, maxBucketSize = maxBucketSize,
       maxExpectedOccupancy = maxExpectedOccupancy)
 
+  /** AUTO-WIDTH audio near-dup — [[imageNearDupPairsAuto]]'s door at
+    * the audio modality (one envelope signature per media, so n =
+    * media count; pass it when already known). */
+  def audioNearDupPairsAuto(media: DataFrame,
+      samplesPerFrame: Int = 1024, maxBucketSize: Int = 10000,
+      maxExpectedOccupancy: Long = 64, n: Long = -1L): DataFrame = {
+    val n0 = if (n >= 0) n else media.count()
+    val spec = sigSpecFor(n0, maxExpectedOccupancy)
+    audioNearDupPairsWide(media, samplesPerFrame, spec,
+      maxBucketSize = maxBucketSize,
+      maxExpectedOccupancy = maxExpectedOccupancy)
+  }
+
   /** VIDEO-shaped near-dup: per-frame 60-bit signatures → banded
     * FRAME-level pairing (the shared pigeonhole kernel over
     * struct(media, frame) ids — struct ordering keeps every
@@ -404,6 +487,27 @@ object MediaDedup {
         if (maxHamming < 0) spec.maxGuaranteedHamming else maxHamming,
         maxBucketSize, maxExpectedOccupancy),
       minContainment)
+  }
+
+  /** AUTO-WIDTH video containment — the door at the FRAME level,
+    * where the width pressure actually lives (a video corpus signs
+    * every sampled frame, so n is the FRAME count — the 100× outage
+    * was 3.38M frames from 33.8k media). Takes decoded frames, not a
+    * signature relation: width is chosen BEFORE signing (a stored
+    * signature relation has its width fixed at ingest — admission
+    * against it must match, which is why [[admitIncrementalWide]]
+    * takes an explicit spec and no auto door). Counting `n` here
+    * forces one extra pass over the decode lineage — pass the frame
+    * count when known (any real pipeline knows it from ingest
+    * accounting). */
+  def videoContainmentPairsAuto(frames: Dataset[DecodedFrame],
+      minContainment: Double = 0.5, maxBucketSize: Int = 10000,
+      maxExpectedOccupancy: Long = 64, n: Long = -1L): DataFrame = {
+    val n0 = if (n >= 0) n else frames.count()
+    val spec = sigSpecFor(n0, maxExpectedOccupancy)
+    videoContainmentPairsWide(imageDHashWide(frames, spec), spec,
+      minContainment, maxBucketSize = maxBucketSize,
+      maxExpectedOccupancy = maxExpectedOccupancy)
   }
 
   /** The shared containment aggregation — single-sited so the 60-bit

@@ -577,4 +577,99 @@ class MediaDedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSeq === Seq(("wau_a", "wau_a2")))
     assert(pairs.head._3 <= 5)
   }
+
+  // --- round 13: the AUTO-WIDTH door (VERDICT r12 item 2) ------------
+
+  test("sigSpecFor: narrowest in-occupancy width, boundaries at bound·2^bandBits, loud past the ladder") {
+    import MediaDedup._
+    assert(sigSpecFor(0) === Sig60)
+    assert(sigSpecFor(64L << 15) === Sig60) // 2,097,152 — the ceiling
+    assert(sigSpecFor((64L << 15) + 1) === Sig120)
+    assert(sigSpecFor(64L << 20) === Sig120) // 67,108,864
+    assert(sigSpecFor((64L << 20) + 1) === Sig240)
+    assert(sigSpecFor(64L << 24) === Sig240) // ~1.07e9
+    val e = intercept[IllegalArgumentException] {
+      sigSpecFor((64L << 24) + 1)
+    }
+    assert(e.getMessage.contains("wider SigSpec"))
+    // the bound knob moves the boundary: a caller provisioning 2×
+    // the occupancy keeps the narrow width 2× longer — the SAME
+    // arithmetic requireBoundedBuckets polices downstream
+    assert(sigSpecFor((64L << 15) + 1, maxExpectedOccupancy = 128)
+      === Sig60)
+    // Sig240 is a coherent family member: 10 × 24-bit bands over a
+    // 16×16 grid, pigeonhole to hamming 9 (the held ~1-per-24-bits
+    // relative threshold)
+    assert(Sig240.sigBits === 240 && Sig240.bands === 10 &&
+      Sig240.maxGuaranteedHamming === 9)
+  }
+
+  test("image/audio auto-width doors track the manual width on BOTH sides of the boundary (the topKAuto discipline)") {
+    def tex(seed: Int)(x: Int, y: Int): Int = {
+      val v = (x * 7 + y * 13 + seed * 101) % 200
+      (v << 16) | (v << 8) | v
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id", "hamming")
+        .collect().map(_.toSeq).toSet
+    val imedia = Multimodal.asMediaTable(
+      Seq(("da", encodePng(64, 48)(tex(1))),
+        ("da2", encodePng(64, 48)((x, y) => tex(1)(x, y) + 0x020202)),
+        ("db", encodePng(64, 48)(tex(2)))).toDF("id", "bytes"),
+      "id", "bytes", "image/png")
+    // gate-scale n → Sig60 → ≡ the legacy 60-bit entry exactly
+    val i60 = rows(MediaDedup.imageNearDupPairsAuto(imedia,
+      new Multimodal.ImageIODecoder))
+    assert(i60.nonEmpty && i60 === rows(MediaDedup.imageNearDupPairs(
+      imedia, new Multimodal.ImageIODecoder)))
+    // n forced past the 60-bit ceiling → Sig120 ≡ the manual wide
+    // call (the corpus itself stays gate-sized — n is the SIZING
+    // input, the occupancy guard still counts the real relation)
+    val iWide = rows(MediaDedup.imageNearDupPairsAuto(imedia,
+      new Multimodal.ImageIODecoder, n = (64L << 15) + 1))
+    assert(iWide.nonEmpty && iWide === rows(MediaDedup.hammingPairsWide(
+      MediaDedup.imageDHashWide(Multimodal.decodeFrames(imedia,
+        new Multimodal.ImageIODecoder), MediaDedup.Sig120)
+        .filter(col("frameIdx") === 0), MediaDedup.Sig120)))
+    val amedia = Multimodal.asMediaTable(
+      Seq(("xau_a", wavBytes(130, 1.0, 0)),
+        ("xau_a2", wavBytes(130, 0.5, 100)),
+        ("xau_b", wavBytes(130, 1.0, 0, phase = 2.3)))
+        .toDF("id", "bytes"),
+      "id", "bytes", "audio/wav")
+    val a60 = rows(MediaDedup.audioNearDupPairsAuto(amedia))
+    assert(a60.nonEmpty &&
+      a60 === rows(MediaDedup.audioNearDupPairs(amedia)))
+    val aWide = rows(MediaDedup.audioNearDupPairsAuto(amedia,
+      n = (64L << 15) + 1))
+    assert(aWide.nonEmpty &&
+      aWide === rows(MediaDedup.audioNearDupPairsWide(amedia)))
+  }
+
+  test("video auto-width door: frame-count sizing tracks the manual width both sides; Sig240 signs the wide corpus coherently") {
+    val ids = (0 until 150).map(i => s"aw$i").toDS()
+    val frames = MediaDedup.syntheticVideoCorpusWide(ids)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // default n counts frames (gate-scale → Sig60): ≡ the legacy
+    // 60-bit containment chain
+    val v60 = rows(MediaDedup.videoContainmentPairsAuto(frames))
+    assert(v60.nonEmpty && v60 === rows(MediaDedup.videoContainmentPairs(
+      MediaDedup.imageDHash(frames))))
+    // forced past the ceiling → Sig120 ≡ the manual q96 chain
+    val vWide = rows(MediaDedup.videoContainmentPairsAuto(frames,
+      n = (64L << 15) + 1))
+    assert(vWide.nonEmpty &&
+      vWide === rows(MediaDedup.videoContainmentPairsWide(
+        MediaDedup.imageDHashWide(frames, MediaDedup.Sig120))))
+    // Sig240 end-to-end sanity on the same 64×32 frames (16×16 grid
+    // in 4×2 px tiles): identical frames pair at hamming 0, the
+    // planted trimmed clips still contain
+    val v240 = MediaDedup.videoContainmentPairsWide(
+      MediaDedup.imageDHashWide(frames, MediaDedup.Sig240),
+      MediaDedup.Sig240)
+    val got240 = v240.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got240.nonEmpty && got240.forall { case (a, b) => b == s"$a~t" })
+  }
 }
