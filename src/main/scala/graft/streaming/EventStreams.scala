@@ -756,7 +756,13 @@ object EventStreams {
     *      single-sited so batch and stream recall cannot drift) with
     *      the division-form token-set Jaccard ≥ `threshold` as the
     *      residual condition — only same-bucket corpus docs are ever
-    *      scored, the batch operator's own candidate contract;
+    *      scored, and oversized corpus buckets are CULLED from the
+    *      probe exactly as the batch okBuckets cull does (ADVICE
+    *      r12: without it a hot bucket made the stream reject where
+    *      batch admits, with unbounded per-micro-batch fan-out);
+    *      the residual asymmetry — the batch cull counts fresh ∪
+    *      corpus, this one corpus alone — is documented at the cull
+    *      site and spec-pinned;
     *   3. in-stream check — per-BUCKET watermark-bounded state
     *      ([[semanticAdmittedStream]]'s mechanics exactly: (ts, id)
     *      micro-batch order, retention to watermark − delay, the
@@ -792,7 +798,8 @@ object EventStreams {
       threshold: Double, idCol: String = "doc_id",
       textCol: String = "text", tsCol: String = "ts",
       watermarkDelay: String = "10 minutes",
-      maxRetainedPerBucket: Int = 10000): DataFrame = {
+      maxRetainedPerBucket: Int = 10000,
+      maxCorpusBucketSize: Int = 1000): DataFrame = {
     import graft.functions.TextFunctions
     import org.apache.spark.sql.graft.ArrayExpressions.sortedIntersectCount
     val spark = docs.sparkSession
@@ -814,8 +821,25 @@ object EventStreams {
     val inter = sortedIntersectCount(col("toks"), col("c_toks"))
     val jac = inter.cast("double") /
       (size(col("toks")) + size(col("c_toks")) - inter).cast("double")
+    // ADVICE r12: the batch twin culls oversized buckets out of the
+    // near-dup probe (DedupPipeline.admitIncremental's okBuckets) —
+    // without the same cull here, a hot bucket made the stream REJECT
+    // where batch admits AND gave the per-micro-batch join unbounded
+    // fan-out. The cull is CORPUS-sized (the batch one counts fresh ∪
+    // corpus; a micro-batch cannot see the union) — the residual
+    // asymmetry is a bucket within maxCorpusBucketSize of the cull
+    // line that only the batch's fresh arrivals tip over, and the
+    // in-stream state tier still bounds those via
+    // maxRetainedPerBucket. Exact-fingerprint rejection is
+    // unconditional in both engines (the batch exact stage has no
+    // cull either).
+    val okBuckets = corpusKeyed.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxCorpusBucketSize)
+      .select(col("bkey"))
     val fresh = exactDropped.join(
-      corpusKeyed.select(col("bkey").as("c_bkey"), col("toks").as("c_toks")),
+      corpusKeyed.join(okBuckets, "bkey")
+        .select(col("bkey").as("c_bkey"), col("toks").as("c_toks")),
       col("bkey") === col("c_bkey") && jac >= lit(threshold), "left_anti")
     val delayMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .getDuration(org.apache.spark.sql.catalyst.util.IntervalUtils

@@ -818,5 +818,46 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(got === batchAdmitted)
   }
+
+  test("streaming text admission culls oversized corpus buckets like the batch okBuckets (ADVICE r12): hot bucket admits, small bucket still rejects") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-textadmcull").toString
+    // four corpus docs share the "hot|topic" bucket (> the cull bound
+    // 3); one sits in a small bucket
+    val corpus = Seq(
+      (1L, "hot topic words aaa bbb"),
+      (2L, "hot topic words ccc ddd"),
+      (3L, "hot topic words eee fff"),
+      (4L, "hot topic words ggg hhh"),
+      (5L, "cool subject unique tokens here")).toDF("doc_id", "text")
+    // 20 = jaccard 4/6 vs corpus 1 but its bucket is culled → ADMIT
+    //      (pre-fix: rejected, unbounded hot-bucket fan-out)
+    // 21 = jaccard 4/6 vs corpus 5 in an in-regime bucket → reject
+    val feed = Seq(
+      (20L, 0, "hot topic words aaa xxx"),
+      (21L, 1, "cool subject unique tokens there"))
+      .map { case (id, sec, t) => (id, s"2026-01-01 10:00:0$sec", t) }
+      .toDF("doc_id", "ts_s", "text")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    feed.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(feed.schema).parquet(dir)
+    EventStreams.runToMemory(
+      EventStreams.textAdmittedStream(stream, corpus, threshold = 0.6,
+        maxCorpusBucketSize = 3),
+      "textadmcull_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("textadmcull_out").select("id").as[Long]
+      .collect().toSet
+    assert(got === Set(20L))
+    // the batch twin agrees — its UNION-sized cull (4 corpus + 1
+    // fresh > 4) drops the same bucket; the documented residual
+    // asymmetry is only a bucket the fresh arrivals tip over
+    val batch = graft.operators.DedupPipeline.admitIncremental(
+        feed.select("doc_id", "text"), corpus, "doc_id", "text",
+        threshold = 0.6, maxBucketSize = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === batch)
+  }
 }
 
