@@ -62,6 +62,57 @@ object Bench {
     // suite's measurements from inside the quiet section
     val quietN = sys.env.getOrElse("SPARK_GRAFT_QUIET_N", "10").toInt
     require(quietN >= 0, s"SPARK_GRAFT_QUIET_N must be >= 0, got $quietN")
+    // shared artifact parsing: read a (possibly driver-wrapped,
+    // escaped, tail-truncated) BENCH_r*.json and regex a flat
+    // {"qNN":1.23,...} object out of it by key
+    def artifactText(p: String): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8).replace("\\\"", "\"")
+      catch { case _: Throwable => "" }
+    def flatObj(raw: String, key: String): Map[String, Double] =
+      ("\"" + key + "\"\\s*:\\s*\\{([^}]*)\\}").r
+        .findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
+        .split(",").toSeq.flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) =>
+              try Some(k.replace("\"", "").trim -> v.trim.toDouble)
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.filter(_._2 > 0).toMap
+    // the 15% bar shared by the quiet agreement skip (round 12) and
+    // the suite-rep reduction (round 13)
+    val AgreeBar = 0.15
+    val priorBenchFiles = Option(new java.io.File(".").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt)
+    // Suite-rep reduction (round 13 — VERDICT r12 item 3: the
+    // quiet_agreed discipline applied to the suite itself): a line
+    // whose committed value agreed with its own prior committed value
+    // across the LAST TWO rounds (both artifacts present, within the
+    // same 15% bar) runs ONE rep instead of `reps` — its min has read
+    // the same number three rounds running, the interleaved-suite
+    // floor is reps × the per-pass cost, and the quiet section still
+    // arbitrates every heavy line. Self-healing: a one-rep number
+    // inflated by a contamination window disagrees with its prior
+    // next round and pays full reps again; new lines and drifting
+    // lines always pay full reps.
+    val stableOneRep: Set[String] =
+      if (reps <= 1 || priorBenchFiles.length < 2) Set.empty
+      else {
+        val a = flatObj(artifactText(priorBenchFiles(0).getPath), "queries")
+        val b = flatObj(artifactText(priorBenchFiles(1).getPath), "queries")
+        names.filter { n =>
+          val k = shortKey(n)
+          (a.get(k), b.get(k)) match {
+            case (Some(x), Some(y)) =>
+              math.abs(x - y) / math.min(x, y) <= AgreeBar
+            case _ => false
+          }
+        }.toSet
+      }
     var warmupFailures = 0
     val fns = SparkEntry.queries
     names.foreach { name =>
@@ -120,8 +171,9 @@ object Bench {
       .withDefaultValue(Vector.empty)
     val okFlags = scala.collection.mutable.Map[String, Boolean]()
       .withDefaultValue(true)
-    (1 to reps).foreach { _ =>
+    (1 to reps).foreach { r =>
       names.foreach { name =>
+        if (r == 1 || !stableOneRep(name)) {
         val sentinel = loadAvg()
         extCores() // reset the usage window to this rep's start
         val t0 = System.nanoTime()
@@ -138,6 +190,7 @@ object Bench {
         // nudge the ContextCleaner between queries so broadcast/shuffle
         // state from prior plans is reclaimed outside any timed region
         System.gc()
+        }
       }
     }
     val results = names.map { name =>
@@ -182,36 +235,17 @@ object Bench {
     // new line still pays the full child. Prior source:
     // SPARK_GRAFT_PRIOR_BENCH (set to /dev/null to force all
     // children), else the highest-numbered BENCH_r*.json in cwd.
-    val AgreeBar = 0.15
     val priorQuiet: Map[String, Double] = sys.env
       .get("SPARK_GRAFT_PRIOR_BENCH")
-      .orElse {
-        val files = Option(new java.io.File(".").listFiles())
-          .getOrElse(Array.empty[java.io.File])
-          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        if (files.isEmpty) None
-        else Some(files.maxBy(f =>
-          "\\d+".r.findFirstIn(f.getName).get.toInt).getPath)
-      }
+      .orElse(priorBenchFiles.headOption.map(_.getPath))
       .map { p =>
         try {
           // works on the raw bench line AND the driver's wrapper
           // (which stores the escaped tail of it): unescape, then
-          // regex the flat objects out
-          val raw = new String(java.nio.file.Files.readAllBytes(
-            java.nio.file.Paths.get(p)),
-            java.nio.charset.StandardCharsets.UTF_8)
-            .replace("\\\"", "\"")
-          val measured = "\"quiet\"\\s*:\\s*\\{([^}]*)\\}".r
-            .findFirstMatchIn(raw).map(_.group(1)).getOrElse("")
-            .split(",").toSeq.flatMap { kv =>
-              kv.split(":") match {
-                case Array(k, v) =>
-                  try Some(k.replace("\"", "").trim -> v.trim.toDouble)
-                  catch { case _: NumberFormatException => None }
-                case _ => None
-              }
-            }.filter(_._2 > 0).toMap
+          // regex the flat objects out (the shared artifactText /
+          // flatObj helpers above)
+          val raw = artifactText(p)
+          val measured = flatObj(raw, "quiet")
           // a line the PRIOR round skipped carries its last true
           // measurement in quiet_agreed's second element — read it
           // too, or a stable line would alternate skip/re-measure
@@ -377,7 +411,28 @@ object Bench {
     // timings — and any head-truncation clips prose, not numbers
     // (round 6 lost timings to sentinel-last ordering, round 7 to
     // full-name 9-decimal keys; see shortKey above).
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":${q(sfDir)},"timing":"min of $reps INTERLEAVED rounds (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started — it INCLUDES this bench's own 32-thread self-load decaying through the 1-min window, so mid-suite values of 8-11 are expected on an otherwise-idle box; ext_cores_at_min_rep is the round-9 contention sentinel: (systemCpu - processCpu) x nCores integrated over exactly the winning rep's window — cores OTHER processes burned while the rep ran; quiet_share is the fraction of winning reps with ext < 5 cores; full-plan materialization via queryExecution.toRdd; keys are the unique qNN prefixes of the catalog names","warmup":${q(warmupNote)},"load_1m_at_min_rep":$loads,"ext_cores_at_min_rep":$exts,"quiet_share":${num(quietShare, 2)},"quiet_note":"quiet = the top-${quietPairs.size} committed lines re-measured in a FRESH JVM each (spawned RunOne child, min of up to 5 reps, early-stopped at >=3 once 2 consecutive reps fail to improve the running min by >5%), gated on OTHER-PROCESS busy cores < $QuietCores over a 3 s getCpuLoad window (NOT load_1m, which lags ~2 min behind an exited burst; quiet_gate_load = the busy-core reading that opened each child's gate; 240 s cap per child, 25 min budget for the section — a heavy line past the budget keeps its suite number and is absent here); these are the numbers to trust for heavy lines — the interleaved suite carries ~90 queries of within-JVM state; -1 = child failed; quiet_agreed = heavy lines whose committed number already agrees with the PRIOR round's quiet inside the same 15% bar ([committed, prior_quiet]) — the child re-measure is skipped because the prior quiet is an independent isolated measurement of the same code path and agreement with it is the property the child would re-establish","quiet_agreed":$agreedJson,"quiet_gate_load":$quietLoads,"quiet":$quietJson,"failed":$failed,"queries":$qs}""")
+    val reps1Json = stableOneRep.toSeq.map(shortKey).sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":${q(sfDir)},"suite_reps1":$reps1Json,"timing":"min of $reps INTERLEAVED rounds (suite_reps1 lines ran ONE rep: their committed value agreed with its own prior committed value across the last two rounds within 15%, so the min has been stable three rounds running; a drifting or new line pays full reps) (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started — it INCLUDES this bench's own 32-thread self-load decaying through the 1-min window, so mid-suite values of 8-11 are expected on an otherwise-idle box; ext_cores_at_min_rep is the round-9 contention sentinel: (systemCpu - processCpu) x nCores integrated over exactly the winning rep's window — cores OTHER processes burned while the rep ran; quiet_share is the fraction of winning reps with ext < 5 cores; full-plan materialization via queryExecution.toRdd; keys are the unique qNN prefixes of the catalog names","warmup":${q(warmupNote)},"load_1m_at_min_rep":$loads,"ext_cores_at_min_rep":$exts,"quiet_share":${num(quietShare, 2)},"quiet_note":"quiet = the top-${quietPairs.size} committed lines re-measured in a FRESH JVM each (spawned RunOne child, min of up to 5 reps, early-stopped at >=3 once 2 consecutive reps fail to improve the running min by >5%), gated on OTHER-PROCESS busy cores < $QuietCores over a 3 s getCpuLoad window (NOT load_1m, which lags ~2 min behind an exited burst; quiet_gate_load = the busy-core reading that opened each child's gate; 240 s cap per child, 25 min budget for the section — a heavy line past the budget keeps its suite number and is absent here); these are the numbers to trust for heavy lines — the interleaved suite carries ~90 queries of within-JVM state; -1 = child failed; quiet_agreed = heavy lines whose committed number already agrees with the PRIOR round's quiet inside the same 15% bar ([committed, prior_quiet]) — the child re-measure is skipped because the prior quiet is an independent isolated measurement of the same code path and agreement with it is the property the child would re-establish","quiet_agreed":$agreedJson,"quiet_gate_load":$quietLoads,"quiet":$quietJson,"failed":$failed,"queries":$qs}""")
+    // DRIVER-PARSEABLE COMPACT LINE (round 13 — VERDICT r12 item 4):
+    // the driver keeps only the last ~2 KB of output and tries to
+    // parse a JSON object out of it; the verbose line above is ~4 KB
+    // of prose + diagnostics, so its HEAD always clipped out of the
+    // window and the artifact's `parsed` came out null every round.
+    // This final line carries only what the gate and the judge read —
+    // total, quiet/agreed, failures, 2-decimal timings — and fits the
+    // 2 KB window with sbt's epilogue behind it. The verbose line
+    // stays for humans reading full stdout; all prior-round parsers
+    // (flatObj on "quiet"/"quiet_agreed"/"queries") read either line
+    // identically.
+    val qs2 = results.map { case (k, v, _, _, _) =>
+      "\"" + shortKey(k) + "\":" + num(v, 2) }.mkString("{", ",", "}")
+    val quiet2 = quietPairs.map { case (k, t, _) =>
+      "\"" + shortKey(k) + "\":" + num(t, 2) }.mkString("{", ",", "}")
+    val agreed2 = agreedPairs.map { case (k, c, p) =>
+      "\"" + shortKey(k) + "\":[" + num(c, 2) + "," + num(p, 2) + "]" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","sf":${q(sfDir)},"quiet_share":${num(quietShare, 2)},"reps1":${stableOneRep.size},"failed":$failed,"quiet_agreed":$agreed2,"quiet":$quiet2,"queries":$qs2}""")
     spark.stop()
   }
 }
