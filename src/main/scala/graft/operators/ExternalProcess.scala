@@ -20,11 +20,30 @@ object ExternalProcess {
 
   case class Result(exitCode: Int, stdout: String, stderr: String)
 
+  /** Binary-safe sibling of [[Result]] (round 13 — the transcode
+    * decoders read WAV/PCM bytes off stdout; a UTF-8 String round
+    * trip mangles them). */
+  case class BinaryResult(exitCode: Int, stdout: Array[Byte],
+      stderr: String)
+
+  /** One invocation with BINARY stdout — the contract
+    * [[graft.domain.Multimodal.SubprocessDecoder]] composes with. */
+  trait BinaryRunner extends Serializable {
+    def runBinary(argv: Seq[String],
+        stdin: Option[Array[Byte]] = None): BinaryResult
+  }
+
   /** Production runner: real subprocess per call. Partition-level
     * callers amortize JVM-side setup; the subprocess itself is the
     * unit of work (ffprobe/ffmpeg are one-shot by design). */
-  class CommandRunner(timeoutSec: Long = 600) extends Runner {
+  class CommandRunner(timeoutSec: Long = 600) extends Runner
+      with BinaryRunner {
     def run(argv: Seq[String], stdin: Option[Array[Byte]]): Result = {
+      val b = runBinary(argv, stdin)
+      Result(b.exitCode, new String(b.stdout, "UTF-8"), b.stderr)
+    }
+    def runBinary(argv: Seq[String],
+        stdin: Option[Array[Byte]]): BinaryResult = {
       import scala.jdk.CollectionConverters._
       val p = new ProcessBuilder(argv.asJava).start()
       // All three pipes on their own threads: a sequential
@@ -53,10 +72,11 @@ object ExternalProcess {
       }
       // killing the child closes the pipes, so the drains terminate
       ot.join(10000); et.join(10000); writer.join(10000)
-      val out = new String(ob.toByteArray, "UTF-8")
+      val out = ob.toByteArray
       val err = new String(eb.toByteArray, "UTF-8")
-      if (!finished) Result(-1, out, err + s"\n[timeout after ${timeoutSec}s]")
-      else Result(p.exitValue(), out, err)
+      if (!finished)
+        BinaryResult(-1, out, err + s"\n[timeout after ${timeoutSec}s]")
+      else BinaryResult(p.exitValue(), out, err)
     }
   }
 
