@@ -636,6 +636,18 @@ object SimilaritySearch {
     * coarse training pass (the sizer's instrument) plus one bounded
     * sample probe per rung; the terminal exact-sweep rung makes any
     * floor ≤ 1 reachable. `recallAnchors` bounds the sample.
+    *
+    * WHICH REGIME BELONGS TO WHICH STRUCTURE (measured, ScaleProbe
+    * `recallwalk`, SCALE.md round 13): the p-phase saturates AT p = S
+    * (p = S is the flat probe over the same children — 0.76 at 100×
+    * held fraction), so past the pool rule the two-level/flat recall
+    * gap is CELL QUALITY, not probe width; restoring ≥ 0.8 on the
+    * two-level structure costs ~2× the swept fraction flat needs
+    * (np ≈ 0.4·nlist at p = S, found by the walk at 10× and 100×).
+    * Deployments needing flat-level recall at minimum sweep pick the
+    * flat structure (and pay its O(N·nlist) assignment or the
+    * clamp); deployments buying the 7–8× two-level speedup state a
+    * floor here and pay the walk's found sweep.
     */
   def ivfCosineTopKAuto(vectors: DataFrame, anchorPred: Column, k: Int,
       nprobe: Int = 4, idCol: String = "vec_id",
@@ -1262,6 +1274,164 @@ object SimilaritySearch {
       k += 1
     }
     bj
+  }
+
+  /** The (cell, cvec, super) child relation of a coarse structure as
+    * a public DataFrame — the probe relation both two-level query
+    * paths broadcast, and the RELATION the past-the-clamp assignment
+    * path joins against ([[assignCellsViaRelation]]). Write it
+    * bucketed by `super` ([[graft.sources.Sinks.writeBucketed]]) and
+    * the assignment join reads the store with zero child-side
+    * exchanges. */
+  def childRelation(spark: org.apache.spark.sql.SparkSession,
+      coarse: TwoLevelCoarse): DataFrame = childCentDf(spark, coarse)
+
+  /** The BROADCAST two-level assignment — the fused route+child-argmin
+    * map every two-level path uses inline, exposed so the relation
+    * path below has a named parity partner. O(S + nlist/S) per row
+    * against driver/broadcast centroid state; state is nlist·dim
+    * doubles (128 MB at the [[KMeansPortable.MaxAutoNlistTwoLevel]]
+    * clamp — the measured ceiling, SCALE.md round 12). */
+  def assignCellsBroadcast(vectors: DataFrame, coarse: TwoLevelCoarse,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cB = spark.sparkContext.broadcast(coarse)
+    vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, nearestChild(v, cB.value)) }
+      .toDF("id", "cell")
+  }
+
+  /** THIRD-LEVEL DESIGN, first rung (round 13 — VERDICT r12 item 6,
+    * the SCALE.md round-12 ceiling note made concrete): past the
+    * 262144 clamp the child-centroid matrix stops fitting as
+    * driver/broadcast state (128 MB at dim 64; the next decade is
+    * GB), so the children become a RELATION keyed by super and
+    * assignment becomes
+    *
+    *   route (broadcast SUPERS only — S ≈ √nlist, always driver-tiny)
+    *   → equi-JOIN on super against the child relation
+    *   → bounded per-id argmin (one partial-aggregating min-struct).
+    *
+    * Candidate fan-out is nlist/S rows per vector — the same
+    * arithmetic the broadcast path walks in its fused loop, now as a
+    * join the planner can hash-partition; stored bucketed by super
+    * the child side joins with ZERO exchanges (plan-asserted,
+    * SimilaritySpec). Distances accumulate in index order exactly
+    * like [[assignCellsBroadcast]]'s loop, ties to the lowest cell —
+    * the two paths are value-identical (parity spec-pinned at small
+    * nlist; one measured point past the broadcast-comfort boundary
+    * in ScaleProbe `relassign`). Full three-level TRAINING stays out
+    * of scope this round — routing/assignment is the half every
+    * query and admission path needs first; the training loop reuses
+    * this join as its assignment step when it lands.
+    */
+  /** Route `v` to its nearest centroid among the `pop` indexes of
+    * `sup` — the relation paths' routing kernel (the routeSuper
+    * contract over an explicit populated set: a vector routed to a
+    * childless super would join zero child rows and silently
+    * vanish). Ties to the lowest index (strict <). */
+  private def routeAmong(v: Array[Double], sup: Array[Array[Double]],
+      pop: Array[Int]): Int = {
+    var best = pop(0); var bestD = Double.MaxValue
+    var pi = 0
+    while (pi < pop.length) {
+      val c = sup(pop(pi))
+      var d = 0.0; var t = 0
+      while (t < v.length) { val x = v(t) - c(t); d += x * x; t += 1 }
+      if (d < bestD) { bestD = d; best = pop(pi) }
+      pi += 1
+    }
+    best
+  }
+
+  /** The populated-super domain of a child relation — one bounded
+    * ≤ S-row collect shared by both relation-assignment paths. */
+  private def populatedOf(childRel: DataFrame): Array[Int] = {
+    val populated = childRel.select(col("super")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    require(populated.nonEmpty, "child relation has no supers")
+    populated
+  }
+
+  def assignCellsViaRelation(vectors: DataFrame,
+      supers: Array[Array[Double]], childRel: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val populated = populatedOf(childRel)
+    val sB = spark.sparkContext.broadcast(supers)
+    val pB = spark.sparkContext.broadcast(populated)
+    val routed = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, routeAmong(v, sB.value, pB.value)) }
+      .toDF("id", "vec", "super")
+    // index-ordered squared distance — the same accumulation order as
+    // nearestChild's loop, so the argmin cannot diverge on fp ties
+    val d2 = aggregate(
+      zip_with(col("vec"), col("cvec"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+    routed.join(childRel, Seq("super"))
+      .groupBy(col("id"))
+      .agg(min(struct(d2.as("d"), col("cell"))).as("m"))
+      .select(col("id"), col("m.cell").as("cell"))
+  }
+
+  /** [[assignCellsViaRelation]] with the per-super argmin FUSED
+    * (round 13 — the follow-on the relassign measurement named): the
+    * declarative join materializes a (vec, cvec) array pair per
+    * candidate and folds a non-codegen zip_with distance over it —
+    * measured ~550–620 rows/s at nlist = 2^20 (SCALE.md round 13).
+    * This variant cogroups vectors and children BY SUPER instead:
+    * each group materializes its own super's children once
+    * (nlist/S × dim doubles — ~512 KB at the 2^20 point, the bounded
+    * state) and runs the broadcast path's exact tight loop over its
+    * vectors. Same routing, same index-ordered accumulation, same
+    * lowest-cell ties — value-identical to both siblings
+    * (parity spec), distance cost back at the fused-loop rate; the
+    * shuffle is one exchange of each side keyed by super, which is
+    * exactly the join's own shuffle. Still nothing driver-sized,
+    * nothing broadcast beyond the supers.
+    */
+  def assignCellsViaRelationFused(vectors: DataFrame,
+      supers: Array[Array[Double]], childRel: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val populated = populatedOf(childRel)
+    val sB = spark.sparkContext.broadcast(supers)
+    val pB = spark.sparkContext.broadcast(populated)
+    val routed = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .as[(Long, Array[Double])]
+      .groupByKey(r => routeAmong(r._2, sB.value, pB.value))
+    val children = childRel
+      .select(col("super"), col("cell"), col("cvec"))
+      .as[(Int, Int, Array[Double])]
+      .groupByKey(_._1)
+    routed.cogroup(children) { (_, vs, cs) =>
+      val cands = cs.map { case (_, cell, cv) => (cell, cv) }
+        .toArray.sortBy(_._1)
+      if (cands.isEmpty) Iterator.empty
+      else vs.map { case (id, v) =>
+        var bj = cands(0)._1; var bd = Double.MaxValue
+        var k = 0
+        while (k < cands.length) {
+          val cc = cands(k)._2
+          var d = 0.0; var t = 0
+          while (t < v.length) { val x = v(t) - cc(t); d += x * x; t += 1 }
+          if (d < bd) { bd = d; bj = cands(k)._1 }
+          k += 1
+        }
+        (id, bj)
+      }
+    }.toDF("id", "cell")
   }
 
   /** The routed super of `v` over the populated domain — the probe's

@@ -757,6 +757,62 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("assignCellsViaRelation ≡ assignCellsBroadcast (the third-level design's assignment join); bucketed child store joins with zero child-side exchanges") {
+    import graft.operators.SimilaritySearch
+    import graft.sources.Sinks
+    val coarse = SimilaritySearch.trainTwoLevelCoarse(emb, nlist = 6)
+    val childRel = SimilaritySearch.childRelation(spark, coarse)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val viaBroadcast = cells(
+      SimilaritySearch.assignCellsBroadcast(emb, coarse))
+    val viaRelation = cells(
+      SimilaritySearch.assignCellsViaRelation(emb, coarse.supers,
+        childRel))
+    assert(viaRelation.nonEmpty && viaRelation === viaBroadcast)
+    // the FUSED sibling (cogroup by super, tight-loop argmin) is
+    // value-identical too
+    assert(cells(SimilaritySearch.assignCellsViaRelationFused(emb,
+      coarse.supers, childRel)) === viaBroadcast)
+    // the deployment shape: children stored bucketBy(super) — the
+    // assignment equi-join reads the store with NO child-side
+    // exchange (the writeBucketed discipline AT the quantizer)
+    val t = "b_child_centroids"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (loc.exists()) rm(loc)
+    Sinks.writeBucketed(childRel, t, "super", 4)
+    assert(cells(SimilaritySearch.assignCellsViaRelation(emb,
+      coarse.supers, spark.table(t))) === viaBroadcast)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val q = SimilaritySearch.assignCellsViaRelation(emb,
+        coarse.supers, spark.table(t))
+      def bucketed(p: SparkPlan): Boolean = p.collectFirst {
+        case s: FileSourceScanExec if s.bucketedScan => s
+      }.isDefined
+      val plan = q.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: SortMergeJoinExec if bucketed(j.left) || bucketed(j.right) => j
+        case j: ShuffledHashJoinExec if bucketed(j.left) || bucketed(j.right) => j
+      }
+      assert(joins.nonEmpty,
+        s"expected a shuffled join over the bucketed child store in:\n$plan")
+      joins.foreach { j =>
+        val side = if (bucketed(j.left)) j.left else j.right
+        val ex = side.collect { case e: ShuffleExchangeExec => e }
+        assert(ex.isEmpty, s"child-side exchange:\n$side")
+      }
+    }
+  }
+
   test("residual IVF+PQ (IVFADC): sharper codes at equal bits on clustered data") {
     import graft.operators.SimilaritySearch
     // 4 tight clusters at distant centers: a GLOBAL codebook of 4
