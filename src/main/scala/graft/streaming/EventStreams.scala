@@ -702,6 +702,125 @@ object EventStreams {
       sigCol, spec.bands, (c, b) => element_at(c, b + 1), hamSum, ham)
   }
 
+  case class FrameCand(id: String, ts: java.sql.Timestamp, nf: Int,
+      frameIdx: Int, c_media: String)
+  case class ContainSeen(seen: Boolean)
+  case class ContainAdmitted(id: String, ts: java.sql.Timestamp)
+
+  /** STREAMING video-containment admission (round 13 — VERDICT r12
+    * stretch 8, the §2.9 grid's last batch-only media cell): admit an
+    * arriving MEDIA unless it is CONTAINED in the committed corpus —
+    * the fraction of its frames within `maxHamming` of some frame of
+    * ONE corpus video reaches `minContainment`. The arrival is one
+    * row per media (`sigsCol` = the sampled frames' wide signatures,
+    * [[graft.operators.MediaDedup.imageDHashWide]] layout) — the
+    * file-per-media ingest shape, which is what makes the verdict
+    * per-media decidable inside a single micro-batch.
+    *
+    * Mechanics: frames posexplode → banded equi-join against the
+    * COMPACT corpus frame relation ([[graft.operators.MediaDedup
+    * .videoContainmentPairsWide]]'s kernel keys: (band, word), the
+    * per-word popcount verify in the join condition, oversized
+    * corpus buckets CULLED — the okBuckets discipline), LEFT so a
+    * zero-candidate arrival still reaches its verdict; then one
+    * [[org.apache.spark.sql.KeyValueGroupedDataset
+    * .flatMapGroupsWithState]] per media computes the per-corpus-
+    * video distinct-frame ratio and emits admitted (id, ts). State
+    * is ONE boolean per media id, retained to watermark + delay
+    * (EventTime timeout) — replay suppression, the bounded-per-media
+    * state of the verdict's asking; candidate fan-out is bounded by
+    * the bucket cull exactly like the batch kernel.
+    *
+    * Batch-parity caveat: the check is the ARRIVAL-side ratio — the
+    * clip-rejection direction. An arrival that strictly CONTAINS a
+    * corpus video (a longer re-edit) is ADMITTED here (its new
+    * frames are new data); the batch operator pairs the two on the
+    * corpus video's own ratio, and the nightly batch compaction is
+    * the backstop that resolves them — the same division of labor
+    * as every admission twin's greedy-vs-min-id caveat. Arrival ×
+    * arrival containment within the stream likewise falls to the
+    * batch backstop (frames of two arrivals never meet in this
+    * plan); spec-pinned in StreamingSpec.
+    */
+  def containmentAdmittedStream(media: DataFrame,
+      corpusFrameSigs: DataFrame,
+      spec: graft.operators.MediaDedup.SigSpec =
+        graft.operators.MediaDedup.Sig120,
+      minContainment: Double = 0.5, maxHamming: Int = -1,
+      idCol: String = "media_id", sigsCol: String = "sigs",
+      tsCol: String = "ts", watermarkDelay: String = "10 minutes",
+      maxBucketSize: Int = 10000): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ham = if (maxHamming < 0) spec.maxGuaranteedHamming else maxHamming
+    require(ham >= 0 && ham <= spec.bands - 1,
+      s"${spec.bands} x ${spec.bandBits}-bit bands pigeonhole " +
+        s"${spec.sigBits} bits at hamming <= ${spec.bands - 1} (got $ham)")
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0, 1]; got $minContainment")
+    def hamSum(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
+      lit(0), (acc, x) => acc + x)
+    val corpusBands = corpusFrameSigs.select(
+      col("media_id").cast("string").as("c_media"),
+      graft.operators.Lsh.sigWidthChecked(
+        col("sig").cast("array<bigint>"), spec.bands,
+        "containmentAdmittedStream(corpus)").as("c_sig"))
+      .select(col("c_media"), col("c_sig"),
+        posexplode(col("c_sig")).as(Seq("c_b", "c_word")))
+    val okBuckets = corpusBands.groupBy(col("c_b"), col("c_word"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select(col("c_b"), col("c_word"))
+    val corpusRel = corpusBands.join(okBuckets, Seq("c_b", "c_word"))
+    val fresh = media.select(col(idCol).cast("string").as("id"),
+      col(tsCol).as("ts"), col(sigsCol).as("sigs"))
+      .withWatermark("ts", watermarkDelay)
+    val bands = fresh.select(col("id"), col("ts"),
+      size(col("sigs")).as("nf"),
+      posexplode(col("sigs")).as(Seq("frameIdx", "rawsig")))
+      .withColumn("sig", graft.operators.Lsh.sigWidthChecked(
+        col("rawsig").cast("array<bigint>"), spec.bands,
+        "containmentAdmittedStream(stream)"))
+      .select(col("id"), col("ts"), col("nf"), col("frameIdx"),
+        col("sig"), posexplode(col("sig")).as(Seq("b", "word")))
+    val joined = bands.join(corpusRel,
+      col("b") === col("c_b") && col("word") === col("c_word") &&
+        hamSum(col("sig"), col("c_sig")) <= lit(ham), "left")
+      .select(col("id"), col("ts"), col("nf"), col("frameIdx"),
+        col("c_media"))
+    val delayMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .getDuration(org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types
+          .UTF8String.fromString(watermarkDelay)),
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    joined.as[FrameCand]
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[ContainSeen, ContainAdmitted](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[FrameCand],
+            state: GroupState[ContainSeen]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // replay in retention
+          else {
+            val rows = it.toSeq
+            val ts = rows.map(_.ts.getTime).min
+            val nf = rows.map(_.nf).max
+            val contained = rows.filter(_.c_media != null)
+              .groupBy(_.c_media)
+              .exists { case (_, g) =>
+                g.map(_.frameIdx).distinct.size.toDouble / nf >=
+                  minContainment }
+            state.update(ContainSeen(true))
+            state.setTimeoutTimestamp(math.max(ts + delayMs,
+              state.getCurrentWatermarkMs() + 1))
+            if (contained) Iterator.empty
+            else Iterator.single(
+              ContainAdmitted(rows.head.id, new java.sql.Timestamp(ts)))
+          }
+      }.toDF()
+  }
+
   /** STREAMING maintenance of the stored two-level IVF-PQ index —
     * the streaming cell of the ANN admission grid (the batch side is
     * [[graft.operators.SimilaritySearch.admitIvfPqBatchTwoLevel]],

@@ -859,5 +859,62 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(got === batch)
   }
+
+  test("streaming containment admission: corpus clip rejected, novel and superset admitted (arrival-side ratio), replay suppressed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-containadm").toString
+    def s6(w0: Long, rest: Long*): Seq[Long] = w0 +: rest.toSeq
+    val s0 = s6(1, 2, 3, 4, 5, 6); val s1 = s6(11, 12, 13, 14, 15, 16)
+    val s2 = s6(21, 22, 23, 24, 25, 26); val s3 = s6(31, 32, 33, 34, 35, 36)
+    val corpus = Seq(("cv", 0, s0), ("cv", 1, s1), ("cv", 2, s2),
+      ("cv", 3, s3)).toDF("media_id", "frameIdx", "sig")
+    // clip: 2 frames, both within hamming 2 of cv frames (word 0
+    // flipped; bands 1-5 collide exactly) -> ratio 2/2 -> REJECT
+    // novel: no band ever collides -> ratio 0 -> ADMIT
+    // super: contains cv frame s0 exactly plus 4 new frames ->
+    //        arrival-side ratio 1/5 < 0.5 -> ADMIT (the caveat
+    //        direction; batch pairs it on cv's own 1/4... see below)
+    val clipSigs = Seq(s6(7, 2, 3, 4, 5, 6), s6(22, 22, 23, 24, 25, 26))
+    val novelSigs = Seq(s6(101, 102, 103, 104, 105, 106),
+      s6(111, 112, 113, 114, 115, 116))
+    val superSigs = Seq(s0, s6(201, 202, 203, 204, 205, 206),
+      s6(211, 212, 213, 214, 215, 216),
+      s6(221, 222, 223, 224, 225, 226),
+      s6(231, 232, 233, 234, 235, 236))
+    def feed(rows: Seq[(String, String, Seq[Seq[Long]])]) = rows
+      .toDF("media_id", "ts_s", "sigs")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val b1 = feed(Seq(
+      ("clip", "2026-01-01 10:00:00", clipSigs),
+      ("novel", "2026-01-01 10:00:01", novelSigs),
+      ("superv", "2026-01-01 10:00:02", superSigs)))
+    val b2 = feed(Seq(("novel", "2026-01-01 10:00:05", novelSigs)))
+    b1.coalesce(1).write.mode("append").parquet(s"$dir/all")
+    Thread.sleep(1100)
+    b2.coalesce(1).write.mode("append").parquet(s"$dir/all")
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/all")
+    EventStreams.runToMemory(
+      EventStreams.containmentAdmittedStream(stream, corpus),
+      "containadm_out",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val got = spark.table("containadm_out").select("id").as[String]
+      .collect().toSeq.sorted
+    // one 'novel' row only — the replay in trigger 2 is suppressed by
+    // the per-media state
+    assert(got === Seq("novel", "superv"))
+    // the caveat's batch half: the batch operator DOES pair superv
+    // with cv (cv's own side reads 1/4 < 0.5... so pin the clip pair,
+    // which both engines agree on, and superv↔cv at a lower bar)
+    val allFrames = corpus.unionByName(Seq(
+      ("clip", 0, clipSigs(0)), ("clip", 1, clipSigs(1))).toDF(
+      "media_id", "frameIdx", "sig"))
+    val batchPairs = graft.operators.MediaDedup.videoContainmentPairsWide(
+        allFrames)
+      .select("a_id", "b_id").collect().map(r =>
+        (r.getString(0), r.getString(1))).toSet
+    assert(batchPairs === Set(("clip", "cv")))
+  }
 }
 
