@@ -367,6 +367,18 @@ object PlanAudit {
       mustContain = Seq("randomhyperplanesignature", "InMemoryTableScan",
         "LeftAnti"),
       mustNotContain = Seq("CartesianProduct", "BroadcastNestedLoopJoin")),
+    // q41: the round-13 re-pin protocol's plan half (VERDICT r12
+    // item 2 watch): components' pointer-doubling rounds run as
+    // driver-sequenced jobs, so the FINAL frame is just the label
+    // join-back + presentation sort — [MEASURED] 1 exchange (the
+    // sort; the join is broadcast). Four independent quiet readings
+    // (r11 4.05, r12 4.55 / 3.75, r13 4.60 min-of-5) span ±12% with
+    // this pinned frame unchanged — box-state variance, the q80
+    // conclusion (SCALE.md round 13)
+    Check("q41_components",
+      mustContain = Nil,
+      mustNotContain = Seq("CartesianProduct"),
+      maxShuffleExchanges = Some(1)),
     // q72: the portable fuzzy-decon twin keeps q67's directed shape —
     // bench side broadcasts into the banded candidate join, train
     // signatures cached once, no nested loops

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions.{col, expr}
   *
   * Run: sbt "runMain graft.tools.ScaleProbe <sfDir> <mode> [runs] [rows]"
   * where <mode> is a literal nlist, or one of: auto, auto2, autod,
-  * ivf, ivf2, ivfauto, video, videowide, recall, admit, ceiling,
-  * packing (each documented at its branch below; [rows] applies to
-  * ceiling).
+  * ivf, ivf2, ivfauto, video, videowide, videoauto, recall,
+  * recallwalk, admit, ceiling, packing (each documented at its
+  * branch below; [rows] applies to ceiling, and recallwalk reads
+  * its floor from args(2), default 0.8).
   *
   * `auto` sizes the quantizer with [[graft.operators.KMeansPortable
   * .nlistFor]] — the round-10 default-contract check: the auto
@@ -30,7 +31,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleProbe <sfDir> <nlist|auto> [runs]")
     val dir = args(0)
-    val runs = if (args.length > 2) args(2).toInt else 3
+    // toIntOption: recallwalk reads a DOUBLE floor from args(2) —
+    // the shared runs knob must not crash parsing it
+    val runs = if (args.length > 2) args(2).toIntOption.getOrElse(3) else 3
     val cpus = Runtime.getRuntime.availableProcessors()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -227,6 +230,58 @@ object ScaleProbe {
     val dispatch = args(1) == "autod"
     val video = args(1) == "video"
     val videoWide = args(1) == "videowide"
+    // relassign = the third-level design's assignment JOIN measured
+    //         past the broadcast-comfort boundary (round 13 — VERDICT
+    //         r12 item 6): children at nlist = 2^20 (4× the 262144
+    //         clamp, 512 MB at dim 64) exist only as a DISTRIBUTED
+    //         relation — never driver state, never a broadcast — and
+    //         assignment is route(supers) → equi-join(super) →
+    //         bounded argmin (SimilaritySearch.assignCellsViaRelation,
+    //         parity-pinned vs the broadcast path at small nlist).
+    //         args(2) = runs, args(3) = vector rows (default 100k).
+    if (args(1) == "relassign") {
+      import graft.operators.{KMeansPortable, SimilaritySearch}
+      val rows = if (args.length > 3) args(3).toLong else 100000L
+      val nlist = 1 << 20
+      val dim = 64
+      val s = KMeansPortable.defaultSupers(nlist)
+      val per = nlist / s
+      val rnd = new scala.util.Random(7)
+      val supers = Array.fill(s)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+      val childRel = spark.range(nlist).select(
+        col("id").cast("int").as("cell"),
+        (col("id") / per).cast("int").as("super"),
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          "d -> sin((id + 1) * (d + 3)))").as("cvec"))
+      val syn = spark.range(rows).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          "d -> cos((id + 2) * (d + 5)))").as("embedding"))
+      println(s"[relassign] nlist=$nlist supers=$s rows=$rows " +
+        s"children_relation=${nlist.toLong * dim * 8 / (1 << 20)}MB " +
+        "(4x the 128MB broadcast clamp; driver holds only the supers, " +
+        s"${s.toLong * dim * 8 / 1024}KB)")
+      (1 to runs).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = graft.Measure.force(
+          SimilaritySearch.assignCellsViaRelation(syn, supers, childRel))
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        graft.CacheScope.releaseAll(blocking = true)
+        println(f"[relassign] join run $i: $n rows in $elapsed%.2fs " +
+          f"(${rows / elapsed}%.0f rows/s, candidate fan-out " +
+          f"${per}x per row)")
+        val t1 = System.nanoTime()
+        val nf = graft.Measure.force(
+          SimilaritySearch.assignCellsViaRelationFused(syn, supers,
+            childRel))
+        val e1 = (System.nanoTime() - t1) / 1e9
+        graft.CacheScope.releaseAll(blocking = true)
+        println(f"[relassign] fused run $i: $nf rows in $e1%.2fs " +
+          f"(${rows / e1}%.0f rows/s — cogroup by super, " +
+          "tight-loop argmin)")
+      }
+      spark.stop()
+      return
+    }
     val recallMode = args(1) == "recall"
     if (recallMode) {
       import graft.operators.SimilaritySearch
@@ -289,18 +344,81 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // recallwalk = the recall-TARGETED sizing walk (round 13 —
+    //         VERDICT r12 item 1's measured closure): size
+    //         (probeSupers, nprobe) to a recall floor (args(2),
+    //         default 0.8) at the corpus-sized nlist, starting from
+    //         the held swept fraction nprobe = nlist/5 — the exact
+    //         deployment shape whose two-level recall read 0.597 at
+    //         100× in the round-12 table. Prints every rung and the
+    //         chosen operating point + cost shape.
+    if (args(1) == "recallwalk") {
+      import graft.operators.{KMeansPortable, SimilaritySearch}
+      val emb = graft.CacheScope.track(graft.Tables(spark, dir).embeddings)
+      val n = emb.count()
+      val nlist = KMeansPortable.nlistFor(n)
+      val np0 = math.max(4, nlist / 5)
+      val floor = if (args.length > 2) args(2).toDouble else 0.8
+      val t0 = System.nanoTime()
+      val pt = SimilaritySearch.sizeTwoLevelForRecall(emb,
+        col("id") % 50 === 0, k = 10, floor = floor, nlist = nlist,
+        nprobe0 = np0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      pt.walk.foreach(r => println(
+        f"[recallwalk] n=$n nlist=$nlist rung p=${r.probeSupers} " +
+          f"np=${r.nprobe} recall=${r.recall}%.4f"))
+      println(f"[recallwalk] n=$n nlist=$nlist floor=$floor chosen " +
+        f"p=${pt.probeSupers} np=${pt.nprobe} recall=${pt.recall}%.4f " +
+        f"floorMet=${pt.floorMet} walk_total=$secs%.1fs " +
+        f"swept_frac=${pt.nprobe.toDouble / nlist}%.3f")
+      spark.stop()
+      return
+    }
+    // crosswide = the COMPOSED cross-modal wide chain (round 13 —
+    //         VERDICT r12 stretch 7): q101's exact committed operator
+    //         chain (wide image sigs + wide audio envelope sigs →
+    //         crossModalDupGroupsWide → doc join) run at a scaled
+    //         dir — the last missing row of the wide family's
+    //         measured table (q88 60-bit α 0.74, q96 wide containment
+    //         α 0.97 already measured).
+    if (args(1) == "crosswide") {
+      (1 to runs).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = graft.Measure.force(
+          graft.QueryCatalog.byName("q101_media_pipeline_wide")
+            .run(spark, dir))
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        graft.CacheScope.releaseAll(blocking = true)
+        println(f"[crosswide] run $i: $n rows in $elapsed%.2fs")
+      }
+      spark.stop()
+      return
+    }
+    val videoAuto = args(1) == "videoauto"
     // autod sizes ITSELF inside the front door (autoNlist, two-level
     // clamp) — resolving here would both double the count job and log
     // a number from the wrong clamp (round-11 review); same for the
     // video mode, which has no quantizer at all
     val nlist =
-      if (dispatch || video || videoWide || args(1) == "ivfauto") -1
+      if (dispatch || video || videoWide || videoAuto ||
+        args(1) == "ivfauto") -1
       else if (args(1) == "auto" || twoLevel || ivfMode)
         graft.operators.KMeansPortable.nlistFor(
           graft.Tables(spark, dir).embeddings.count())
       else args(1).toInt
     println(s"[probe] resolved nlist=" +
       s"${if (nlist < 0) "front-door" else nlist.toString} (${args(1)})")
+    if (videoAuto) {
+      // one pre-loop log of the width the door will choose (the door
+      // itself re-counts inside the timed region — its honest cost)
+      import spark.implicits._
+      val nf = graft.operators.MediaDedup.syntheticVideoCorpusWide(
+        graft.Tables(spark, dir).documents
+          .select(col("doc_id").cast("string")).as[String]).count()
+      val spec = graft.operators.MediaDedup.sigSpecFor(nf)
+      println(s"[probe] videoauto frames=$nf -> door picks " +
+        s"sigBits=${spec.sigBits} bandBits=${spec.bandBits}")
+    }
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       val n =
@@ -340,6 +458,20 @@ object ScaleProbe {
               graft.operators.MediaDedup.imageDHashWide(
                 graft.operators.MediaDedup.syntheticVideoCorpusWide(ids)),
               minContainment = 0.5)
+            .orderBy(col("a_id"), col("b_id")))
+        } else if (videoAuto) {
+          // the auto-width DOOR (round 13): must pick Sig60 at 1×
+          // frames and Sig120 at the 100× corpus, tracking the
+          // manual videowide choice — the door's n-count pass is
+          // inside the timed region (its honest cost)
+          import spark.implicits._
+          val ids = graft.Tables(spark, dir).documents
+            .select(col("doc_id").cast("string")).as[String]
+          val frames =
+            graft.operators.MediaDedup.syntheticVideoCorpusWide(ids)
+          graft.Measure.force(
+            graft.operators.MediaDedup.videoContainmentPairsAuto(
+              frames, minContainment = 0.5)
             .orderBy(col("a_id"), col("b_id")))
         } else if (dispatch) {
           graft.Measure.force(
