@@ -284,6 +284,29 @@ object MediaQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** q103: the AUTO-WIDTH door under a FULL oracle (round 13 —
+    * VERDICT r12 item 2 carried to the gate): the q89 chain entered
+    * through [[graft.operators.MediaDedup.videoContainmentPairsAuto]]
+    * — the door counts the frame corpus, sizes the signature width
+    * ([[graft.operators.MediaDedup.sigSpecFor]] — gate corpora sit
+    * far inside the 60-bit ceiling, so it picks Sig60) and runs the
+    * WIDE kernel at the chosen spec. The oracle is q89's text
+    * verbatim: the door's near-boundary dispatch must reproduce the
+    * legacy 60-bit chain value-for-value from the parquet bytes
+    * (Sig60-through-the-wide-kernel ≡ legacy, the round-12 parity,
+    * now hash-gated); the far side of the boundary is q96's wide
+    * gate + the MediaDedupSpec forced-n parity, so BOTH dispatch
+    * arms are value-verified.
+    */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables(s, dir).documents
+      .select(col("doc_id").cast("string")).as[String]
+    MediaDedup.videoContainmentPairsAuto(
+        MediaDedup.syntheticVideoCorpus(ids), minContainment = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   private val q89Sql =
     """WITH vmedia AS (
       |  SELECT CAST(doc_id AS VARCHAR) AS media_id,
@@ -849,6 +872,7 @@ object MediaQueries {
     Q("q84_audio_near_dup", q84, Some(q84Sql)),
     Q("q88_media_pipeline", q88, Some(q88Sql)),
     Q("q89_video_containment", q89, Some(q89Sql)),
+    Q("q103_video_containment_auto", q103, Some(q89Sql)),
     Q("q94_media_admission_oracle", q94, Some(q94Sql)),
     Q("q96_video_containment_wide", q96, Some(q96Sql)),
     Q("q99_media_admission_wide", q99, Some(q99Sql)),
