@@ -100,7 +100,12 @@ object Bench {
     // next round and pays full reps again; new lines and drifting
     // lines always pay full reps.
     val stableOneRep: Set[String] =
-      if (reps <= 1 || priorBenchFiles.length < 2) Set.empty
+      // SPARK_GRAFT_PRIOR_BENCH is the operator's ignore-prior-state
+      // knob (documented at the quiet section, '/dev/null to force
+      // all children') — a fully-measured round must mean fully
+      // measured HERE too (round-13 review)
+      if (reps <= 1 || sys.env.contains("SPARK_GRAFT_PRIOR_BENCH") ||
+        priorBenchFiles.length < 2) Set.empty
       else {
         val a = flatObj(artifactText(priorBenchFiles(0).getPath), "queries")
         val b = flatObj(artifactText(priorBenchFiles(1).getPath), "queries")
@@ -424,7 +429,11 @@ object Bench {
     // 2 KB window with sbt's epilogue behind it. The verbose line
     // stays for humans reading full stdout; all prior-round parsers
     // (flatObj on "quiet"/"quiet_agreed"/"queries") read either line
-    // identically.
+    // identically. GROWTH MARGIN (round-13 review): ~1.45 KB at 103
+    // queries, ~13 bytes per new catalog line, ~1.9 KB budget — room
+    // for ~35 more queries; if the catalog ever approaches that, trim
+    // quiet_agreed to committed-only values (the verbose line keeps
+    // the pairs) before timings lose decimals.
     val qs2 = results.map { case (k, v, _, _, _) =>
       "\"" + shortKey(k) + "\":" + num(v, 2) }.mkString("{", ",", "}")
     val quiet2 = quietPairs.map { case (k, t, _) =>

@@ -169,7 +169,25 @@ object Multimodal {
     def decode(mediaId: String, content: Array[Byte]): Iterator[DecodedFrame] =
       if (content == null) Iterator.empty
       else {
-        val r = runner.runBinary(argv, Some(content))
+        // the LAUNCH path is part of the zero-frames contract too
+        // (round-13 review): the registry probes PATH on the DRIVER,
+        // but decode runs in executor tasks — a heterogeneous image
+        // or a fork failure under memory pressure throws from
+        // ProcessBuilder.start(), and an uncaught throw fails the
+        // task 4x and aborts the stage the contract promises
+        // survives bad inputs. Degrade to zero frames, loudly on the
+        // executor's stderr; the review-table anti-join surfaces the
+        // media exactly like any other corrupt blob.
+        val r =
+          try runner.runBinary(argv, Some(content))
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"SubprocessDecoder: launch failed for $mediaId " +
+                  s"(${argv.headOption.getOrElse("?")}): $e")
+              graft.operators.ExternalProcess.BinaryResult(-1,
+                Array.emptyByteArray, e.toString)
+          }
         if (r.exitCode != 0 || r.stdout.isEmpty) Iterator.empty
         else inner.decode(mediaId, r.stdout)
       }

@@ -558,7 +558,11 @@ object IvfPqPortable {
     // one bounded 1-row collect (the walk's stopping rung)
     def walkPoint(sup: Int): (Int, Int) = {
       val s = if (sup > 0) sup else KMeansPortable.defaultSupers(nlist)
-      val ladder = SimilaritySearch.recallLadder(nlist, s, nprobe)
+      // clamp the caller's nprobe hint into [1, nlist] — the
+      // non-floor path tolerates an over-range hint (ranking all
+      // cells), so the walk must too (round-13 review)
+      val np0 = math.min(math.max(1, nprobe), nlist)
+      val ladder = SimilaritySearch.recallLadder(nlist, s, np0)
       val row = topKTwoLevelWalk(vectors, anchorPred, k, nlist,
         coarseIters, m, ksub, subIters, rerank, ladder, recallFloor,
         idCol, vecCol, supers = sup)

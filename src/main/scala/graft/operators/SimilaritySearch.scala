@@ -665,21 +665,20 @@ object SimilaritySearch {
       // contract), so the found nprobe transfers exactly
       val np =
         if (recallFloor > 0)
-          sizeTwoLevelForRecall(vectors, anchorPred, k, recallFloor,
+          sizedDoorPoint(vectors, anchorPred, k, recallFloor,
             math.max(2, nlist), nprobe, idCol, vecCol, seed,
-            trainFraction, supers = 1, maxAnchors = recallAnchors).nprobe
+            trainFraction, supers = 1, recallAnchors)._2
         else nprobe
       // ML KMeans requires k >= 2 (the semanticDedup convention)
       ivfCosineTopK(vectors, anchorPred, k, math.max(2, nlist), np,
         idCol, vecCol, seed, trainFraction)
     } else {
       val (p, np) =
-        if (recallFloor > 0) {
-          val pt = sizeTwoLevelForRecall(vectors, anchorPred, k,
-            recallFloor, nlist, nprobe, idCol, vecCol, seed,
-            trainFraction, maxAnchors = recallAnchors)
-          (pt.probeSupers, pt.nprobe)
-        } else (resolveProbeSupers(probeSupers, nprobe, nlist), nprobe)
+        if (recallFloor > 0)
+          sizedDoorPoint(vectors, anchorPred, k, recallFloor, nlist,
+            nprobe, idCol, vecCol, seed, trainFraction, supers = 0,
+            recallAnchors)
+        else (resolveProbeSupers(probeSupers, nprobe, nlist), nprobe)
       ivfCosineTopKTwoLevel(vectors, anchorPred, k, nlist, np,
         idCol, vecCol, seed, trainFraction, probeSupers = p)
     }
@@ -695,6 +694,24 @@ object SimilaritySearch {
     if (probeSupers > 0) probeSupers
     else KMeansPortable.autoProbeSupers(nprobe, nlist,
       KMeansPortable.defaultSupers(nlist))
+
+  /** The ONE recallFloor sizing site both native auto doors dispatch
+    * through (round-13 review: the dispatch block was pasted at three
+    * doors, and each crashed when the caller's nprobe hint exceeded
+    * the auto-sized nlist — a case the non-floor path handles by just
+    * ranking all cells). Clamps the hint into [1, nlist] (the walk
+    * then climbs FROM the clamped start — the terminal exact-sweep
+    * rung is unchanged) and returns the chosen (probeSupers, nprobe).
+    * `supers = 1` sizes the flat tier. */
+  private def sizedDoorPoint(vectors: DataFrame, anchorPred: Column,
+      k: Int, floor: Double, nlist: Int, nprobe: Int, idCol: String,
+      vecCol: String, seed: Long, trainFraction: Double, supers: Int,
+      recallAnchors: Int): (Int, Int) = {
+    val pt = sizeTwoLevelForRecall(vectors, anchorPred, k, floor,
+      nlist, math.min(math.max(1, nprobe), nlist), idCol, vecCol,
+      seed, trainFraction, supers, recallAnchors)
+    (pt.probeSupers, pt.nprobe)
+  }
 
   /** IVF-flat approximate top-k — the second scale path beside LSH:
     * a coarse k-means quantizer (Spark ML, fixed seed) partitions the
@@ -1816,20 +1833,19 @@ object SimilaritySearch {
     if (nlist <= KMeansPortable.FlatAutoMaxNlist) {
       val np =
         if (recallFloor > 0)
-          sizeTwoLevelForRecall(vectors, anchorPred, k, recallFloor,
+          sizedDoorPoint(vectors, anchorPred, k, recallFloor,
             math.max(2, nlist), nprobe, idCol, vecCol, seed,
-            trainFraction, supers = 1, maxAnchors = recallAnchors).nprobe
+            trainFraction, supers = 1, recallAnchors)._2
         else nprobe
       ivfPqTopK(vectors, anchorPred, k, math.max(2, nlist), np, m,
         ksub, rerank, idCol, vecCol, seed, trainFraction)
     } else {
       val (p, np) =
-        if (recallFloor > 0) {
-          val pt = sizeTwoLevelForRecall(vectors, anchorPred, k,
-            recallFloor, nlist, nprobe, idCol, vecCol, seed,
-            trainFraction, maxAnchors = recallAnchors)
-          (pt.probeSupers, pt.nprobe)
-        } else (resolveProbeSupers(probeSupers, nprobe, nlist), nprobe)
+        if (recallFloor > 0)
+          sizedDoorPoint(vectors, anchorPred, k, recallFloor, nlist,
+            nprobe, idCol, vecCol, seed, trainFraction, supers = 0,
+            recallAnchors)
+        else (resolveProbeSupers(probeSupers, nprobe, nlist), nprobe)
       val art = trainIvfPqArtifactsTwoLevel(vectors, nlist, m, ksub,
         vecCol, seed, trainFraction, residual = false)
       ivfPqTopKScoreTwoLevel(vectors, anchorPred, k, art, np,

@@ -776,18 +776,28 @@ object EventStreams {
     val fresh = media.select(col(idCol).cast("string").as("id"),
       col(tsCol).as("ts"), col(sigsCol).as("sigs"))
       .withWatermark("ts", watermarkDelay)
+    // posexplode_OUTER at both levels (round-13 review): a media
+    // with ZERO frame signatures (null/empty sigs — a corrupt blob
+    // whose decoder yielded no frames) must still reach the verdict
+    // and be ADMITTED, matching the batch twin (which pairs nothing
+    // for it); an inner explode silently dropped it — neither
+    // admitted nor rejected. Its null-sig rows join no corpus row
+    // (null keys never match), so the group sees only null c_media
+    // and admits.
     val bands = fresh.select(col("id"), col("ts"),
-      size(col("sigs")).as("nf"),
-      posexplode(col("sigs")).as(Seq("frameIdx", "rawsig")))
-      .withColumn("sig", graft.operators.Lsh.sigWidthChecked(
-        col("rawsig").cast("array<bigint>"), spec.bands,
-        "containmentAdmittedStream(stream)"))
+      greatest(size(col("sigs")), lit(0)).as("nf"),
+      posexplode_outer(col("sigs")).as(Seq("frameIdx", "rawsig")))
+      .withColumn("sig", when(col("rawsig").isNotNull,
+        graft.operators.Lsh.sigWidthChecked(
+          col("rawsig").cast("array<bigint>"), spec.bands,
+          "containmentAdmittedStream(stream)")))
       .select(col("id"), col("ts"), col("nf"), col("frameIdx"),
-        col("sig"), posexplode(col("sig")).as(Seq("b", "word")))
+        col("sig"), posexplode_outer(col("sig")).as(Seq("b", "word")))
     val joined = bands.join(corpusRel,
       col("b") === col("c_b") && col("word") === col("c_word") &&
         hamSum(col("sig"), col("c_sig")) <= lit(ham), "left")
-      .select(col("id"), col("ts"), col("nf"), col("frameIdx"),
+      .select(col("id"), col("ts"), col("nf"),
+        coalesce(col("frameIdx"), lit(-1)).as("frameIdx"),
         col("c_media"))
     val delayMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .getDuration(org.apache.spark.sql.catalyst.util.IntervalUtils

@@ -208,4 +208,20 @@ class AnnRecallSpec extends SparkSpec {
     val r = SimilaritySearch.meanRecall(res, exact10)
     assert(r >= 0.7 - 1e-9, f"door result recall $r%.4f under the floor")
   }
+
+  test("recallFloor survives an nprobe hint past the auto-sized nlist (round-13 review): the clamped walk still meets the floor") {
+    // default targetCellSize at 500 rows → autoNlist = 2, far under
+    // the caller's nprobe = 4 hint; the non-floor path tolerates the
+    // over-range hint (ranks all cells), so the floor path must too —
+    // pre-fix this threw from recallLadder's nprobe0 <= nlist contract
+    val res = SimilaritySearch.ivfCosineTopKAuto(emb, pred, 10,
+      nprobe = 4, recallFloor = 0.9)
+    val r = SimilaritySearch.meanRecall(res, exact10)
+    assert(r >= 0.9 - 1e-9, f"clamped-walk door recall $r%.4f under floor")
+    // the portable door's walkPoint clamps identically
+    val pres = IvfPqPortable.topKAuto(emb, col("id") < 20, k = 5,
+      coarseIters = 2, m = 4, ksub = 8, subIters = 2, nprobe = 4,
+      rerank = 16, targetCellSize = 256, recallFloor = 0.01)
+    assert(pres.count() > 0)
+  }
 }

@@ -449,6 +449,14 @@ class ExternalProcessSpec extends SparkSpec {
     val failing = new Multimodal.SubprocessDecoder(
       Seq("false"), new Multimodal.WavDecoder(1024))
     assert(failing.decode("m", amWav(3)).isEmpty)
+    // binary that doesn't EXIST (round-13 review: the launch throw
+    // must degrade to zero frames, not fail the task — registry
+    // probing is driver-side, decode runs on executors whose image
+    // may differ)
+    val missing = new Multimodal.SubprocessDecoder(
+      Seq("/nonexistent/transcoder-binary"),
+      new Multimodal.WavDecoder(1024))
+    assert(missing.decode("m", amWav(3)).isEmpty)
     // transcode succeeded but emitted a non-WAV container: the inner
     // decoder's own corrupt contract kicks in
     val passthrough = new Multimodal.SubprocessDecoder(

@@ -888,7 +888,11 @@ class StreamingSpec extends SparkSpec {
     val b1 = feed(Seq(
       ("clip", "2026-01-01 10:00:00", clipSigs),
       ("novel", "2026-01-01 10:00:01", novelSigs),
-      ("superv", "2026-01-01 10:00:02", superSigs)))
+      ("superv", "2026-01-01 10:00:02", superSigs),
+      // zero frames (a corrupt blob's decode) must still reach the
+      // verdict and ADMIT, matching the batch twin (round-13 review:
+      // an inner explode silently dropped it)
+      ("empty", "2026-01-01 10:00:02", Seq.empty[Seq[Long]])))
     val b2 = feed(Seq(("novel", "2026-01-01 10:00:05", novelSigs)))
     b1.coalesce(1).write.mode("append").parquet(s"$dir/all")
     Thread.sleep(1100)
@@ -903,7 +907,7 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq.sorted
     // one 'novel' row only — the replay in trigger 2 is suppressed by
     // the per-media state
-    assert(got === Seq("novel", "superv"))
+    assert(got === Seq("empty", "novel", "superv"))
     // the caveat's batch half: the batch operator DOES pair superv
     // with cv (cv's own side reads 1/4 < 0.5... so pin the clip pair,
     // which both engines agree on, and superv↔cv at a lower bar)
