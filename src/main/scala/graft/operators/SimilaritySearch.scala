@@ -131,7 +131,16 @@ object SimilaritySearch {
     * candidate-ranking cost scales with probeSupers/S and swept
     * corpus fraction with nprobe/nlist. */
   final case class AnnOperatingPoint(probeSupers: Int, nprobe: Int,
-      recall: Double, floorMet: Boolean, walk: Seq[RecallRung])
+      recall: Double, floorMet: Boolean, walk: Seq[RecallRung]) {
+    /** The SWEEP cost of the chosen point — the corpus fraction the
+      * candidate join reads per anchor (the dominant cost knob). */
+    def sweptFraction(nlist: Int): Double = nprobe.toDouble / nlist
+    /** The candidate-RANKING cost share — the fraction of supers
+      * whose children the probe ranks (p broadcast joins over the
+      * ≤ nlist-row centroid relation). */
+    def rankedSuperShare(supers: Int): Double =
+      probeSupers.toDouble / supers
+  }
 
   /** The deterministic (probeSupers, nprobe) ladder a recall-targeted
     * walk climbs. Two phases, cheapest knob first:
