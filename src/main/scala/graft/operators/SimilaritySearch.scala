@@ -1823,11 +1823,19 @@ object SimilaritySearch {
     * `recallFloor > 0` (round 13) recall-sizes the door on the COARSE
     * probe — [[sizeTwoLevelForRecall]] against an identically-trained
     * coarse structure (same trainer, same seed as the artifacts
-    * below), because the probe decides WHICH cells are swept, the
-    * dominant recall term; the PQ approximation on top is a scoring
-    * distortion the exact rerank recovers (and [[requireRecall]]
-    * polices end-to-end). The found (p, nprobe) feeds the PQ query
-    * path unchanged.
+    * below), because the probe decides WHICH cells are swept: the
+    * coarse tier's recall is the PQ tier's CEILING. What the sizing
+    * does NOT set is the PQ-side knob: `rerank` must be a sufficient
+    * fraction of the swept set or true neighbors fall between the
+    * ADC shortlist and the exact rerank. MEASURED (ScaleProbe
+    * `recallwalk`, SCALE.md round 13, near-uniform corpus at
+    * m=8/ksub=16, the chosen point's ~0.38 sweep): rerank 64 → 0.28,
+    * 256 → 0.50, 1024 → 0.73 vs the coarse ceiling 0.80 — ~10–15%
+    * of the swept set buys ~90% of the ceiling there; clustered
+    * real data sits far higher at equal rerank (ADC distortion
+    * shrinks with cluster structure — the residual-codes spec).
+    * Callers holding an end-to-end floor size rerank with nprobe and
+    * police with [[requireRecall]].
     */
   def ivfPqTopKAuto(vectors: DataFrame, anchorPred: Column, k: Int,
       nprobe: Int = 4, m: Int = 8, ksub: Int = 16,

@@ -371,6 +371,35 @@ object ScaleProbe {
         f"p=${pt.probeSupers} np=${pt.nprobe} recall=${pt.recall}%.4f " +
         f"floorMet=${pt.floorMet} walk_total=$secs%.1fs " +
         f"swept_frac=${pt.nprobe.toDouble / nlist}%.3f")
+      // the PQ stage at the CHOSEN point — the ivfPqTopKAuto door's
+      // documented premise (the coarse probe decides WHICH cells are
+      // swept; the exact rerank recovers PQ scoring distortion),
+      // measured on the same 64-lowest-id anchor sample the walk
+      // sized against so the rows are directly comparable
+      val sampleIds = emb.select(col("vec_id").cast("long"))
+        .filter(col("vec_id") % 50 === 0).orderBy(col("vec_id"))
+        .limit(64).collect().map(_.getLong(0)).toSeq
+      val pred2 = col("id").isInCollection(sampleIds)
+      val exactS = graft.CacheScope.track(SimilaritySearch.cosineTopK(
+        emb, emb.filter(col("vec_id").isInCollection(sampleIds)), 10))
+      val t1 = System.nanoTime()
+      val art = SimilaritySearch.trainIvfPqArtifactsTwoLevel(emb,
+        nlist = nlist, m = 8, ksub = 16, residual = true)
+      println(f"[recallwalk] pq artifacts trained in " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1fs")
+      // rerank is the PQ-side recall knob: the ADC shortlist must be
+      // a sufficient FRACTION of the swept set or true neighbors are
+      // lost between ADC and the exact rerank — measured as a ladder
+      Seq(64, 256, 1024).foreach { rr =>
+        val t2 = System.nanoTime()
+        val rpq = SimilaritySearch.meanRecall(
+          SimilaritySearch.ivfPqTopKScoreTwoLevel(emb, pred2, 10, art,
+            nprobe = pt.nprobe, rerank = rr,
+            probeSupers = pt.probeSupers), exactS)
+        println(f"[recallwalk] ivfpq2(residual) at chosen point, " +
+          f"rerank=$rr: recall=$rpq%.4f " +
+          f"(${(System.nanoTime() - t2) / 1e9}%.1fs)")
+      }
       spark.stop()
       return
     }
