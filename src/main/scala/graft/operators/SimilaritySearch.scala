@@ -198,6 +198,16 @@ object SimilaritySearch {
     * contract, not a hope; the returned point carries the full rung
     * table so deployments can price the floor (the SCALE.md round-13
     * frontier rows are this operator's output).
+    *
+    * KNIFE-EDGE NOTE (measured — the flat 100× walk): a rung whose
+    * true mean recall sits a float-epsilon BELOW a floor that is
+    * itself a reachable rational (e.g. measured 0.8000-to-4dp
+    * against floor 0.8) does NOT stop the walk — it overshoots one
+    * rung, the SAFE direction (recall only improves; cost at most
+    * doubles). Callers who care about the marginal rung set the
+    * floor a hair under the target (0.799); gate floors sit well
+    * away from reachable rung values by construction (q102's 0.3 is
+    * ≥ 0.02 from every measured rung at every SF).
     */
   def sizeTwoLevelForRecall(vectors: DataFrame, anchorPred: Column,
       k: Int, floor: Double, nlist: Int, nprobe0: Int = 4,
@@ -650,13 +660,14 @@ object SimilaritySearch {
     * `recallwalk`, SCALE.md round 13): the p-phase saturates AT p = S
     * (p = S is the flat probe over the same children — 0.76 at 100×
     * held fraction), so past the pool rule the two-level/flat recall
-    * gap is CELL QUALITY, not probe width; restoring ≥ 0.8 on the
-    * two-level structure costs ~2× the swept fraction flat needs
-    * (np ≈ 0.4·nlist at p = S, found by the walk at 10× and 100×).
-    * Deployments needing flat-level recall at minimum sweep pick the
-    * flat structure (and pay its O(N·nlist) assignment or the
-    * clamp); deployments buying the 7–8× two-level speedup state a
-    * floor here and pay the walk's found sweep.
+    * gap is CELL QUALITY, not probe width. On the same instrument the
+    * gap is −0.04 to −0.08 recall at equal sweep — at most ONE ×2
+    * nprobe rung (flat's 0.8-threshold sits at ~0.2 sweep at 100×,
+    * two-level's inside (0.2, 0.4]; both walks choose 0.4 at the
+    * ladder's granularity). Deployments needing flat-level recall at
+    * minimum sweep pick the flat structure (and pay its O(N·nlist)
+    * assignment or the clamp); deployments buying the 7–8× two-level
+    * speedup state a floor here and pay the walk's found sweep.
     */
   def ivfCosineTopKAuto(vectors: DataFrame, anchorPred: Column, k: Int,
       nprobe: Int = 4, idCol: String = "vec_id",

@@ -359,10 +359,14 @@ object ScaleProbe {
       val nlist = KMeansPortable.nlistFor(n)
       val np0 = math.max(4, nlist / 5)
       val floor = if (args.length > 2) args(2).toDouble else 0.8
+      // args(3): supers override — 1 walks the FLAT tier on the same
+      // instrument/sample, so flat-vs-two-level sweep costs for the
+      // same floor are directly comparable (0 = auto ⌈√nlist⌉)
+      val supersArg = if (args.length > 3) args(3).toInt else 0
       val t0 = System.nanoTime()
       val pt = SimilaritySearch.sizeTwoLevelForRecall(emb,
         col("id") % 50 === 0, k = 10, floor = floor, nlist = nlist,
-        nprobe0 = np0)
+        nprobe0 = np0, supers = supersArg)
       val secs = (System.nanoTime() - t0) / 1e9
       pt.walk.foreach(r => println(
         f"[recallwalk] n=$n nlist=$nlist rung p=${r.probeSupers} " +
@@ -371,11 +375,11 @@ object ScaleProbe {
         f"p=${pt.probeSupers} np=${pt.nprobe} recall=${pt.recall}%.4f " +
         f"floorMet=${pt.floorMet} walk_total=$secs%.1fs " +
         f"swept_frac=${pt.nprobe.toDouble / nlist}%.3f")
-      // the PQ stage at the CHOSEN point — the ivfPqTopKAuto door's
-      // documented premise (the coarse probe decides WHICH cells are
-      // swept; the exact rerank recovers PQ scoring distortion),
-      // measured on the same 64-lowest-id anchor sample the walk
-      // sized against so the rows are directly comparable
+      // the PQ stage at the CHOSEN point — measured on the same
+      // 64-lowest-id anchor sample the walk sized against so the
+      // rows are directly comparable (skipped on the flat
+      // supers = 1 walk, whose purpose is the sweep comparison)
+      if (supersArg == 1) { spark.stop(); return }
       val sampleIds = emb.select(col("vec_id").cast("long"))
         .filter(col("vec_id") % 50 === 0).orderBy(col("vec_id"))
         .limit(64).collect().map(_.getLong(0)).toSeq
