@@ -15,6 +15,13 @@ Test / fork := true
 // sequential explicitly rather than by sbt default
 Test / testForkedParallel := false
 run / fork := true
+// Forked run output goes STRAIGHT to stdout, not through sbt's logger:
+// the logger prefixes every line with "[info] ", which is exactly what
+// made the driver's JSON parse of Bench's compact line fail all 13
+// rounds (BENCH_r13.json tail: the complete compact object sits in the
+// captured window but behind "[info] ", so json.loads rejects the line
+// and `parsed` stays null). StdoutOutput emits the child's lines raw.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
