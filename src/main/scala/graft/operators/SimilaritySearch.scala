@@ -142,6 +142,30 @@ object SimilaritySearch {
       probeSupers.toDouble / supers
   }
 
+  /** One evaluated rung of a FULL-CHAIN (coarse probe + ADC shortlist
+    * + exact rerank) PQ recall walk — [[RecallRung]] with the PQ
+    * tier's third knob. */
+  final case class PqRecallRung(probeSupers: Int, nprobe: Int,
+      rerank: Int, recall: Double)
+
+  /** The operating point a full-chain PQ recall walk chose (round 14
+    * — ADVICE r13: the coarse-only sizer's floor was the PQ tier's
+    * CEILING, not its recall; this point's `recall` is measured on
+    * the same chain the query runs, ADC shortlist and rerank
+    * included, so the floor is END-TO-END). Cost report: sweep scales
+    * with nprobe/nlist, ranking with probeSupers/S, and the
+    * rerank-stage exact re-scores with `rerank` per anchor. */
+  final case class PqOperatingPoint(probeSupers: Int, nprobe: Int,
+      rerank: Int, recall: Double, floorMet: Boolean,
+      walk: Seq[PqRecallRung]) {
+    def sweptFraction(nlist: Int): Double = nprobe.toDouble / nlist
+    def rankedSuperShare(supers: Int): Double =
+      probeSupers.toDouble / supers
+    /** Exact re-scores per anchor at the chosen point — the PQ
+      * tier's own cost knob, absent from the coarse walk. */
+    def rerankPerAnchor: Int = rerank
+  }
+
   /** The deterministic (probeSupers, nprobe) ladder a recall-targeted
     * walk climbs. Two phases, cheapest knob first:
     *
@@ -173,6 +197,46 @@ object SimilaritySearch {
     while (nps.last < nlist) nps += math.min(nlist, nps.last * 2)
     (ps.toSeq.map(p => (p, nprobe0)) ++
       nps.toSeq.drop(1).map(np => (supers, np)))
+  }
+
+  /** The deterministic (probeSupers, nprobe, rerank) ladder a
+    * FULL-CHAIN PQ recall walk climbs (round 14 — ADVICE r13). Three
+    * phases, cheapest knob first, extending [[recallLadder]] with the
+    * PQ tier's own knob:
+    *
+    *  1. widen the SUPER pool at (nprobe0, rerank0) — the coarse
+    *     ladder's phase 1 (ranking cost only).
+    *  2. at p = S, double nprobe AND rerank in LOCKSTEP until nprobe
+    *     reaches nlist — rerank stays a constant fraction of the
+    *     swept set, which is the measured shape of the PQ tier
+    *     (ScaleProbe `recallwalk`, SCALE.md round 13: ~10–15% of the
+    *     swept set buys ~90% of the coarse ceiling; holding rerank
+    *     fixed while the sweep doubles is how the round-13 coarse
+    *     sizer's 0.80 ceiling decayed to 0.28 measured).
+    *  3. at nprobe = nlist, keep doubling rerank until `maxRerank`
+    *     (the corpus bound) — the terminal rung reranks every
+    *     candidate of an all-cell sweep, which IS exact search, so a
+    *     walk over this ladder hits any floor ≤ 1.0 by construction.
+    *
+    * Pure arithmetic (no data); specs pin the rung list. */
+  def pqRecallLadder(nlist: Int, supers: Int, nprobe0: Int,
+      rerank0: Int, maxRerank: Int): Seq[(Int, Int, Int)] = {
+    require(rerank0 >= 1 && maxRerank >= rerank0,
+      s"need 1 <= rerank0 <= maxRerank; got $rerank0/$maxRerank")
+    val coarse = recallLadder(nlist, supers, nprobe0)
+    val (ph1, ph2) = coarse.partition(_._2 == nprobe0)
+    val rungs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    rungs ++= ph1.map { case (p, np) => (p, np, rerank0) }
+    var r = rerank0
+    ph2.foreach { case (p, np) =>
+      r = math.min(maxRerank, r * 2)
+      rungs += ((p, np, r))
+    }
+    while (r < maxRerank) {
+      r = math.min(maxRerank, r * 2)
+      rungs += ((supers, nlist, r))
+    }
+    rungs.toSeq
   }
 
   /** Recall-TARGETED sizing for the two-level IVF tier (round 13 —
@@ -229,10 +293,16 @@ object SimilaritySearch {
     val assigned = graft.CacheScope.track(feat.as[(Long, Array[Double])]
       .map { case (id, v) => (id, v, nearestChild(v, cB.value)) }
       .toDF("id", "vec", "cell"))
-    // deterministic bounded sample: the lowest-id anchors (orderBy +
-    // limit — same sample every call, every partitioning)
+    // deterministic bounded sample, DECORRELATED from content
+    // (ADVICE r13): on corpora where id correlates with content
+    // (time-ordered ingest, cluster-ordered writes) the lowest-id
+    // prefix samples one region and the measured floor may not
+    // transfer to the full anchor set — so order by a seeded hash of
+    // the id (same sample every call, every partitioning; id
+    // tie-break keeps the order total even under hash collisions)
     val sample = graft.CacheScope.track(
-      feat.filter(anchorPred).orderBy(col("id")).limit(maxAnchors))
+      feat.filter(anchorPred)
+        .orderBy(xxhash64(col("id")), col("id")).limit(maxAnchors))
     val exact = graft.CacheScope.track(
       cosineTopK(feat, sample, k, "id", "vec"))
     val centDf = childCentDf(spark, coarse)
@@ -271,6 +341,72 @@ object SimilaritySearch {
     val last = walk.last
     AnnOperatingPoint(last.probeSupers, last.nprobe, last.recall,
       found.isDefined, walk)
+  }
+
+  /** FULL-CHAIN recall sizing for the IVF-PQ tier (round 14 — ADVICE
+    * r13: [[sizeTwoLevelForRecall]] scores candidates with exact
+    * cosine, so its floor is only the PQ tier's coarse CEILING — the
+    * repo's own measurement read 0.28 end-to-end at rerank 64 under
+    * a 0.80 coarse ceiling). This sizer walks [[pqRecallLadder]] on
+    * the REAL serving chain — the stored index's coarse probe, ADC
+    * shortlist AND exact rerank ([[serveIvfPqIndexed]], the exact
+    * path every query runs) — so the floor it meets is end-to-end by
+    * construction, the [[IvfPqPortable.topKAuto]] contract brought to
+    * the native tier. Trains NOTHING and re-encodes NOTHING: it
+    * sizes the query knobs of a prebuilt index, which is why the
+    * stored-index door can afford it at deployment time (the
+    * reference's validate-then-serve discipline,
+    * Docs/SIMILARITY-PLAN.md:55-75).
+    *
+    * Ground truth: exact cosine top-k of a bounded, deterministic,
+    * content-decorrelated anchor sample (the seeded-hash rule —
+    * ADVICE r13). Per rung: one bounded sample probe (corpus-side
+    * work = the swept cells of ≤ maxAnchors anchors) and one scalar
+    * collect. The terminal rung (S, nlist, |index|) reranks every
+    * candidate of an all-cell sweep — exact search, so any floor
+    * ≤ 1.0 is reachable; its shortlist aggregate is |index| ids per
+    * SAMPLE anchor, the one place the walk's cost is corpus-sized,
+    * and only a floor unreachable below it ever gets there. */
+  def sizeIvfPqForRecall(index: DataFrame, vectors: DataFrame,
+      anchorPred: Column, k: Int, floor: Double,
+      artifacts: TwoLevelIvfPqArtifacts, nprobe0: Int = 4,
+      rerank0: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxAnchors: Int = 64): PqOperatingPoint = {
+    require(floor > 0.0 && floor <= 1.0,
+      s"recall floor must be in (0, 1]; got $floor")
+    require(maxAnchors >= 1, s"maxAnchors must be >= 1; got $maxAnchors")
+    val nlist = artifacts.coarse.nlist
+    val s = artifacts.coarse.supers.length
+    val feat = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val sampleIds = feat.filter(anchorPred)
+      .orderBy(xxhash64(col("id")), col("id")).limit(maxAnchors)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    require(sampleIds.nonEmpty, "sizeIvfPqForRecall: empty anchor sample")
+    val samplePred = col("id").isin(sampleIds: _*)
+    val sample = graft.CacheScope.track(feat.filter(samplePred))
+    val exact = graft.CacheScope.track(
+      cosineTopK(feat, sample, k, "id", "vec"))
+    val n = index.count()
+    val maxRerank = math.max(rerank0,
+      math.min(n, Int.MaxValue.toLong).toInt)
+    val ladder = pqRecallLadder(nlist, s,
+      math.min(math.max(1, nprobe0), nlist), rerank0, maxRerank)
+    var walk = Vector.empty[PqRecallRung]
+    var found: Option[PqRecallRung] = None
+    val it = ladder.iterator
+    while (found.isEmpty && it.hasNext) {
+      val (p, np, r) = it.next()
+      val rec = meanRecall(serveIvfPqIndexed(index, vectors,
+        samplePred, k, artifacts, np, r, idCol, vecCol, p), exact)
+      val rung = PqRecallRung(p, np, r, rec)
+      walk = walk :+ rung
+      if (rec >= floor) found = Some(rung)
+    }
+    val last = walk.last
+    PqOperatingPoint(last.probeSupers, last.nprobe, last.rerank,
+      last.recall, found.isDefined, walk)
   }
 
   /** Exact top-k cosine neighbors of each anchor. Anchors must be
@@ -1236,6 +1372,22 @@ object SimilaritySearch {
     * the flat trainer's at equal nlist while the ASSIGNMENT drops
     * from O(nlist) to O(2√nlist) per row.
     */
+  /** The ML-KMeans super stage shared by [[trainTwoLevelCoarse]] and
+    * [[trainThreeLevel]] — ONE site so the two trainers' routing
+    * layers are the same fit (the parity anchor). `dv` carries a
+    * single `v` array column; s = 1 skips the fit (routing is
+    * constant). */
+  private def trainSupersML(dv: DataFrame, s: Int, dim: Int,
+      seed: Long): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    if (s == 1) Array(Array.fill(dim)(0.0)) // routing is constant
+    else new KMeans().setK(s).setSeed(seed)
+      .setFeaturesCol("features")
+      .fit(dv.select(array_to_vector(col("v")).as("features")))
+      .clusterCenters.map(_.toArray)
+  }
+
   def trainTwoLevelCoarse(vectors: DataFrame, nlist: Int,
       vecCol: String = "embedding", seed: Long = 42L,
       trainFraction: Double = 1.0, supers: Int = 0): TwoLevelCoarse = {
@@ -1256,12 +1408,7 @@ object SimilaritySearch {
     require(dimRow.nonEmpty,
       "trainTwoLevelCoarse: empty or all-null vector set")
     val dim = dimRow(0).getInt(0)
-    val superCents: Array[Array[Double]] =
-      if (s == 1) Array(Array.fill(dim)(0.0)) // routing is constant
-      else new KMeans().setK(s).setSeed(seed)
-        .setFeaturesCol("features")
-        .fit(dv.select(array_to_vector(col("v")).as("features")))
-        .clusterCenters.map(_.toArray)
+    val superCents = trainSupersML(dv, s, dim, seed)
     val scB = spark.sparkContext.broadcast(superCents)
     val routed = graft.CacheScope.track(
       dv.as[Array[Double]].map(v => (nearestCentroid(v, scB.value), v))
@@ -1438,6 +1585,20 @@ object SimilaritySearch {
   def assignCellsViaRelationFused(vectors: DataFrame,
       supers: Array[Array[Double]], childRel: DataFrame,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    assignCellsViaRelationFusedKeepVec(vectors, supers, childRel,
+      idCol, vecCol).select(col("id"), col("cell"))
+
+  /** The fused cogroup assignment CARRYING the vector through —
+    * (id, cell, vec) — so a consumer that needs both (the relational
+    * Lloyd update step, [[trainThreeLevel]]) pays no second id-keyed
+    * shuffle to rejoin vectors onto assignments. Same routing, same
+    * index-ordered accumulation, same lowest-cell ties as the
+    * (id, cell) public face above, which is a column-pruned view of
+    * this. */
+  private[graft] def assignCellsViaRelationFusedKeepVec(
+      vectors: DataFrame, supers: Array[Array[Double]],
+      childRel: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -1447,7 +1608,27 @@ object SimilaritySearch {
     val routed = vectors.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"))
       .as[(Long, Array[Double])]
-      .groupByKey(r => routeAmong(r._2, sB.value, pB.value))
+      .map(r => (r._1, r._2, routeAmong(r._2, sB.value, pB.value)))
+      .toDF("id", "vec", "super")
+    assignPreRoutedFused(routed, childRel)
+  }
+
+  /** The fused cogroup argmin over an ALREADY-ROUTED (id, vec, super)
+    * relation — the shared kernel of [[assignCellsViaRelationFused]]
+    * and [[trainThreeLevel]]'s Lloyd loop (where routing is constant
+    * across iterations — cells never change super — so re-routing
+    * per iteration would double the per-row distance work for
+    * nothing). Each cogroup group materializes its super's children
+    * once (nlist/S × dim doubles of bounded state) and runs the
+    * broadcast path's exact tight loop: index-ordered accumulation,
+    * lowest-cell ties. */
+  private[graft] def assignPreRoutedFused(routedDf: DataFrame,
+      childRel: DataFrame): DataFrame = {
+    val spark = routedDf.sparkSession
+    import spark.implicits._
+    val routed = routedDf.select(col("id"), col("vec"), col("super"))
+      .as[(Long, Array[Double], Int)]
+      .groupByKey(_._3)
     val children = childRel
       .select(col("super"), col("cell"), col("cvec"))
       .as[(Int, Int, Array[Double])]
@@ -1456,7 +1637,7 @@ object SimilaritySearch {
       val cands = cs.map { case (_, cell, cv) => (cell, cv) }
         .toArray.sortBy(_._1)
       if (cands.isEmpty) Iterator.empty
-      else vs.map { case (id, v) =>
+      else vs.map { case (id, v, _) =>
         var bj = cands(0)._1; var bd = Double.MaxValue
         var k = 0
         while (k < cands.length) {
@@ -1466,9 +1647,216 @@ object SimilaritySearch {
           if (d < bd) { bd = d; bj = cands(k)._1 }
           k += 1
         }
-        (id, bj)
+        (id, bj, v)
       }
-    }.toDF("id", "cell")
+    }.toDF("id", "cell", "vec")
+  }
+
+  /** A coarse structure whose CHILD LEVEL lives as a relation, never
+    * as driver/broadcast state — what [[trainThreeLevel]] returns and
+    * the relational query path ([[ivfCosineTopKRelationalIndexed]])
+    * serves from. `childRel` is (super, cell, cvec); write it
+    * bucketed by `super` for exchange-free assignment joins and keep
+    * the corpus assignment bucketed by `cell` for exchange-free
+    * probes (the q91 discipline, both halves). */
+  final case class RelationalCoarse(supers: Array[Array[Double]],
+      childRel: DataFrame)
+
+  /** THREE-LEVEL training (round 14 — VERDICT r13 item 4): the
+    * two-level trainer generalized so the child level is NEVER
+    * driver-resident — the training loop for the regime past the
+    * [[KMeansPortable.MaxAutoNlistTwoLevel]] clamp (128 MB of child
+    * centroids at dim 64; the next decade is GB), where round 13 left
+    * assignment measured ([[assignCellsViaRelationFused]]) but
+    * training documented out of scope. The loop IS that assignment
+    * join, used as Lloyd's assignment step:
+    *
+    *   1. supers: the SAME ML fit as [[trainTwoLevelCoarse]]'s super
+    *      stage ([[trainSupersML]] — one site, the parity anchor);
+    *      driver state S·dim, always tiny.
+    *   2. route + count + allocate: the shared largest-remainder rule
+    *      ([[KMeansPortable.allocateChildren]] — ONE arithmetic for
+    *      every trainer in the family); driver state S longs.
+    *   3. seed children AS A RELATION: each super's ks(i) lowest-id
+    *      members (the committed-seed discipline of
+    *      [[KMeansPortable.trainTwoLevelFromBase]]), global cell ids
+    *      consecutive within supers via an S-int offset prefix-sum —
+    *      a window rank, zero collect.
+    *   4. Lloyd iterations: assignment via the FUSED cogroup
+    *      ([[assignPreRoutedFused]] — routing is constant across
+    *      iterations, so it is paid once in step 2's relation), then
+    *      per-(cell, dim) decimal means re-assembled relationally;
+    *      an emptied cell keeps its previous centroid (the portable
+    *      trainer's rule). Each iteration's childRel is forced and
+    *      its predecessor unpersisted — the resident state is ONE
+    *      child relation, nothing driver-sized anywhere.
+    *
+    * `broadcastAssign = true` runs the SAME loop with the round-12
+    * broadcast assignment kernel ([[nearestChild]]'s fused map over
+    * collected children) — the fast path BELOW the clamp and the
+    * parity instrument: both assignment kernels are value-identical
+    * (the round-13 parity pin), so the two trainers' centroids are
+    * equal BY INDUCTION over iterations, and the spec asserts it.
+    * Training on a `trainFraction` sample mirrors the family's
+    * convention; the returned childRel serves full-corpus assignment.
+    */
+  def trainThreeLevel(vectors: DataFrame, nlist: Int,
+      vecCol: String = "embedding", seed: Long = 42L,
+      trainFraction: Double = 1.0, supers: Int = 0, iters: Int = 5,
+      idCol: String = "vec_id",
+      broadcastAssign: Boolean = false): RelationalCoarse = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(nlist > 0 && iters >= 1,
+      s"need nlist > 0, iters >= 1; got nlist=$nlist iters=$iters")
+    val s = if (supers > 0) supers else KMeansPortable.defaultSupers(nlist)
+    require(s <= nlist, s"supers=$s must not exceed nlist=$nlist")
+    val feat0 = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .filter(col("vec").isNotNull)
+    val feat = graft.CacheScope.track(
+      if (trainFraction >= 1.0) feat0
+      else feat0.sample(trainFraction, seed))
+    val dimRow = feat.select(size(col("vec"))).limit(1).collect()
+    require(dimRow.nonEmpty, "trainThreeLevel: empty or all-null vector set")
+    val dim = dimRow(0).getInt(0)
+    val superCents = trainSupersML(feat.select(col("vec").as("v")),
+      s, dim, seed)
+    val scB = spark.sparkContext.broadcast(superCents)
+    val allIdx = (0 until s).toArray
+    val routed = graft.CacheScope.track(
+      feat.as[(Long, Array[Double])]
+        .map { case (id, v) => (id, v, routeAmong(v, scB.value, allIdx)) }
+        .toDF("id", "vec", "super"))
+    val counts = routed.groupBy(col("super")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(counts.values.sum > 0,
+      "trainThreeLevel needs a non-empty vector set")
+    val ks = KMeansPortable.allocateChildren(counts, s, nlist)
+    val offsets = ks.scanLeft(0)(_ + _)
+    val ksDf = (0 until s).map(i => (i, ks(i), offsets(i)))
+      .toDF("super", "__k", "__off")
+    val w = Window.partitionBy(col("super")).orderBy(col("id"))
+    var childRel = graft.CacheScope.track(
+      routed.join(broadcast(ksDf), Seq("super"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= col("__k"))
+        .select(col("super"),
+          (col("__off") + col("__rn") - 1).cast("int").as("cell"),
+          col("vec").as("cvec")))
+    childRel.count() // force: the loop must read a cache, not a chain
+    var it = 0
+    while (it < iters) {
+      val assigned =
+        if (!broadcastAssign) assignPreRoutedFused(routed, childRel)
+        else {
+          // the driver-resident twin: only legal below the clamp —
+          // the collect here is exactly the state the relational
+          // path exists to avoid
+          val rows = childRel.select(col("cell"), col("super"),
+              col("cvec")).collect()
+            .map(r => (r.getInt(0), r.getInt(1),
+              r.getSeq[Double](2).toArray))
+            .sortBy(_._1)
+          val groups = Array.fill(s)(
+            scala.collection.mutable.ArrayBuffer[Int]())
+          rows.foreach { case (c, sup, _) => groups(sup) += c }
+          val coarse = TwoLevelCoarse(superCents, rows.map(_._3),
+            groups.map(_.toArray))
+          val cB = spark.sparkContext.broadcast(coarse)
+          routed.select(col("id"), col("vec"))
+            .as[(Long, Array[Double])]
+            .map { case (id, v) => (id, nearestChild(v, cB.value), v) }
+            .toDF("id", "cell", "vec")
+        }
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg((sum(round(col("x"), 12)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("d"), col("c"))))
+          .as("__ps"))
+        .select(col("cell"),
+          transform(col("__ps"), p => p.getField("c")).as("__newc"))
+      val prev = childRel
+      childRel = graft.CacheScope.track(
+        prev.join(means, Seq("cell"), "left")
+          .select(col("super"), col("cell"),
+            coalesce(col("__newc"), col("cvec")).as("cvec")))
+      childRel.count() // force before dropping the predecessor
+      prev.unpersist()
+      it += 1
+    }
+    RelationalCoarse(superCents, childRel)
+  }
+
+  /** IVF-flat top-k SERVED FROM the relational structure (round 14 —
+    * the "probe path reading the bucketed child store" of VERDICT
+    * r13 item 4): nothing here is driver/broadcast state except the
+    * supers and the anchors themselves.
+    *
+    *   - anchors (filtered from the stored assignment by
+    *     `anchorPred`) route to their top-`probeSupers` supers in a
+    *     map over the broadcast supers;
+    *   - candidate CELLS arrive by streaming the child store once
+    *     through a broadcast-anchor join keyed on super — the child
+    *     side has ZERO exchanges, bucketed or not, because the
+    *     anchors are the build side — and each anchor keeps its
+    *     `nprobe` best cells by the bounded topKByScore rule;
+    *   - candidate VECTORS arrive through the cell equi-join against
+    *     the stored assignment (id, vec, cell) — bucketed by `cell`
+    *     the corpus side joins with zero exchanges (the q91
+    *     discipline), the probe side (anchors × nprobe rows)
+    *     shuffles to meet it;
+    *   - exact cosine rerank, bounded top-k.
+    *
+    * `nprobe = nlist` with `probeSupers = S` degenerates to exact
+    * search (the family's invariant, spec-pinned against
+    * [[cosineTopK]]). */
+  def ivfCosineTopKRelationalIndexed(assigned: DataFrame,
+      anchorPred: Column, k: Int, coarse: RelationalCoarse,
+      nprobe: Int, probeSupers: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
+    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val populated = populatedOf(coarse.childRel)
+    require(probeSupers >= 1 && probeSupers <= coarse.supers.length,
+      s"probeSupers must be 1..${coarse.supers.length}; got $probeSupers")
+    val sB = spark.sparkContext.broadcast(coarse.supers)
+    val pB = spark.sparkContext.broadcast(populated)
+    val p = probeSupers
+    val anchors = graft.CacheScope.track(assigned
+      .select(col("id").cast("long").as("id"), col("vec"))
+      .filter(anchorPred))
+    val anchorsRouted = anchors.as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val sup = sB.value; val pop = pB.value
+        val byDist = pop.map { i =>
+          val cc = sup(i)
+          var d = 0.0; var t = 0
+          while (t < v.length) { val x = v(t) - cc(t); d += x * x; t += 1 }
+          (d, i)
+        }.sorted.take(p).map(_._2)
+        byDist.map(su => (id, v, su))
+      }.toDF("anchor_id", "a_vec", "super")
+    val probeCells = coarse.childRel
+      .join(broadcast(anchorsRouted), Seq("super"))
+      .withColumn("cs", fastCosine(col("a_vec"), col("cvec")))
+      .groupBy(col("anchor_id"))
+      .agg(topKByScore(col("cs"), col("cell"), nprobe).as("pc"))
+      .select(col("anchor_id"), explode(col("pc.id")).as("cell"))
+    val cands = probeCells
+      .join(anchors.select(col("id").as("anchor_id"),
+        col("vec").as("a_vec")), "anchor_id")
+      .join(assigned.select(col("cell"), col("id").as("neighbor_id"),
+        col("vec").as("n_vec")), "cell")
+      .filter(col("anchor_id") =!= col("neighbor_id"))
+      .withColumn("score", round(fastCosine(col("a_vec"), col("n_vec")), 4))
+      .select(col("anchor_id"), col("neighbor_id"), col("score"))
+    rankTopK(cands, k)
   }
 
   /** The routed super of `v` over the populated domain — the probe's
@@ -1771,12 +2159,66 @@ object SimilaritySearch {
     * the cell equi-join against the stored index (bucketed storage
     * makes it exchange-free on the index side), ADC from the codes,
     * exact rerank from `vectors` (the stored raw relation — rerank
-    * needs true vectors, the index carries codes only). */
+    * needs true vectors, the index carries codes only).
+    *
+    * Round 14 (VERDICT r13 item 3 — the validate-then-serve sizing
+    * discipline of the reference's similarity plan, now at the
+    * STORED-index door, the actual 100 TB serving shape):
+    *  - `probeSupers = -1` resolves by the measured pool rule
+    *    against the artifacts' OWN super count (p ≥ nprobe·S/nlist —
+    *    [[KMeansPortable.autoProbeSupers]]), so a caller holding the
+    *    swept fraction no longer inherits the round-11 recall cap.
+    *  - `recallFloor > 0` recall-sizes the door END-TO-END on this
+    *    very index ([[sizeIvfPqForRecall]] — no retraining, no
+    *    re-encode: the walk probes a bounded anchor sample through
+    *    the stored index at each [[pqRecallLadder]] rung, ADC and
+    *    rerank included), then serves the found (p, nprobe, rerank).
+    *    Cost: one bounded sample probe per rung; the corpus-side
+    *    work per rung is the swept cells of ≤ `recallAnchors`
+    *    anchors. COST OPT-OUT: `probeSupers = 1, recallFloor = 0`
+    *    pins the round-13 cost profile and accepts its measured
+    *    recall.
+    * Callers who already hold a walked [[PqOperatingPoint]] pass it
+    * via the overload below. */
   def ivfPqTopKScoreTwoLevelIndexed(index: DataFrame,
       vectors: DataFrame, anchorPred: Column,
       k: Int, artifacts: TwoLevelIvfPqArtifacts, nprobe: Int = 4,
       rerank: Int = 32, idCol: String = "vec_id",
-      vecCol: String = "embedding", probeSupers: Int = 1): DataFrame = {
+      vecCol: String = "embedding", probeSupers: Int = 1,
+      recallFloor: Double = 0.0, recallAnchors: Int = 64): DataFrame = {
+    val s = artifacts.coarse.supers.length
+    val nlist = artifacts.coarse.nlist
+    if (recallFloor > 0) {
+      val pt = sizeIvfPqForRecall(index, vectors, anchorPred, k,
+        recallFloor, artifacts, math.min(math.max(1, nprobe), nlist),
+        rerank, idCol, vecCol, recallAnchors)
+      serveIvfPqIndexed(index, vectors, anchorPred, k, artifacts,
+        pt.nprobe, pt.rerank, idCol, vecCol, pt.probeSupers)
+    } else {
+      val p =
+        if (probeSupers == -1)
+          KMeansPortable.autoProbeSupers(nprobe, nlist, s)
+        else probeSupers
+      serveIvfPqIndexed(index, vectors, anchorPred, k, artifacts,
+        nprobe, rerank, idCol, vecCol, p)
+    }
+  }
+
+  /** [[ivfPqTopKScoreTwoLevelIndexed]] at a walked operating point —
+    * the deployment shape: walk once ([[sizeIvfPqForRecall]]), ship
+    * the point, serve every query at it. */
+  def ivfPqTopKScoreTwoLevelIndexed(index: DataFrame,
+      vectors: DataFrame, anchorPred: Column, k: Int,
+      artifacts: TwoLevelIvfPqArtifacts, point: PqOperatingPoint,
+      idCol: String, vecCol: String): DataFrame =
+    serveIvfPqIndexed(index, vectors, anchorPred, k, artifacts,
+      point.nprobe, point.rerank, idCol, vecCol, point.probeSupers)
+
+  private def serveIvfPqIndexed(index: DataFrame,
+      vectors: DataFrame, anchorPred: Column,
+      k: Int, artifacts: TwoLevelIvfPqArtifacts, nprobe: Int,
+      rerank: Int, idCol: String,
+      vecCol: String, probeSupers: Int): DataFrame = {
     import org.apache.spark.sql.graft.TopKExpressions.topKByScore
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -1831,22 +2273,17 @@ object SimilaritySearch {
     * the resolved p at large nprobe; `probeSupers = 1` pins the old
     * cost profile and accepts the measured recall cap.
     *
-    * `recallFloor > 0` (round 13) recall-sizes the door on the COARSE
-    * probe — [[sizeTwoLevelForRecall]] against an identically-trained
-    * coarse structure (same trainer, same seed as the artifacts
-    * below), because the probe decides WHICH cells are swept: the
-    * coarse tier's recall is the PQ tier's CEILING. What the sizing
-    * does NOT set is the PQ-side knob: `rerank` must be a sufficient
-    * fraction of the swept set or true neighbors fall between the
-    * ADC shortlist and the exact rerank. MEASURED (ScaleProbe
-    * `recallwalk`, SCALE.md round 13, near-uniform corpus at
-    * m=8/ksub=16, the chosen point's ~0.38 sweep): rerank 64 → 0.28,
-    * 256 → 0.50, 1024 → 0.73 vs the coarse ceiling 0.80 — ~10–15%
-    * of the swept set buys ~90% of the ceiling there; clustered
-    * real data sits far higher at equal rerank (ADC distortion
-    * shrinks with cluster structure — the residual-codes spec).
-    * Callers holding an end-to-end floor size rerank with nprobe and
-    * police with [[requireRecall]].
+    * `recallFloor > 0` (round 14 — ADVICE r13) recall-sizes the door
+    * END-TO-END: [[sizeIvfPqForRecall]] walks [[pqRecallLadder]] on
+    * the full serving chain — coarse probe, ADC shortlist AND exact
+    * rerank — so the floor binds the result this door returns, not
+    * just its coarse ceiling. (The round-13 door sized the coarse
+    * probe only; MEASURED at its chosen ~0.38 sweep on the
+    * near-uniform recallwalk corpus: rerank 64 → 0.28, 256 → 0.50,
+    * 1024 → 0.73 under the 0.80 coarse ceiling — exactly the gap the
+    * full-chain walk now closes by climbing rerank with the sweep.)
+    * One training pass, one encode pass, one bounded sample probe
+    * per rung; `recallAnchors` bounds the sample.
     */
   def ivfPqTopKAuto(vectors: DataFrame, anchorPred: Column, k: Int,
       nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
@@ -1858,25 +2295,38 @@ object SimilaritySearch {
       recallFloor: Double = 0.0, recallAnchors: Int = 64): DataFrame = {
     val n0 = if (n >= 0) n else vectors.count()
     val nlist = KMeansPortable.autoNlist(n0, targetCellSize)
-    if (nlist <= KMeansPortable.FlatAutoMaxNlist) {
-      val np =
-        if (recallFloor > 0)
-          sizedDoorPoint(vectors, anchorPred, k, recallFloor,
-            math.max(2, nlist), nprobe, idCol, vecCol, seed,
-            trainFraction, supers = 1, recallAnchors)._2
-        else nprobe
-      ivfPqTopK(vectors, anchorPred, k, math.max(2, nlist), np, m,
+    if (recallFloor > 0) {
+      // END-TO-END floor (round 14 — ADVICE r13: the round-13 door
+      // sized only the coarse probe, so the returned PQ result could
+      // land far below the requested floor — 0.28 measured under a
+      // 0.80 coarse ceiling). Train the artifacts ONCE (supers = 1
+      // below the flat boundary — value-identical to the flat
+      // trainer, the trainIvfPqArtifactsTwoLevel parity contract),
+      // encode ONCE, then walk the FULL chain (coarse probe + ADC +
+      // rerank) on a bounded anchor sample and serve at the found
+      // (p, nprobe, rerank) — one training pass FEWER than the
+      // round-13 coarse-sized door, which trained a sizing
+      // instrument beside the artifacts.
+      val flat = nlist <= KMeansPortable.FlatAutoMaxNlist
+      val nl = math.max(2, nlist)
+      val art = trainIvfPqArtifactsTwoLevel(vectors, nl, m, ksub,
+        vecCol, seed, trainFraction, residual = false,
+        supers = if (flat) 1 else 0)
+      val index = graft.CacheScope.track(
+        encodeIvfPqTwoLevel(vectors, art, idCol, vecCol))
+      val pt = sizeIvfPqForRecall(index, vectors, anchorPred, k,
+        recallFloor, art, nprobe, rerank, idCol, vecCol,
+        recallAnchors)
+      serveIvfPqIndexed(index, vectors, anchorPred, k, art,
+        pt.nprobe, pt.rerank, idCol, vecCol, pt.probeSupers)
+    } else if (nlist <= KMeansPortable.FlatAutoMaxNlist) {
+      ivfPqTopK(vectors, anchorPred, k, math.max(2, nlist), nprobe, m,
         ksub, rerank, idCol, vecCol, seed, trainFraction)
     } else {
-      val (p, np) =
-        if (recallFloor > 0)
-          sizedDoorPoint(vectors, anchorPred, k, recallFloor, nlist,
-            nprobe, idCol, vecCol, seed, trainFraction, supers = 0,
-            recallAnchors)
-        else (resolveProbeSupers(probeSupers, nprobe, nlist), nprobe)
+      val p = resolveProbeSupers(probeSupers, nprobe, nlist)
       val art = trainIvfPqArtifactsTwoLevel(vectors, nlist, m, ksub,
         vecCol, seed, trainFraction, residual = false)
-      ivfPqTopKScoreTwoLevel(vectors, anchorPred, k, art, np,
+      ivfPqTopKScoreTwoLevel(vectors, anchorPred, k, art, nprobe,
         rerank, idCol, vecCol, probeSupers = p)
     }
   }

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions.{col, expr}
   * Run: sbt "runMain graft.tools.ScaleProbe <sfDir> <mode> [runs] [rows]"
   * where <mode> is a literal nlist, or one of: auto, auto2, autod,
   * ivf, ivf2, ivfauto, video, videowide, videoauto, recall,
-  * recallwalk, admit, ceiling, packing (each documented at its
-  * branch below; [rows] applies to ceiling, and recallwalk reads
-  * its floor from args(2), default 0.8).
+  * recallwalk, admit, ceiling, packing, relassign, reltrain,
+  * idxfloor (each documented at its branch below; [rows] applies to
+  * ceiling/relassign/reltrain, recallwalk and idxfloor read a floor
+  * from args(2) (default 0.8), and reltrain reads its Lloyd
+  * iteration count there (default 2)).
   *
   * `auto` sizes the quantizer with [[graft.operators.KMeansPortable
   * .nlistFor]] — the round-10 default-contract check: the auto
@@ -279,6 +281,104 @@ object ScaleProbe {
           f"(${rows / e1}%.0f rows/s — cogroup by super, " +
           "tight-loop argmin)")
       }
+      spark.stop()
+      return
+    }
+    // reltrain = THREE-LEVEL TRAINING measured past the clamp
+    //         (round 14 — VERDICT r13 item 4): trainThreeLevel at
+    //         nlist = 2^19 (2× the 262144 clamp — the child level is
+    //         256 MB at dim 64, past broadcast comfort, and lives as
+    //         a RELATION through every Lloyd iteration) over args(3)
+    //         synthetic rows (default 1M), args(2) Lloyd iterations
+    //         (default 2). Driver state: the S-supers matrix and S
+    //         counts — nothing child-sized ever lands on the driver.
+    //         Also measures the two serving halves over the trained
+    //         structure: the full-corpus assignment (the store-build
+    //         step) and a 20-anchor relational probe.
+    if (args(1) == "reltrain") {
+      import graft.operators.SimilaritySearch
+      val rows = if (args.length > 3) args(3).toLong else 1000000L
+      val iters = if (args.length > 2) args(2).toIntOption.getOrElse(2) else 2
+      val nlist = 1 << 19
+      val dim = 64
+      val syn = spark.range(rows).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          "d -> cos((id + 2) * (d + 5)))").as("embedding"))
+      println(s"[reltrain] nlist=$nlist rows=$rows iters=$iters " +
+        s"child_relation=${nlist.toLong * dim * 8 / (1 << 20)}MB " +
+        "(2x the 128MB broadcast clamp; driver holds supers + counts only)")
+      val t0 = System.nanoTime()
+      val rel = SimilaritySearch.trainThreeLevel(syn, nlist,
+        iters = iters)
+      val cells = rel.childRel.count()
+      val trainS = (System.nanoTime() - t0) / 1e9
+      println(f"[reltrain] trainThreeLevel: $cells cells in $trainS%.1fs " +
+        f"(supers=${rel.supers.length}, " +
+        f"${cells.toLong * dim * 8 / (1 << 20)}MB trained child relation)")
+      val t1 = System.nanoTime()
+      val assigned = graft.CacheScope.track(SimilaritySearch
+        .assignCellsViaRelationFusedKeepVec(syn, rel.supers,
+          rel.childRel))
+      val n1 = graft.Measure.force(assigned)
+      val a1 = (System.nanoTime() - t1) / 1e9
+      println(f"[reltrain] corpus assignment over the trained relation: " +
+        f"$n1 rows in $a1%.1fs (${rows / a1}%.0f rows/s)")
+      val t2 = System.nanoTime()
+      val n2 = graft.Measure.force(
+        SimilaritySearch.ivfCosineTopKRelationalIndexed(assigned,
+          col("id") % (rows / 20) === 0, k = 10, rel,
+          nprobe = 64, probeSupers = 4))
+      val e2 = (System.nanoTime() - t2) / 1e9
+      println(f"[reltrain] 20-anchor relational probe (nprobe=64, p=4): " +
+        f"$n2 rows in $e2%.1fs")
+      graft.CacheScope.releaseAll(blocking = true)
+      spark.stop()
+      return
+    }
+    // idxfloor = the STORED-INDEX recall floor priced (round 14 —
+    //         VERDICT r13 item 3): train + encode the two-level
+    //         IVF-PQ index ONCE over the sf dir's embeddings (the
+    //         deployment artifact), then walk sizeIvfPqForRecall —
+    //         the full-chain (coarse+ADC+rerank) ladder — to the
+    //         args(2) floor (default 0.8) against the stored index
+    //         with NO retraining, and serve one query batch at the
+    //         found point. The printed rung table IS the price of
+    //         the floor on the serving shape.
+    if (args(1) == "idxfloor") {
+      import graft.operators.{KMeansPortable, SimilaritySearch}
+      val floor = if (args.length > 2) args(2).toDoubleOption.getOrElse(0.8) else 0.8
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val nlist = KMeansPortable.autoNlist(n)
+      println(s"[idxfloor] n=$n nlist=$nlist floor=$floor")
+      val t0 = System.nanoTime()
+      val art = SimilaritySearch.trainIvfPqArtifactsTwoLevel(emb,
+        nlist, m = 8, ksub = 16, residual = false)
+      val index = graft.CacheScope.track(
+        SimilaritySearch.encodeIvfPqTwoLevel(emb, art))
+      graft.Measure.force(index)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      println(f"[idxfloor] train+encode (the once-per-corpus cost): $buildS%.1fs")
+      val t1 = System.nanoTime()
+      val pt = SimilaritySearch.sizeIvfPqForRecall(index, emb,
+        expr("id % 50 = 0"), k = 10, floor = floor, artifacts = art,
+        nprobe0 = 4, rerank0 = 32)
+      val walkS = (System.nanoTime() - t1) / 1e9
+      pt.walk.foreach { r =>
+        println(f"[idxfloor] rung (p=${r.probeSupers}, np=${r.nprobe}, " +
+          f"rr=${r.rerank}): recall ${r.recall}%.4f")
+      }
+      println(f"[idxfloor] chosen (p=${pt.probeSupers}, np=${pt.nprobe}, " +
+        f"rr=${pt.rerank}) recall ${pt.recall}%.4f floorMet=${pt.floorMet} " +
+        f"— walk cost $walkS%.1fs, swept fraction " +
+        f"${pt.sweptFraction(nlist)}%.3f")
+      val t2 = System.nanoTime()
+      val served = graft.Measure.force(
+        SimilaritySearch.ivfPqTopKScoreTwoLevelIndexed(index, emb,
+          expr("id % 50 = 0"), 10, art, pt, "vec_id", "embedding"))
+      val e2 = (System.nanoTime() - t2) / 1e9
+      println(f"[idxfloor] serving at the point: $served rows in $e2%.1fs")
+      graft.CacheScope.releaseAll(blocking = true)
       spark.stop()
       return
     }

@@ -224,4 +224,84 @@ class AnnRecallSpec extends SparkSpec {
       rerank = 16, targetCellSize = 256, recallFloor = 0.01)
     assert(pres.count() > 0)
   }
+
+  // ---- round 14: FULL-CHAIN PQ recall sizing (ADVICE r13 — the
+  // coarse-only floor was the PQ tier's ceiling, not its recall) and
+  // the stored-index door's recall/pool-rule contract (VERDICT r13
+  // item 3)
+
+  test("pqRecallLadder: p-phase at (nprobe0, rerank0), lockstep nprobe+rerank doubling at p = S, rerank-only tail to the exact terminal") {
+    val l = SimilaritySearch.pqRecallLadder(8, 3, 2, 4, 100)
+    assert(l == Seq((1, 2, 4), (2, 2, 4), (3, 2, 4),
+      (3, 4, 8), (3, 8, 16), (3, 8, 32), (3, 8, 64), (3, 8, 100)))
+    // the terminal reranks every candidate of an all-cell sweep —
+    // exact search, so any floor <= 1 is reachable by construction
+    assert(l.last == ((3, 8, 100)))
+    assert(l == SimilaritySearch.pqRecallLadder(8, 3, 2, 4, 100))
+    // nprobe0 already at nlist: only the rerank tail remains
+    assert(SimilaritySearch.pqRecallLadder(4, 2, 4, 8, 32)
+      .forall(_._2 == 4))
+  }
+
+  test("sizeIvfPqForRecall: the floor is END-TO-END — the chain the sizer measures is the chain the indexed door serves") {
+    val art = SimilaritySearch.trainIvfPqArtifactsTwoLevel(emb,
+      nlist = 8, m = 4, ksub = 8, residual = false)
+    val index = graft.CacheScope.track(
+      SimilaritySearch.encodeIvfPqTwoLevel(emb, art))
+    val pt = SimilaritySearch.sizeIvfPqForRecall(index, emb, pred,
+      10, floor = 0.7, artifacts = art, nprobe0 = 1, rerank0 = 4)
+    assert(pt.floorMet && pt.recall >= 0.7,
+      f"chosen point recall ${pt.recall}%.4f under the 0.7 floor")
+    // the walk stops at the first rung over the floor
+    assert(pt.walk.init.forall(_.recall < 0.7))
+    // SERVING at the returned point delivers the sized recall: same
+    // chain, same knobs, and the <= 64-anchor sample here IS the full
+    // anchor set, so the sized number is the served number
+    val served = SimilaritySearch.ivfPqTopKScoreTwoLevelIndexed(
+      index, emb, pred, 10, art, pt, "vec_id", "embedding")
+    val r = SimilaritySearch.meanRecall(served, exact10)
+    assert(r >= 0.7 - 1e-9, f"served recall $r%.4f under the sized floor")
+    // floor 1.0 reachable end-to-end (the terminal rung is exact)
+    val full = SimilaritySearch.sizeIvfPqForRecall(index, emb, pred,
+      10, floor = 1.0, artifacts = art, nprobe0 = 1, rerank0 = 4)
+    assert(full.floorMet && full.recall == 1.0)
+  }
+
+  test("stored-index door: probeSupers = -1 resolves by the pool rule against the artifacts' OWN super count; recallFloor sizes on the stored index with no retraining") {
+    import graft.operators.KMeansPortable
+    val art = SimilaritySearch.trainIvfPqArtifactsTwoLevel(emb,
+      nlist = 12, m = 4, ksub = 8, residual = false)
+    val index = graft.CacheScope.track(
+      SimilaritySearch.encodeIvfPqTwoLevel(emb, art))
+    val s = art.coarse.supers.length
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("anchor_id", "rank").collect().map(_.toSeq).toSeq
+    val p = KMeansPortable.autoProbeSupers(9, art.coarse.nlist, s)
+    assert(p > 1, s"pool rule must bind at nprobe 9 of ${art.coarse.nlist}")
+    assert(rows(SimilaritySearch.ivfPqTopKScoreTwoLevelIndexed(index,
+        emb, pred, 5, art, nprobe = 9, rerank = 16, probeSupers = -1))
+      === rows(SimilaritySearch.ivfPqTopKScoreTwoLevelIndexed(index,
+        emb, pred, 5, art, nprobe = 9, rerank = 16, probeSupers = p)))
+    // recallFloor at the stored door: the served result meets the
+    // floor END-TO-END, sized on this very index (q91-discipline: the
+    // index is never re-encoded — sizeIvfPqForRecall only probes it)
+    val res = SimilaritySearch.ivfPqTopKScoreTwoLevelIndexed(index,
+      emb, pred, 10, art, nprobe = 1, rerank = 4, recallFloor = 0.7)
+    val r = SimilaritySearch.meanRecall(res, exact10)
+    assert(r >= 0.7 - 1e-9, f"stored-index floor result $r%.4f under 0.7")
+  }
+
+  test("ivfPqTopKAuto recallFloor is end-to-end at BOTH dispatches (ADVICE r13: was coarse-only — 0.28 measured under a 0.80 ceiling)") {
+    // flat dispatch (default targetCellSize → auto nlist 2)
+    val r1 = SimilaritySearch.meanRecall(
+      SimilaritySearch.ivfPqTopKAuto(emb, pred, 10, nprobe = 1,
+        m = 4, ksub = 8, rerank = 4, recallFloor = 0.8), exact10)
+    assert(r1 >= 0.8 - 1e-9, f"flat-dispatch floor result $r1%.4f")
+    // two-level dispatch (targetCellSize 3 → auto nlist 167 > 128)
+    val r2 = SimilaritySearch.meanRecall(
+      SimilaritySearch.ivfPqTopKAuto(emb, pred, 10, nprobe = 1,
+        m = 4, ksub = 8, rerank = 4, targetCellSize = 3,
+        recallFloor = 0.7), exact10)
+    assert(r2 >= 0.7 - 1e-9, f"two-level-dispatch floor result $r2%.4f")
+  }
 }

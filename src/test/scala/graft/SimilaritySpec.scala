@@ -813,6 +813,89 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trainThreeLevel: relational Lloyd ≡ its driver-resident twin; supers are the two-level trainer's own fit; the relational probe path degenerates to exact search and reads a bucketed store exchange-free") {
+    import graft.operators.SimilaritySearch
+    import graft.sources.Sinks
+    val rel = SimilaritySearch.trainThreeLevel(emb, nlist = 6, iters = 3)
+    val twin = SimilaritySearch.trainThreeLevel(emb, nlist = 6,
+      iters = 3, broadcastAssign = true)
+    // supers: the SAME ML fit as trainTwoLevelCoarse's super stage
+    // (trainSupersML — one site, the parity anchor)
+    val coarse = SimilaritySearch.trainTwoLevelCoarse(emb, nlist = 6)
+    assert(rel.supers.map(_.toSeq).toSeq ==
+      coarse.supers.map(_.toSeq).toSeq)
+    // children: the relational loop and the driver-resident twin are
+    // value-identical BY INDUCTION — same seeds, same decimal means,
+    // and the round-13 assignment parity pair as the per-iteration
+    // kernels
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      df.select("super", "cell", "cvec").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .sortBy(_._2).toSeq
+    val relCents = cents(rel.childRel)
+    assert(relCents.nonEmpty && relCents == cents(twin.childRel))
+    // cell ids dense and consecutive within supers (the offset rule)
+    assert(relCents.map(_._2) == relCents.indices.map(identity))
+    // probe path: nprobe = nlist at probeSupers = S ranks every cell
+    // of every super — exact search (the family's invariant)
+    val assigned = graft.CacheScope.track(
+      SimilaritySearch.assignCellsViaRelationFusedKeepVec(emb,
+        rel.supers, rel.childRel))
+    val pred = col("id") % 7 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("anchor_id", "rank").collect().map(_.toSeq).toSeq
+    val exact = SimilaritySearch.cosineTopK(emb,
+      emb.filter(col("vec_id") % 7 === 0), 5)
+    assert(rows(SimilaritySearch.ivfCosineTopKRelationalIndexed(
+        assigned, pred, 5, rel, nprobe = 6,
+        probeSupers = rel.supers.length))
+      === rows(exact))
+    // deployment shape: the corpus assignment stored bucketBy(cell) —
+    // the probe's candidate join reads it with NO corpus-side
+    // exchange (the q91 discipline at the relational probe)
+    val t = "b_rel_assigned"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (loc.exists()) rm(loc)
+    Sinks.writeBucketed(assigned, t, "cell", 4)
+    val stored = spark.table(t)
+    assert(rows(SimilaritySearch.ivfCosineTopKRelationalIndexed(
+        stored, pred, 5, rel, nprobe = 6,
+        probeSupers = rel.supers.length))
+      === rows(exact))
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val q = SimilaritySearch.ivfCosineTopKRelationalIndexed(stored,
+        pred, 5, rel, nprobe = 2, probeSupers = 1)
+      def bucketed(p: SparkPlan): Boolean = p.collectFirst {
+        case s: FileSourceScanExec if s.bucketedScan => s
+      }.isDefined
+      val plan = q.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "cell")) &&
+            (bucketed(j.left) || bucketed(j.right)) => j
+        case j: ShuffledHashJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "cell")) &&
+            (bucketed(j.left) || bucketed(j.right)) => j
+      }
+      assert(joins.nonEmpty,
+        s"expected a shuffled cell join over the bucketed assignment in:\n$plan")
+      joins.foreach { j =>
+        val side = if (bucketed(j.left)) j.left else j.right
+        val ex = side.collect { case e: ShuffleExchangeExec => e }
+        assert(ex.isEmpty, s"corpus-side exchange:\n$side")
+      }
+    }
+  }
+
   test("residual IVF+PQ (IVFADC): sharper codes at equal bits on clustered data") {
     import graft.operators.SimilaritySearch
     // 4 tight clusters at distant centers: a GLOBAL codebook of 4
