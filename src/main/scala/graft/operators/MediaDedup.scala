@@ -112,10 +112,10 @@ object MediaDedup {
 
   /** The WIDTH LADDER the auto-width door climbs — narrowest first,
     * each rung covering ~32–16× the previous one's corpus at the
-    * same occupancy bound. A corpus past [[Sig240]]'s reach needs a
-    * caller-built [[SigSpec]] (the knobs are free) and an explicit
-    * occupancy bound — [[sigSpecFor]] refuses it loudly rather than
-    * hand back a saturating width. */
+    * same occupancy bound. A corpus past [[Sig240]]'s reach gets a
+    * GENERATED width ([[sigSpecGenerated]], round 14) — never a
+    * saturating one — with its provisioned cost explicit in
+    * [[SigCost]]. */
   val SigLadder: Seq[SigSpec] = Seq(Sig60, Sig120, Sig240)
 
   /** AUTO-WIDTH sizing for the signature family (round 13 — the
@@ -127,11 +127,13 @@ object MediaDedup {
     * wins because band width is the OCCUPANCY knob, not a quality
     * knob: more bits buy bucket sparsity (candidate cost), while the
     * family's relative recall threshold (~1 bit per 20–24) is held
-    * across the ladder by construction. Fails loudly past the
-    * ladder (n > bound·2²⁴ ≈ 10⁹ at the default): the caller must
-    * choose a wider custom spec AND the provisioned candidate cost
-    * explicitly. Pure arithmetic — boundary spec-pinned
-    * (MediaDedupSpec).
+    * across the ladder by construction. Past the ladder
+    * (n > bound·2²⁴ ≈ 10⁹ at the default) the door GENERATES the
+    * width ([[sigSpecGenerated]] — round 14, replacing the round-13
+    * loud refusal): the Sig240 edge's 10-band shape at the next
+    * sufficient band width, with the provisioned candidate cost
+    * explicit in [[SigCost]]. Pure arithmetic — boundaries and the
+    * generated tail spec-pinned (MediaDedupSpec).
     */
   def sigSpecFor(n: Long, maxExpectedOccupancy: Long = 64): SigSpec = {
     require(n >= 0, s"signature count must be non-negative; got $n")
@@ -139,12 +141,62 @@ object MediaDedup {
       maxExpectedOccupancy <= (1L << 30),
       s"maxExpectedOccupancy must be 1..2^30; got $maxExpectedOccupancy")
     SigLadder.find(s => n <= (maxExpectedOccupancy << s.bandBits))
-      .getOrElse(throw new IllegalArgumentException(
-        s"sigSpecFor: $n signatures exceed the widest ladder width " +
-          s"(${SigLadder.last.sigBits}-bit, band space " +
-          s"2^${SigLadder.last.bandBits}) at occupancy bound " +
-          s"$maxExpectedOccupancy — build a wider SigSpec and pass " +
-          "the provisioned occupancy bound explicitly"))
+      .getOrElse(sigSpecGenerated(n, maxExpectedOccupancy))
+  }
+
+  /** GENERATED width past the ladder (round 14 — VERDICT r13
+    * stretch 7, replacing the loud refusal): the [[Sig240]] edge's
+    * 10-band shape extended mechanically — band width is the
+    * smallest `b` whose per-band occupancy n/2^b holds the bound,
+    * and the grid is `bands` rows × (b + 1) columns so the spec's
+    * own invariants (sigBits = bands·b, bands of exactly b bits)
+    * hold by construction. Holding the BAND COUNT at the edge's 10
+    * keeps the family's relative recall threshold exactly where the
+    * ladder's own widest rung put it: guaranteed hamming is
+    * bands − 1 = 9 per 10·b signature bits — the same
+    * bands/(bands − 1) slack Sig240 carries on its 24-bit bands
+    * (240/9 ≈ 1-per-26.7 vs the nominal 1-per-24). What a caller
+    * PAYS for the width is explicit in [[sigCost]] — the provisioned
+    * per-band candidate stream this constructor exists to surface —
+    * and in the frame floor: a `bands` × (b + 1) grid needs frames
+    * ≥ (b + 1) px wide. Band width is clamped to the SigSpec domain
+    * (≤ 62 bits — past that is > 4.6e18·bound signatures, not a
+    * corpus). Boundary parity with the ladder is spec-pinned
+    * (MediaDedupSpec). */
+  def sigSpecGenerated(n: Long, maxExpectedOccupancy: Long = 64): SigSpec = {
+    require(n >= 0, s"signature count must be non-negative; got $n")
+    require(maxExpectedOccupancy >= 1 &&
+      maxExpectedOccupancy <= (1L << 30),
+      s"maxExpectedOccupancy must be 1..2^30; got $maxExpectedOccupancy")
+    // overflow-safe ceil-div: n + bound - 1 wraps for n near
+    // Long.MaxValue at large bounds
+    val q = if (n == 0) 0L else (n - 1) / maxExpectedOccupancy + 1
+    val needed =
+      if (q <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(q - 1)
+    val b = math.max(SigLadder.last.bandBits + 1, needed)
+    require(b <= 62,
+      s"sigSpecGenerated: $n signatures need $b-bit bands at " +
+        s"occupancy bound $maxExpectedOccupancy — past the 62-bit " +
+        "SigSpec domain")
+    val bands = SigLadder.last.bands
+    SigSpec(bands, b + 1, b)
+  }
+
+  /** The PROVISIONED COST of running a signature width over an
+    * n-signature corpus — the numbers a caller accepts when taking a
+    * generated width (or any width) past the ladder: expected
+    * per-band bucket occupancy and the ~n²/2^bandBits random-
+    * candidate stream EACH band contributes to the verify stage
+    * (the [[SigSpec]] scaladoc's arithmetic, as values). */
+  final case class SigCost(spec: SigSpec, n: Long) {
+    /** Expected per-band bucket occupancy n/2^bandBits. */
+    def expectedOccupancy: Double = n.toDouble / (1L << spec.bandBits)
+    /** Expected random candidate pairs per band ~ n²/2^bandBits. */
+    def candidateStreamPerBand: Double = n.toDouble * expectedOccupancy
+    /** All bands' candidate streams: bands · n²/2^bandBits. */
+    def candidateStreamTotal: Double =
+      spec.bands * candidateStreamPerBand
   }
 
   /** ITU-R BT.601 integer luma (the JPEG convention), exact: no

@@ -580,7 +580,7 @@ class MediaDedupSpec extends SparkSpec {
 
   // --- round 13: the AUTO-WIDTH door (VERDICT r12 item 2) ------------
 
-  test("sigSpecFor: narrowest in-occupancy width, boundaries at bound·2^bandBits, loud past the ladder") {
+  test("sigSpecFor: narrowest in-occupancy width, boundaries at bound·2^bandBits, GENERATED past the ladder") {
     import MediaDedup._
     assert(sigSpecFor(0) === Sig60)
     assert(sigSpecFor(64L << 15) === Sig60) // 2,097,152 — the ceiling
@@ -588,10 +588,30 @@ class MediaDedupSpec extends SparkSpec {
     assert(sigSpecFor(64L << 20) === Sig120) // 67,108,864
     assert(sigSpecFor((64L << 20) + 1) === Sig240)
     assert(sigSpecFor(64L << 24) === Sig240) // ~1.07e9
+    // past the ladder the door GENERATES (round 14 — VERDICT r13
+    // stretch 7, replacing the loud refusal): the Sig240 edge's
+    // 10-band shape at the next sufficient band width — boundary
+    // parity on both sides of the edge, same relative threshold
+    // slack (bands/(bands−1)) as the edge itself
+    val g = sigSpecFor((64L << 24) + 1)
+    assert(g === SigSpec(10, 26, 25))
+    assert(g.bands === Sig240.bands &&
+      g.maxGuaranteedHamming === Sig240.maxGuaranteedHamming)
+    assert(sigSpecFor(64L << 25) === SigSpec(10, 26, 25))
+    assert(sigSpecFor((64L << 25) + 1) === SigSpec(10, 27, 26))
+    // the provisioned cost is explicit and within the bound the
+    // constructor sized for
+    val c = SigCost(g, (64L << 24) + 1)
+    assert(c.expectedOccupancy <= 64.0 && c.expectedOccupancy > 16.0)
+    assert(c.candidateStreamPerBand === c.n.toDouble * c.expectedOccupancy)
+    // a direct sigSpecGenerated call never returns a LADDER width —
+    // it is the past-the-ladder tail (the door handles the ladder)
+    assert(sigSpecGenerated(1000) === SigSpec(10, 26, 25))
+    // the spec domain still bounds the width loudly
     val e = intercept[IllegalArgumentException] {
-      sigSpecFor((64L << 24) + 1)
+      sigSpecGenerated(Long.MaxValue, maxExpectedOccupancy = 1)
     }
-    assert(e.getMessage.contains("wider SigSpec"))
+    assert(e.getMessage.contains("62-bit"))
     // the bound knob moves the boundary: a caller provisioning 2×
     // the occupancy keeps the narrow width 2× longer — the SAME
     // arithmetic requireBoundedBuckets polices downstream
