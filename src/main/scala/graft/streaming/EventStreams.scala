@@ -703,9 +703,11 @@ object EventStreams {
   }
 
   case class FrameCand(id: String, ts: java.sql.Timestamp, nf: Int,
-      frameIdx: Int, c_media: String)
+      frameIdx: Int, c_media: String, c_frame: Option[Int],
+      c_nf: Option[Long])
   case class ContainSeen(seen: Boolean)
-  case class ContainAdmitted(id: String, ts: java.sql.Timestamp)
+  case class ContainAdmitted(id: String, ts: java.sql.Timestamp,
+      contains_corpus: Boolean)
 
   /** STREAMING video-containment admission (round 13 — VERDICT r12
     * stretch 8, the §2.9 grid's last batch-only media cell): admit an
@@ -731,13 +733,17 @@ object EventStreams {
     * state of the verdict's asking; candidate fan-out is bounded by
     * the bucket cull exactly like the batch kernel.
     *
-    * Batch-parity caveat: the check is the ARRIVAL-side ratio — the
-    * clip-rejection direction. An arrival that strictly CONTAINS a
-    * corpus video (a longer re-edit) is ADMITTED here (its new
-    * frames are new data); the batch operator pairs the two on the
-    * corpus video's own ratio, and the nightly batch compaction is
-    * the backstop that resolves them — the same division of labor
-    * as every admission twin's greedy-vs-min-id caveat. Arrival ×
+    * Batch-parity caveat: the ADMISSION check is the ARRIVAL-side
+    * ratio — the clip-rejection direction. An arrival that strictly
+    * CONTAINS a corpus video (a longer re-edit) is ADMITTED here
+    * (its new frames are new data) — but since round 14 (VERDICT
+    * r13 stretch 8) it is admitted CARRYING `contains_corpus =
+    * true`: the corpus direction's ratio (matched distinct corpus
+    * frames / that corpus video's own frame count — both static
+    * columns of the same joined relation) is computed in the same
+    * per-media group, so the nightly batch compaction can prioritize
+    * exactly the arrivals that subsume corpus videos. Admission
+    * semantics are UNCHANGED — the flag never rejects. Arrival ×
     * arrival containment within the stream likewise falls to the
     * batch backstop (frames of two arrivals never meet in this
     * plan); spec-pinned in StreamingSpec.
@@ -763,16 +769,25 @@ object EventStreams {
       lit(0), (acc, x) => acc + x)
     val corpusBands = corpusFrameSigs.select(
       col("media_id").cast("string").as("c_media"),
+      col("frameIdx").cast("int").as("c_frame"),
       graft.operators.Lsh.sigWidthChecked(
         col("sig").cast("array<bigint>"), spec.bands,
         "containmentAdmittedStream(corpus)").as("c_sig"))
-      .select(col("c_media"), col("c_sig"),
+      .select(col("c_media"), col("c_frame"), col("c_sig"),
         posexplode(col("c_sig")).as(Seq("c_b", "c_word")))
     val okBuckets = corpusBands.groupBy(col("c_b"), col("c_word"))
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBucketSize)
       .select(col("c_b"), col("c_word"))
+    // each corpus video's own frame count — the static column the
+    // corpus-direction ratio divides by (round 14); computed over
+    // the UNCULLED frames so an oversized bucket never shrinks a
+    // video's denominator
+    val corpusNf = corpusFrameSigs
+      .groupBy(col("media_id").cast("string").as("c_media"))
+      .agg(count(lit(1)).as("c_nf"))
     val corpusRel = corpusBands.join(okBuckets, Seq("c_b", "c_word"))
+      .join(corpusNf, Seq("c_media"))
     val fresh = media.select(col(idCol).cast("string").as("id"),
       col(tsCol).as("ts"), col(sigsCol).as("sigs"))
       .withWatermark("ts", watermarkDelay)
@@ -798,7 +813,7 @@ object EventStreams {
         hamSum(col("sig"), col("c_sig")) <= lit(ham), "left")
       .select(col("id"), col("ts"), col("nf"),
         coalesce(col("frameIdx"), lit(-1)).as("frameIdx"),
-        col("c_media"))
+        col("c_media"), col("c_frame"), col("c_nf"))
     val delayMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .getDuration(org.apache.spark.sql.catalyst.util.IntervalUtils
         .stringToInterval(org.apache.spark.unsafe.types
@@ -816,17 +831,27 @@ object EventStreams {
             val rows = it.toSeq
             val ts = rows.map(_.ts.getTime).min
             val nf = rows.map(_.nf).max
-            val contained = rows.filter(_.c_media != null)
+            val byCorpus = rows.filter(_.c_media != null)
               .groupBy(_.c_media)
-              .exists { case (_, g) =>
-                g.map(_.frameIdx).distinct.size.toDouble / nf >=
-                  minContainment }
+            val contained = byCorpus.exists { case (_, g) =>
+              g.map(_.frameIdx).distinct.size.toDouble / nf >=
+                minContainment }
             state.update(ContainSeen(true))
             state.setTimeoutTimestamp(math.max(ts + delayMs,
               state.getCurrentWatermarkMs() + 1))
             if (contained) Iterator.empty
-            else Iterator.single(
-              ContainAdmitted(rows.head.id, new java.sql.Timestamp(ts)))
+            else {
+              // corpus direction (round 14): does this admitted
+              // arrival CONTAIN some corpus video — matched distinct
+              // corpus frames over that video's own frame count (all
+              // rows of a group share the video, hence its c_nf)
+              val containsCorpus = byCorpus.exists { case (_, g) =>
+                g.headOption.flatMap(_.c_nf).exists(cnf =>
+                  g.flatMap(_.c_frame).distinct.size.toDouble / cnf >=
+                    minContainment) }
+              Iterator.single(ContainAdmitted(rows.head.id,
+                new java.sql.Timestamp(ts), containsCorpus))
+            }
           }
       }.toDF()
   }

@@ -872,13 +872,14 @@ class StreamingSpec extends SparkSpec {
     // clip: 2 frames, both within hamming 2 of cv frames (word 0
     // flipped; bands 1-5 collide exactly) -> ratio 2/2 -> REJECT
     // novel: no band ever collides -> ratio 0 -> ADMIT
-    // super: contains cv frame s0 exactly plus 4 new frames ->
-    //        arrival-side ratio 1/5 < 0.5 -> ADMIT (the caveat
-    //        direction; batch pairs it on cv's own 1/4... see below)
+    // super: contains cv frames s0 AND s1 exactly plus 3 new frames
+    //        -> arrival-side ratio 2/5 < 0.5 -> ADMIT; the corpus
+    //        direction reads 2/4 >= 0.5 -> the round-14
+    //        contains_corpus flag fires (admission unchanged)
     val clipSigs = Seq(s6(7, 2, 3, 4, 5, 6), s6(22, 22, 23, 24, 25, 26))
     val novelSigs = Seq(s6(101, 102, 103, 104, 105, 106),
       s6(111, 112, 113, 114, 115, 116))
-    val superSigs = Seq(s0, s6(201, 202, 203, 204, 205, 206),
+    val superSigs = Seq(s0, s1,
       s6(211, 212, 213, 214, 215, 216),
       s6(221, 222, 223, 224, 225, 226),
       s6(231, 232, 233, 234, 235, 236))
@@ -903,11 +904,16 @@ class StreamingSpec extends SparkSpec {
       EventStreams.containmentAdmittedStream(stream, corpus),
       "containadm_out",
       org.apache.spark.sql.streaming.OutputMode.Append())
-    val got = spark.table("containadm_out").select("id").as[String]
-      .collect().toSeq.sorted
+    val got = spark.table("containadm_out")
+      .select("id", "contains_corpus")
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+      .sortBy(_._1).toSeq
     // one 'novel' row only — the replay in trigger 2 is suppressed by
-    // the per-media state
-    assert(got === Seq("empty", "novel", "superv"))
+    // the per-media state; superv is ADMITTED (arrival-side 2/5) but
+    // flagged contains_corpus (corpus-side 2/4 — the round-14 signal
+    // the nightly backstop prioritizes); empty/novel carry false
+    assert(got === Seq(("empty", false), ("novel", false),
+      ("superv", true)))
     // the caveat's batch half: the batch operator DOES pair superv
     // with cv (cv's own side reads 1/4 < 0.5... so pin the clip pair,
     // which both engines agree on, and superv↔cv at a lower bar)
