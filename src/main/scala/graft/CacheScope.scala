@@ -51,6 +51,18 @@ object CacheScope {
     p
   }
 
+  /** Register an ALREADY-persisted relation for release without
+    * re-persisting it — the registration path for
+    * `localCheckpoint()` results (checkpointing persists as part of
+    * truncating lineage, and a second `persist()` at a different
+    * level would throw). Release semantics identical to [[track]]:
+    * `unpersist` drops the checkpoint blocks. */
+  def trackPersisted(df: DataFrame): DataFrame = synchronized {
+    tracked += (nextId -> df)
+    nextId += 1
+    df
+  }
+
   /** Open a scope: subsequent [[track]] calls belong to it. */
   def open(): Token = synchronized(Token(nextId))
 

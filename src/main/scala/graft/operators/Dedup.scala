@@ -481,6 +481,33 @@ object Dedup {
       maxCellSize, idCol, ccCollectThreshold)
   }
 
+  /** SemDeDup over the RELATIONAL (third-tier) coarse structure
+    * (round 14): cells from [[SimilaritySearch.trainThreeLevel]]'s
+    * child RELATION via the fused cogroup assignment — nothing
+    * nlist-sized on the driver — then the SHARED
+    * cull/pair/closure/survivor tail. Cells are the documented IVF
+    * recall heuristic, so the native-trained relational structure is
+    * as legitimate a cell source as the portable Lloyd structures;
+    * what the tail guarantees (cull bound, decimal pair scores,
+    * min-id survivors) is identical by construction (one shared
+    * site). */
+  def semanticDedupRelational(vectors: DataFrame,
+      coarse: SimilaritySearch.RelationalCoarse, threshold: Double,
+      maxCellSize: Int = 10000,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      ccCollectThreshold: Long =
+        ConnectedComponents.DefaultLocalClosureThreshold): DataFrame = {
+    import org.apache.spark.sql.graft.RhpExpressions
+    val assigned = SimilaritySearch
+      .assignCellsViaRelationFusedKeepVec(Par.ensureWide(vectors),
+        coarse.supers, coarse.childRel, idCol, vecCol)
+      .withColumn("n2",
+        RhpExpressions.decimalScaledDot(col("vec"), col("vec")))
+      .select(col("id"), col("vec"), col("n2"), col("cell"))
+    semanticDedupFromAssigned(vectors, assigned, threshold,
+      maxCellSize, idCol, ccCollectThreshold)
+  }
+
   /** AUTO-STRUCTURE SemDeDup — the portable family's front door
     * (VERDICT r10 item 2): size the quantizer to the corpus and
     * train the STRUCTURE the measured crossover picks
@@ -493,6 +520,14 @@ object Dedup {
     * assignment never becomes an nlist-sized codegen body. The
     * dispatch boundary and both-sided parity with the explicit paths
     * are spec-pinned (DedupSpec).
+    *
+    * THIRD TIER (round 14, the ivfCosineTopKAuto dispatch at the
+    * dedup door): past `relationalPastNlist` (default the clamp) the
+    * cell-population contract keeps holding — the door trains the
+    * children as a relation ([[SimilaritySearch.trainThreeLevel]])
+    * and assigns through the fused cogroup
+    * ([[semanticDedupRelational]]) instead of clamping nlist and
+    * silently re-entering the growing-cell O(N²/nlist) regime.
     */
   def semanticDedupAuto(vectors: DataFrame, threshold: Double,
       iters: Int = 3, maxCellSize: Int = 10000,
@@ -501,7 +536,8 @@ object Dedup {
       trainFraction: Double = 1.0, seed: Long = 42L,
       ccCollectThreshold: Long =
         ConnectedComponents.DefaultLocalClosureThreshold,
-      n: Long = -1L): DataFrame = {
+      n: Long = -1L,
+      relationalPastNlist: Int = KMeansPortable.MaxAutoNlistTwoLevel): DataFrame = {
     // quantizer RESOLUTION is sized by the FULL corpus (the scale
     // contract is about application-time cell population), while the
     // TRAINING input may be a sample — the trainer fails loudly if
@@ -513,7 +549,17 @@ object Dedup {
     val trainSet =
       if (trainFraction >= 1.0) vectors
       else vectors.sample(trainFraction, seed)
-    KMeansPortable.trainAuto(trainSet, iters, idCol, vecCol,
+    val unclamped = KMeansPortable.autoNlistUnclamped(n0, targetCellSize)
+    if (unclamped > relationalPastNlist) {
+      require(unclamped <= Int.MaxValue,
+        s"auto nlist $unclamped exceeds Int cells — lower the sizing " +
+          s"target (targetCellSize=$targetCellSize)")
+      val rel = SimilaritySearch.trainThreeLevel(trainSet,
+        unclamped.toInt, vecCol, seed, trainFraction = 1.0,
+        iters = iters, idCol = idCol)
+      semanticDedupRelational(vectors, rel, threshold, maxCellSize,
+        idCol, vecCol, ccCollectThreshold)
+    } else KMeansPortable.trainAuto(trainSet, iters, idCol, vecCol,
         targetCellSize, n = n0) match {
       case Left(m) =>
         semanticDedupPortable(vectors, m.centroids, threshold,

@@ -86,9 +86,17 @@ object KMeansPortable {
     * argmin is a √nlist-literal expression, so the structure extends
     * the flat path's ~10³-literal codegen ceiling quadratically
     * (√262144 = 512 supers). Past ~67M vectors at the default target
-    * a THIRD level would be needed — the same loud, documented
-    * degradation contract as [[MaxAutoNlist]], three orders of
-    * magnitude later.
+    * the child level must leave the driver entirely — which, since
+    * round 14, it CAN: [[graft.operators.SimilaritySearch
+    * .trainThreeLevel]] trains children as a relation (measured at
+    * 2× this clamp, ScaleProbe `reltrain`) and
+    * [[graft.operators.SimilaritySearch
+    * .ivfCosineTopKRelationalIndexed]] serves from the bucketed
+    * stores. The AUTO doors still clamp here — dispatching them onto
+    * the relational structure is the next rung — so past the clamp a
+    * deployment calls the relational trainer/probe explicitly; the
+    * clamp itself remains the loud, documented boundary
+    * ([[MaxAutoNlist]]'s contract, three orders of magnitude later).
     */
   val MaxAutoNlistTwoLevel: Int = 262144
 
@@ -100,7 +108,18 @@ object KMeansPortable {
     sizedNlist(n, targetCellSize, MaxAutoNlistTwoLevel)
 
   private def sizedNlist(n: Long, targetCellSize: Int,
-      maxNlist: Int): Int = {
+      maxNlist: Int): Int =
+    math.min(autoNlistUnclamped(n, targetCellSize), maxNlist.toLong).toInt
+
+  /** The UNCLAMPED corpus-sized nlist — what [[autoNlist]] would
+    * choose with no driver-state ceiling. This is the relational
+    * (third) tier's sizing input: past [[MaxAutoNlistTwoLevel]] the
+    * child level lives as a relation
+    * ([[graft.operators.SimilaritySearch.trainThreeLevel]]), so the
+    * cell-population contract (nlist = ⌈n / target⌉) keeps holding
+    * where the clamped structures stop. */
+  def autoNlistUnclamped(n: Long,
+      targetCellSize: Int = DefaultTargetCellSize): Long = {
     require(targetCellSize > 0, s"targetCellSize must be positive; " +
       s"got $targetCellSize")
     require(n >= 0, s"corpus size must be non-negative; got $n")
@@ -108,7 +127,7 @@ object KMeansPortable {
     // wraps negative for n within target of Long.MaxValue and would
     // clamp DOWN to 1 — the opposite of the intended direction
     val raw = n / targetCellSize + (if (n % targetCellSize > 0) 1L else 0L)
-    math.min(math.max(raw, 1L), maxNlist.toLong).toInt
+    math.max(raw, 1L)
   }
 
   /** Auto-STRUCTURE training front door: size the quantizer to the

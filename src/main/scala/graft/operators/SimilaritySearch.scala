@@ -409,6 +409,56 @@ object SimilaritySearch {
       last.recall, found.isDefined, walk)
   }
 
+  /** Recall-targeted sizing for the RELATIONAL (third) tier (round
+    * 14): the [[sizeTwoLevelForRecall]] walk with the relational
+    * probe ([[ivfCosineTopKRelationalIndexed]]) as its instrument —
+    * nothing here holds the children; the corpus assignment store
+    * `assigned` (id, vec, cell) and the trained [[RelationalCoarse]]
+    * are probed per rung with a bounded, seeded-hash-decorrelated
+    * anchor sample, exactly the arithmetic the driver-resident
+    * sizers use. The ladder's terminal rung ranks every populated
+    * super's every cell — exact search — so any floor ≤ 1.0 is
+    * reachable. Driver state: one scalar per rung. */
+  def sizeRelationalForRecall(assigned: DataFrame, anchorPred: Column,
+      k: Int, floor: Double, coarse: RelationalCoarse,
+      nprobe0: Int = 4, maxAnchors: Int = 64): AnnOperatingPoint = {
+    require(floor > 0.0 && floor <= 1.0,
+      s"recall floor must be in (0, 1]; got $floor")
+    require(maxAnchors >= 1, s"maxAnchors must be >= 1; got $maxAnchors")
+    val nlistL = coarse.childRel.count()
+    require(nlistL >= 1 && nlistL <= Int.MaxValue,
+      s"child relation must hold 1..Int.MaxValue cells; got $nlistL")
+    val nlist = nlistL.toInt
+    val pop = populatedOf(coarse.childRel).length
+    val feat = assigned.select(col("id").cast("long").as("id"),
+      col("vec"))
+    val sampleIds = feat.filter(anchorPred)
+      .orderBy(xxhash64(col("id")), col("id")).limit(maxAnchors)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    require(sampleIds.nonEmpty,
+      "sizeRelationalForRecall: empty anchor sample")
+    val samplePred = col("id").isin(sampleIds: _*)
+    val sample = graft.CacheScope.track(feat.filter(samplePred))
+    val exact = graft.CacheScope.track(
+      cosineTopK(feat, sample, k, "id", "vec"))
+    val ladder = recallLadder(nlist, pop,
+      math.min(math.max(1, nprobe0), nlist))
+    var walk = Vector.empty[RecallRung]
+    var found: Option[RecallRung] = None
+    val it = ladder.iterator
+    while (found.isEmpty && it.hasNext) {
+      val (p, np) = it.next()
+      val r = meanRecall(ivfCosineTopKRelationalIndexed(assigned,
+        samplePred, k, coarse, np, p), exact)
+      val rung = RecallRung(p, np, r)
+      walk = walk :+ rung
+      if (r >= floor) found = Some(rung)
+    }
+    val last = walk.last
+    AnnOperatingPoint(last.probeSupers, last.nprobe, last.recall,
+      found.isDefined, walk)
+  }
+
   /** Exact top-k cosine neighbors of each anchor. Anchors must be
     * small enough to broadcast (the reference's anchor batches are
     * ~200 rows); the scan over `vectors` is embarrassingly parallel
@@ -804,6 +854,16 @@ object SimilaritySearch {
     * minimum sweep pick the flat structure (and pay its O(N·nlist)
     * assignment or the clamp); deployments buying the 7–8× two-level
     * speedup state a floor here and pay the walk's found sweep.
+    *
+    * THIRD TIER (round 14): past `relationalPastNlist` (default the
+    * broadcast clamp) the door no longer clamps the cell-population
+    * contract — it trains the children as a RELATION
+    * ([[trainThreeLevel]]), assigns through the fused cogroup, and
+    * serves from the child store ([[ivfCosineTopKRelationalIndexed]]);
+    * `recallFloor` walks the same ladder on the relational
+    * instrument ([[sizeRelationalForRecall]]). The PQ door
+    * ([[ivfPqTopKAuto]]) carries the same tier over
+    * [[RelationalIvfPqArtifacts]].
     */
   def ivfCosineTopKAuto(vectors: DataFrame, anchorPred: Column, k: Int,
       nprobe: Int = 4, idCol: String = "vec_id",
@@ -811,8 +871,44 @@ object SimilaritySearch {
       trainFraction: Double = 1.0,
       targetCellSize: Int = KMeansPortable.DefaultTargetCellSize,
       probeSupers: Int = -1, n: Long = -1L,
-      recallFloor: Double = 0.0, recallAnchors: Int = 64): DataFrame = {
+      recallFloor: Double = 0.0, recallAnchors: Int = 64,
+      relationalPastNlist: Int = KMeansPortable.MaxAutoNlistTwoLevel): DataFrame = {
     val n0 = if (n >= 0) n else vectors.count()
+    val unclamped = KMeansPortable.autoNlistUnclamped(n0, targetCellSize)
+    if (unclamped > relationalPastNlist) {
+      // THIRD TIER (round 14 — the trainThreeLevel dispatch): past
+      // the broadcast clamp the cell-population contract (nlist =
+      // ⌈n/target⌉) would silently stop holding — the round-12
+      // ceiling — so the door now trains the children AS A RELATION,
+      // assigns the corpus through the fused cogroup, and probes
+      // from the child store. `relationalPastNlist` defaults to the
+      // clamp; deployments preferring the relational structure
+      // earlier (driver memory pressure) lower it, and specs pin the
+      // tier's parity at gate scale through it. recallFloor walks
+      // the same ladder on the relational instrument
+      // (sizeRelationalForRecall) — no tier refuses the floor.
+      require(unclamped <= Int.MaxValue,
+        s"auto nlist $unclamped exceeds Int cells — lower the sizing " +
+          s"target (targetCellSize=$targetCellSize)")
+      val nl = unclamped.toInt
+      val rel = trainThreeLevel(vectors, nl, vecCol, seed,
+        trainFraction, idCol = idCol)
+      val assigned = graft.CacheScope.track(
+        assignCellsViaRelationFusedKeepVec(vectors, rel.supers,
+          rel.childRel, idCol, vecCol))
+      val npc = math.min(math.max(1, nprobe), nl)
+      if (recallFloor > 0) {
+        val pt = sizeRelationalForRecall(assigned, anchorPred, k,
+          recallFloor, rel, npc, recallAnchors)
+        ivfCosineTopKRelationalIndexed(assigned, anchorPred, k, rel,
+          pt.nprobe, pt.probeSupers)
+      } else {
+        val p = if (probeSupers > 0) probeSupers
+          else KMeansPortable.autoProbeSupers(npc, nl, rel.supers.length)
+        ivfCosineTopKRelationalIndexed(assigned, anchorPred, k, rel,
+          npc, p)
+      }
+    } else {
     val nlist = KMeansPortable.autoNlist(n0, targetCellSize)
     if (nlist <= KMeansPortable.FlatAutoMaxNlist) {
       // recallFloor on the FLAT side walks nprobe only (the flat
@@ -837,6 +933,7 @@ object SimilaritySearch {
         else (resolveProbeSupers(probeSupers, nprobe, nlist), nprobe)
       ivfCosineTopKTwoLevel(vectors, anchorPred, k, nlist, np,
         idCol, vecCol, seed, trainFraction, probeSupers = p)
+    }
     }
   }
 
@@ -1737,14 +1834,26 @@ object SimilaritySearch {
     val ksDf = (0 until s).map(i => (i, ks(i), offsets(i)))
       .toDF("super", "__k", "__off")
     val w = Window.partitionBy(col("super")).orderBy(col("id"))
-    var childRel = graft.CacheScope.track(
+    // Each iteration's child relation is eagerly localCheckpoint'd,
+    // NOT merely cached: a cache keeps the full logical lineage, so
+    // after i iterations every downstream plan (the next assignment
+    // cogroup, every probe of the trained structure) embeds an
+    // i-deep self-referencing join tree — measured to blow plan
+    // STRINGS past the driver heap on a 5-iteration structure the
+    // moment a recall walk builds a few plans over it. The
+    // checkpoint truncates lineage to the materialized blocks
+    // (bounded: the ≤ nlist × dim relation this tier is about).
+    // Fault-tolerance trade, documented: losing an executor's
+    // checkpoint blocks mid-TRAINING re-runs the training — Lloyd
+    // state is cheap to rebuild and nothing downstream persists it.
+    var childRel = graft.CacheScope.trackPersisted(
       routed.join(broadcast(ksDf), Seq("super"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= col("__k"))
         .select(col("super"),
           (col("__off") + col("__rn") - 1).cast("int").as("cell"),
-          col("vec").as("cvec")))
-    childRel.count() // force: the loop must read a cache, not a chain
+          col("vec").as("cvec"))
+        .localCheckpoint())
     var it = 0
     while (it < iters) {
       val assigned =
@@ -1781,11 +1890,11 @@ object SimilaritySearch {
         .select(col("cell"),
           transform(col("__ps"), p => p.getField("c")).as("__newc"))
       val prev = childRel
-      childRel = graft.CacheScope.track(
+      childRel = graft.CacheScope.trackPersisted(
         prev.join(means, Seq("cell"), "left")
           .select(col("super"), col("cell"),
-            coalesce(col("__newc"), col("cvec")).as("cvec")))
-      childRel.count() // force before dropping the predecessor
+            coalesce(col("__newc"), col("cvec")).as("cvec"))
+          .localCheckpoint()) // eager: forced before prev drops
       prev.unpersist()
       it += 1
     }
@@ -1857,6 +1966,172 @@ object SimilaritySearch {
       .withColumn("score", round(fastCosine(col("a_vec"), col("n_vec")), 4))
       .select(col("anchor_id"), col("neighbor_id"), col("score"))
     rankTopK(cands, k)
+  }
+
+  /** IVF-PQ artifacts for the RELATIONAL (third) tier: the bounded
+    * PQ codebooks (m·ksub·dsub doubles — always driver-sized, 8-bit
+    * codes cap ksub at 256) plus the relational coarse structure.
+    * GLOBAL-codes flavor only: the residual flavor's ADC needs the
+    * per-cell centroid dot, which is exactly the nlist-sized
+    * broadcast state this tier exists to avoid — a residual
+    * deployment stays on [[TwoLevelIvfPqArtifacts]] under the clamp
+    * (the documented bound). */
+  final case class RelationalIvfPqArtifacts(
+      codebooks: Array[Array[Array[Double]]],
+      coarse: RelationalCoarse) {
+    require(codebooks.nonEmpty)
+    val m: Int = codebooks.length
+    val ksub: Int = codebooks(0).length
+    val dsub: Int = codebooks(0)(0).length
+    require(codebooks.forall(b =>
+      b.length == ksub && b.forall(_.length == dsub)))
+  }
+
+  /** Train the relational-tier IVF-PQ artifacts: [[trainThreeLevel]]
+    * for the coarse structure (children as a relation), the SAME
+    * [[pqCodebooks]] fit as every PQ tier for the codes. */
+  def trainIvfPqArtifactsRelational(vectors: DataFrame, nlist: Int,
+      m: Int = 8, ksub: Int = 16, vecCol: String = "embedding",
+      seed: Long = 42L, trainFraction: Double = 1.0, supers: Int = 0,
+      iters: Int = 5,
+      idCol: String = "vec_id"): RelationalIvfPqArtifacts = {
+    val coarse = trainThreeLevel(vectors, nlist, vecCol, seed,
+      trainFraction, supers, iters, idCol)
+    val codebooks = pqCodebooks(vectors, m, ksub, vecCol, seed,
+      trainFraction)
+    RelationalIvfPqArtifacts(codebooks, coarse)
+  }
+
+  /** BUILD the stored relational-tier IVF-PQ index: the
+    * [[encodeIvfPqTwoLevel]] deployment artifact (nid, code, cell)
+    * with the cell assignment running through the fused cogroup
+    * against the child RELATION instead of a broadcast coarse —
+    * per-row state is the codebooks only. Store bucketed by `cell`
+    * and the probe's equi-join reads it exchange-free (the q91
+    * discipline, unchanged). */
+  def encodeIvfPqRelational(vectors: DataFrame,
+      artifacts: RelationalIvfPqArtifacts, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cbB = spark.sparkContext.broadcast(artifacts.codebooks)
+    assignCellsViaRelationFusedKeepVec(vectors,
+        artifacts.coarse.supers, artifacts.coarse.childRel, idCol,
+        vecCol)
+      .select(col("id"), col("cell"), col("vec"))
+      .as[(Long, Int, Array[Double])]
+      .map { case (id, cell, v) =>
+        (id, pqEncodeVec(v, cbB.value), cell) }
+      .toDF("nid", "code", "cell")
+  }
+
+  /** The QUERY half over a relational-tier index — the
+    * [[ivfPqTopKScoreTwoLevelIndexed]] statement with BOTH
+    * broadcast-coarse touches replaced by their relational twins:
+    * anchors route top-p over the broadcast SUPERS (driver-tiny) and
+    * candidate cells arrive by streaming the child store once
+    * through a broadcast-anchor join ([[ivfCosineTopKRelationalIndexed]]'s
+    * probe); ADC from the stored codes and the exact rerank from the
+    * raw relation are the shared machinery, so at equal structure
+    * the two doors are value-identical (parity spec: the relational
+    * path vs the broadcast path over the SAME trained structure,
+    * collected to driver state at spec scale). */
+  def ivfPqTopKScoreRelationalIndexed(index: DataFrame,
+      vectors: DataFrame, anchorPred: Column, k: Int,
+      artifacts: RelationalIvfPqArtifacts, nprobe: Int = 4,
+      rerank: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding", probeSupers: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graft.TopKExpressions.topKByScore
+    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val coarse = artifacts.coarse
+    val populated = populatedOf(coarse.childRel)
+    require(probeSupers >= 1 && probeSupers <= coarse.supers.length,
+      s"probeSupers must be 1..${coarse.supers.length}; got $probeSupers")
+    val cbB = spark.sparkContext.broadcast(artifacts.codebooks)
+    val sB = spark.sparkContext.broadcast(coarse.supers)
+    val pB = spark.sparkContext.broadcast(populated)
+    val p = probeSupers
+    val feat = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val anchors = graft.CacheScope.track(feat.filter(anchorPred))
+    val anchorsRouted = anchors.as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        val sup = sB.value; val pop = pB.value
+        pop.map { i =>
+          val cc = sup(i)
+          var d = 0.0; var t = 0
+          while (t < v.length) { val x = v(t) - cc(t); d += x * x; t += 1 }
+          (d, i)
+        }.sorted.take(p).map(_._2).map(su => (id, v, su))
+      }.toDF("anchor_id", "a_vec", "super")
+    val probeCells = coarse.childRel
+      .join(broadcast(anchorsRouted), Seq("super"))
+      .withColumn("cs", fastCosine(col("a_vec"), col("cvec")))
+      .groupBy(col("anchor_id"))
+      .agg(topKByScore(col("cs"), col("cell"), nprobe).as("pc"))
+      .select(col("anchor_id"), explode(col("pc.id")).as("cell"))
+    val cands = probeCells
+      .join(anchors.select(col("id").as("anchor_id"),
+        col("v").as("a_vec")), "anchor_id")
+      .join(index, "cell")
+      .filter(col("anchor_id") =!= col("nid"))
+    val approx = adcScores(cands, cbB)
+    rerankTopK(approx, anchors, vectors, k, rerank, idCol, vecCol)
+  }
+
+  /** [[sizeIvfPqForRecall]]'s relational-tier sibling: the same
+    * full-chain (coarse probe + ADC + rerank) [[pqRecallLadder]]
+    * walk, instrumented on [[ivfPqTopKScoreRelationalIndexed]] over
+    * a prebuilt relational index — nothing nlist-sized leaves the
+    * executors. Same bounded seeded-hash anchor sample, same
+    * terminal-rung exactness contract. */
+  def sizeIvfPqRelationalForRecall(index: DataFrame,
+      vectors: DataFrame, anchorPred: Column, k: Int, floor: Double,
+      artifacts: RelationalIvfPqArtifacts, nprobe0: Int = 4,
+      rerank0: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxAnchors: Int = 64): PqOperatingPoint = {
+    require(floor > 0.0 && floor <= 1.0,
+      s"recall floor must be in (0, 1]; got $floor")
+    require(maxAnchors >= 1, s"maxAnchors must be >= 1; got $maxAnchors")
+    val nlistL = artifacts.coarse.childRel.count()
+    require(nlistL >= 1 && nlistL <= Int.MaxValue,
+      s"child relation must hold 1..Int.MaxValue cells; got $nlistL")
+    val nlist = nlistL.toInt
+    val pop = populatedOf(artifacts.coarse.childRel).length
+    val feat = vectors.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val sampleIds = feat.filter(anchorPred)
+      .orderBy(xxhash64(col("id")), col("id")).limit(maxAnchors)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    require(sampleIds.nonEmpty,
+      "sizeIvfPqRelationalForRecall: empty anchor sample")
+    val samplePred = col("id").isin(sampleIds: _*)
+    val sample = graft.CacheScope.track(feat.filter(samplePred))
+    val exact = graft.CacheScope.track(
+      cosineTopK(feat, sample, k, "id", "vec"))
+    val n = index.count()
+    val maxRerank = math.max(rerank0,
+      math.min(n, Int.MaxValue.toLong).toInt)
+    val ladder = pqRecallLadder(nlist, pop,
+      math.min(math.max(1, nprobe0), nlist), rerank0, maxRerank)
+    var walk = Vector.empty[PqRecallRung]
+    var found: Option[PqRecallRung] = None
+    val it = ladder.iterator
+    while (found.isEmpty && it.hasNext) {
+      val (p, np, r) = it.next()
+      val rec = meanRecall(ivfPqTopKScoreRelationalIndexed(index,
+        vectors, samplePred, k, artifacts, np, r, idCol, vecCol, p),
+        exact)
+      val rung = PqRecallRung(p, np, r, rec)
+      walk = walk :+ rung
+      if (rec >= floor) found = Some(rung)
+    }
+    val last = walk.last
+    PqOperatingPoint(last.probeSupers, last.nprobe, last.rerank,
+      last.recall, found.isDefined, walk)
   }
 
   /** The routed super of `v` over the populated domain — the probe's
@@ -2292,8 +2567,38 @@ object SimilaritySearch {
       trainFraction: Double = 1.0,
       targetCellSize: Int = KMeansPortable.DefaultTargetCellSize,
       probeSupers: Int = -1, n: Long = -1L,
-      recallFloor: Double = 0.0, recallAnchors: Int = 64): DataFrame = {
+      recallFloor: Double = 0.0, recallAnchors: Int = 64,
+      relationalPastNlist: Int = KMeansPortable.MaxAutoNlistTwoLevel): DataFrame = {
     val n0 = if (n >= 0) n else vectors.count()
+    val unclamped = KMeansPortable.autoNlistUnclamped(n0, targetCellSize)
+    if (unclamped > relationalPastNlist) {
+      // THIRD TIER (round 14 — the ivfCosineTopKAuto dispatch at the
+      // PQ door): train/encode relationally, size the floor on the
+      // same relational chain, serve from the stored index
+      require(unclamped <= Int.MaxValue,
+        s"auto nlist $unclamped exceeds Int cells — lower the sizing " +
+          s"target (targetCellSize=$targetCellSize)")
+      val nl = unclamped.toInt
+      val art = trainIvfPqArtifactsRelational(vectors, nl, m, ksub,
+        vecCol, seed, trainFraction, idCol = idCol)
+      val index = graft.CacheScope.track(
+        encodeIvfPqRelational(vectors, art, idCol, vecCol))
+      val npc = math.min(math.max(1, nprobe), nl)
+      val (pp, np, rr) =
+        if (recallFloor > 0) {
+          val pt = sizeIvfPqRelationalForRecall(index, vectors,
+            anchorPred, k, recallFloor, art, npc, rerank, idCol,
+            vecCol, recallAnchors)
+          (pt.probeSupers, pt.nprobe, pt.rerank)
+        } else {
+          val p = if (probeSupers > 0) probeSupers
+            else KMeansPortable.autoProbeSupers(npc, nl,
+              art.coarse.supers.length)
+          (p, npc, rerank)
+        }
+      return ivfPqTopKScoreRelationalIndexed(index, vectors,
+        anchorPred, k, art, np, rr, idCol, vecCol, pp)
+    }
     val nlist = KMeansPortable.autoNlist(n0, targetCellSize)
     if (recallFloor > 0) {
       // END-TO-END floor (round 14 — ADVICE r13: the round-13 door

@@ -553,6 +553,37 @@ class DedupSpec extends SparkSpec {
     at.unpersist(); past.unpersist()
   }
 
+  test("semanticDedupAuto THIRD tier: past relationalPastNlist the door dedups over the relational structure ≡ the manual calls") {
+    import graft.operators.{Dedup, SimilaritySearch}
+    val r = new scala.util.Random(11)
+    def corpus(n: Int) = {
+      val base = (0 until n - 2).map(i =>
+        (i.toLong, Seq.fill(4)(r.nextDouble() * 2 - 1)))
+      val v = Seq.fill(4)(r.nextDouble() * 2 - 1)
+      (base :+ (n - 2L, v) :+ (n - 1L, v.updated(0, v.head + 1e-4)))
+        .toDF("vec_id", "embedding")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+    // unclamped auto nlist 130 > the lowered dispatch bound 128 →
+    // the relational tier fires at gate scale (production keeps the
+    // clamp default; the knob exists for exactly this parity)
+    val past = corpus(520).cache()
+    val door = rows(Dedup.semanticDedupAuto(past, 0.999,
+      targetCellSize = 4, relationalPastNlist = 128))
+    val rel = SimilaritySearch.trainThreeLevel(past, 130, iters = 3)
+    assert(door === rows(
+      Dedup.semanticDedupRelational(past, rel, 0.999)))
+    // the planted pair still collapses through the relational cells
+    // (same COMPONENT — under these cells a rare random ≥0.999 pair
+    // may chain more members in, moving the min-id survivor, so the
+    // assertion is membership, not the exact group id)
+    val g519 = door.find(_.head == 519L).get
+    val g518 = door.find(_.head == 518L).get
+    assert(g519(1) === g518(1) && g519(2) == false)
+    past.unpersist()
+  }
+
   test("admitIncrementalSemanticTwoLevel ≡ semanticDedupTwoLevel over corpus ∪ batch") {
     def v(a: Double, b: Double, c: Double, d: Double) = Seq(a, b, c, d)
     val corpus = Seq(

@@ -896,6 +896,102 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfCosineTopKAuto THIRD tier: past relationalPastNlist the door serves relationally ≡ the manual calls; recallFloor walks the relational ladder") {
+    import graft.operators.{KMeansPortable, SimilaritySearch}
+    val pred = col("id") % 7 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("anchor_id", "rank").collect().map(_.toSeq).toSeq
+    // 42 rows at targetCellSize 4 → unclamped nlist 11 > the lowered
+    // dispatch bound → the relational tier fires at gate scale (the
+    // knob exists exactly so this parity is testable without a
+    // 67M-row corpus; production keeps the clamp default)
+    val door = SimilaritySearch.ivfCosineTopKAuto(emb, pred, 5,
+      nprobe = 2, targetCellSize = 4, relationalPastNlist = 4)
+    val nl = KMeansPortable.autoNlistUnclamped(42, 4).toInt
+    assert(nl == 11)
+    val rel = SimilaritySearch.trainThreeLevel(emb, nl)
+    val assigned = graft.CacheScope.track(
+      SimilaritySearch.assignCellsViaRelationFusedKeepVec(emb,
+        rel.supers, rel.childRel))
+    val p = KMeansPortable.autoProbeSupers(2, nl, rel.supers.length)
+    assert(rows(door) === rows(
+      SimilaritySearch.ivfCosineTopKRelationalIndexed(assigned, pred,
+        5, rel, nprobe = 2, probeSupers = p)))
+    // the floor holds END-TO-END on the relational tier too — no
+    // tier refuses recallFloor
+    val res = SimilaritySearch.ivfCosineTopKAuto(emb, pred, 5,
+      nprobe = 1, targetCellSize = 4, relationalPastNlist = 4,
+      recallFloor = 0.9)
+    val exact = SimilaritySearch.cosineTopK(emb,
+      emb.filter(col("vec_id") % 7 === 0), 5)
+    val r = SimilaritySearch.meanRecall(res, exact)
+    assert(r >= 0.9 - 1e-9, f"relational-tier floor result $r%.4f")
+  }
+
+  test("relational IVF-PQ: encode and query ≡ the broadcast-coarse siblings over the SAME trained structure") {
+    import graft.operators.SimilaritySearch
+    val pred = col("id") % 7 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("anchor_id", "rank").collect().map(_.toSeq).toSeq
+    val art = SimilaritySearch.trainIvfPqArtifactsRelational(emb,
+      nlist = 6, m = 2, ksub = 4)
+    val index = graft.CacheScope.track(
+      SimilaritySearch.encodeIvfPqRelational(emb, art))
+    // the driver-resident twin of the SAME structure (legal at spec
+    // scale): childRel collected into a TwoLevelCoarse, the same
+    // codebooks — so any divergence is the relational machinery's
+    val cr = art.coarse.childRel.select("cell", "super", "cvec")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    val groups = Array.fill(art.coarse.supers.length)(
+      scala.collection.mutable.ArrayBuffer[Int]())
+    cr.foreach { case (c, s, _) => groups(s) += c }
+    val twin = SimilaritySearch.TwoLevelIvfPqArtifacts(art.codebooks,
+      SimilaritySearch.TwoLevelCoarse(art.coarse.supers,
+        cr.map(_._3), groups.map(_.toArray)), residual = false)
+    val index2 = SimilaritySearch.encodeIvfPqTwoLevel(emb, twin)
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1).toSeq, r.getInt(2))).sortBy(_._1).toSeq
+    assert(enc(index) === enc(index2))
+    // query parity at equal knobs, multi-super probe included
+    assert(rows(SimilaritySearch.ivfPqTopKScoreRelationalIndexed(
+        index, emb, pred, 3, art, nprobe = 2, rerank = 8,
+        probeSupers = 2))
+      === rows(SimilaritySearch.ivfPqTopKScoreTwoLevelIndexed(
+        index2, emb, pred, 3, twin, nprobe = 2, rerank = 8,
+        probeSupers = 2)))
+  }
+
+  test("ivfPqTopKAuto THIRD tier: past relationalPastNlist the PQ door serves relationally ≡ the manual calls; recallFloor walks the relational PQ chain") {
+    import graft.operators.{KMeansPortable, SimilaritySearch}
+    val pred = col("id") % 7 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("anchor_id", "rank").collect().map(_.toSeq).toSeq
+    val door = SimilaritySearch.ivfPqTopKAuto(emb, pred, 3,
+      nprobe = 2, m = 2, ksub = 4, rerank = 8, targetCellSize = 4,
+      relationalPastNlist = 4)
+    val nl = KMeansPortable.autoNlistUnclamped(42, 4).toInt
+    val art = SimilaritySearch.trainIvfPqArtifactsRelational(emb,
+      nl, m = 2, ksub = 4)
+    val index = graft.CacheScope.track(
+      SimilaritySearch.encodeIvfPqRelational(emb, art))
+    val p = KMeansPortable.autoProbeSupers(2, nl,
+      art.coarse.supers.length)
+    assert(rows(door) === rows(
+      SimilaritySearch.ivfPqTopKScoreRelationalIndexed(index, emb,
+        pred, 3, art, nprobe = 2, rerank = 8, probeSupers = p)))
+    // the end-to-end floor holds through the relational PQ chain
+    val res = SimilaritySearch.ivfPqTopKAuto(emb, pred, 3,
+      nprobe = 1, m = 2, ksub = 4, rerank = 2, targetCellSize = 4,
+      relationalPastNlist = 4, recallFloor = 0.9)
+    val exact = SimilaritySearch.cosineTopK(emb,
+      emb.filter(col("vec_id") % 7 === 0), 3)
+    val r = SimilaritySearch.meanRecall(res, exact)
+    assert(r >= 0.9 - 1e-9, f"relational PQ floor result $r%.4f")
+  }
+
   test("residual IVF+PQ (IVFADC): sharper codes at equal bits on clustered data") {
     import graft.operators.SimilaritySearch
     // 4 tight clusters at distant centers: a GLOBAL codebook of 4
