@@ -243,6 +243,42 @@ class AnnRecallSpec extends SparkSpec {
       .forall(_._2 == 4))
   }
 
+  test("pqRecallLadder properties over a parameter sweep: exact terminal, monotone knobs, lockstep phase, determinism") {
+    for {
+      nlist <- Seq(1, 2, 8, 130, 782)
+      supers <- Seq(1, 2, 3, 28).filter(_ <= nlist)
+      nprobe0 <- Seq(1, 2, 4, nlist).distinct.filter(_ <= nlist)
+      rerank0 <- Seq(1, 32)
+      maxRerank <- Seq(rerank0, 100, 2048).distinct.filter(_ >= rerank0)
+    } {
+      val l = SimilaritySearch.pqRecallLadder(nlist, supers, nprobe0,
+        rerank0, maxRerank)
+      val tag = s"(nlist=$nlist S=$supers np0=$nprobe0 r0=$rerank0 " +
+        s"maxR=$maxRerank)"
+      // terminal rung is the EXACT search: every super ranked, every
+      // cell swept, every candidate reranked — the reachability
+      // contract every floor <= 1.0 rides on
+      assert(l.last == ((supers, nlist, maxRerank)), s"terminal $tag: ${l.last}")
+      // each knob is non-decreasing along the walk (cost only climbs)
+      l.sliding(2).foreach {
+        case Seq((p1, n1, r1), (p2, n2, r2)) =>
+          assert(p2 >= p1 && n2 >= n1 && r2 >= r1, s"monotone $tag")
+        case _ =>
+      }
+      // phase 2 (nprobe climbing at p = S) moves rerank WITH the
+      // sweep — never a sweep-doubling rung at frozen rerank unless
+      // rerank is already at the corpus bound (the 0.80→0.28 decay
+      // the lockstep exists to prevent)
+      l.sliding(2).foreach {
+        case Seq((_, n1, r1), (_, n2, r2)) if n2 > n1 =>
+          assert(r2 > r1 || r1 == maxRerank, s"lockstep $tag")
+        case _ =>
+      }
+      assert(l == SimilaritySearch.pqRecallLadder(nlist, supers,
+        nprobe0, rerank0, maxRerank), s"determinism $tag")
+    }
+  }
+
   test("sizeIvfPqForRecall: the floor is END-TO-END — the chain the sizer measures is the chain the indexed door serves") {
     val art = SimilaritySearch.trainIvfPqArtifactsTwoLevel(emb,
       nlist = 8, m = 4, ksub = 8, residual = false)

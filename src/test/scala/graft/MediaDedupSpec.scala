@@ -612,6 +612,28 @@ class MediaDedupSpec extends SparkSpec {
       sigSpecGenerated(Long.MaxValue, maxExpectedOccupancy = 1)
     }
     assert(e.getMessage.contains("62-bit"))
+    // generated-width properties over a log sweep of corpus sizes:
+    // occupancy holds the bound at the chosen width AND fails it one
+    // band-bit narrower (minimality), the band count stays the
+    // Sig240 edge's, and the grid realizes exactly bands x bandBits
+    for {
+      bound <- Seq(1L, 64L, 1024L)
+      exp <- 25 to 45
+      n <- Seq((bound << exp) - 1, bound << exp, (bound << exp) + 1)
+    } {
+      val g = sigSpecGenerated(n, bound)
+      val tag = s"(n=$n bound=$bound)"
+      // exact integer comparisons: a double ratio collapses at the
+      // 2^53 precision edge (n = bound·2^43 + 1 reads as exactly
+      // bound·2^43 in double — the implementation's ceil-div/nlz
+      // arithmetic is what stays exact)
+      assert(n <= (bound << g.bandBits),
+        s"occupancy over bound $tag: $g")
+      assert(g.bandBits == 25 || n > (bound << (g.bandBits - 1)),
+        s"width not minimal $tag: $g")
+      assert(g.bands == Sig240.bands && g.sigBits == g.bands * g.bandBits
+        && g.tileRows == g.bands && g.tileCols == g.bandBits + 1, s"shape $tag: $g")
+    }
     // the bound knob moves the boundary: a caller provisioning 2×
     // the occupancy keeps the narrow width 2× longer — the SAME
     // arithmetic requireBoundedBuckets polices downstream
