@@ -299,14 +299,18 @@ object ScaleProbe {
       import graft.operators.SimilaritySearch
       val rows = if (args.length > 3) args(3).toLong else 1000000L
       val iters = if (args.length > 2) args(2).toIntOption.getOrElse(2) else 2
-      val nlist = 1 << 19
+      // args(4): log2(nlist), default 19 (2x the clamp); 20 measures
+      // the next decade's shape (512 MB child relation, S = 1024)
+      val nlist = 1 << (if (args.length > 4)
+        args(4).toIntOption.getOrElse(19) else 19)
       val dim = 64
       val syn = spark.range(rows).select(col("id").as("vec_id"),
         expr(s"transform(sequence(0, ${dim - 1}), " +
           "d -> cos((id + 2) * (d + 5)))").as("embedding"))
       println(s"[reltrain] nlist=$nlist rows=$rows iters=$iters " +
         s"child_relation=${nlist.toLong * dim * 8 / (1 << 20)}MB " +
-        "(2x the 128MB broadcast clamp; driver holds supers + counts only)")
+        s"(${nlist / graft.operators.KMeansPortable.MaxAutoNlistTwoLevel}x " +
+        "the 262144-cell broadcast clamp; driver holds supers + counts only)")
       val t0 = System.nanoTime()
       val rel = SimilaritySearch.trainThreeLevel(syn, nlist,
         iters = iters)
