@@ -227,13 +227,18 @@ object SimilaritySearch {
     val (ph1, ph2) = coarse.partition(_._2 == nprobe0)
     val rungs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
     rungs ++= ph1.map { case (p, np) => (p, np, rerank0) }
+    // Overflow-safe doubling (ADVICE r14): at r = 2^30 the naive r*2
+    // wraps negative and math.min latches it — the walk then never
+    // reaches maxRerank (hang at the sizers' maxRerank = corpus count
+    // > 2^30, in-scope for the relational tier). Saturate instead.
+    def dbl(r: Int): Int = if (r > maxRerank / 2) maxRerank else r * 2
     var r = rerank0
     ph2.foreach { case (p, np) =>
-      r = math.min(maxRerank, r * 2)
+      r = dbl(r)
       rungs += ((p, np, r))
     }
     while (r < maxRerank) {
-      r = math.min(maxRerank, r * 2)
+      r = dbl(r)
       rungs += ((supers, nlist, r))
     }
     rungs.toSeq

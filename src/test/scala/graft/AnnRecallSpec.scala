@@ -279,6 +279,29 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("pqRecallLadder: maxRerank past 2^30 terminates with a saturated exact terminal (ADVICE r14 — naive doubling wraps Int at r = 2^30 and latches negative)") {
+    // The sizers pass maxRerank = min(index.count(), Int.MaxValue), so a
+    // relational-tier index over >1.07B rows lands here. Pre-fix this
+    // hung: r*2 at 2^30 is -2^31, math.min keeps it, and the while
+    // loop appends rungs forever.
+    val maxR = Int.MaxValue
+    val l = SimilaritySearch.pqRecallLadder(8, 3, 2, 4, maxR)
+    assert(l.last == ((3, 8, maxR)), s"terminal ${l.last}")
+    // no rung ever negative or above the bound, and the rung count is
+    // log-bounded (not an unbounded append)
+    assert(l.forall { case (p, np, r) => r >= 4 && r <= maxR && p >= 1 && np >= 1 })
+    assert(l.size <= 40, s"rung count ${l.size} not log-bounded")
+    // monotone rerank all the way into saturation
+    l.sliding(2).foreach {
+      case Seq((_, _, r1), (_, _, r2)) => assert(r2 >= r1)
+      case _ =>
+    }
+    // phase-2 lockstep rung at the boundary also saturates cleanly:
+    // rerank0 already huge, first doubling must clamp not wrap
+    val l2 = SimilaritySearch.pqRecallLadder(8, 2, 2, 1 << 30, Int.MaxValue)
+    assert(l2.forall(_._3 > 0) && l2.last._3 == Int.MaxValue)
+  }
+
   test("sizeIvfPqForRecall: the floor is END-TO-END — the chain the sizer measures is the chain the indexed door serves") {
     val art = SimilaritySearch.trainIvfPqArtifactsTwoLevel(emb,
       nlist = 8, m = 4, ksub = 8, residual = false)
