@@ -498,6 +498,31 @@ object PlanAudit {
       // exchange FEWER than flat q85 (the probe's broadcast
       // candidate join replaces a rescore keying exchange)
       maxShuffleExchanges = Some(4)),
+    // q104: the relational coarse tier end-to-end — training is the
+    // children-as-a-relation Lloyd loop (localCheckpoint'd, OUTSIDE
+    // this final frame, like every trainer); the frame is the SERVE:
+    // anchor probe over the checkpointed child store, the cell
+    // equi-join against the cached relational assignment, decimal
+    // rerank and the bounded top-k. No child centroid is broadcast
+    // or driver state, so the joins must stay hash/broadcast joins
+    // over the store — a Cartesian or BNL join here would mean the
+    // relational tier regressed to all-pairs. (q105 is a LocalTable
+    // walk result like q102 — nothing to pin in its final frame.)
+    Check("q104_relational_coarse_oracle",
+      mustContain = Seq("InMemoryTableScan"),
+      mustNotContain = Seq("CartesianProduct",
+        "BroadcastNestedLoopJoin"),
+      // [MEASURED] 8 = the round-15 counted plan (sf0.001): 2
+      // ensureWide RoundRobin widenings in the cached base/routed
+      // lineages + 6 keyed — the probe's per-anchor window
+      // (id-partitioned row_number), the relational assignment's
+      // id-keyed struct-min aggregation feeding the cell equi-join,
+      // the anchor top-k aggregation and the presentation sort. The
+      // cell join itself broadcasts the probe side (anchors × nprobe
+      // rows); a stored deployment bucketing the assignment by cell
+      // drops that exchange too (the q91 discipline, spec-pinned at
+      // the native serve)
+      maxShuffleExchanges = Some(8)),
     // q97: the q93 chain with the probe widened to the top-2 supers
     // (probeChildrenMulti) — the widening is a per-anchor flatMap over
     // the SAME broadcast candidate join, so the exchange set must

@@ -327,6 +327,116 @@ object IvfPqPortable {
       subIters, rerank, dsub, trainRes = withRes.filter(trainPred))
   }
 
+  /** IVF-FLAT top-k over the RELATIONAL two-level structure (round 15
+    * — VERDICT r14 item 1: the round-14 relational tier's first
+    * hard-gate row). The coarse structure trains with the child level
+    * AS A RELATION ([[KMeansPortable.trainTwoLevelRelationalFromBase]]
+    * — the [[SimilaritySearch.trainThreeLevel]] loop under the
+    * portable decimal arithmetic), the corpus assignment runs the
+    * relational equi-join argmin, the probe ranks the routed super's
+    * children by the shared (dist, cell) order at rn ≤ nprobe, and
+    * candidates exact-rerank under the decimal cosine (the extop
+    * arithmetic). Because the relational trainer is value-identical
+    * to [[KMeansPortable.trainTwoLevelFromBase]], the EXISTING
+    * [[KMeansPortable.twoLevelCtes]] oracle text re-derives every
+    * stage — training through serving — from the parquet bytes
+    * ([[oracleSqlCoarseRelational]]): the q104 gate proves the
+    * children-as-a-relation training loop and the child-store serving
+    * path end-to-end against DuckDB, the missing hard signal for the
+    * tier the auto doors dispatch to past the broadcast clamp.
+    *
+    * Scale shape — the real tier's: no child centroid ever becomes
+    * driver/broadcast state; training's per-iteration exchange is the
+    * super-keyed candidate join + the (cell, dim) mean aggregation;
+    * serving streams the child store once against the anchor set and
+    * probes the assignment through a cell equi-join (bucketed by cell
+    * in a stored deployment — the q91 discipline).
+    */
+  def topKCoarseRelational(vectors: DataFrame, anchorPred: Column,
+      k: Int, nlist: Int, iters: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      supers: Int = 0): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
+    val (base, _) = checkedBase(vectors, idCol, vecCol)
+    val rel = KMeansPortable.trainTwoLevelRelationalFromBase(
+      base, nlist, iters, supers)
+    val routed = graft.CacheScope.track(base.withColumn("super",
+      KMeansPortable.cellExpr(col("vec"), col("n2"), rel.supers)))
+    val assigned = graft.CacheScope.track(
+      KMeansPortable.assignChildrenRelational(routed, rel.childRel))
+    val candRel = rel.childRel.select(col("super"), col("cell"),
+      col("cvec"),
+      RhpExpressions.decimalScaledDot(col("cvec"), col("cvec"))
+        .as("__cn2"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__d"), col("cell"))
+    val probeCells = routed.filter(anchorPred)
+      .join(candRel, Seq("super"))
+      .withColumn("__d", col("n2") - lit(2.0) *
+        RhpExpressions.decimalScaledDot(col("vec"), col("cvec"))
+        + col("__cn2"))
+      .withColumn("__rn", row_number().over(wp))
+      .filter(col("__rn") <= nprobe)
+      .select(col("id").as("anchor_id"), col("vec").as("a_vec"),
+        col("n2").as("a_n2"), col("cell"))
+    val cands = probeCells
+      .join(assigned.select(col("cell"), col("id").as("neighbor_id"),
+        col("vec").as("n_vec"), col("n2").as("n_n2")), Seq("cell"))
+      .filter(col("anchor_id") =!= col("neighbor_id"))
+      .withColumn("score", round(
+        RhpExpressions.decimalScaledDot(col("a_vec"), col("n_vec")) /
+          (sqrt(col("a_n2")) * sqrt(col("n_n2"))), 6))
+      .select(col("anchor_id"), col("neighbor_id"), col("score"))
+    SimilaritySearch.rankTopK(cands, k)
+  }
+
+  /** The DuckDB re-derivation of [[topKCoarseRelational]] — the
+    * [[KMeansPortable.twoLevelCtes]] training chain (its `askf`
+    * assignment and `dotkf`/`cnkf` probe relations are exactly the
+    * relational trainer's outputs, by the trainer parity contract)
+    * plus the anchor probe at rn ≤ nprobe and the exact decimal
+    * cosine rerank over the probed cells' members. */
+  def oracleSqlCoarseRelational(table: String, idCol: String,
+      vecCol: String, k: Int, nlist: Int, iters: Int, nprobe: Int,
+      anchorPredSql: String, supers: Int = 0): String = {
+    val chain = KMeansPortable.twoLevelCtes(table, idCol, vecCol,
+      nlist, iters, supers)
+    s"""WITH $chain
+       |aset AS (SELECT id FROM v WHERE $anchorPredSql),
+       |pcell AS (
+       |  SELECT id AS anchor_id, j AS cell FROM (
+       |    SELECT d.id, d.j, row_number() OVER (PARTITION BY d.id
+       |      ORDER BY (n.n2 - 2.0 * d.dot + c.nc2), d.j) AS rn
+       |    FROM dotkf d
+       |    JOIN norms n ON n.id = d.id
+       |    JOIN cnkf c ON c.j = d.j
+       |    WHERE d.id IN (SELECT id FROM aset)) WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.anchor_id, a.id AS neighbor_id
+       |  FROM pcell p JOIN askf a ON a.cell = p.cell
+       |  WHERE a.id <> p.anchor_id),
+       |cdot AS (
+       |  SELECT c.anchor_id, c.neighbor_id,
+       |    CAST(sum(CAST(round(da.x * db.x, 12) AS DECIMAL(38,12)))
+       |      AS DOUBLE) AS dot
+       |  FROM cand c
+       |  JOIN dims da ON da.id = c.anchor_id
+       |  JOIN dims db ON db.id = c.neighbor_id AND db.d = da.d
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.anchor_id, d.neighbor_id,
+       |    round(d.dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS score
+       |  FROM cdot d
+       |  JOIN norms na ON na.id = d.anchor_id
+       |  JOIN norms nb ON nb.id = d.neighbor_id)
+       |SELECT anchor_id, rank, neighbor_id, score FROM (
+       |  SELECT anchor_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored) WHERE rank <= $k
+       |ORDER BY anchor_id, rank""".stripMargin
+  }
+
   /** RECALL-WALK over the portable two-level tier (round 13 — VERDICT
     * r12 item 1 under a FULL oracle): train + encode ONCE ([[
     * topKTwoLevel]]'s exact chain), then climb `ladder` — the
@@ -353,7 +463,37 @@ object IvfPqPortable {
       nlist: Int, coarseIters: Int, m: Int, ksub: Int, subIters: Int,
       rerank: Int, ladder: Seq[(Int, Int)], floor: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      supers: Int = 0): DataFrame = {
+      supers: Int = 0): DataFrame =
+    walkImpl(vectors, anchorPred, k, nlist, coarseIters, m, ksub,
+      subIters, ladder.map { case (p, np) => (p, np, rerank) }, floor,
+      idCol, vecCol, supers, emitRerank = false)
+
+  /** [[topKTwoLevelWalk]] over the FULL-CHAIN (probeSupers, nprobe,
+    * rerank) ladder (round 15 — VERDICT r14 item 1b: the round-14
+    * end-to-end floor machinery's hard-gate row). The walk climbs
+    * [[SimilaritySearch.pqRecallLadder]]'s three phases — super pool,
+    * then nprobe AND rerank in lockstep, then the rerank-only tail —
+    * so the rung recalls measure the chain a PQ deployment actually
+    * serves (coarse probe + ADC + rerank; holding rerank fixed while
+    * the sweep doubles is the measured 0.80 → 0.28 ceiling decay of
+    * ADVICE r13). Output adds the `rerank` knob column; the early
+    * stop and everything else is [[topKTwoLevelWalk]]'s, and
+    * [[oracleSqlTwoLevelWalkPq]] re-derives the whole walk — per-rung
+    * rerank included — from the parquet bytes (the q105 gate). */
+  def topKTwoLevelWalkPq(vectors: DataFrame, anchorPred: Column,
+      k: Int, nlist: Int, coarseIters: Int, m: Int, ksub: Int,
+      subIters: Int, ladder: Seq[(Int, Int, Int)], floor: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      supers: Int = 0): DataFrame =
+    walkImpl(vectors, anchorPred, k, nlist, coarseIters, m, ksub,
+      subIters, ladder, floor, idCol, vecCol, supers,
+      emitRerank = true)
+
+  private def walkImpl(vectors: DataFrame, anchorPred: Column, k: Int,
+      nlist: Int, coarseIters: Int, m: Int, ksub: Int, subIters: Int,
+      ladder: Seq[(Int, Int, Int)], floor: Double,
+      idCol: String, vecCol: String,
+      supers: Int, emitRerank: Boolean): DataFrame = {
     require(ladder.nonEmpty, "walk ladder must be non-empty")
     require(floor > 0.0 && floor <= 1.0,
       s"recall floor must be in (0, 1]; got $floor")
@@ -376,11 +516,11 @@ object IvfPqPortable {
     // structurally (anchors broadcast, the cosineTopK shape)
     val exact = graft.CacheScope.track(
       exactTopKDecimalFromBase(base, anchorPred, k))
-    var walk = Vector.empty[(Int, Int, Double)]
+    var walk = Vector.empty[(Int, Int, Int, Double)]
     var hit = false
     val it = ladder.iterator
     while (!hit && it.hasNext) {
-      val (p, np) = it.next()
+      val (p, np, rr) = it.next()
       val probeCells = (if (p == 1)
           KMeansPortable.probeChildren(routed.filter(anchorPred),
             tl.children, tl.groups, np)
@@ -389,20 +529,30 @@ object IvfPqPortable {
             tl.supers, tl.children, tl.groups, np, p))
         .select(col("id").as("anchor_id"), col("vec").as("a_vec"),
           col("cell"))
-      val approxTop = probeScore(base, encoded, probeCells, k, rerank)
+      val approxTop = probeScore(base, encoded, probeCells, k, rr)
       // one bounded scalar per rung — the sequential walk's driver
       // state is the rung table itself
       val r = SimilaritySearch.meanRecall(approxTop, exact)
-      walk = walk :+ ((p, np, r))
+      walk = walk :+ ((p, np, rr, r))
       if (r >= floor) hit = true
     }
     val spark = vectors.sparkSession
-    val rows = walk.zipWithIndex.map { case ((p, np, r), i) =>
-      (i, p, np, r, i == walk.length - 1) }
-    spark.createDataFrame(rows)
-      .toDF("rung", "probe_supers", "nprobe", "recall", "chosen")
-      .withColumn("recall", round(col("recall"), 4))
-      .orderBy(col("rung"))
+    if (emitRerank) {
+      val rows = walk.zipWithIndex.map { case ((p, np, rr, r), i) =>
+        (i, p, np, rr, r, i == walk.length - 1) }
+      spark.createDataFrame(rows)
+        .toDF("rung", "probe_supers", "nprobe", "rerank", "recall",
+          "chosen")
+        .withColumn("recall", round(col("recall"), 4))
+        .orderBy(col("rung"))
+    } else {
+      val rows = walk.zipWithIndex.map { case ((p, np, _, r), i) =>
+        (i, p, np, r, i == walk.length - 1) }
+      spark.createDataFrame(rows)
+        .toDF("rung", "probe_supers", "nprobe", "recall", "chosen")
+        .withColumn("recall", round(col("recall"), 4))
+        .orderBy(col("rung"))
+    }
   }
 
   /** EXACT top-k under the portable family's own decimal-cosine
@@ -445,7 +595,32 @@ object IvfPqPortable {
       vecCol: String, k: Int, nlist: Int, coarseIters: Int, m: Int,
       ksub: Int, subIters: Int, rerank: Int, dim: Int,
       anchorPredSql: String, ladder: Seq[(Int, Int)], floor: Double,
-      supers: Int = 0): String = {
+      supers: Int = 0): String =
+    oracleWalkImpl(table, idCol, vecCol, k, nlist, coarseIters, m,
+      ksub, subIters, dim, anchorPredSql,
+      ladder.map { case (p, np) => (p, np, rerank) }, floor, supers,
+      emitRerank = false)
+
+  /** The DuckDB re-derivation of [[topKTwoLevelWalkPq]] — the
+    * [[oracleSqlTwoLevelWalk]] statement with each rung's
+    * [[rungCtes]] chain taking ITS OWN rerank width (the full-chain
+    * ladder's third knob) and the rung table carrying the `rerank`
+    * column; the recall aggregation and the early-stop replay are
+    * unchanged. */
+  def oracleSqlTwoLevelWalkPq(table: String, idCol: String,
+      vecCol: String, k: Int, nlist: Int, coarseIters: Int, m: Int,
+      ksub: Int, subIters: Int, dim: Int, anchorPredSql: String,
+      ladder: Seq[(Int, Int, Int)], floor: Double,
+      supers: Int = 0): String =
+    oracleWalkImpl(table, idCol, vecCol, k, nlist, coarseIters, m,
+      ksub, subIters, dim, anchorPredSql, ladder, floor, supers,
+      emitRerank = true)
+
+  private def oracleWalkImpl(table: String, idCol: String,
+      vecCol: String, k: Int, nlist: Int, coarseIters: Int, m: Int,
+      ksub: Int, subIters: Int, dim: Int,
+      anchorPredSql: String, ladder: Seq[(Int, Int, Int)],
+      floor: Double, supers: Int, emitRerank: Boolean): String = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     require(ladder.nonEmpty, "walk ladder must be non-empty")
     val dsub = dim / m
@@ -480,9 +655,9 @@ object IvfPqPortable {
          |      ORDER BY score DESC, neighbor_id) AS rn
          |    FROM exscored) WHERE rn <= $k),
          |""".stripMargin
-    ladder.zipWithIndex.foreach { case ((p, np), i) =>
+    ladder.zipWithIndex.foreach { case ((p, np, rr), i) =>
       val probeDot = if (p == 1) "dotkf" else s"dotp$p"
-      sb ++= rungCtes(s"r${i}_", np, rerank, k, "dims", "norms",
+      sb ++= rungCtes(s"r${i}_", np, rr, k, "dims", "norms",
         "askf", probeDot, "cnkf")
       sb ++=
         s""",
@@ -496,17 +671,20 @@ object IvfPqPortable {
            |    GROUP BY e.anchor_id)),
            |""".stripMargin
     }
-    val walkRows = ladder.zipWithIndex.map { case ((p, np), i) =>
+    val rrCol = (rr: Int) =>
+      if (emitRerank) s"\n    CAST($rr AS INT) AS rerank," else ""
+    val walkRows = ladder.zipWithIndex.map { case ((p, np, rr), i) =>
       s"""  SELECT CAST($i AS INT) AS rung, CAST($p AS INT) AS probe_supers,
-         |    CAST($np AS INT) AS nprobe,
+         |    CAST($np AS INT) AS nprobe,${rrCol(rr)}
          |    (SELECT recall FROM r${i}_rec) AS recall""".stripMargin
     }.mkString("\n  UNION ALL\n")
+    val rrSel = if (emitRerank) " rerank," else ""
     sb ++=
       s"""walkall AS (
          |$walkRows),
          |hit AS (SELECT coalesce(min(rung), ${ladder.size - 1}) AS r
          |  FROM walkall WHERE recall >= $floor)
-         |SELECT rung, probe_supers, nprobe,
+         |SELECT rung, probe_supers, nprobe,$rrSel
          |  round(recall, 4) AS recall,
          |  rung = (SELECT r FROM hit) AS chosen
          |FROM walkall WHERE rung <= (SELECT r FROM hit)

@@ -92,10 +92,12 @@ object KMeansPortable {
     * 2× this clamp, ScaleProbe `reltrain`) and
     * [[graft.operators.SimilaritySearch
     * .ivfCosineTopKRelationalIndexed]] serves from the bucketed
-    * stores. The AUTO doors still clamp here — dispatching them onto
-    * the relational structure is the next rung — so past the clamp a
-    * deployment calls the relational trainer/probe explicitly; the
-    * clamp itself remains the loud, documented boundary
+    * stores. The AUTO doors (`ivfCosineTopKAuto`, `ivfPqTopKAuto`,
+    * `semanticDedupAuto`) dispatch onto the relational tier past this
+    * value by default (their `relationalPastNlist` knob defaults to
+    * this clamp), so the clamp is a DISPATCH boundary, not a refusal:
+    * below it the two-level driver-resident structure, above it the
+    * relational trainer/probe — still the loud, documented boundary
     * ([[MaxAutoNlist]]'s contract, three orders of magnitude later).
     */
   val MaxAutoNlistTwoLevel: Int = 262144
@@ -472,6 +474,119 @@ object KMeansPortable {
     }
     TwoLevelModel(superModel.centroids, cents, groupsArr)
   }
+
+  /** Two-level training with the CHILD LEVEL AS A RELATION under the
+    * portable decimal arithmetic (round 15 — VERDICT r14 item 1): the
+    * oracle twin of [[SimilaritySearch.trainThreeLevel]]'s structure.
+    * Supers, routing, allocation and committed seeds are
+    * [[trainTwoLevelFromBase]]'s exactly (same one-site arithmetic);
+    * the Lloyd loop's assignment and means run RELATIONALLY — a
+    * super-keyed equi-join argmin ([[assignChildrenRelational]]) and
+    * a per-(cell, dim) decimal mean re-assembled as an array column —
+    * so the child centroids never become driver or broadcast state.
+    * Value-identical to [[trainTwoLevelFromBase]] by the shared
+    * (dist, j) total order and decimal mean arithmetic (spec-pinned,
+    * KMeansPortableSpec), which is what lets [[twoLevelCtes]]'s
+    * existing oracle text re-derive the RELATIONAL trainer unchanged:
+    * the q104 gate runs this loop against DuckDB end-to-end.
+    *
+    * Per-iteration localCheckpoint truncates lineage (the
+    * [[SimilaritySearch.trainThreeLevel]] discipline and its
+    * documented fault-tolerance trade); resident state is ONE child
+    * relation (≤ nlist × dim) plus the S·dim supers.
+    */
+  private[graft] def trainTwoLevelRelationalFromBase(base: DataFrame,
+      nlist: Int, iters: Int, supers: Int = 0):
+      SimilaritySearch.RelationalCoarse = {
+    require(nlist > 0 && iters >= 1,
+      s"need nlist>0, iters>=1; got nlist=$nlist iters=$iters")
+    val s = if (supers > 0) supers else defaultSupers(nlist)
+    require(s <= nlist, s"supers=$s must not exceed nlist=$nlist")
+    val superModel = trainModelFromBase(base, k = s, iters = iters)
+    val routed = graft.CacheScope.track(
+      base.withColumn("super", cellExpr(col("vec"), col("n2"),
+        superModel.centroids)))
+    val counts = routed.groupBy(col("super")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(counts.values.sum > 0,
+      "trainTwoLevelRelational needs a non-empty vector set")
+    val ks = allocateChildren(counts, s, nlist)
+    val offsets = ks.scanLeft(0)(_ + _)
+    val ksDf = {
+      val spark = base.sparkSession
+      import spark.implicits._
+      (0 until s).map(i => (i, ks(i), offsets(i)))
+        .toDF("super", "__k", "__off")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("super")).orderBy(col("id"))
+    // committed seeds AS A RELATION: per super its ks(i) lowest-id
+    // members, global cell ids consecutive within supers via the
+    // S-int offset prefix sum — the seedids CTE's numbering, zero
+    // collect
+    var childRel = graft.CacheScope.trackPersisted(
+      routed.join(broadcast(ksDf), Seq("super"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= col("__k"))
+        .select(col("super"),
+          (col("__off") + col("__rn") - 1).cast("int").as("cell"),
+          col("vec").as("cvec"))
+        .localCheckpoint())
+    var it = 0
+    while (it < iters) {
+      val assigned = assignChildrenRelational(routed, childRel)
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg((sum(round(col("x"), 12).cast(DecimalType(38, 12)))
+            .cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("d"), col("c"))))
+          .as("__ps"))
+        .select(col("cell"),
+          transform(col("__ps"), p => p.getField("c")).as("__newc"))
+      val prev = childRel
+      // left join + coalesce: an emptied cell keeps its previous
+      // centroid — trainTwoLevelFromBase's clone-then-update rule
+      childRel = graft.CacheScope.trackPersisted(
+        prev.join(means, Seq("cell"), "left")
+          .select(col("super"), col("cell"),
+            coalesce(col("__newc"), col("cvec")).as("cvec"))
+          .localCheckpoint())
+      prev.unpersist()
+      it += 1
+    }
+    SimilaritySearch.RelationalCoarse(superModel.centroids, childRel)
+  }
+
+  /** The super-restricted child argmin as a RELATIONAL equi-join —
+    * [[assignChildren]]'s values through [[childAssignCtes]]'s shape:
+    * the child store arrives by a join on the routed super (never a
+    * driver collect, never an nlist-sized broadcast array), every
+    * (row, candidate) pair scores the shared decimal distance
+    * n2 − 2·decimalDot(v, c) + decimalDot(c, c), and a struct-min
+    * groupBy keeps the (dist, cell)-lowest candidate — provably the
+    * oracle's `ORDER BY dist, j ... rn = 1` total order. Emits
+    * (id, cell, vec, n2). Training-corpus rows always route to a
+    * populated super, so the inner join drops nothing (the
+    * application-side childless fallback lives in
+    * [[assignChildren]], which relational training never needs).
+    */
+  private[graft] def assignChildrenRelational(routed: DataFrame,
+      childRel: DataFrame): DataFrame =
+    routed.join(
+        childRel.select(col("super"), col("cell"), col("cvec"),
+          RhpExpressions.decimalScaledDot(col("cvec"), col("cvec"))
+            .as("__cn2")),
+        Seq("super"))
+      .withColumn("__d", col("n2") - lit(2.0) *
+        RhpExpressions.decimalScaledDot(col("vec"), col("cvec"))
+        + col("__cn2"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("__d"), col("cell"))).as("__m"),
+        first(col("vec")).as("vec"), first(col("n2")).as("n2"))
+      .select(col("id"), col("__m").getField("cell").as("cell"),
+        col("vec"), col("n2"))
 
   /** Per-row child argmin over the row's routed super-group: the
     * candidate (j, c, nc2) array rides in via ONE broadcast hash

@@ -587,9 +587,80 @@ object SimilarityQueries {
       dim = Q85Dim, anchorPredSql = "id < 20",
       ladder = Q102Ladder, floor = Q102Floor)
 
+  /** RELATIONAL-TIER coarse IVF under a FULL oracle (q104, round 15 —
+    * VERDICT r14 item 1a): the round-14 children-as-a-relation
+    * training loop ([[graft.operators.KMeansPortable
+    * .trainTwoLevelRelationalFromBase]] — the
+    * [[graft.operators.SimilaritySearch.trainThreeLevel]] structure
+    * under portable decimal arithmetic), the relational equi-join
+    * corpus assignment, the child-store probe and the exact rerank,
+    * all re-derived from the parquet bytes by the EXISTING
+    * two-level training oracle text plus a probe/rerank tail
+    * ([[graft.operators.IvfPqPortable.oracleSqlCoarseRelational]]).
+    * This is the tier [[graft.operators.SimilaritySearch
+    * .ivfCosineTopKAuto]] dispatches to past `relationalPastNlist`
+    * (the clamp); the native door's dispatch parity at gate scale is
+    * spec-pinned (AnnRecallSpec), and this gate hash-verifies the
+    * relational train/assign/serve chain itself. Coarse params match
+    * q93's (nlist = 8, iters = 2); nprobe = 2 of 8 cells keeps the
+    * probe a real approximation. */
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    graft.operators.IvfPqPortable.topKCoarseRelational(
+        Tables(s, dir).embeddings, col("id") < 20, k = 5, nlist = 8,
+        iters = 2, nprobe = 2)
+      .orderBy(col("anchor_id"), col("rank"))
+
+  private val q104Sql = graft.operators.IvfPqPortable
+    .oracleSqlCoarseRelational("embeddings", "vec_id", "embedding",
+      k = 5, nlist = 8, iters = 2, nprobe = 2,
+      anchorPredSql = "id < 20")
+
+  /** FULL-CHAIN PQ recall walk under a FULL oracle (q105, round 15 —
+    * VERDICT r14 item 1b): q102's sizing walk climbed on
+    * [[graft.operators.SimilaritySearch.pqRecallLadder]]'s THREE
+    * knobs — super pool, then nprobe AND rerank in lockstep, then the
+    * rerank-only tail — so every rung measures the chain a PQ
+    * deployment serves (coarse probe + ADC + rerank; the ADVICE-r13
+    * finding was precisely that walking nprobe at frozen rerank reads
+    * a ceiling, not the tier's recall). The oracle re-derives the
+    * walk per rung — each rung's probe/ADC/rerank at ITS OWN rerank
+    * width — plus the recall aggregation and the early stop. The
+    * 0.35 floor sits inside the gate-scale operating band with ≥0.02
+    * margin from every measured rung at every SF (the q102 knife-edge
+    * discipline), so the stop fires mid-ladder and the stop rule is
+    * value-exercised; deployment floors are caller parameters of
+    * [[graft.operators.SimilaritySearch.sizeIvfPqForRecall]], whose
+    * ladder this gate pins. */
+  private val Q105Ladder = graft.operators.SimilaritySearch
+    .pqRecallLadder(nlist = 8,
+      supers = graft.operators.KMeansPortable.defaultSupers(8),
+      nprobe0 = 2, rerank0 = 4, maxRerank = 64)
+  private val Q105Floor = 0.35
+
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir).embeddings
+    val probed = emb.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
+    require(probed.nonEmpty && probed(0).getInt(0) == Q85Dim,
+      s"q105 oracle is generated for dim=$Q85Dim; data has " +
+        probed.headOption.map(_.getInt(0)).getOrElse(-1))
+    graft.operators.IvfPqPortable.topKTwoLevelWalkPq(emb,
+      col("id") < 20, k = 5, nlist = 8, coarseIters = 2, m = 4,
+      ksub = 8, subIters = 2, ladder = Q105Ladder, floor = Q105Floor)
+  }
+
+  private val q105Sql = graft.operators.IvfPqPortable
+    .oracleSqlTwoLevelWalkPq(
+      "embeddings", "vec_id", "embedding", k = 5, nlist = 8,
+      coarseIters = 2, m = 4, ksub = 8, subIters = 2, dim = Q85Dim,
+      anchorPredSql = "id < 20", ladder = Q105Ladder,
+      floor = Q105Floor)
+
   val all: Seq[Q] = Seq(
     Q("q20_cosine_topk", q20, Some(q20Sql), headline = true),
     Q("q102_ann_recall_walk_oracle", q102, Some(q102Sql)),
+    Q("q104_relational_coarse_oracle", q104, Some(q104Sql)),
+    Q("q105_pq_fullchain_walk_oracle", q105, Some(q105Sql)),
     Q("q21_label_centroids", q21, Some(q21Sql)),
     Q("q22_knn_classify", q22, Some(q22Sql)),
     Q("q23_lsh_cosine_topk", q23, None, headline = true),

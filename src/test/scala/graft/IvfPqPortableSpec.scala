@@ -226,4 +226,71 @@ class IvfPqPortableSpec extends SparkSpec {
     assert(one.length == 1 && one(0).getBoolean(4) &&
       one(0).getInt(0) == 0)
   }
+
+  test("topKTwoLevelWalkPq: a constant-rerank ladder reproduces topKTwoLevelWalk rung-for-rung (plus the rerank column); per-rung rerank changes the measured recall (round 15 — the q105 generalization)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("id") < 20
+    val ladder2 = Seq((1, 2), (2, 2), (2, 4))
+    val a = IvfPqPortable.topKTwoLevelWalk(emb, pred, 5, 8, 2, 4, 8,
+      2, 16, ladder2, floor = 1.0).collect()
+    val b = IvfPqPortable.topKTwoLevelWalkPq(emb, pred, 5, 8, 2, 4, 8,
+      2, ladder2.map { case (p, np) => (p, np, 16) }, floor = 1.0)
+      .collect()
+    assert(b.length == a.length)
+    a.indices.foreach { i =>
+      assert((b(i).getInt(0), b(i).getInt(1), b(i).getInt(2)) ===
+        ((a(i).getInt(0), a(i).getInt(1), a(i).getInt(2))))
+      assert(b(i).getInt(3) === 16) // the new knob column
+      assert(b(i).getDouble(4) === a(i).getDouble(3))
+      assert(b(i).getBoolean(5) === a(i).getBoolean(4))
+    }
+    // the third knob is live: a rung at rerank = 1 cannot out-recall
+    // the same (p, nprobe) rung at rerank = corpus (monotone in the
+    // shortlist width, and on this corpus strictly better)
+    val narrow = IvfPqPortable.topKTwoLevelWalkPq(emb, pred, 5, 8, 2,
+      4, 8, 2, Seq((1, 2, 1)), floor = 1.0).collect()
+    val wide = IvfPqPortable.topKTwoLevelWalkPq(emb, pred, 5, 8, 2,
+      4, 8, 2, Seq((1, 2, 1000)), floor = 1.0).collect()
+    assert(narrow(0).getDouble(4) < wide(0).getDouble(4),
+      s"rerank 1 recall ${narrow(0).getDouble(4)} !< " +
+        s"rerank 1000 recall ${wide(0).getDouble(4)}")
+  }
+
+  test("topKCoarseRelational ≡ the driver-resident twin (trainTwoLevelFromBase + probeChildren + exact decimal rerank) — the q104 serve parity") {
+    import graft.operators.{KMeansPortable, SimilaritySearch}
+    import org.apache.spark.sql.graft.RhpExpressions
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pred = col("id") < 10
+    val out = IvfPqPortable.topKCoarseRelational(emb, pred, k = 5,
+        nlist = 8, iters = 2, nprobe = 2)
+      .orderBy(col("anchor_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // the twin: driver-resident training + the portable probe/argmin
+    // kernels + the same decimal cosine rerank
+    val base = KMeansPortable.shapedBase(emb, "vec_id", "embedding")
+    val tl = KMeansPortable.trainTwoLevelFromBase(base, 8, 2)
+    val routed = base.withColumn("super",
+      KMeansPortable.cellExpr(col("vec"), col("n2"), tl.supers))
+    val assigned = KMeansPortable.assignChildren(routed, tl.children,
+      tl.groups)
+    val probe = KMeansPortable.probeChildren(routed.filter(pred),
+        tl.children, tl.groups, nprobe = 2)
+      .select(col("id").as("anchor_id"), col("vec").as("a_vec"),
+        col("n2").as("a_n2"), col("cell"))
+    val cands = probe.join(assigned.select(col("cell"),
+        col("id").as("neighbor_id"), col("vec").as("n_vec"),
+        col("n2").as("n_n2")), Seq("cell"))
+      .filter(col("anchor_id") =!= col("neighbor_id"))
+      .withColumn("score", round(
+        RhpExpressions.decimalScaledDot(col("a_vec"), col("n_vec")) /
+          (sqrt(col("a_n2")) * sqrt(col("n_n2"))), 6))
+      .select(col("anchor_id"), col("neighbor_id"), col("score"))
+    val twin = SimilaritySearch.rankTopK(cands, 5)
+      .orderBy(col("anchor_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === twin.toSeq)
+    assert(out.nonEmpty)
+  }
 }

@@ -227,6 +227,61 @@ class KMeansPortableSpec extends SparkSpec {
       m3.centroids.flatten[Double].toSeq)
   }
 
+  test("relational two-level trainer: children-as-a-relation Lloyd ≡ trainTwoLevelFromBase exactly, and the relational argmin ≡ assignChildren (round 15 — the q104 parity contract)") {
+    import graft.operators.SimilaritySearch
+    // 30 vectors in 3 direction clusters; nlist = 5 with auto supers
+    // = 3 exercises a non-trivial allocation and grouping
+    val df = (0 until 30).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(4) { d =>
+        (if (d == c) 10.0 else 0.0) + 0.01 * ((i * 7 + d * 3) % 11)
+      })
+    }.toDF("vec_id", "embedding")
+    val base = KMeansPortable.shapedBase(df, "vec_id", "embedding")
+    val tl = KMeansPortable.trainTwoLevelFromBase(base, nlist = 5,
+      iters = 3)
+    val rel = KMeansPortable.trainTwoLevelRelationalFromBase(base,
+      nlist = 5, iters = 3)
+    // supers are the SAME fit (one trainModelFromBase site)
+    assert(rel.supers.flatten.toSeq === tl.supers.flatten.toSeq)
+    // the child relation IS the driver-resident child matrix: same
+    // cells, same centroids, same super grouping
+    val rows = rel.childRel.collect()
+      .map(r => r.getInt(1) -> (r.getInt(0), r.getSeq[Double](2).toSeq))
+      .toMap
+    assert(rows.keySet === tl.children.indices.toSet)
+    tl.children.indices.foreach { j =>
+      assert(rows(j)._2 === tl.children(j).toSeq, s"cell $j centroid")
+    }
+    tl.groups.indices.foreach { s =>
+      assert(rows.filter(_._2._1 == s).keys.toSeq.sorted ===
+        tl.groups(s).toSeq.sorted, s"super $s group")
+    }
+    // the relational equi-join argmin assigns every row to the SAME
+    // cell as the broadcast candidate-array fold
+    val routed = base.withColumn("super",
+      KMeansPortable.cellExpr(col("vec"), col("n2"), tl.supers))
+    val a1 = KMeansPortable.assignChildren(routed, tl.children,
+        tl.groups)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = KMeansPortable.assignChildrenRelational(routed,
+        rel.childRel)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 === a2)
+    // decimal arithmetic keeps the relational loop partitioning-proof
+    val rel2 = KMeansPortable.trainTwoLevelRelationalFromBase(
+      KMeansPortable.shapedBase(df.repartition(13), "vec_id",
+        "embedding"), nlist = 5, iters = 3)
+    val rows2 = rel2.childRel.collect()
+      .map(r => r.getInt(1) -> r.getSeq[Double](2).toSeq).toMap
+    tl.children.indices.foreach { j =>
+      assert(rows2(j) === tl.children(j).toSeq)
+    }
+    assert(rel.isInstanceOf[SimilaritySearch.RelationalCoarse])
+  }
+
   test("autoProbeSupers: the p >= nprobe*S/nlist operating rule, clamped to [1, S]") {
     import KMeansPortable.autoProbeSupers
     // small nprobe: one super's pool suffices
