@@ -8,6 +8,22 @@ import org.apache.spark.sql.SparkSession
   * that pays session/codegen startup outside the timings.
   */
 object Bench {
+  /** Carry-cadence STAGGER (round 15 — VERDICT r14 item 3): r14
+    * carried 72 lines in one round, so their twice-carried triggers
+    * would all land together two rounds later — a synchronized
+    * full-reps storm. Instead every line pays full reps on a fixed
+    * 1-in-3 round cadence offset by a stable hash of its short key,
+    * so ~1/3 of stable lines re-measure each round and no round ever
+    * re-measures them all at once. Pure arithmetic on (key, round) —
+    * Java String.hashCode is spec-stable across JVMs — exposed so
+    * the cadence property is spec-pinned (BenchCadenceSpec): exactly
+    * one forced re-measure per key in any 3 consecutive rounds, and
+    * the catalog splits into thirds. The twice-carried equality
+    * check stays as the backstop for artifacts predating the
+    * stagger. */
+  def staggerRemeasure(shortKey: String, round: Int): Boolean =
+    math.floorMod(shortKey.hashCode + round, 3) == 0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -169,15 +185,23 @@ object Bench {
       // measured HERE too (round-13 review)
       if (reps <= 1 || sys.env.contains("SPARK_GRAFT_PRIOR_BENCH"))
         Map.empty
-      else names.flatMap { n =>
-        val k = shortKey(n)
-        trustedReadings(k) match {
-          case Seq(x, y, _*) if x >= 0.5 && !carriedTwice(k) &&
-              math.abs(x - y) / math.min(x, y) <= AgreeBar =>
-            Some(n -> x)
-          case _ => None
-        }
-      }.toMap
+      else {
+        // current round index, derived from the newest prior
+        // artifact's filename — the stagger's phase input
+        val curRound = priorBenchFiles.headOption
+          .flatMap(f => "\\d+".r.findFirstIn(f.getName))
+          .map(_.toInt + 1).getOrElse(1)
+        names.flatMap { n =>
+          val k = shortKey(n)
+          trustedReadings(k) match {
+            case Seq(x, y, _*) if x >= 0.5 && !carriedTwice(k) &&
+                !staggerRemeasure(k, curRound) &&
+                math.abs(x - y) / math.min(x, y) <= AgreeBar =>
+              Some(n -> x)
+            case _ => None
+          }
+        }.toMap
+      }
     // ONCE-PER-ROUND gate lines (VERDICT r13 item 6, the rows-only
     // ledger precedent applied to bench reps): a full-oracle gate
     // whose bench line is an inherently sequential multi-rung walk
@@ -186,8 +210,10 @@ object Bench {
     // at 3 reps. Its single draw still carries the prior trusted
     // value when it agrees within the bar (the probe discipline);
     // the quiet section arbitrates its trusted number.
+    // q102 = the coarse walk, q105 = the full-chain PQ walk (round
+    // 15): both sequential multi-rung gates
     val oncePerRound: Set[String] = names.filter { n =>
-      shortKey(n) == "q102" && reps > 1
+      Set("q102", "q105").contains(shortKey(n)) && reps > 1
     }.toSet
     val stableOneRep: Set[String] = carrySource.keySet ++ oncePerRound
     var warmupFailures = 0
@@ -519,11 +545,21 @@ object Bench {
     // full-name 9-decimal keys; see shortKey above).
     val carriedJson = carriedNames.toSeq.map(shortKey).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-line PROBE DRAW beside every carried value (ADVICE r14): a
+    // genuine regression between the 15% agreement bar and the 2×
+    // demotion bar rides the carry invisibly for up to a cadence
+    // window — emitting the probe's own draw makes sub-2× drift
+    // visible in the artifact the round it happens (verbose line
+    // only; the draw is a one-rep reading, never a committed number)
+    val probeJson = carriedNames.toSeq.sortBy(shortKey)
+      .map { n => "\"" + shortKey(n) + "\":" +
+        num(times(n).map(_._1).min, 3) }
+      .mkString("{", ",", "}")
     val onceJson = oncePerRound.toSeq.map(shortKey).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val demotedJson = demoted.toSeq.map(shortKey).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":${q(sfDir)},"suite_carried":$carriedJson,"suite_once":$onceJson,"suite_demoted":$demotedJson,"timing":"min of $reps INTERLEAVED rounds (suite_carried lines ran ONE rep as a sanity probe and COMMITTED THEIR PRIOR TRUSTED VALUE — the last actual full-reps measurement, so the artifact never mixes measurement modes; a probe above 2x its carry value demotes the line to full reps this round (suite_demoted); suite_once lines are sequential multi-rung walk gates run once per round; a drifting or new line pays full reps) (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started — it INCLUDES this bench's own 32-thread self-load decaying through the 1-min window, so mid-suite values of 8-11 are expected on an otherwise-idle box; ext_cores_at_min_rep is the round-9 contention sentinel: (systemCpu - processCpu) x nCores integrated over exactly the winning rep's window — cores OTHER processes burned while the rep ran; quiet_share is the fraction of winning reps with ext < 5 cores; full-plan materialization via queryExecution.toRdd; keys are the unique qNN prefixes of the catalog names","warmup":${q(warmupNote)},"load_1m_at_min_rep":$loads,"ext_cores_at_min_rep":$exts,"quiet_share":${num(quietShare, 2)},"quiet_note":"quiet = the top-${quietPairs.size} committed lines re-measured in a FRESH JVM each (spawned RunOne child, min of up to 5 reps, early-stopped at >=3 once 2 consecutive reps fail to improve the running min by >5%), gated on OTHER-PROCESS busy cores < $QuietCores over a 3 s getCpuLoad window (NOT load_1m, which lags ~2 min behind an exited burst; quiet_gate_load = the busy-core reading that opened each child's gate; 240 s cap per child, 25 min budget for the section — a heavy line past the budget keeps its suite number and is absent here); these are the numbers to trust for heavy lines — the interleaved suite carries ~90 queries of within-JVM state; -1 = child failed; quiet_agreed = heavy lines whose committed number already agrees with the PRIOR round's quiet inside the same 15% bar ([committed, prior_quiet]) — the child re-measure is skipped because the prior quiet is an independent isolated measurement of the same code path and agreement with it is the property the child would re-establish","quiet_agreed":$agreedJson,"quiet_gate_load":$quietLoads,"quiet":$quietJson,"failed":$failed,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":${q(sfDir)},"suite_carried":$carriedJson,"suite_probe_draw":$probeJson,"suite_once":$onceJson,"suite_demoted":$demotedJson,"timing":"min of $reps INTERLEAVED rounds (suite_carried lines ran ONE rep as a sanity probe and COMMITTED THEIR PRIOR TRUSTED VALUE — the last actual full-reps measurement, so the artifact never mixes measurement modes; a probe above 2x its carry value demotes the line to full reps this round (suite_demoted); suite_once lines are sequential multi-rung walk gates run once per round; a drifting or new line pays full reps) (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started — it INCLUDES this bench's own 32-thread self-load decaying through the 1-min window, so mid-suite values of 8-11 are expected on an otherwise-idle box; ext_cores_at_min_rep is the round-9 contention sentinel: (systemCpu - processCpu) x nCores integrated over exactly the winning rep's window — cores OTHER processes burned while the rep ran; quiet_share is the fraction of winning reps with ext < 5 cores; full-plan materialization via queryExecution.toRdd; keys are the unique qNN prefixes of the catalog names","warmup":${q(warmupNote)},"load_1m_at_min_rep":$loads,"ext_cores_at_min_rep":$exts,"quiet_share":${num(quietShare, 2)},"quiet_note":"quiet = the top-${quietPairs.size} committed lines re-measured in a FRESH JVM each (spawned RunOne child, min of up to 5 reps, early-stopped at >=3 once 2 consecutive reps fail to improve the running min by >5%), gated on OTHER-PROCESS busy cores < $QuietCores over a 3 s getCpuLoad window (NOT load_1m, which lags ~2 min behind an exited burst; quiet_gate_load = the busy-core reading that opened each child's gate; 240 s cap per child, 25 min budget for the section — a heavy line past the budget keeps its suite number and is absent here); these are the numbers to trust for heavy lines — the interleaved suite carries ~90 queries of within-JVM state; -1 = child failed; quiet_agreed = heavy lines whose committed number already agrees with the PRIOR round's quiet inside the same 15% bar ([committed, prior_quiet]) — the child re-measure is skipped because the prior quiet is an independent isolated measurement of the same code path and agreement with it is the property the child would re-establish","quiet_agreed":$agreedJson,"quiet_gate_load":$quietLoads,"quiet":$quietJson,"failed":$failed,"queries":$qs}""")
     // DRIVER-PARSEABLE COMPACT LINE (round 13 — VERDICT r12 item 4):
     // the driver keeps only the last ~2 KB of output and tries to
     // parse a JSON object out of it; the verbose line above is ~4 KB
