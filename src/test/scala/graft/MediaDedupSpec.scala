@@ -714,4 +714,43 @@ class MediaDedupSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got240.nonEmpty && got240.forall { case (a, b) => b == s"$a~t" })
   }
+
+  test("generated-width silent-skip guard: a small-frame corpus at a grid wider than its frames fails LOUDLY instead of returning zero pairs; an empty corpus stays legitimately empty (round 15 — VERDICT r14)") {
+    import graft.domain.Multimodal.DecodedFrame
+    // n forced deep past the ladder → sigSpecGenerated picks a grid
+    // at least 26 px wide (b + 1 ≥ 26); these frames are 16×16, so
+    // tileMeans skips every one — pre-guard the door returned an
+    // EMPTY pair set indistinguishable from a clean corpus
+    val tiny = Seq(
+      DecodedFrame("sm_a", 0, 16, 16, Array.tabulate(256)(i => (i % 97).toByte)),
+      DecodedFrame("sm_b", 0, 16, 16, Array.tabulate(256)(i => (i % 89).toByte))
+    ).toDS()
+    val bigN = 64L << 25 // → generated spec, bands=10, 26-col grid
+    assert(MediaDedup.sigSpecFor(bigN).tileCols >= 26)
+    val e = intercept[IllegalArgumentException](
+      MediaDedup.videoContainmentPairsAuto(tiny, n = bigN))
+    assert(e.getMessage.contains("every decoded frame was skipped") &&
+      e.getMessage.contains("16x16"),
+      s"guard message should name the skip and the frame: ${e.getMessage}")
+    // the image door guards identically (same one-site check)
+    val ie = intercept[IllegalArgumentException](
+      MediaDedup.imageNearDupPairsAuto(
+        Multimodal.asMediaTable(
+          Seq(("sm_i", encodePng(16, 16)((x, y) => (x * y) % 200)))
+            .toDF("id", "bytes"), "id", "bytes", "image/png"),
+        new Multimodal.ImageIODecoder, n = bigN))
+    assert(ie.getMessage.contains("every decoded frame was skipped"))
+    // an EMPTY corpus is not a skip failure — the door returns the
+    // legitimately empty relation
+    val empty = Seq.empty[DecodedFrame].toDS()
+    assert(MediaDedup.videoContainmentPairsAuto(empty, n = bigN)
+      .isEmpty)
+    // and a corpus that FITS the generated grid still pairs (the
+    // guard costs one first-survivor probe, never a behavior change;
+    // 150 ids so the ~19% variant rate plants real containment pairs)
+    val fits = MediaDedup.syntheticVideoCorpusWide(
+      (0 until 150).map(i => s"gw$i").toDS())
+    assert(MediaDedup.videoContainmentPairsAuto(fits, n = bigN)
+      .collect().nonEmpty)
+  }
 }
