@@ -925,6 +925,34 @@ class StreamingSpec extends SparkSpec {
       .select("a_id", "b_id").collect().map(r =>
         (r.getString(0), r.getString(1))).toSet
     assert(batchPairs === Set(("clip", "cv")))
+    // round 15 — the nightly-backstop CONSUMER of the flag: the batch
+    // worklist re-derives each admitted arrival's corpus-direction
+    // ratio through the same culled corpus relation, orders flagged
+    // arrivals first, and the flag must MATCH the batch verdict
+    // (ratio >= the stream's minContainment) for every arrival
+    val admitted = spark.table("containadm_out")
+      .select(col("id"), col("ts"), col("contains_corpus"))
+    val arrivalSigs = (clipSigs.zipWithIndex.map { case (s, i) =>
+        ("clip", i, s) } ++
+      novelSigs.zipWithIndex.map { case (s, i) => ("novel", i, s) } ++
+      superSigs.zipWithIndex.map { case (s, i) => ("superv", i, s) })
+      .toDF("media_id", "frameIdx", "sig")
+    val queue = EventStreams.containmentBackstopOrder(admitted,
+        arrivalSigs, corpus).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getBoolean(3),
+        r.getDouble(4), Option(r.getString(5))))
+    // one row per admitted arrival (clip was rejected — the semi join
+    // must not resurrect it), superv heads the queue with its batch
+    // corpus-direction ratio 2/4 over cv
+    assert(queue.map(_._2).toSeq.sorted === Seq("empty", "novel", "superv"))
+    assert(queue.head === ((1, "superv", true, 0.5, Some("cv"))))
+    // flag ⇔ batch ratio >= minContainment, for EVERY arrival (the
+    // parity the flag's consumer relies on)
+    queue.foreach { case (_, id, flag, ratio, _) =>
+      assert(flag === (ratio >= 0.5), s"$id flag/ratio mismatch: $ratio")
+    }
+    // the unflagged arrivals matched nothing: ratio 0, no top video
+    assert(queue.filterNot(_._3).forall(q => q._4 == 0.0 && q._5.isEmpty))
   }
 }
 
