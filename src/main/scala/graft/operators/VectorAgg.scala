@@ -64,6 +64,122 @@ object VectorAgg {
     def outputEncoder: Encoder[Pooled] = Encoders.product[Pooled]
   }
 
+  /** Buffer for [[DecimalVecMeanAggregator]]: per-dimension 128-bit
+    * signed accumulators (hi/lo two's-complement limbs) of the
+    * decimal-scaled elements, plus the member count. O(dim) state
+    * per group — the PoolBuf discipline at the decimal tier. */
+  case class DecBuf(var hi: Array[Long], var lo: Array[Long],
+      var n: Long)
+
+  /** Element-wise vector mean under EXACT DECIMAL-SUM PARITY (round
+    * 15 — VERDICT r14 item 2): bit-for-bit the value of the
+    * relational Lloyd mean
+    * `sum(round(x, 12).cast(decimal(38,12))).cast(double) / count`
+    * but as ONE bounded-buffer aggregation per cell instead of a
+    * rows×dim posexplode into a (cell, dim)-keyed hash aggregate —
+    * at the reference dim (1024, chunk_store.py:15-17) and nlist =
+    * 2^19 the relational form pushes ~10⁹ exploded rows through a
+    * ~5×10⁸-group aggregate per Lloyd iteration, and this buffer form
+    * is what [[SimilaritySearch.trainThreeLevel]] uses instead
+    * (measured split in SCALE.md round 15).
+    *
+    * Parity construction, element by element:
+    *   1. `round(x, 12)` — Spark's Round: the canonical-string
+    *      BigDecimal of the double, setScale(12, HALF_UP), back to
+    *      double (`BigDecimal.valueOf` IS the canonical-string
+    *      constructor);
+    *   2. the decimal(38,12) cast of that double — canonical-string
+    *      BigDecimal again, setScale(12, HALF_UP) — whose unscaled
+    *      value is an exact integer in 10⁻¹² units (longValueExact:
+    *      elements past ~9.2×10⁶ in magnitude would overflow the
+    *      scaled long and throw loudly — far outside any embedding
+    *      domain);
+    *   3. exact 128-bit integer accumulation of those units (decimal
+    *      sums are exact integer arithmetic — partitioning-proof by
+    *      construction, like the decimal aggregate it replaces);
+    *   4. finish: reconstruct the exact BigDecimal (scale 12), take
+    *      `.doubleValue` (what decimal→double casting does), divide
+    *      by the count (one shared IEEE division).
+    * Parity with the posexplode aggregation is spec-pinned
+    * (OperatorsSpec/SimilaritySpec) — including through the
+    * trainThreeLevel twin-parity induction. */
+  class DecimalVecMeanAggregator
+      extends Aggregator[(Int, Array[Double]), DecBuf, Array[Double]] {
+    private def scaled(x: Double): Long = {
+      val r = java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+      java.math.BigDecimal.valueOf(r)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    }
+    private def add128(b: DecBuf, d: Int, s: Long): Unit = {
+      val sum = b.lo(d) + s
+      val carry = ((b.lo(d) & s) | ((b.lo(d) | s) & ~sum)) >>> 63
+      b.hi(d) += (s >> 63) + carry
+      b.lo(d) = sum
+    }
+    def zero: DecBuf = DecBuf(Array.empty, Array.empty, 0L)
+    def reduce(b: DecBuf, row: (Int, Array[Double])): DecBuf = {
+      val v = row._2
+      val buf = if (b.n == 0L && b.hi.isEmpty)
+        DecBuf(new Array[Long](v.length), new Array[Long](v.length), 0L)
+      else b
+      var d = 0
+      while (d < v.length) { add128(buf, d, scaled(v(d))); d += 1 }
+      buf.n += 1
+      buf
+    }
+    def merge(a: DecBuf, c: DecBuf): DecBuf = {
+      if (a.n == 0L) c
+      else if (c.n == 0L) a
+      else {
+        var d = 0
+        while (d < a.lo.length) {
+          val sum = a.lo(d) + c.lo(d)
+          val carry =
+            ((a.lo(d) & c.lo(d)) | ((a.lo(d) | c.lo(d)) & ~sum)) >>> 63
+          a.hi(d) = a.hi(d) + c.hi(d) + carry
+          a.lo(d) = sum
+          d += 1
+        }
+        a.n += c.n
+        a
+      }
+    }
+    def finish(b: DecBuf): Array[Double] = {
+      if (b.n == 0L) return null
+      val out = new Array[Double](b.lo.length)
+      var d = 0
+      while (d < out.length) {
+        val big = java.math.BigInteger.valueOf(b.hi(d)).shiftLeft(64)
+          .add(new java.math.BigInteger(
+            java.lang.Long.toUnsignedString(b.lo(d))))
+        out(d) = new java.math.BigDecimal(big, 12).doubleValue() / b.n
+        d += 1
+      }
+      out
+    }
+    def bufferEncoder: Encoder[DecBuf] = Encoders.product[DecBuf]
+    def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Per-cell decimal-parity mean over a (cell, vec) relation — the
+    * [[DecimalVecMeanAggregator]] behind a DataFrame door: returns
+    * (cell, mean). The Lloyd mean-update kernel for the relational
+    * training tier. */
+  def decimalVecMeans(assigned: DataFrame, cellCol: String = "cell",
+      vecCol: String = "vec"): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.select(col(cellCol).cast("int"),
+        col(vecCol).cast("array<double>"))
+      .as[(Int, Array[Double])]
+      .groupByKey(_._1)
+      .agg(new DecimalVecMeanAggregator().toColumn.name("__newc"))
+      .toDF(cellCol, "__newc")
+  }
+
   /** Pool chunk rows (idCol, vecCol ARRAY<numeric>) → one row per id
     * with mean, max, n_chunks, and L2-normalized mean (the recall
     * vector — Docs/SIMILARITY-PLAN.md:40-42). */

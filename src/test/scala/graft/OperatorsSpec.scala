@@ -265,6 +265,50 @@ class VectorAggSpec extends SparkSpec {
     ("t2", Seq(0.0, 1.0)),
     ("t3", Seq(1.0, 0.1)), ("t3", Seq(0.9, 0.0))).toDF("tid", "vec")
 
+  test("decimalVecMeans: bit-parity with the posexplode decimal aggregation (round 15 — the Lloyd mean buffer form), partitioning-proof") {
+    import org.apache.spark.sql.types.DecimalType
+    // adversarial values: long binary expansions, negatives, HALF_UP
+    // tie neighborhoods at the 12th decimal, magnitudes up to 1e6
+    val rows = (0 until 400).map { i =>
+      val cell = i % 7
+      val v = Array.tabulate(5) { d =>
+        val base = math.cos(i * 31 + d * 17) * math.pow(10, (i + d) % 7 - 3)
+        if ((i + d) % 11 == 0) (i - 200) * 1e-13 * (d + 1)
+        else if ((i + d) % 13 == 0) 0.0000000000005 * (i - 200)
+        else base
+      }
+      (cell, v)
+    }
+    Seq(1, 13).foreach { parts =>
+      val df = rows.toDF("cell", "vec").repartition(parts)
+      val fast = VectorAgg.decimalVecMeans(df).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+      val slow = df
+        .select(col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg((sum(round(col("x"), 12).cast(DecimalType(38, 12)))
+            .cast("double") / count(lit(1))).as("c"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("d"), col("c"))))
+          .as("ps"))
+        .select(col("cell"),
+          transform(col("ps"), p => p.getField("c")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+        .toMap
+      assert(fast.keySet === slow.keySet)
+      fast.keySet.foreach { c =>
+        assert(fast(c) === slow(c), s"cell $c at $parts partitions")
+      }
+    }
+    // the loud overflow contract: an element past the scaled-long
+    // domain throws instead of silently wrapping
+    val e = intercept[org.apache.spark.SparkException](
+      VectorAgg.decimalVecMeans(Seq((0, Array(1e12))).toDF("cell", "vec"))
+        .collect())
+    assert(e.toString.contains("out of long range") ||
+      Option(e.getCause).exists(_.toString.contains("out of long range")))
+  }
+
   test("A10 poolChunks: one-pass mean and max") {
     val got = VectorAgg.poolChunks(chunks, "tid", "vec")
       .orderBy("id").collect()
