@@ -356,16 +356,25 @@ object ScaleProbe {
       // at the reference width)
       val dim = if (args.length > 5) args(5).toIntOption.getOrElse(64)
         else 64
+      // args(6): trainFraction (default 1.0) — the family's sampling
+      // convention measured at this tier: after the round-15 means
+      // rebuild the dominant dim-1024 cost is the S ≈ √nlist ML super
+      // fit over the FULL corpus, and centroids need distribution
+      // shape, not every vector; the full-corpus assignment below is
+      // unchanged (it always covers every row)
+      val tf = if (args.length > 6)
+        args(6).toDoubleOption.getOrElse(1.0) else 1.0
       val syn = spark.range(rows).select(col("id").as("vec_id"),
         expr(s"transform(sequence(0, ${dim - 1}), " +
           "d -> cos((id + 2) * (d + 5)))").as("embedding"))
       println(s"[reltrain] nlist=$nlist rows=$rows iters=$iters dim=$dim " +
+        s"trainFraction=$tf " +
         s"child_relation=${nlist.toLong * dim * 8 / (1 << 20)}MB " +
         s"(${nlist / graft.operators.KMeansPortable.MaxAutoNlistTwoLevel}x " +
         "the 262144-cell broadcast clamp; driver holds supers + counts only)")
       val t0 = System.nanoTime()
       val rel = SimilaritySearch.trainThreeLevel(syn, nlist,
-        iters = iters)
+        iters = iters, trainFraction = tf)
       val cells = rel.childRel.count()
       val trainS = (System.nanoTime() - t0) / 1e9
       println(f"[reltrain] trainThreeLevel: $cells cells in $trainS%.1fs " +
