@@ -356,7 +356,6 @@ object IvfPqPortable {
       k: Int, nlist: Int, iters: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       supers: Int = 0): DataFrame = {
-    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
     val (base, _) = checkedBase(vectors, idCol, vecCol)
     val rel = KMeansPortable.trainTwoLevelRelationalFromBase(
       base, nlist, iters, supers)
@@ -364,13 +363,36 @@ object IvfPqPortable {
       KMeansPortable.cellExpr(col("vec"), col("n2"), rel.supers)))
     val assigned = graft.CacheScope.track(
       KMeansPortable.assignChildrenRelational(routed, rel.childRel))
+    topKCoarseRelationalIndexed(assigned, anchorPred, k, rel, nprobe)
+  }
+
+  /** The q104 SERVE against a STORED relational assignment (the
+    * deployment split — build the (id, cell, vec, n2) store once,
+    * bucket it by `cell`, serve from it): anchors re-route through
+    * the shared portable super argmin (the same [[KMeansPortable
+    * .cellExpr]] expression the build used, so the routed super is
+    * identical by determinism), probe the child store at rn ≤ nprobe
+    * under the (dist, cell) order, and the candidate join reads the
+    * bucketed assignment with NO corpus-side exchange — the q91
+    * discipline on the portable relational chain, spec-asserted over
+    * a real bucketed table (IvfPqPortableSpec). ONE serve site:
+    * [[topKCoarseRelational]] delegates here, so the gate verifies
+    * the same plan a stored deployment runs. */
+  def topKCoarseRelationalIndexed(assigned: DataFrame,
+      anchorPred: Column, k: Int,
+      rel: SimilaritySearch.RelationalCoarse, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
     val candRel = rel.childRel.select(col("super"), col("cell"),
       col("cvec"),
       RhpExpressions.decimalScaledDot(col("cvec"), col("cvec"))
         .as("__cn2"))
+    val anchors = assigned.filter(anchorPred)
+      .select(col("id"), col("vec"), col("n2"))
+      .withColumn("super",
+        KMeansPortable.cellExpr(col("vec"), col("n2"), rel.supers))
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("__d"), col("cell"))
-    val probeCells = routed.filter(anchorPred)
+    val probeCells = anchors
       .join(candRel, Seq("super"))
       .withColumn("__d", col("n2") - lit(2.0) *
         RhpExpressions.decimalScaledDot(col("vec"), col("cvec"))

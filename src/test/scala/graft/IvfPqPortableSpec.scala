@@ -292,5 +292,56 @@ class IvfPqPortableSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq === twin.toSeq)
     assert(out.nonEmpty)
+    // deployment split: the SAME serve from a STORED assignment
+    // bucketed by cell — identical values, and the candidate join
+    // reads the bucketed store with NO corpus-side exchange (the
+    // q91 discipline on the portable relational chain)
+    val rel = KMeansPortable.trainTwoLevelRelationalFromBase(base, 8, 2)
+    val assignedRel = KMeansPortable.assignChildrenRelational(
+      base.withColumn("super",
+        KMeansPortable.cellExpr(col("vec"), col("n2"), rel.supers)),
+      rel.childRel)
+    val t = "b_q104_assigned"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    if (loc.exists()) rm(loc)
+    graft.sources.Sinks.writeBucketed(assignedRel, t, "cell", 4)
+    val stored = spark.table(t)
+    val fromStore = IvfPqPortable.topKCoarseRelationalIndexed(stored,
+        pred, 5, rel, nprobe = 2)
+      .orderBy(col("anchor_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(fromStore.toSeq === out.toSeq)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+      val q = IvfPqPortable.topKCoarseRelationalIndexed(stored, pred,
+        5, rel, nprobe = 2)
+      def bucketed(p: SparkPlan): Boolean = p.collectFirst {
+        case s: FileSourceScanExec if s.bucketedScan => s
+      }.isDefined
+      val plan = q.queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "cell")) &&
+            (bucketed(j.left) || bucketed(j.right)) => j
+        case j: ShuffledHashJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "cell")) &&
+            (bucketed(j.left) || bucketed(j.right)) => j
+      }
+      assert(joins.nonEmpty,
+        s"expected a shuffled cell join over the bucketed store in:\n$plan")
+      joins.foreach { j =>
+        val side = if (bucketed(j.left)) j.left else j.right
+        val ex = side.collect { case e: ShuffleExchangeExec => e }
+        assert(ex.isEmpty, s"corpus-side exchange:\n$side")
+      }
+    }
   }
 }
