@@ -1620,7 +1620,7 @@ object SimilaritySearch {
     * contract over an explicit populated set: a vector routed to a
     * childless super would join zero child rows and silently
     * vanish). Ties to the lowest index (strict <). */
-  private def routeAmong(v: Array[Double], sup: Array[Array[Double]],
+  private[graft] def routeAmong(v: Array[Double], sup: Array[Array[Double]],
       pop: Array[Int]): Int = {
     var best = pop(0); var bestD = Double.MaxValue
     var pi = 0
@@ -1636,7 +1636,7 @@ object SimilaritySearch {
 
   /** The populated-super domain of a child relation — one bounded
     * ≤ S-row collect shared by both relation-assignment paths. */
-  private def populatedOf(childRel: DataFrame): Array[Int] = {
+  private[graft] def populatedOf(childRel: DataFrame): Array[Int] = {
     val populated = childRel.select(col("super")).distinct()
       .collect().map(_.getInt(0)).sorted
     require(populated.nonEmpty, "child relation has no supers")

@@ -976,6 +976,70 @@ object EventStreams {
       fresh, artifacts, idCol, vecCol)
   }
 
+  /** STREAMING maintenance of the RELATIONAL (third-tier) index —
+    * the [[ivfPqIndexStream]] cell for the structure past the
+    * broadcast clamp (round 15): that cell's encode is a stateless
+    * map against FIXED broadcast artifacts, which is exactly what the
+    * relational tier does not have — its child level lives as a
+    * relation. Here arrivals route to their populated super in a
+    * stateless map over the broadcast S·dim supers (the only
+    * driver-sized state the tier owns), candidate children arrive by
+    * a STREAM-STATIC equi-join on `super` against the stored child
+    * relation — nothing child-sized is ever broadcast or collected —
+    * and the per-arrival cell argmin is a (ts, id)-keyed streaming
+    * aggregation under the re-tagged watermark (ids are unique after
+    * the dedup, so each group is one arrival; keying by the
+    * event-time column keeps the aggregation append-capable for a
+    * store-writing sink). Values are [[graft.operators
+    * .SimilaritySearch.assignPreRoutedFused]]'s exactly — the
+    * distance is the same index-ordered double accumulation
+    * ((x − c)², left to right, one shared fold order) and
+    * min(struct(d, cell)) ties to the lowest cell — spec-pinned
+    * against the batch assignment of the same arrivals. Emits
+    * (id, ts, cell, vec): the row the bucketed-by-cell store holds
+    * (the q91 discipline downstream; [[graft.operators
+    * .SimilaritySearch.ivfCosineTopKRelationalIndexed]] serves the
+    * union unchanged). At-least-once re-delivery is handled by
+    * `dropDuplicatesWithinWatermark(id)` BEFORE the join — the
+    * [[ivfPqIndexStream]] concern, same placement. Quantizer drift
+    * stays the documented operational bound: a retrain replaces the
+    * child store, and the stream restarts against it. */
+  def relationalIndexStream(vectors: DataFrame,
+      rel: graft.operators.SimilaritySearch.RelationalCoarse,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val pop = graft.operators.SimilaritySearch.populatedOf(rel.childRel)
+    val sB = spark.sparkContext.broadcast(rel.supers)
+    val pB = spark.sparkContext.broadcast(pop)
+    val fresh = vectors
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        col(vecCol).cast("array<double>").as("vec"))
+    // ONE watermark tag, applied after the routing map (the typed map
+    // rebuilds the attributes, and a second withWatermark on the same
+    // stream is a redefinition error) — the at-least-once dedup rides
+    // the same tag, before the join
+    val routed = fresh.as[(Long, java.sql.Timestamp, Array[Double])]
+      .map { case (id, ts, v) => (id, ts, v,
+        graft.operators.SimilaritySearch.routeAmong(v, sB.value, pB.value)) }
+      .toDF("id", "ts", "vec", "super")
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("id")
+    routed
+      .join(rel.childRel.select(col("super"), col("cell"),
+        col("cvec")), Seq("super"))
+      .withColumn("__d", aggregate(
+        zip_with(col("vec"), col("cvec"), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("ts"), col("id"))
+      .agg(min(struct(col("__d"), col("cell"))).as("__m"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), col("ts"),
+        col("__m").getField("cell").as("cell"), col("vec"))
+  }
+
   case class TextArrival(id: Long, ts: java.sql.Timestamp, fp: String,
       bkey: String, toks: Seq[String])
   case class TextEntry(ts_ms: Long, id: Long, fp: String,

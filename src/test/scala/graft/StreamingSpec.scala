@@ -954,5 +954,54 @@ class StreamingSpec extends SparkSpec {
     // the unflagged arrivals matched nothing: ratio 0, no top video
     assert(queue.filterNot(_._3).forall(q => q._4 == 0.0 && q._5.isEmpty))
   }
+
+  test("streaming relational-index maintenance: stream-static child-store join assigns arrivals ≡ the batch fused assignment; replay suppressed (round 15 — the third-tier cell)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-relidx").toString
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rel = graft.operators.SimilaritySearch
+      .trainThreeLevel(emb, nlist = 6, iters = 2)
+    // arrivals: 12 held-out-shaped vectors (re-use corpus vectors
+    // under fresh ids — assignment is a pure function of (vec, store))
+    val arrivals = emb.filter(col("vec_id") < 12)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+      .withColumn("ts", to_timestamp(lit("2026-01-01 10:00:00")))
+    arrivals.coalesce(1).write.mode("append").parquet(s"$dir/v")
+    // second batch replays one id (at-least-once) — must not emit twice
+    arrivals.filter(col("vec_id") === 1000L)
+      .coalesce(1).write.mode("append").parquet(s"$dir/v")
+    val stream = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/v")
+    EventStreams.runToMemory(
+      EventStreams.relationalIndexStream(stream, rel),
+      "relidx_out",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    val got = spark.table("relidx_out")
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size === 12, s"replay must be suppressed; got ${got.size}")
+    // parity: the batch fused assignment of the SAME arrivals over
+    // the SAME store — identical (vec, store) ⇒ identical cells
+    val batch = graft.operators.SimilaritySearch
+      .assignCellsViaRelationFusedKeepVec(arrivals, rel.supers,
+        rel.childRel)
+      .select("id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === batch)
+    // the emitted row is the bucketed store's shape — serving the
+    // union through the relational probe works unchanged
+    val stored = spark.table("relidx_out")
+      .select(col("id"), col("cell"), col("vec"))
+    val union = graft.CacheScope.track(
+      graft.operators.SimilaritySearch
+        .assignCellsViaRelationFusedKeepVec(emb, rel.supers, rel.childRel)
+        .unionByName(stored))
+    val served = graft.operators.SimilaritySearch
+      .ivfCosineTopKRelationalIndexed(union, col("id") >= 1000L, 3,
+        rel, nprobe = 6, probeSupers = rel.supers.length)
+    assert(served.count() > 0)
+  }
 }
 
