@@ -400,6 +400,62 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // relidxfloor = the STORED-INDEX recall floor priced at the
+    //         RELATIONAL tier (round 15 — the idxfloor symmetry for
+    //         the structure past the broadcast clamp): train the
+    //         relational IVF-PQ artifacts over args(3) synthetic rows
+    //         (default 500k) at nlist = 2^args(4) (default 16) and
+    //         dim args(5) (default 64), encode the relational index
+    //         once, walk sizeIvfPqRelationalForRecall to the args(2)
+    //         floor (default 0.8) with NO retraining, and serve one
+    //         batch at the found point. Driver state: supers +
+    //         codebooks; the child level and the index stay
+    //         relations throughout.
+    if (args(1) == "relidxfloor") {
+      import graft.operators.SimilaritySearch
+      val floor = if (args.length > 2)
+        args(2).toDoubleOption.getOrElse(0.8) else 0.8
+      val rows = if (args.length > 3) args(3).toLong else 500000L
+      val nlist = 1 << (if (args.length > 4)
+        args(4).toIntOption.getOrElse(16) else 16)
+      val dim = if (args.length > 5) args(5).toIntOption.getOrElse(64)
+        else 64
+      val syn = spark.range(rows).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, ${dim - 1}), " +
+          "d -> cos((id + 2) * (d + 5)))").as("embedding"))
+      println(s"[relidxfloor] rows=$rows nlist=$nlist dim=$dim floor=$floor")
+      val t0 = System.nanoTime()
+      val art = SimilaritySearch.trainIvfPqArtifactsRelational(syn,
+        nlist, m = 8, ksub = 16, iters = 2)
+      val index = graft.CacheScope.track(
+        SimilaritySearch.encodeIvfPqRelational(syn, art))
+      graft.Measure.force(index)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      println(f"[relidxfloor] train+encode (once per corpus): $buildS%.1fs")
+      val t1 = System.nanoTime()
+      val pt = SimilaritySearch.sizeIvfPqRelationalForRecall(index,
+        syn, expr(s"id % ${rows / 20} = 0"), k = 10, floor = floor,
+        artifacts = art, nprobe0 = 4, rerank0 = 32)
+      val walkS = (System.nanoTime() - t1) / 1e9
+      pt.walk.foreach { r =>
+        println(f"[relidxfloor] rung (p=${r.probeSupers}, " +
+          f"np=${r.nprobe}, rr=${r.rerank}): recall ${r.recall}%.4f")
+      }
+      println(f"[relidxfloor] chosen (p=${pt.probeSupers}, " +
+        f"np=${pt.nprobe}, rr=${pt.rerank}) recall ${pt.recall}%.4f " +
+        f"floorMet=${pt.floorMet} — walk cost $walkS%.1fs")
+      val t2 = System.nanoTime()
+      val served = graft.Measure.force(
+        SimilaritySearch.ivfPqTopKScoreRelationalIndexed(index, syn,
+          expr(s"id % ${rows / 20} = 1"), 10, art, pt.nprobe,
+          pt.rerank, probeSupers = pt.probeSupers))
+      val e2 = (System.nanoTime() - t2) / 1e9
+      println(f"[relidxfloor] one 20-anchor batch at the point: " +
+        f"$served rows in $e2%.1fs")
+      graft.CacheScope.releaseAll(blocking = true)
+      spark.stop()
+      return
+    }
     // idxfloor = the STORED-INDEX recall floor priced (round 14 —
     //         VERDICT r13 item 3): train + encode the two-level
     //         IVF-PQ index ONCE over the sf dir's embeddings (the
