@@ -512,17 +512,22 @@ object PlanAudit {
       mustContain = Seq("InMemoryTableScan"),
       mustNotContain = Seq("CartesianProduct",
         "BroadcastNestedLoopJoin"),
-      // [MEASURED] 8 = the round-15 counted plan (sf0.001): 2
-      // ensureWide RoundRobin widenings in the cached base/routed
-      // lineages + 6 keyed — the probe's per-anchor window
-      // (id-partitioned row_number), the relational assignment's
-      // id-keyed struct-min aggregation feeding the cell equi-join,
-      // the anchor top-k aggregation and the presentation sort. The
-      // cell join itself broadcasts the probe side (anchors × nprobe
-      // rows); a stored deployment bucketing the assignment by cell
-      // drops that exchange too (the q91 discipline, spec-pinned at
-      // the native serve)
-      maxShuffleExchanges = Some(8)),
+      // [MEASURED] 10 = the round-15 counted plan (sf0.001) after
+      // the serve split: 2 ensureWide RoundRobin widenings in the
+      // cached base/routed lineages + 8 keyed — the relational
+      // assignment's id-keyed struct-min aggregation, the probe's
+      // per-anchor window (id-partitioned row_number), the cell
+      // equi-join's two sides, the anchor top-k aggregation and the
+      // presentation sort. Two keyed exchanges MORE than the
+      // pre-split plan because the gate now runs the STORED-door
+      // serve (topKCoarseRelationalIndexed): anchors re-derive from
+      // the assignment relation (re-routed through the shared super
+      // argmin) instead of riding the training-time routed cache —
+      // the deployment plan, which is the one worth pinning. The
+      // cell join reads a bucketed store exchange-free in the stored
+      // deployment (the q91 discipline, spec-asserted over a real
+      // bucketed table in IvfPqPortableSpec)
+      maxShuffleExchanges = Some(10)),
     // q97: the q93 chain with the probe widened to the top-2 supers
     // (probeChildrenMulti) — the widening is a per-anchor flatMap over
     // the SAME broadcast candidate join, so the exchange set must

@@ -2089,7 +2089,18 @@ object SimilaritySearch {
     * walk, instrumented on [[ivfPqTopKScoreRelationalIndexed]] over
     * a prebuilt relational index — nothing nlist-sized leaves the
     * executors. Same bounded seeded-hash anchor sample, same
-    * terminal-rung exactness contract. */
+    * terminal-rung exactness contract.
+    *
+    * REGIME NOTE (measured — ScaleProbe `relidxfloor`, SCALE.md
+    * round 15): at the relational tier's tiny-cell shape (cell
+    * population ≲ 10) the p-phase reads FLAT — with nprobe0 cells
+    * the binding constraint, widening the super pool only swaps
+    * which nprobe0 cells get ranked (recall ~0.33 at every p on the
+    * measured shape) and each flat rung still costs a sample probe.
+    * The walk is correct (rungs are measured, never assumed
+    * monotone, and the lockstep phase then jumps it to the floor),
+    * but a caller who KNOWS the shape starts `nprobe0` higher so the
+    * p-phase starts past the flat region. */
   def sizeIvfPqRelationalForRecall(index: DataFrame,
       vectors: DataFrame, anchorPred: Column, k: Int, floor: Double,
       artifacts: RelationalIvfPqArtifacts, nprobe0: Int = 4,
