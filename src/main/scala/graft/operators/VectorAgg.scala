@@ -121,9 +121,21 @@ object VectorAgg {
     def zero: DecBuf = DecBuf(Array.empty, Array.empty, 0L)
     def reduce(b: DecBuf, row: (Int, Array[Double])): DecBuf = {
       val v = row._2
+      // LOUD on degenerate shapes (round-15 review): the posexplode
+      // aggregate this replaces computes per-(cell, d) counts, so a
+      // ragged corpus would silently diverge from it here (one
+      // global n per cell), and an all-empty cell would emit an
+      // empty mean where the relational form emits no row — both
+      // fail instead; uniform non-empty width is every caller's
+      // contract (the checkedBase discipline)
+      require(v != null && v.length > 0,
+        s"decimalVecMeans: null/empty vector in cell ${row._1}")
       val buf = if (b.n == 0L && b.hi.isEmpty)
         DecBuf(new Array[Long](v.length), new Array[Long](v.length), 0L)
       else b
+      require(v.length == buf.lo.length,
+        s"decimalVecMeans: ragged vector set in cell ${row._1} — " +
+          s"${v.length} vs ${buf.lo.length}")
       var d = 0
       while (d < v.length) { add128(buf, d, scaled(v(d))); d += 1 }
       buf.n += 1
@@ -133,6 +145,9 @@ object VectorAgg {
       if (a.n == 0L) c
       else if (c.n == 0L) a
       else {
+        require(a.lo.length == c.lo.length,
+          s"decimalVecMeans: ragged partitions — ${a.lo.length} vs " +
+            s"${c.lo.length}")
         var d = 0
         while (d < a.lo.length) {
           val sum = a.lo(d) + c.lo(d)

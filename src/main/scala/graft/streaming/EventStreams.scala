@@ -680,9 +680,6 @@ object EventStreams {
     require(ham >= 0 && ham <= spec.bands - 1,
       s"${spec.bands} x ${spec.bandBits}-bit bands pigeonhole " +
         s"${spec.sigBits} bits at hamming <= ${spec.bands - 1} (got $ham)")
-    def hamSum(a: Column, b: Column): Column = aggregate(
-      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
-      lit(0), (acc, x) => acc + x)
     // width-guarded on BOTH sides (graft.operators.Lsh
     // .sigWidthChecked): a mismatched array makes the per-word
     // hamming NULL, which would silently turn the LEFT ANTI
@@ -703,7 +700,8 @@ object EventStreams {
   }
 
   /** Per-word hamming sum over two band-word arrays — the wide
-    * signature distance both containment consumers verify with. */
+    * signature distance the wide admission stream and both
+    * containment consumers verify with (ONE fold site). */
   private def hamSum(a: Column, b: Column): Column = aggregate(
     zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
     lit(0), (acc, x) => acc + x)
@@ -749,8 +747,10 @@ object EventStreams {
     *   (id, ts, contains_corpus, corpus_containment = max over corpus
     *    videos of matched-distinct-corpus-frames / that video's own
     *    frame count (0.0 when nothing matched), top_corpus_media =
-    *    the maximizing video (ties to the largest id — the struct-max
-    *    rule), verify_rank)
+    *    the maximizing video (equal-ratio ties to the
+    *    LEXICOGRAPHICALLY largest media-id string — the struct-max
+    *    rule over (ratio, c_media); deterministic, but "v9" beats
+    *    "v10"), verify_rank)
     *
     * ordered flagged-first, then by the corpus-direction ratio
     * descending, then id — so the backstop drains subsuming arrivals

@@ -745,6 +745,15 @@ class MediaDedupSpec extends SparkSpec {
     val empty = Seq.empty[DecodedFrame].toDS()
     assert(MediaDedup.videoContainmentPairsAuto(empty, n = bigN)
       .isEmpty)
+    // a corpus where NOTHING decoded to pixels is also loud (round-15
+    // review: the per-blob corrupt-skip contract is correct blob by
+    // blob, but a door whose entire input fell out must say so)
+    val allCorrupt = Seq(
+      DecodedFrame("c1", 0, 16, 16, null),
+      DecodedFrame("c2", 0, 16, 16, null)).toDS()
+    val ce = intercept[IllegalArgumentException](
+      MediaDedup.videoContainmentPairsAuto(allCorrupt, n = 2))
+    assert(ce.getMessage.contains("undecodable"))
     // and a corpus that FITS the generated grid still pairs (the
     // guard costs one first-survivor probe, never a behavior change;
     // 150 ids so the ~19% variant rate plants real containment pairs)
