@@ -44,7 +44,11 @@ object Bench {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // input-derived, not core-count-derived (SessionTuning §1)
+      .config("spark.sql.shuffle.partitions",
+        SessionTuning.shufflePartitionsConf(sfDir, cpus.toInt))
+      .config("spark.sql.codegen.cache.maxEntries",
+        SessionTuning.codegenCacheConf)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -17,7 +17,12 @@ object RunOne {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // same tuning as Bench — RunOne is the quiet section's child,
+      // so the two must measure under identical session settings
+      .config("spark.sql.shuffle.partitions",
+        SessionTuning.shufflePartitionsConf(sfDir, cpus.toInt))
+      .config("spark.sql.codegen.cache.maxEntries",
+        SessionTuning.codegenCacheConf)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

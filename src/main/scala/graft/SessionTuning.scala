@@ -1,0 +1,66 @@
+package graft
+
+/** Session-level tuning shared by the runner entrypoints (Bench,
+  * Verify, RunOne, ShuffleAudit) — round-15 optimization, measured
+  * and justified in OPTIMIZATION_r15.md.
+  *
+  * 1. INITIAL SHUFFLE PARTITIONS DERIVED FROM INPUT SIZE (guide §2:
+  *    "make partitioning scale-adaptive ... rather than a constant
+  *    tuned for either local mode or the cluster"). The previous
+  *    constant (= core count) is a local-mode artifact: at the bench's
+  *    15.7 MB input it fans every tiny aggregation out to 32 map-side
+  *    shuffle writers, and AQE can only coalesce the READ side —
+  *    measured 17% of the heavy-subset wall (126.5 → 105.4 s at 8
+  *    partitions, per-query table in OPTIMIZATION_r15.md). The rule
+  *    targets ~2 MB per partition in the overhead-bound small regime
+  *    and ~256 MB per partition at scale (the guide §2.2/§9 band),
+  *    never dropping below 1 or the size-derived floor:
+  *
+  *      parts = clamp(bytes / 2 MB, 1, max(cores, bytes / 256 MB))
+  *
+  *    15.7 MB → 8; 2 MB → 1; 100 GB → 400 (256 MB each); 100 TB →
+  *    ~400k (256 MB each). Cores only CAP the small regime — at
+  *    cluster scale the byte-derived term dominates, so nothing here
+  *    is tuned to local[32]. Override: SPARK_GRAFT_SHUFFLE_PARTITIONS.
+  *
+  * 2. CODEGEN CACHE SIZED TO THE ENGINE (spark.sql.codegen.cache
+  *    .maxEntries, default 100): one heavy gate query alone generates
+  *    ~114 codegen units, so the default LRU thrashes to ZERO hits —
+  *    measured: every rep of q93 recompiled all 114 units (~2 s of
+  *    Janino per rep) until the cache was raised, after which reps
+  *    2..n compiled nothing. A long-running deployment's driver has
+  *    the same working set; the entries are compiled classes (small),
+  *    so 8192 costs a few tens of MB. Override: SPARK_GRAFT_CODEGEN_CACHE.
+  */
+object SessionTuning {
+  private val SmallTarget = 2L << 20 // 2 MB/partition: overhead-bound regime
+  private val LargeTarget = 256L << 20 // 256 MB/partition at scale (guide §9)
+
+  /** Recursive byte size of the parquet inputs under `dir` (cheap
+    * driver-side listing; the test dirs hold ~10 files). */
+  def inputBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      else f.length()
+    val root = new java.io.File(dir)
+    if (root.exists()) walk(root) else 0L
+  }
+
+  /** Input-derived initial shuffle partition count (rule above). */
+  def shufflePartitions(dir: String, cpus: Int): Int = {
+    val bytes = inputBytes(dir)
+    val target = math.max(1L, (bytes + SmallTarget - 1) / SmallTarget)
+    val cap = math.max(cpus.toLong, (bytes + LargeTarget - 1) / LargeTarget)
+    math.min(target, cap).toInt
+  }
+
+  /** The env-overridable shuffle-partition setting for a runner whose
+    * data directory is `dir`. */
+  def shufflePartitionsConf(dir: String, cpus: Int): String =
+    sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+      shufflePartitions(dir, cpus).toString)
+
+  /** Codegen cache entries (static conf — set before session start). */
+  def codegenCacheConf: String =
+    sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192")
+}

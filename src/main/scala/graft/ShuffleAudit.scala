@@ -20,7 +20,10 @@ object ShuffleAudit {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        SessionTuning.shufflePartitionsConf(sfDir, cpus.toInt))
+      .config("spark.sql.codegen.cache.maxEntries",
+        SessionTuning.codegenCacheConf)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

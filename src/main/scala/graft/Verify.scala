@@ -13,7 +13,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        SessionTuning.shufflePartitionsConf(sfDir, cpus.toInt))
+      .config("spark.sql.codegen.cache.maxEntries",
+        SessionTuning.codegenCacheConf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -116,6 +116,12 @@ object IvfPqPortable {
       m: Int, ksub: Int, subIters: Int, dsub: Int,
       trainRes: DataFrame = null): DataFrame = {
     val resForTraining = Option(trainRes).getOrElse(withRes)
+    // NOTE (round 15, measured): running these m independent Lloyd
+    // chains concurrently (guide §2.6 thread-pool overlap) makes the
+    // gate SLOWER at local[32] — 12.4 s vs 8.0 s on q93 — because the
+    // concurrent first touch of the shared cached residual relation
+    // races (each thread computes all partitions) and 4 × 32-task
+    // jobs oversubscribe the box. Sequential is the right shape here.
     val codebooks = (0 until m).map { j =>
       KMeansPortable.trainModel(
         resForTraining.select(col("id"),
@@ -203,8 +209,8 @@ object IvfPqPortable {
     val anchors = base.filter(anchorPred)
     val probeCells = anchors.select(col("id").as("anchor_id"),
         col("vec").as("a_vec"),
-        explode(slice(array_sort(array(
-          KMeansPortable.distStructs(col("vec"), col("n2"), coarse): _*)),
+        explode(slice(array_sort(
+          KMeansPortable.distArray(col("vec"), col("n2"), coarse)),
           1, nprobe)).as("pc"))
       .select(col("anchor_id"), col("a_vec"), col("pc.j").as("cell"))
     encodeAndScore(base, withRes, centsLit, probeCells, k, m, ksub,

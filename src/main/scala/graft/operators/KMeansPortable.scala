@@ -277,32 +277,47 @@ object KMeansPortable {
       centroids: Array[Array[Double]]): DataFrame =
     base.withColumn("cell", cellExpr(col("vec"), col("n2"), centroids))
 
-  /** (dist, j) structs for one vector column against a fixed centroid
-    * matrix — dist = n2 − 2·decimalDot(vec, c_j) + decimalSelfDot(c_j),
-    * the [[assignmentCtes]] arithmetic as a Spark expression. Struct
-    * comparison orders by (d, j), so `array_min` IS argmin-with-
-    * lowest-index-ties and a full `array_sort` IS the nprobe ranking
-    * (the q85 IVF probe) — both provably the same total order as the
-    * oracle's `ORDER BY dist, j` window. */
-  private[graft] def distStructs(vec: Column, n2: Column,
-      centroids: Array[Array[Double]]): Seq[Column] = {
+  /** The (j, centroid, nc2) candidate array as ONE reference-typed
+    * literal — the flat-matrix sibling of [[childCands]]'s per-super
+    * arrays. Round-15 optimization: the previous form built k
+    * separate struct expressions with the centroid self-dots INLINED
+    * as double literals, so the generated code CHANGED whenever the
+    * centroid VALUES did — every Lloyd iteration, every scale factor
+    * — and Janino recompiled the assignment kernel each time (the
+    * warmup pass precompiled nothing for the training loops). A
+    * complex-typed literal rides in codegen as a reference object:
+    * the generated source is now independent of both the values and
+    * k, so one compiled kernel serves every iteration, every SF and
+    * every centroid count (this also removes the nlist-sized codegen
+    * body that capped the flat path — the measured ceiling of
+    * SCALE.md round 10; the auto-dispatch boundaries stay, as
+    * policies over pair-work, not codegen). */
+  private def candArray(centroids: Array[Array[Double]]): Column = {
     val nc2 = centroids.map(c =>
       RhpKernels.decimalDot(new GenericArrayData(c), new GenericArrayData(c)))
-    centroids.indices.map { j =>
-      struct(
-        (n2 - lit(2.0) * RhpExpressions.decimalScaledDot(vec,
-          typedLit(centroids(j).toSeq)) + lit(nc2(j))).as("d"),
-        lit(j).as("j"))
-    }
+    typedLit(centroids.indices.map(j =>
+      (j, centroids(j).toSeq, nc2(j))))
   }
 
-  /** Argmin cell id for one vector column — [[distStructs]] composed
+  /** (dist, j) struct ARRAY for one vector column against a fixed
+    * centroid matrix — dist = n2 − 2·decimalDot(vec, c_j) +
+    * decimalSelfDot(c_j), the [[assignmentCtes]] arithmetic as a
+    * Spark expression ([[childDistArray]] over the [[candArray]]
+    * literal). Struct comparison orders by (d, j), so `array_min` IS
+    * argmin-with-lowest-index-ties and a full `array_sort` IS the
+    * nprobe ranking (the q85 IVF probe) — both provably the same
+    * total order as the oracle's `ORDER BY dist, j` window. */
+  private[graft] def distArray(vec: Column, n2: Column,
+      centroids: Array[Array[Double]]): Column =
+    childDistArray(candArray(centroids), vec, n2)
+
+  /** Argmin cell id for one vector column — [[distArray]] composed
     * with the lowest-index tie rule. The single Spark-side site of
     * the assignment arithmetic (coarse assignment, q85 per-subspace
     * PQ encoding). */
   private[graft] def cellExpr(vec: Column, n2: Column,
       centroids: Array[Array[Double]]): Column =
-    array_min(array(distStructs(vec, n2, centroids): _*)).getField("j")
+    array_min(distArray(vec, n2, centroids)).getField("j")
 
   // ---------------------------------------------------------------
   // TWO-LEVEL (hierarchical) quantizer — the structure past the
@@ -714,8 +729,8 @@ object KMeansPortable {
     require(nprobe >= 1, s"nprobe must be >= 1; got $nprobe")
     require(probeSupers >= 1 && probeSupers <= supers.length,
       s"probeSupers must be 1..${supers.length}; got $probeSupers")
-    val topSups = slice(array_sort(array(
-      distStructs(col("vec"), col("n2"), supers): _*)), 1, probeSupers)
+    val topSups = slice(array_sort(
+      distArray(col("vec"), col("n2"), supers)), 1, probeSupers)
     var df = anchors.withColumn("__sups", topSups)
     val cands = childCands(anchors, children, groups)
     (0 until probeSupers).foreach { i =>

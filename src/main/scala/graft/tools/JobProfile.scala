@@ -25,13 +25,22 @@ object JobProfile {
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_PROFILE_SHUFFLE",
+      graft.SessionTuning.shufflePartitionsConf(sfDir, cpus.toInt))
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.codegen.cache.maxEntries",
+        graft.SessionTuning.codegenCacheConf)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc config experiments: SPARK_GRAFT_PROFILE_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_PROFILE_CONF").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     case class J(id: Int, start: Long, var end: Long, var tasks: Int,
       site: String)
@@ -72,6 +81,12 @@ object JobProfile {
         prevEnd = j.end
       }
       println(f"  [jobprofile] wall $wall%.2fs  sum_job $sumJob%.2fs  sum_gap $sumGap%.2fs  pre_first ${if (js.nonEmpty) (js.head.start - base) / 1e3 else 0.0}%.2fs")
+      // cumulative Janino compile time/count (driver-wide): reveals
+      // per-iteration codegen cache misses — a plan whose only change
+      // is an inlined literal VALUE recompiles every job
+      val cm = org.apache.spark.metrics.source.CodegenMetrics
+      println(s"  [jobprofile] codegen compiled ${cm.METRIC_COMPILATION_TIME.getCount} units, " +
+        f"total ${cm.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum / 1e3}%.2fs-ish compile time (cumulative histogram)")
     }
     spark.stop()
   }

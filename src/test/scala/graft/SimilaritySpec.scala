@@ -558,9 +558,9 @@ class SimilaritySpec extends SparkSpec {
     // same child centroids, computed here as the global (d, j) sort
     val s = m.supers.length
     val flatProbe = cells(routed.withColumn("__pc",
-        explode(slice(array_sort(array(
-          KMeansPortable.distStructs(col("vec"), col("n2"),
-            m.children): _*)), 1, 2)))
+        explode(slice(array_sort(
+          KMeansPortable.distArray(col("vec"), col("n2"),
+            m.children)), 1, 2)))
       .withColumn("cell", col("__pc.j")))
     val multiS = cells(KMeansPortable.probeChildrenMulti(
       routed, m.supers, m.children, m.groups, nprobe = 2,
