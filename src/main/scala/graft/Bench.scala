@@ -338,7 +338,13 @@ object Bench {
         if (!okFlags(name) || demoted(name)) fresh
         else carrySource.get(name) match {
           case Some(pv) => carriedNames += name; pv
-          case None if oncePerRound(name) =>
+          // the ignore-prior-state knob must disable THIS carry too:
+          // r15's "fully fresh" baseline committed one once-line carry
+          // through this branch because only carrySource checked the
+          // env (ADVICE r15) — a baseline run with
+          // SPARK_GRAFT_PRIOR_BENCH set is now fresh on every line
+          case None if oncePerRound(name) &&
+              !sys.env.contains("SPARK_GRAFT_PRIOR_BENCH") =>
             trustedReadings(shortKey(name)).headOption
               .filter(pv =>
                 math.abs(fresh - pv) / math.min(fresh, pv) <= AgreeBar)

@@ -641,7 +641,7 @@ object KMeansPortable {
   /** The per-candidate (d, j) struct array over a routed row's
     * super-group — struct comparison orders by (d, j), so `array_min`
     * IS the child argmin and `array_sort` IS the nprobe child ranking
-    * (the [[distStructs]] total order, candidate-array form). */
+    * (the [[distArray]] total order, candidate-array form). */
   private def childDistArray(cands: Column, vec: Column,
       n2: Column): Column =
     transform(cands, c =>

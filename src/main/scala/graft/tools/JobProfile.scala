@@ -67,14 +67,22 @@ object JobProfile {
       val wall = (System.nanoTime() - t0) / 1e9
       graft.CacheScope.releaseAll(blocking = true)
       org.apache.spark.sql.graft.ListenerDrain.drain(spark.sparkContext)
-      val js = order.flatMap(id => Option(jobs.get(id)))
+      // a job whose onJobEnd never arrived (end = -1) would turn into a
+      // large negative duration silently corrupting Σjob/Σgap (ADVICE
+      // r15) — drop it loudly; likewise clamp gaps at 0 so overlapping
+      // (concurrent) jobs don't drive Σgap negative
+      val (js, unfinished) = order.flatMap(id => Option(jobs.get(id)))
+        .partition(_.end >= 0)
+      if (unfinished.nonEmpty)
+        println(s"  [jobprofile] WARNING: ${unfinished.size} jobs never " +
+          s"reported onJobEnd (ids ${unfinished.map(_.id).mkString(",")}) — excluded")
       var prevEnd = -1L
       var sumJob = 0.0; var sumGap = 0.0
       val base = js.headOption.map(_.start).getOrElse(0L)
       println(f"== rep $r: $name $n rows in $wall%.2fs, ${js.size} jobs ==")
       js.foreach { j =>
         val dur = (j.end - j.start) / 1e3
-        val gap = if (prevEnd < 0) 0.0 else (j.start - prevEnd) / 1e3
+        val gap = if (prevEnd < 0) 0.0 else math.max(0.0, (j.start - prevEnd) / 1e3)
         sumJob += dur; sumGap += gap
         if (r == reps)
           println(f"  job ${j.id}%3d +${(j.start - base) / 1e3}%7.2fs dur $dur%6.3fs gap $gap%6.3fs tasks ${j.tasks}%4d  ${j.site}")
